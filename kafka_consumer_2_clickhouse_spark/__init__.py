@@ -1,0 +1,28 @@
+"""PySpark-native streaming ETL + analytics engine.
+
+A from-scratch rebuild of the capabilities of the reference engine
+(``Makasinov/kafka-consumer-2-clickhouse``) on idiomatic Spark:
+
+- Streaming ingest: Kafka (or file/rate in tests) -> snappy decode ->
+  ``from_json`` -> sorted-column project/cast -> ``foreachBatch`` sink
+  with checkpointing (replaces the reference's single-threaded Go loop
+  + CSV staging + ``clickhouse-local`` subprocess pipeline).
+- Batch analytics over landed tables: stock DataFrame/Catalyst.
+- LLM-data-pipeline extensions: dedup (exact / MinHash-LSH / SimHash /
+  n-gram Jaccard / embedding cosine), similarity search, text analysis,
+  multimodal column plumbing.
+
+Layout:
+    config.py     pipeline config model (reference config-example.json shape)
+    schema.py     ClickHouse-type -> Spark-type mapping, DESCRIBE parsing
+    convert.py    the parse/project/cast stage (the heart of ingest parity)
+    session.py    SparkSession builder tuned for local[N] testing
+    sources/      batch + streaming source builders (kafka, files)
+    sinks.py      ClickHouse JDBC (gated), parquet, memory sinks
+    streaming/    pipeline assembly + observability
+    operators/    analytics + [EXT] operators (dedup, similarity, text)
+    functions/    reusable column-expression helpers (hashing, text, vectors)
+    plans/        plan-inspection helpers (assert broadcast / pushdown)
+"""
+
+__version__ = "0.1.0"

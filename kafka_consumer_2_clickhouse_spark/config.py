@@ -1,0 +1,132 @@
+"""Pipeline configuration model.
+
+Mirrors the reference's JSON config shape (see
+``/root/reference/cmd/configStructure/configStructures.go:3-30`` and
+``config/config-example.json``) so an existing config file drives the
+new engine unchanged, while fixing the reference's dead knobs:
+
+- ``flush_interval_seconds`` actually fires here (it becomes the
+  Structured Streaming processing-time trigger; in the reference it is
+  parsed and stored but no timer ever reads it).
+- ``ignore_columns`` is actually honored (commented-out TODO in the
+  reference, ``prepare-functions.go:138-146``).
+- ``write_timeout`` maps to the JDBC query timeout instead of being
+  parsed-and-dropped.
+
+Defaulting matches ``prepare-functions.go:82-102``: pool_timeout 500ms,
+flush_count 1000, flush_interval 300s, write_timeout 120s.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+DEFAULT_POOL_TIMEOUT_MS = 500
+DEFAULT_FLUSH_COUNT = 1000
+DEFAULT_FLUSH_INTERVAL_S = 300
+DEFAULT_WRITE_TIMEOUT_S = 120
+
+
+@dataclass
+class ClickHouseConfig:
+    """Per-topic sink coordinates (reference ``configStructures.go:3-14``)."""
+
+    host: str = "localhost:9000"
+    user: str = "default"
+    password: str = ""
+    table: str = ""
+    write_timeout: int = DEFAULT_WRITE_TIMEOUT_S
+    ignore_columns: list[str] = field(default_factory=list)
+
+    @property
+    def jdbc_url(self) -> str:
+        host = self.host if ":" in self.host else f"{self.host}:8123"
+        return f"jdbc:clickhouse://{host}"
+
+
+@dataclass
+class TopicConfig:
+    """One Kafka-topic -> target-table route (``configStructures.go:16-23``)."""
+
+    topic: str
+    clickhouse: ClickHouseConfig = field(default_factory=ClickHouseConfig)
+    insert_format: str = "Values"  # kept for config parity; JDBC writes typed rows
+    flush_count: int = DEFAULT_FLUSH_COUNT
+    flush_interval_seconds: int = DEFAULT_FLUSH_INTERVAL_S
+    snappy: bool = True  # payload-level snappy decode (reference main.go:79)
+
+
+@dataclass
+class PipelineConfig:
+    """Whole-pipeline config (``configStructures.go:25-30``)."""
+
+    topics: list[TopicConfig] = field(default_factory=list)
+    pool_timeout_ms: int = DEFAULT_POOL_TIMEOUT_MS
+    consumer_config: dict[str, Any] = field(default_factory=dict)
+    checkpoint_root: str = "/tmp/kafka_consumer_2_clickhouse_spark/checkpoints"
+    dead_letter_path: str | None = None
+
+    def topic_map(self) -> dict[str, TopicConfig]:
+        """topic name -> TopicConfig routing map (``prepare-functions.go:185-191``)."""
+        return {t.topic: t for t in self.topics}
+
+    def kafka_options(self, subscribe: str | None = None) -> dict[str, str]:
+        """Translate reference ``consumer_config`` keys into Spark Kafka
+        source options (each librdkafka key becomes ``kafka.<key>``)."""
+        opts = {f"kafka.{k}": str(v) for k, v in self.consumer_config.items()}
+        # Spark manages offsets via checkpoint: never let the client auto-commit.
+        opts.pop("kafka.enable.auto.commit", None)
+        if "kafka.bootstrap.servers" in opts:
+            opts["kafka.bootstrap.servers"] = opts["kafka.bootstrap.servers"]
+        opts["subscribe"] = subscribe or ",".join(t.topic for t in self.topics)
+        return opts
+
+
+def _ch_from_dict(d: dict[str, Any]) -> ClickHouseConfig:
+    return ClickHouseConfig(
+        host=d.get("host", "localhost:9000"),
+        user=d.get("user", "default"),
+        password=d.get("password", ""),
+        table=d.get("table", ""),
+        write_timeout=int(d.get("write_timeout") or DEFAULT_WRITE_TIMEOUT_S),
+        ignore_columns=list(d.get("ignore_columns") or []),
+    )
+
+
+def load_config(path: str | Path | dict[str, Any]) -> PipelineConfig:
+    """Load a reference-shaped JSON config file (or pre-parsed dict).
+
+    Accepts the exact key names of ``config/config-example.json``.
+    """
+    raw: dict[str, Any]
+    if isinstance(path, dict):
+        raw = path
+    else:
+        raw = json.loads(Path(path).read_text())
+
+    topics = []
+    for t in raw.get("topics", []):
+        topics.append(
+            TopicConfig(
+                topic=t["topic"],
+                clickhouse=_ch_from_dict(t.get("clickhouse_config") or {}),
+                insert_format=t.get("insert_format", "Values"),
+                flush_count=int(t.get("flush_count") or DEFAULT_FLUSH_COUNT),
+                flush_interval_seconds=int(
+                    t.get("flush_interval_seconds") or DEFAULT_FLUSH_INTERVAL_S
+                ),
+                snappy=bool(t.get("snappy", True)),
+            )
+        )
+    return PipelineConfig(
+        topics=topics,
+        pool_timeout_ms=int(raw.get("pool_timeout") or DEFAULT_POOL_TIMEOUT_MS),
+        consumer_config=dict(raw.get("consumer_config") or {}),
+        checkpoint_root=raw.get(
+            "checkpoint_root", "/tmp/kafka_consumer_2_clickhouse_spark/checkpoints"
+        ),
+        dead_letter_path=raw.get("dead_letter_path"),
+    )

@@ -1,0 +1,235 @@
+"""The parse/project/cast stage — the heart of ingest parity.
+
+Reference semantics being re-expressed (with file:line provenance):
+
+- snappy payload decode           -> ``main.go:79`` (one-line ``snappy.Decode``)
+- JSON parse                      -> ``pkg/converter/converter.go:57-60``
+- project onto table columns,
+  sorted alphabetically           -> ``converter.go:61-66``
+- missing key / JSON null -> null -> ``converter.go:70-76``
+- extra JSON keys dropped         -> ``converter.go:61-66`` (iteration over
+                                     table columns, not message keys)
+- typed cast (reference delegates
+  to ``clickhouse-local``)        -> ``prepare-functions.go:151-156``
+- error accounting / skip         -> ``main.go:87-109``
+
+Deliberate divergences from the reference (documented bugs we fix):
+
+- Corrupt snappy bytes are routed to the dead-letter branch instead of
+  being pushed onward as garbage (reference falls through at
+  ``main.go:87-104`` and double-counts the error).
+- No CSV intermediate, so the unescaped-quote corruption at
+  ``converter.go:73-80`` cannot occur; rows stay typed end to end.
+
+Design notes for scale: the only Python on the hot path is the snappy
+decode (payload-level compression has no JVM builtin); it runs as an
+Arrow-vectorized ``mapInPandas`` over whole batches, never per row. The
+decode is also where topics that ship uncompressed JSON skip straight
+through (``snappy=False``). Everything downstream — ``from_json``,
+project, cast, the valid/dead-letter split — is built-in Catalyst
+expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Column added by :func:`decode_snappy`; null => decode succeeded.
+DECODE_ERROR_COL = "_decode_error"
+#: Column holding the corrupt raw payload for the dead-letter sink.
+CORRUPT_FLAG_COL = "_corrupt_json"
+
+
+def make_snappy_decoder():
+    """Build the per-batch raw-snappy decode function.
+
+    Self-contained closure (no references back into this module) so
+    cloudpickle ships it by value — executors never need this package
+    on their PYTHONPATH. Uses pyarrow's bundled snappy codec; raw
+    snappy's leading varint carries the uncompressed length that
+    ``pa.Codec.decompress`` requires.
+    """
+
+    def decode_batch(values):
+        import pandas as pd
+        import pyarrow as pa
+
+        codec = pa.Codec("snappy")
+
+        def ulen(buf: bytes) -> int:
+            shift = 0
+            result = 0
+            for b in buf[:6]:
+                result |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    return result
+                shift += 7
+            raise ValueError("invalid snappy varint header")
+
+        out: list[str | None] = []
+        errs: list[str | None] = []
+        for v in values:
+            if v is None:
+                out.append(None)
+                errs.append("null payload")
+                continue
+            b = bytes(v)
+            try:
+                n = ulen(b)
+                if n > 1 << 30:
+                    raise ValueError(f"implausible uncompressed length {n}")
+                decoded = bytes(codec.decompress(b, decompressed_size=n))
+                out.append(decoded.decode("utf-8"))
+                errs.append(None)
+            except Exception as e:  # corrupt/non-snappy payload -> dead letter
+                out.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pd.Series(out, dtype="object"), pd.Series(errs, dtype="object")
+
+    return decode_batch
+
+
+def decode_snappy(
+    df: DataFrame, value_col: str = "value", out_col: str = "json_str"
+) -> DataFrame:
+    """Snappy-decode a binary payload column into a UTF-8 JSON string.
+
+    Replaces ``snappy.Decode`` at ``main.go:79``. Failures land in
+    :data:`DECODE_ERROR_COL` instead of falling through with corrupt
+    bytes (the reference bug at ``main.go:87-104``).
+
+    Implemented as ``mapInPandas`` so decode runs batch-at-a-time over
+    Arrow buffers on executors — the only Python stage in the pipeline.
+    """
+    in_fields = df.schema.fields
+    out_schema = T.StructType(
+        [f for f in in_fields if f.name not in (out_col, DECODE_ERROR_COL)]
+        + [
+            T.StructField(out_col, T.StringType(), True),
+            T.StructField(DECODE_ERROR_COL, T.StringType(), True),
+        ]
+    )
+    passthrough = [f.name for f in in_fields if f.name not in (out_col, DECODE_ERROR_COL)]
+    decode_batch = make_snappy_decoder()
+    err_col = DECODE_ERROR_COL
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded, errs = decode_batch(pdf[value_col])
+            res = pdf[passthrough].copy()
+            res[out_col] = decoded
+            res[err_col] = errs
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def with_plain_utf8(
+    df: DataFrame, value_col: str = "value", out_col: str = "json_str"
+) -> DataFrame:
+    """Uncompressed-topic variant of :func:`decode_snappy`: binary -> string
+    cast JVM-side, with a null :data:`DECODE_ERROR_COL` for symmetry."""
+    return df.withColumn(out_col, F.col(value_col).cast("string")).withColumn(
+        DECODE_ERROR_COL, F.lit(None).cast("string")
+    )
+
+
+def parse_project_cast(
+    df: DataFrame,
+    target: T.StructType,
+    json_col: str = "json_str",
+    keep_meta: list[str] | None = None,
+) -> DataFrame:
+    """``from_json`` -> sorted-column projection -> typed cast.
+
+    - Explicit schema => extra JSON keys are dropped (``converter.go:61-66``)
+      and missing keys / JSON nulls become real nulls (``converter.go:70-76``).
+    - PERMISSIVE mode with a corrupt-record marker => malformed JSON is
+      detectable for the dead-letter branch (``converter.go:57-60`` skip).
+    - Column order is ``sorted(names)`` — the reference invariant that
+      appears at ``converter.go:65``, ``prepare-functions.go:167`` and
+      ``collector.go:124``.
+
+    ``from_json`` parses strings as the declared type directly; numeric
+    JSON values cast per field. All expressions are JVM-side Catalyst.
+    """
+    # Parse with all target fields as-declared; from_json handles
+    # string->timestamp/date and numeric widening. Spark 4 returns an
+    # all-null struct (not a null struct) for malformed input, so corrupt
+    # detection uses the explicit columnNameOfCorruptRecord channel.
+    names = sorted(target.fieldNames())
+    corrupt_rec = "_corrupt_record"
+    parse_schema = T.StructType(
+        [T.StructField(n, target[n].dataType, True) for n in names]
+        + [T.StructField(corrupt_rec, T.StringType(), True)]
+    )
+    parsed = df.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(json_col),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_rec},
+        ),
+    )
+    parsed = parsed.withColumn(
+        CORRUPT_FLAG_COL,
+        F.col(json_col).isNotNull()
+        & F.col(f"_parsed.{corrupt_rec}").isNotNull(),
+    )
+    cols = [F.col(f"_parsed.{n}").alias(n) for n in names]
+    meta = [F.col(m) for m in (keep_meta or []) if m in df.columns]
+    return parsed.select(
+        *cols, *meta, F.col(DECODE_ERROR_COL), F.col(CORRUPT_FLAG_COL)
+    )
+
+
+@dataclass
+class ConvertResult:
+    """valid/dead-letter split (``main.go:87-109`` error accounting)."""
+
+    valid: DataFrame
+    dead_letter: DataFrame
+
+
+def convert(
+    df: DataFrame,
+    target: T.StructType,
+    value_col: str = "value",
+    snappy: bool = True,
+    keep_meta: list[str] | None = None,
+) -> ConvertResult:
+    """Full stage: decode -> parse -> project/cast -> split.
+
+    ``valid`` carries exactly the sorted target columns (+ requested
+    metadata columns); ``dead_letter`` carries the error reason for the
+    reference's ``kafka_consumer_msg_error{type}`` metric split
+    (``prom.go:14-31``): ``snappy`` vs ``parse``.
+    """
+    decoded = (
+        decode_snappy(df, value_col=value_col)
+        if snappy
+        else with_plain_utf8(df, value_col=value_col)
+    )
+    shaped = parse_project_cast(decoded, target, keep_meta=keep_meta)
+    names = sorted(target.fieldNames())
+    ok = F.col(DECODE_ERROR_COL).isNull() & ~F.col(CORRUPT_FLAG_COL)
+    valid = shaped.filter(ok).drop(DECODE_ERROR_COL, CORRUPT_FLAG_COL)
+    dead = (
+        shaped.filter(~ok)
+        .withColumn(
+            "error_type",
+            F.when(F.col(DECODE_ERROR_COL).isNotNull(), F.lit("snappy")).otherwise(
+                F.lit("parse")
+            ),
+        )
+        .withColumn("error_detail", F.col(DECODE_ERROR_COL))
+        .drop(*names, DECODE_ERROR_COL, CORRUPT_FLAG_COL)
+    )
+    return ConvertResult(valid=valid, dead_letter=dead)

@@ -1,0 +1,176 @@
+"""ClickHouse-type -> Spark-type mapping and target-table schema handling.
+
+Replaces the reference's schema machinery (``DESCRIBE TABLE`` via a
+``clickhouse-client`` subprocess, parsed into ``map[name]typeString`` —
+``/root/reference/pkg/converter/converter.go:13-47`` and
+``cmd/kafka-consumer/prepare-functions.go:121-159``) with real typing:
+the reference carried ClickHouse type strings verbatim and delegated all
+casting to ``clickhouse-local``; here each CH type maps once to a Spark
+``DataType`` and Catalyst does the casts.
+
+The single most load-bearing reference semantic — columns are always
+processed in sorted (alphabetical) order, appearing identically at
+``converter.go:61-66``, ``prepare-functions.go:161-176`` and
+``collector.go:120-126`` — is preserved by ``sorted_fields``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+# Scalar ClickHouse types -> Spark types. Unsigned ints are widened one
+# step (UInt32 fits Long; UInt64 has no exact Spark integral type ->
+# Decimal(20,0) preserves the full range).
+_SCALAR: dict[str, T.DataType] = {
+    "String": T.StringType(),
+    "FixedString": T.StringType(),
+    "UUID": T.StringType(),
+    "IPv4": T.StringType(),
+    "IPv6": T.StringType(),
+    "Bool": T.BooleanType(),
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "Int128": T.DecimalType(38, 0),
+    "UInt8": T.ShortType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.DecimalType(20, 0),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "Date": T.DateType(),
+    "Date32": T.DateType(),
+    "DateTime": T.TimestampType(),
+    "DateTime64": T.TimestampType(),
+}
+
+_PARAM_RE = re.compile(r"^(\w+)\((.*)\)$")
+
+
+class UnsupportedClickHouseType(ValueError):
+    pass
+
+
+def _split_args(s: str) -> list[str]:
+    """Split type args at top-level commas: ``Map(String, Array(Int32))``."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def ch_type_to_spark(ch_type: str) -> tuple[T.DataType, bool]:
+    """Map one ClickHouse type string to ``(spark_type, nullable)``.
+
+    Covers everything the reference could meet via ``DESCRIBE TABLE``
+    (``converter.go:24-40`` captures the string; the mapping itself is
+    new — the reference never interpreted types).
+    """
+    s = ch_type.strip()
+    if s in _SCALAR:
+        return _SCALAR[s], False
+    m = _PARAM_RE.match(s)
+    if not m:
+        raise UnsupportedClickHouseType(ch_type)
+    head, args_s = m.group(1), m.group(2)
+    args = _split_args(args_s)
+    if head == "Nullable":
+        inner, _ = ch_type_to_spark(args[0])
+        return inner, True
+    if head == "LowCardinality":
+        return ch_type_to_spark(args[0])
+    if head == "Array":
+        inner, inner_null = ch_type_to_spark(args[0])
+        return T.ArrayType(inner, inner_null), False
+    if head == "Map":
+        k, _ = ch_type_to_spark(args[0])
+        v, v_null = ch_type_to_spark(args[1])
+        return T.MapType(k, v, v_null), False
+    if head == "Tuple":
+        fields = []
+        for i, a in enumerate(args):
+            # named-tuple element: "name Type"
+            parts = a.split(None, 1)
+            if len(parts) == 2 and not _PARAM_RE.match(parts[0]) and parts[0] not in _SCALAR:
+                name, inner_s = parts
+            else:
+                name, inner_s = f"_{i + 1}", a
+            inner, inner_null = ch_type_to_spark(inner_s)
+            fields.append(T.StructField(name, inner, inner_null))
+        return T.StructType(fields), False
+    if head == "Decimal":
+        p, s_ = (int(a) for a in args[:2])
+        return T.DecimalType(p, s_), False
+    if head in ("Decimal32", "Decimal64", "Decimal128"):
+        scale = int(args[0])
+        prec = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[head]
+        return T.DecimalType(prec, scale), False
+    if head == "FixedString":
+        return T.StringType(), False
+    if head == "DateTime64":
+        return T.TimestampType(), False
+    if head == "DateTime":  # DateTime('UTC')
+        return T.TimestampType(), False
+    if head == "Enum8" or head == "Enum16":
+        return T.StringType(), False
+    raise UnsupportedClickHouseType(ch_type)
+
+
+def parse_describe_output(tsv: str) -> dict[str, str]:
+    """Parse ``DESCRIBE TABLE`` TSV (name, type, default_type, default_expr)
+    into ``{column: ch_type}`` — the new-engine equivalent of
+    ``ParseClickHouseTable`` (``converter.go:13-47``). Columns with
+    MATERIALIZED/ALIAS defaults are excluded from inserts, matching
+    ClickHouse INSERT semantics."""
+    out: dict[str, str] = {}
+    for line in tsv.splitlines():
+        if not line.strip():
+            continue
+        parts = line.split("\t")
+        if len(parts) < 2:
+            continue
+        name, ch_type = parts[0].strip(), parts[1].strip()
+        default_kind = parts[2].strip() if len(parts) > 2 else ""
+        if default_kind in ("MATERIALIZED", "ALIAS"):
+            continue
+        out[name] = ch_type
+    return out
+
+
+def build_struct(
+    columns: dict[str, str], ignore_columns: list[str] | None = None
+) -> T.StructType:
+    """Build the target StructType from ``{column: ch_type}``, sorted by
+    column name (the reference's invariant), honoring ``ignore_columns``
+    (the reference's commented-out TODO, ``prepare-functions.go:138-146``).
+
+    All fields are nullable at the parse stage — JSON messages may omit
+    any key (``converter.go:70-76``); non-null enforcement belongs to
+    the sink table.
+    """
+    ignored = set(ignore_columns or [])
+    fields = []
+    for name in sorted(columns):
+        if name in ignored:
+            continue
+        dtype, _ = ch_type_to_spark(columns[name])
+        fields.append(T.StructField(name, dtype, True))
+    return T.StructType(fields)
+
+
+def sorted_fields(schema: T.StructType) -> list[str]:
+    """Alphabetical column order — the invariant from ``converter.go:65``."""
+    return sorted(schema.fieldNames())

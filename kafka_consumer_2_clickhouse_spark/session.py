@@ -1,0 +1,58 @@
+"""SparkSession construction.
+
+One place to encode the engine's execution defaults so tests, bench and
+the entry point all agree. Tuned for ``local[N]`` single-JVM testing but
+every setting is cluster-sane: AQE on (runtime re-plan, skew-join,
+partition coalescing), shuffle partitions sized to cores locally (on a
+real cluster leave it to AQE's coalescing from a higher initial count),
+UTC session timezone (oracle comparability), Arrow enabled (Pandas UDF
+hot paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kafka_consumer_2_clickhouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster, ``master`` comes from spark-submit and this
+    builder only contributes SQL conf; locally it defaults to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver corpus stores TIMESTAMP(NANOS) columns; read them as
+        # epoch-nanos longs (sources/tables.py restores TimestampType)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    if master or not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(master or f"local[{cores}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

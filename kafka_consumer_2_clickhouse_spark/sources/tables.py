@@ -1,0 +1,77 @@
+"""Batch table loader for the analytic corpus.
+
+``spark.read.parquet`` with one wrinkle: the driver-generated corpus
+stores some timestamp columns as parquet ``TIMESTAMP(NANOS)`` (e.g.
+``events.ts``), which Spark's vectorized reader rejects outright
+(``PARQUET_TYPE_ILLEGAL``). The session sets
+``spark.sql.legacy.parquet.nanosAsLong=true`` so those columns arrive
+as epoch-nanos longs, and this loader restores them to proper
+``TimestampType`` via ``timestamp_micros(ns / 1000)`` — a cheap
+JVM-side projection, still fully pushdown/prune friendly.
+
+Nanos columns are discovered from the parquet footer with pyarrow
+(footer-only read, O(KB) per file — negligible even at 100 TB table
+sizes since it's one driver-side metadata read per table).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        target = parts[0]
+    schema = pq.read_schema(target)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table with nanos-timestamp restoration."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        # nanosAsLong delivered epoch-nanos as LongType; floor to micros.
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every corpus table as a temp view; returns the DataFrames."""
+    out = {}
+    for name in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

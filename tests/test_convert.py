@@ -1,0 +1,165 @@
+"""Golden tests for the parse/project/cast stage (FIXTURES.md A1 variants).
+
+Each case exercises a branch of the reference's converter
+(``pkg/converter/converter.go:49-83``) / hot loop (``main.go:79-104``).
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark import convert as cv
+from kafka_consumer_2_clickhouse_spark import schema as sch
+
+EVENTS_COLS = {
+    "event_id": "UInt64",
+    "ts": "DateTime",
+    "user_id": "UInt64",
+    "event_type": "String",
+    "value": "Float64",
+    "props": "String",
+}
+
+
+def snappy_compress(b: bytes) -> bytes:
+    return bytes(pa.Codec("snappy").compress(b))
+
+
+def make_kafka_df(spark, payloads: list[bytes], topic="events"):
+    rows = [(topic, 0, i, p) for i, p in enumerate(payloads)]
+    schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("value", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def target():
+    return sch.build_struct(EVENTS_COLS)
+
+
+def test_happy_path_typed_row(spark, target):
+    msg = {
+        "event_id": 1,
+        "ts": "2026-08-13 00:00:00",
+        "user_id": 42,
+        "event_type": "click",
+        "value": 1.5,
+        "props": json.dumps({"k": "v"}),
+    }
+    df = make_kafka_df(spark, [snappy_compress(json.dumps(msg).encode())])
+    res = cv.convert(df, target)
+    rows = res.valid.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # sorted column order — the reference invariant
+    assert res.valid.columns == sorted(EVENTS_COLS)
+    assert r["event_type"] == "click"
+    assert r["value"] == 1.5
+    assert str(r["ts"]) == "2026-08-13 00:00:00"
+    assert res.dead_letter.count() == 0
+
+
+def test_missing_key_and_explicit_null(spark, target):
+    msgs = [
+        {"event_id": 2, "event_type": "view"},  # value absent (converter.go:70-76)
+        {"event_id": 3, "event_type": "view", "value": None},  # explicit null
+    ]
+    df = make_kafka_df(
+        spark, [snappy_compress(json.dumps(m).encode()) for m in msgs]
+    )
+    res = cv.convert(df, target)
+    got = {r["event_id"]: r for r in (row.asDict() for row in res.valid.collect())}
+    assert got[2]["value"] is None and got[3]["value"] is None
+    assert res.dead_letter.count() == 0
+
+
+def test_extra_keys_silently_dropped(spark, target):
+    msg = {"event_id": 4, "event_type": "x", "debug": True, "nested": {"a": 1}}
+    df = make_kafka_df(spark, [snappy_compress(json.dumps(msg).encode())])
+    res = cv.convert(df, target)
+    assert "debug" not in res.valid.columns
+    assert res.valid.count() == 1
+
+
+def test_float_full_precision_no_exponent(spark, target):
+    # converter.go:68-69: full precision, no scientific notation
+    msg = {"event_id": 5, "event_type": "x", "value": 0.1234567890123456}
+    df = make_kafka_df(spark, [snappy_compress(json.dumps(msg).encode())])
+    r = cv.convert(df, target).valid.collect()[0]
+    assert r["value"] == 0.1234567890123456
+
+
+def test_embedded_quote_and_comma_survive(spark, target):
+    # the reference corrupts this via unescaped CSV quoting (converter.go:73-80);
+    # we must land it intact — typed rows, no CSV intermediate
+    tricky = 'he said "hi", then left'
+    msg = {"event_id": 6, "event_type": tricky}
+    df = make_kafka_df(spark, [snappy_compress(json.dumps(msg).encode())])
+    r = cv.convert(df, target).valid.collect()[0]
+    assert r["event_type"] == tricky
+
+
+def test_garbage_bytes_dead_lettered_as_snappy(spark, target):
+    df = make_kafka_df(spark, [b"\xff\xfe garbage not snappy"])
+    res = cv.convert(df, target)
+    assert res.valid.count() == 0
+    dead = res.dead_letter.collect()
+    assert len(dead) == 1
+    assert dead[0]["error_type"] == "snappy"
+
+
+def test_snappy_valid_non_json_dead_lettered_as_parse(spark, target):
+    df = make_kafka_df(spark, [snappy_compress(b"this is not json at all")])
+    res = cv.convert(df, target)
+    assert res.valid.count() == 0
+    dead = res.dead_letter.collect()
+    assert dead[0]["error_type"] == "parse"
+
+
+def test_mixed_batch_splits_cleanly(spark, target):
+    ok = snappy_compress(json.dumps({"event_id": 7, "event_type": "a"}).encode())
+    bad_snappy = b"garbage"
+    bad_json = snappy_compress(b"{not json")
+    df = make_kafka_df(spark, [ok, bad_snappy, bad_json, ok])
+    res = cv.convert(df, target, keep_meta=["topic", "offset"])
+    assert res.valid.count() == 2
+    assert res.valid.columns == sorted(EVENTS_COLS) + ["topic", "offset"]
+    by_type = {
+        r["error_type"]: r for r in (x.asDict() for x in res.dead_letter.collect())
+    }
+    assert set(by_type) == {"snappy", "parse"}
+
+
+def test_uncompressed_topic_skips_decode(spark, target):
+    msg = json.dumps({"event_id": 8, "event_type": "plain"}).encode()
+    df = make_kafka_df(spark, [msg])
+    res = cv.convert(df, target, snappy=False)
+    assert res.valid.collect()[0]["event_type"] == "plain"
+
+
+def test_uint64_full_range_survives(spark):
+    # UInt64 max doesn't fit LongType; mapping uses Decimal(20,0)
+    target = sch.build_struct({"big": "UInt64"})
+    msg = json.dumps({"big": 18446744073709551615}).encode()
+    df = make_kafka_df(spark, [snappy_compress(msg)])
+    r = cv.convert(df, target).valid.collect()[0]
+    assert int(r["big"]) == 18446744073709551615
+
+
+def test_convert_stays_jvm_side_after_decode(spark, target):
+    """The only Python stage is the snappy mapInPandas; everything after
+    must be Catalyst expressions (no extra Python evals in the plan)."""
+    df = make_kafka_df(spark, [snappy_compress(b"{}")])
+    res = cv.convert(df, target)
+    plan = res.valid._jdf.queryExecution().executedPlan().toString()
+    # exactly one python-eval stage (the decode), no row-at-a-time PythonUDF
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,115 @@
+"""CH-type mapping + DESCRIBE parsing + config model (FIXTURES.md A2/A3)."""
+
+from pyspark.sql import types as T
+
+import pytest
+
+from kafka_consumer_2_clickhouse_spark import config as cfg
+from kafka_consumer_2_clickhouse_spark import schema as sch
+
+
+@pytest.mark.parametrize(
+    "ch,expected,nullable",
+    [
+        ("String", T.StringType(), False),
+        ("Int64", T.LongType(), False),
+        ("UInt32", T.LongType(), False),
+        ("UInt64", T.DecimalType(20, 0), False),
+        ("Float64", T.DoubleType(), False),
+        ("Float32", T.FloatType(), False),
+        ("DateTime", T.TimestampType(), False),
+        ("DateTime64(3)", T.TimestampType(), False),
+        ("Date", T.DateType(), False),
+        ("Decimal(12,2)", T.DecimalType(12, 2), False),
+        ("Decimal64(4)", T.DecimalType(18, 4), False),
+        ("Nullable(String)", T.StringType(), True),
+        ("LowCardinality(String)", T.StringType(), False),
+        ("Array(Int32)", T.ArrayType(T.IntegerType(), False), False),
+        ("Array(Nullable(String))", T.ArrayType(T.StringType(), True), False),
+        ("Map(String, Int64)", T.MapType(T.StringType(), T.LongType(), False), False),
+        ("FixedString(16)", T.StringType(), False),
+        ("Enum8('a' = 1)", T.StringType(), False),
+        ("Bool", T.BooleanType(), False),
+    ],
+)
+def test_ch_type_to_spark(ch, expected, nullable):
+    dtype, is_nullable = sch.ch_type_to_spark(ch)
+    assert dtype == expected
+    assert is_nullable == nullable
+
+
+def test_tuple_type():
+    dtype, _ = sch.ch_type_to_spark("Tuple(a Int64, b Nullable(String))")
+    assert isinstance(dtype, T.StructType)
+    assert dtype.fieldNames() == ["a", "b"]
+    assert dtype["b"].nullable
+
+
+def test_unsupported_type():
+    with pytest.raises(sch.UnsupportedClickHouseType):
+        sch.ch_type_to_spark("AggregateFunction(sum, UInt64)")
+
+
+DESCRIBE_TSV = """event_id\tUInt64\t\t
+ts\tDateTime\t\t
+user_id\tUInt64\t\t
+event_type\tString\t\t
+value\tFloat64\t\t
+props\tString\t\t
+mat_col\tString\tMATERIALIZED\tnow()
+"""
+
+
+def test_parse_describe_output():
+    cols = sch.parse_describe_output(DESCRIBE_TSV)
+    assert "mat_col" not in cols  # MATERIALIZED excluded from inserts
+    assert cols["value"] == "Float64"
+    assert len(cols) == 6
+
+
+def test_build_struct_sorted_and_ignores():
+    cols = sch.parse_describe_output(DESCRIBE_TSV)
+    st = sch.build_struct(cols, ignore_columns=["props"])
+    # sorted column order: the reference invariant (converter.go:65)
+    assert st.fieldNames() == ["event_id", "event_type", "ts", "user_id", "value"]
+    assert all(f.nullable for f in st.fields)
+    assert st["value"].dataType == T.DoubleType()
+
+
+def test_load_config_reference_shape():
+    raw = {
+        "topics": [
+            {
+                "topic": "events",
+                "clickhouse_config": {
+                    "host": "ch1:9000",
+                    "user": "u",
+                    "password": "p",
+                    "table": "events",
+                    "ignore_columns": ["insert_time"],
+                },
+                "insert_format": "Native",
+                "flush_count": 10,
+                "flush_interval_seconds": 60,
+            },
+            {"topic": "t2", "clickhouse_config": {"table": "t2"}},
+        ],
+        "pool_timeout": 250,
+        "consumer_config": {
+            "bootstrap.servers": "k1:9092",
+            "group.id": "g",
+            "enable.auto.commit": True,
+        },
+    }
+    c = cfg.load_config(raw)
+    assert c.pool_timeout_ms == 250
+    assert c.topic_map()["events"].flush_count == 10
+    # defaults applied like prepare-functions.go:82-102
+    t2 = c.topic_map()["t2"]
+    assert t2.flush_count == cfg.DEFAULT_FLUSH_COUNT
+    assert t2.flush_interval_seconds == cfg.DEFAULT_FLUSH_INTERVAL_S
+    opts = c.kafka_options()
+    assert opts["subscribe"] == "events,t2"
+    assert opts["kafka.bootstrap.servers"] == "k1:9092"
+    # Spark checkpointing owns offsets: auto-commit never passes through
+    assert "kafka.enable.auto.commit" not in opts
