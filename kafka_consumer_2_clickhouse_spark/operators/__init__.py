@@ -1,0 +1,1 @@
+from . import analytics  # noqa: F401

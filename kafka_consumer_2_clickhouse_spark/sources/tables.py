@@ -56,13 +56,26 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs this engine depends on, so tables
+    load correctly even under an externally-created SparkSession (e.g.
+    the verification driver's): nanos-parquet tolerance and UTC session
+    timezone (timestamp values must collect identically to the
+    UTC-naive DuckDB oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with nanos-timestamp restoration."""
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
-        # nanosAsLong delivered epoch-nanos as LongType; floor to micros.
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # nanosAsLong delivered epoch-nanos as LongType; truncate to micros
+        # with INTEGER division — epoch-nanos (~1.7e18) overflow a double's
+        # 53-bit mantissa, so `/ 1000` + cast would be off by ±1 microsecond.
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
 
 

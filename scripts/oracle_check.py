@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Run the full driver-style oracle comparison for every queries() entry.
+
+Usage: python scripts/oracle_check.py [sf_dir] [name_filter...]
+Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_consumer_2_clickhouse_spark.session import get_spark  # noqa: E402
+from tests.oracle_utils import compare, duck_connect  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    filters = args[1:] if args and os.path.isdir(args[0]) else args
+
+    spark = get_spark(app_name="oracle_check")
+    con = duck_connect(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    failed = []
+    for name in sorted(qs):
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            sql = oracles.get(name)
+            if sql is None:
+                n = df.count()
+                print(f"  {name:40s} rows-only ({n} rows) [{time.time()-t0:.1f}s]")
+                continue
+            ok, msg = compare(df, con, sql)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:40s} {status} [{time.time()-t0:.1f}s] {'' if ok else msg}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,95 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Stricter than a hash: compares actual multisets of values so mismatches
+are debuggable. Columns are sorted by name (as the driver does) and
+rows compared order-insensitively.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        f = float(v)
+        return f
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare(spark_df, con, sql: str, float_tol: float = 0.0):
+    """Returns (ok, message). Exact comparison by default — queries are
+    engineered (decimal sums) to be bit-identical across engines."""
+    spark_cols = list(spark_df.columns)
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    spark_rows = [
+        tuple(_norm(row[i]) for i in order) for row in spark_df.collect()
+    ]
+
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    duck_rows = [tuple(_norm(r[i]) for i in dorder) for r in rel.fetchall()]
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    if float_tol == 0.0:
+        s_sorted = sorted(spark_rows, key=repr)
+        d_sorted = sorted(duck_rows, key=repr)
+        if s_sorted != d_sorted:
+            diffs = [
+                (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+            ][:5]
+            return False, f"values differ; first diffs {diffs}"
+        return True, "ok"
+
+    # tolerant compare: sort on non-float prefix then check floats approx
+    s_sorted = sorted(spark_rows, key=repr)
+    d_sorted = sorted(duck_rows, key=repr)
+    for a, b in zip(s_sorted, d_sorted):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                if not math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol):
+                    return False, f"float mismatch {x} vs {y} in {a} vs {b}"
+            elif x != y:
+                return False, f"value mismatch {x} vs {y} in {a} vs {b}"
+    return True, "ok"

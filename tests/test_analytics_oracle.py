@@ -1,0 +1,27 @@
+"""Every declared analytics query vs its DuckDB oracle at sf0.001
+(the driver runs the same comparison at sf0.01)."""
+
+import pytest
+
+from kafka_consumer_2_clickhouse_spark.operators import analytics
+
+from .oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    fn = analytics.QUERIES[name]
+    sql = analytics.ORACLE_SQL.get(name)
+    if sql is None:
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    ok, msg = compare(fn(spark, sf_dir), con, sql)
+    assert ok, f"{name}: {msg}"
