@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kafka_consumer_2_clickhouse_spark import operators as ops  # noqa: E402
 from kafka_consumer_2_clickhouse_spark.operators import analytics  # noqa: E402
 
 SMOKE_DIR = "/root/testdata/sf0.001"
@@ -35,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(analytics.QUERIES)
+    return dict(ops.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry."""
-    return dict(analytics.ORACLE_SQL)
+    return dict(ops.ORACLE_SQL)

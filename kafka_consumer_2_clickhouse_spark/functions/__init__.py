@@ -1,0 +1,1 @@
+from . import textfns  # noqa: F401

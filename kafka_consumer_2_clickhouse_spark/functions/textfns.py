@@ -1,0 +1,95 @@
+"""Engine-portable text/hash expression builders.
+
+Each helper returns BOTH a Spark ``Column`` (via the DataFrame API /
+``F.expr``) and the equivalent DuckDB SQL fragment, generated from the
+same Python code so the engine and its oracle can't drift. All hashing
+is md5-hex-string based: identical lowercase hex on both engines, so
+lexicographic ``min`` over hashes (the MinHash trick) and nibble-level
+bit extraction (SimHash) are portable without any bigint-conversion
+incompatibilities.
+
+Scale notes: every builder is a *map-only* expression over an array
+column — no explode, no shuffle. Signature computation over 100 TB of
+documents is embarrassingly parallel; the only shuffles in the dedup
+pipeline are the final band-bucket join and group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: nibble characters whose bit ``mask`` is set, per mask value
+_NIBBLE_WITH_BIT = {
+    8: "89abcdef",
+    4: "4567cdef",
+    2: "2367abef",
+    1: "13579bdf",
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def sql_tokens(text_expr: str = "text") -> str:
+    return f"string_split({text_expr}, ' ')"
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (map-only, no explode)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+        ),
+    )
+
+
+def sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-indexed lists)."""
+    joined = " || ' ' || ".join(f"{tokens_expr}[i+{k}]" for k in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr})-{n - 1}, 0) + 1),"
+        f" i -> {joined})"
+    )
+
+
+def minhash(shingles_col: Column, seed: int) -> Column:
+    """One MinHash component: lexicographic min of seeded md5 over the
+    shingle set. md5(seed || '|' || s) is a distinct uniform hash per
+    seed; the lexicographic min of hex strings is order-isomorphic to
+    the numeric min of the 128-bit values."""
+    return F.array_min(
+        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def sql_minhash(shingles_expr: str, seed: int) -> str:
+    return f"list_min(list_transform({shingles_expr}, s -> md5('{seed}|' || s)))"
+
+
+def simhash_bit_exprs(tok: str, bits: int = 64) -> list[str]:
+    """Per-bit ±1 contribution CASE expressions over one token variable.
+
+    Bit ``i`` of a token's 128-bit md5 lives in hex nibble ``i // 4``
+    with mask ``8 >> (i % 4)``; the CASE tests the hex character
+    directly. Valid in both Spark SQL and DuckDB.
+    """
+    out = []
+    for i in range(bits):
+        pos = 1 + i // 4
+        mask = 8 >> (i % 4)
+        chars = ", ".join(f"'{c}'" for c in _NIBBLE_WITH_BIT[mask])
+        out.append(
+            f"CASE WHEN substr(md5({tok}), {pos}, 1) IN ({chars}) THEN 1 ELSE -1 END"
+        )
+    return out
+
+
+def stopword_filter_sql(tokens_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens_expr}, t -> t IN ({lst})))"
+
+
+def stopword_count(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))

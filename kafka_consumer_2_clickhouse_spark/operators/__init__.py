@@ -1,1 +1,6 @@
-from . import analytics  # noqa: F401
+from . import analytics, dedup, similarity, text_analysis  # noqa: F401
+
+# All operator modules register into the same QUERIES/ORACLE_SQL
+# registries (declared in analytics.py) via the @query decorator.
+QUERIES = analytics.QUERIES
+ORACLE_SQL = analytics.ORACLE_SQL

@@ -1,0 +1,259 @@
+"""Deduplication operators over the ``documents`` table ([EXT], SURVEY §2c).
+
+Four families, each a first-class ``queries()`` operator with a DuckDB
+oracle:
+
+- exact dedup            -> hash-groupBy on normalized text
+- MinHash + LSH          -> shingle -> seeded-md5 minhash signature ->
+                            banded bucket self-join -> verified Jaccard
+- SimHash                -> 64-bit sign-of-sums fingerprint from token
+                            md5 bits
+- fingerprint clustering -> whitespace-normalized md5 with cluster ids
+
+Scale design: signatures are MAP-ONLY array expressions (see
+``functions/textfns.py``) — at 100 TB nothing shuffles until the band
+join, whose fan-out is |docs| x n_bands rows of (16-byte key, id);
+the candidate self-join is an equi-join on band buckets that AQE can
+re-plan under skew (a hot bucket means near-identical boilerplate docs
+— salting or bucket-size capping is the production guard, noted below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import textfns as X
+from ..sources.tables import load_table
+from .analytics import query
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = N_MINHASH / N_BANDS = 2
+SHINGLE_N = 3
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one canonical ``keep_id`` per identical text.
+
+    Scale: group key is the 16-byte md5, not the document body — the
+    shuffle moves hashes + ids only. Partial aggregation collapses
+    intra-partition copies before the exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles, mh0..mh{K-1}) — map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    sh = X.shingles(toks, SHINGLE_N)
+    # two selects so minhash reads the materialized shingle array once
+    base = docs.select(F.col("doc_id"), sh.alias("shingles"))
+    return base.select(
+        "doc_id",
+        "shingles",
+        *[X.minhash(F.col("shingles"), j).alias(f"mh{j}") for j in range(N_MINHASH)],
+    )
+
+
+def _signature_sql() -> str:
+    toks = X.sql_tokens("text")
+    sh = X.sql_shingles(toks, SHINGLE_N)
+    mh = ",\n           ".join(
+        f"{X.sql_minhash('sh', j)} AS mh{j}" for j in range(N_MINHASH)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, {sh} AS sh FROM documents
+    )
+    SELECT doc_id, {mh} FROM shingled
+    """
+
+
+@query("minhash_signatures", oracle=_signature_sql())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 seeded-md5 components)."""
+    return _signature_df(spark, sf_dir).drop("shingles")
+
+
+def _bands_sql() -> str:
+    """Band keys from the signature CTE: md5 of the band's minhashes."""
+    parts = []
+    for b in range(N_BANDS):
+        r = N_MINHASH // N_BANDS
+        concat = " || ".join(f"mh{b * r + k}" for k in range(r))
+        parts.append(f"md5({concat}) AS band{b}")
+    return ",\n           ".join(parts)
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), SHINGLE_N)} AS sh
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, sh,
+           {",_MH_".join(f"{X.sql_minhash('sh', j)} AS mh{j}" for j in range(N_MINHASH)).replace(",_MH_", ", ")}
+      FROM shingled
+    ), banded AS (
+      SELECT doc_id, sh, {_bands_sql()} FROM sigs
+    ), pairs AS (
+      {" UNION ".join(f'''
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id''' for b in range(N_BANDS))}
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+           / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+              - len(list_distinct(list_intersect(a.sh, b.sh)))) AS jaccard
+    FROM pairs p
+      JOIN banded a ON a.doc_id = p.doc_a
+      JOIN banded b ON b.doc_id = p.doc_b
+    """,
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with verified shingle Jaccard.
+
+    Pipeline: signatures (map-only) -> band keys -> explode to
+    (band_id, key, doc) -> self-join per bucket -> distinct pairs ->
+    verify with exact Jaccard on shingle sets.
+
+    Scale: the exploded band relation is tiny (docs x 4 rows of hash +
+    id); the verify step re-joins the shingle arrays only for surviving
+    candidate pairs — at 100 TB that's the difference between shuffling
+    all bodies (never) and shuffling a few MB of candidates.
+    """
+    sigs = _signature_df(spark, sf_dir)
+    r = N_MINHASH // N_BANDS
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", "shingles", *band_cols)
+
+    keys = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = banded.select("doc_id", "shingles")
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(
+        F.array_distinct(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    na = F.size(F.array_distinct(F.col("sa.shingles")))
+    nb = F.size(F.array_distinct(F.col("sb.shingles")))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_sql() -> str:
+    bit_cases = X.simhash_bit_exprs("tok", bits=64)
+    sums = ",\n           ".join(
+        f"sum({c}) AS s{i}" for i, c in enumerate(bit_cases)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), sums AS (
+      SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash64 FROM sums
+    """
+
+
+@query("simhash_docs", oracle=_simhash_sql())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-frequency-weighted sign sums
+    over md5 bit contributions), emitted as a 64-char bitstring —
+    portable across engines with no 64-bit integer gymnastics.
+
+    Scale: explode + groupBy(doc_id) shuffles (token, ±1) pairs; the
+    map-only alternative (64 array-aggregates per row) trades shuffle
+    for per-row CPU. Near-dup search over simhashes = group by band
+    substrings of the bitstring (same LSH shape as minhash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bit_cases = X.simhash_bit_exprs("tok", bits=64)
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(F.expr(c)).alias(f"s{i}") for i, c in enumerate(bit_cases)]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)]
+    )
+    return sums.select("doc_id", bits.alias("simhash64"))
+
+
+@query(
+    "doc_fingerprint_clusters",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> ''), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS cluster_id
+    FROM fp
+    """,
+)
+def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint (lowercase, whitespace-collapsed md5)
+    with connected cluster ids (min doc_id per fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != ""), " "
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    from pyspark.sql import Window as W
+
+    return fp.withColumn(
+        "cluster_id",
+        F.min("doc_id").over(W.partitionBy("fingerprint")).cast("bigint"),
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over the ``embeddings`` table ([EXT], SURVEY §2c).
+
+Three operators:
+
+- ``embedding_cosine_topk``     exact brute-force top-k, oracle-checked.
+- ``embedding_near_dup_pairs``  all-pairs near-duplicate detection,
+                                oracle-checked.
+- ``ann_cosine_topk``           the 100 TB scale path: Arrow-batched
+                                NumPy matmul per partition with local
+                                top-k then global top-k (no oracle —
+                                results equal embedding_cosine_topk,
+                                asserted in tests instead).
+
+Exactness strategy for the oracle-checked pair: the 64-dim dot product
+is generated as an EXPLICIT left-to-right chain of IEEE double adds
+over per-dimension products. Unlike an aggregate ``sum()`` (whose
+order depends on partitioning), a fixed expression tree is evaluated
+in the same order by every engine, and IEEE double ops are correctly
+rounded — so Spark and DuckDB produce bit-identical cosines. (Decimal
+sums don't work here: Spark's double->decimal cast goes through
+``Double.toString``'s 17-digit shortest repr while DuckDB rounds the
+exact binary expansion — they disagree below 1e-17.) Ranking ties
+break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+DIM = 64
+N_QUERY = 10  # vec_id < 10 are the "query" vectors
+TOP_K = 5
+NEAR_DUP_COS = 0.8
+
+
+def _dot_sql(a: str, b: str, engine: str) -> str:
+    """Exact decimal dot product, generated identically for both engines
+    (only the array-indexing syntax differs).
+
+    A left-associated chain of double additions: evaluation order is
+    pinned by the expression itself, so IEEE-correct rounding makes the
+    result bit-identical on every engine (no FMA fusion in either JVM
+    codegen or DuckDB's expression executor).
+    """
+
+    def idx(col: str, i: int) -> str:
+        if engine == "spark":
+            return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+        return f"CAST({col}[{i + 1}] AS DOUBLE)"
+
+    return "(" + " + ".join(f"{idx(a, i)} * {idx(b, i)}" for i in range(DIM)) + ")"
+
+
+def _norm_sql(a: str, engine: str) -> str:
+    return f"sqrt({_dot_sql(a, a, engine)})"
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_norm_sql('embedding', 'duck')} AS qn
+      FROM embeddings WHERE vec_id < {N_QUERY}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce,
+             {_norm_sql('embedding', 'duck')} AS cn
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, cand_id,
+             {_dot_sql('qe', 'ce', 'duck')} / (qn * cn) AS cosine
+      FROM q JOIN c ON query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every query vector vs the full table.
+
+    Scale: the query side (k vectors) broadcasts; candidates stream
+    through map-side scoring with no shuffle until the per-query top-k
+    window — and row_number<=k benefits from WindowGroupLimit pushdown
+    (per-partition partial top-k before the exchange).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding", "spark")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_sql("embedding", "spark")).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.expr(_dot_sql("qe", "ce", "spark")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding AS e, {_norm_sql('embedding', 'duck')} AS nn
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dot_sql('a.e', 'b.e', 'duck')} / (a.nn * b.nn) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.e', 'b.e', 'duck')} / (a.nn * b.nn) >= {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.8).
+
+    Scale: all-pairs is quadratic — this exact operator is the
+    *verifier* stage; at 100 TB candidates come from ``ann_cosine_topk``
+    buckets or LSH, and this runs only on the candidate set. Spark-side
+    it's a broadcast-nested-loop kept deliberately explicit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.expr(_norm_sql("embedding", "spark")).alias("nn"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nn").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nn").alias("nb")
+    )
+    cosine = F.expr(_dot_sql("ea", "eb", "spark")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+@query("ann_cosine_topk")  # no oracle: vectorized Python path; equality
+# with embedding_cosine_topk is asserted in tests/test_similarity.py
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path top-k: Arrow-batched NumPy matmul per partition.
+
+    The pattern that survives 100 TB: broadcast the (small) query
+    matrix, stream candidate partitions through a ``mapInPandas`` that
+    computes a blocked GEMM and emits only each partition's local
+    top-k per query, then reduce to the global top-k with one tiny
+    shuffle ((n_queries x k x n_partitions) rows).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    top_k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm = bc.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["embedding"].to_numpy())
+            cm = cm.astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T  # (n_queries, n_cand)
+            for qi, qid in enumerate(ids):
+                row = sims[qi]
+                mask = cand_ids != qid
+                c_ids, c_sims = cand_ids[mask], row[mask]
+                if len(c_ids) == 0:
+                    continue
+                k = min(top_k, len(c_ids))
+                part = np.argpartition(-c_sims, k - 1)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": c_ids[part],
+                        "cosine": c_sims[part],
+                    }
+                )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, cand_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

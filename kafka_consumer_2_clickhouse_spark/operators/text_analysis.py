@@ -1,0 +1,185 @@
+"""Text-analysis operators over ``documents`` ([EXT], SURVEY §2c):
+token statistics / quality scoring, token frequencies, n-gram-heuristic
+language ID, and BPE-ish token counting. All map-only per-document
+expressions except the corpus-level frequency table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import textfns as X
+from ..sources.tables import load_table
+from .analytics import query
+
+# tiny per-language stopword inventories for the n-gram/stopword
+# language heuristic (the corpus vocabulary is synthetic; the operator
+# shape — per-language evidence scores + argmax — is what matters)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+}
+
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {X.sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             / len(toks) AS avg_token_len,
+           CAST({X.stopword_filter_sql('toks', _QUALITY_STOPWORDS)} AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, type-token ratio,
+    average token length, stopword ratio, chars-per-token.
+
+    Scale: pure map — every metric is a higher-order array expression;
+    100 TB of documents never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "n_chars", X.tokens("text").alias("toks"))
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), F.length), F.lit(0), lambda a, x: a + x
+    )
+    return base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct"),
+        (nd.cast("double") / n).alias("ttr"),
+        (tok_len_sum.cast("double") / n).alias("avg_token_len"),
+        (
+            X.stopword_count(F.col("toks"), _QUALITY_STOPWORDS).cast("double") / n
+        ).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n).alias("chars_per_token"),
+    )
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+    SELECT tok, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token/document frequencies, top-100.
+
+    Scale: explode + two-level aggregate; partial aggregation collapses
+    each partition's counts before the (vocabulary-sized) shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+def _lang_guess_sql() -> str:
+    scores = ",\n           ".join(
+        f"{X.stopword_filter_sql('toks', ws)} AS score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    # deterministic argmax: fixed evaluation order breaks ties
+    langs = list(LANG_STOPWORDS)
+    best = "CASE "
+    for lang in langs:
+        others = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        best += f"WHEN {others} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, {X.sql_tokens('text')} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {scores} FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang, {best} AS predicted_lang,
+           CAST(greatest({", ".join(f"score_{lg}" for lg in langs)}) AS BIGINT)
+             AS evidence
+    FROM s
+    """
+
+
+@query("language_guess", oracle=_lang_guess_sql())
+def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID with deterministic argmax;
+    emits the corpus label alongside for confusion analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", X.tokens("text").alias("toks"))
+    langs = list(LANG_STOPWORDS)
+    scored = base.select(
+        "doc_id",
+        "lang",
+        *[
+            X.stopword_count(F.col("toks"), ws).alias(f"score_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    best = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{o}")
+            cond = c if cond is None else (cond & c)
+        best = (
+            F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+        )
+    best = best.otherwise("und")
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("predicted_lang"),
+        F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+        .cast("bigint")
+        .alias("evidence"),
+    )
+
+
+@query(
+    "token_count_estimates",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS char4_estimate
+    FROM documents
+    """,
+)
+def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token-count estimators: whitespace tokens, a BPE-ish regex
+    segmentation (<=4-char alnum chunks + punctuation), chars/4."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9\\s]', 0)"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
+    )

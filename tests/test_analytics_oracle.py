@@ -3,7 +3,7 @@
 
 import pytest
 
-from kafka_consumer_2_clickhouse_spark.operators import analytics
+from kafka_consumer_2_clickhouse_spark import operators as analytics
 
 from .oracle_utils import compare, duck_connect
 

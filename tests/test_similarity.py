@@ -1,0 +1,17 @@
+"""ANN scale-path vs exact brute force: same top-k results."""
+
+from kafka_consumer_2_clickhouse_spark.operators import similarity
+
+
+def test_ann_matches_exact_topk(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in similarity.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    ann = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(ann)
+    mismatches = {k: (exact[k], ann[k]) for k in exact if exact[k] != ann[k]}
+    assert not mismatches, f"top-k disagreement: {mismatches}"
