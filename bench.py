@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Execution is forced with the noop sink (full computation, no driver
+collect). A warm-up pass touches each table once so timings reflect
+steady-state I/O (page cache + parquet footers), matching how a
+long-lived cluster behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_consumer_2_clickhouse_spark.session import get_spark  # noqa: E402
+from kafka_consumer_2_clickhouse_spark.sources.tables import (  # noqa: E402
+    TABLE_NAMES,
+    load_table,
+)
+from kafka_consumer_2_clickhouse_spark import operators as ops  # noqa: E402
+
+#: headline set: the scan/join/agg/window/dedup/similarity spine
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "topk_orders_per_customer",
+    "events_sessionized",
+    "events_hourly_rollup",
+    "dedup_exact_docs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_docs",
+    "embedding_cosine_topk",
+    "ann_cosine_topk",
+    "token_frequencies",
+    "doc_token_stats",
+    "ingest_roundtrip_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    for t in TABLE_NAMES:  # warm-up: page cache + footers
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ops.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -804,8 +804,9 @@ def ingest_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..convert import convert
     from ..schema import build_struct
+    from ..sources.tables import spread
 
-    ev = _t(spark, sf_dir, "events")
+    ev = spread(_t(spark, sf_dir, "events"))
     target = build_struct(
         {
             "event_id": "Int64",

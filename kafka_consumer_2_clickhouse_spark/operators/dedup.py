@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import textfns as X
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 N_MINHASH = 8
@@ -59,7 +59,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, shingles, mh0..mh{K-1}) — map-only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     sh = X.shingles(toks, SHINGLE_N)
     # two selects so minhash reads the materialized shingle array once
@@ -217,7 +217,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for per-row CPU. Near-dup search over simhashes = group by band
     substrings of the bitstring (same LSH shape as minhash).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     bit_cases = X.simhash_bit_exprs("tok", bits=64)
     sums = toks.groupBy("doc_id").agg(

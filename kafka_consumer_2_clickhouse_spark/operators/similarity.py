@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 DIM = 64
@@ -90,7 +90,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — and row_number<=k benefits from WindowGroupLimit pushdown
     (per-partition partial top-k before the exchange).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -140,7 +140,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets or LSH, and this runs only on the candidate set. Spark-side
     it's a broadcast-nested-loop kept deliberately explicit.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     n = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),
@@ -173,9 +173,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = spread(raw)
+    # query vectors come off the raw scan — a pushdown-filtered read of
+    # k rows; going through spread() would shuffle the whole table first
     qrows = (
-        emb.filter(F.col("vec_id") < N_QUERY)
+        raw.filter(F.col("vec_id") < N_QUERY)
         .select("vec_id", "embedding")
         .collect()
     )

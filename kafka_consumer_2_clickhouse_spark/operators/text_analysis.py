@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import textfns as X
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 # tiny per-language stopword inventories for the n-gram/stopword
@@ -50,7 +50,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map — every metric is a higher-order array expression;
     100 TB of documents never shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", "n_chars", X.tokens("text").alias("toks"))
     n = F.size("toks")
     nd = F.size(F.array_distinct("toks"))
@@ -86,7 +86,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode + two-level aggregate; partial aggregation collapses
     each partition's counts before the (vocabulary-sized) shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     return (
         toks.groupBy("tok")
@@ -127,7 +127,7 @@ def _lang_guess_sql() -> str:
 def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-evidence language ID with deterministic argmax;
     emits the corpus label alongside for confusion analysis."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", "lang", X.tokens("text").alias("toks"))
     langs = list(LANG_STOPWORDS)
     scored = base.select(
@@ -174,7 +174,7 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-token-count estimators: whitespace tokens, a BPE-ish regex
     segmentation (<=4-char alnum chunks + punctuation), chars/4."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),

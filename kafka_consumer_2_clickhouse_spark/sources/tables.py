@@ -79,6 +79,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism.
+
+    The local corpus stores each table as ONE parquet row group, so the
+    scan yields a single partition and any CPU-heavy map stage runs
+    single-threaded. On a real cluster a large table arrives in many
+    splits and this is a no-op (the partition count already exceeds the
+    target). Only round-robin-repartition when genuinely starved.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every corpus table as a temp view; returns the DataFrames."""
     out = {}
