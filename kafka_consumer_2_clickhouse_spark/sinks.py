@@ -1,0 +1,131 @@
+"""Sinks: ClickHouse JDBC writer, Parquet landing sink, dead-letter sink.
+
+Replaces the reference's insert path — a staged CSV file piped through
+two subprocesses, ``cat file | clickhouse-local | clickhouse-client
+--query='INSERT INTO t (...) FORMAT <fmt>'`` at
+``internal/collector/collector.go:119-155`` — with typed, partition-
+parallel writes. The reference's intermediate CSV staging + format
+conversion (``prepare-functions.go:151-176``) exists only because its
+rows were strings; here rows stay typed so the whole conversion stage
+disappears.
+
+Scale notes:
+- JDBC writes go one connection per partition, ``batchsize`` rows per
+  round trip (the reference's ``flush_count`` becomes the JDBC batch
+  size — same knob, same meaning, but N partitions write in parallel
+  instead of one subprocess per dump).
+- Parquet landing is the service-free sink used by tests/oracle and is
+  the natural "bronze" layer at 100 TB: appends are per-partition files,
+  no coordination.
+- Exactly-once: the reference was at-most-once (offsets auto-committed
+  while rows sat in memory, SURVEY.md §3.3). Here the checkpoint gives
+  at-least-once; ``batch_id`` stamping makes replays detectable so an
+  idempotent sink (ReplacingMergeTree keyed on it, or batch-id dedup on
+  read) upgrades to effectively-once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import TopicConfig
+
+#: column stamped by sinks so replayed micro-batches are identifiable
+BATCH_ID_COL = "_batch_id"
+
+
+def clickhouse_jdbc_options(cfg: TopicConfig) -> dict[str, str]:
+    """JDBC options for one topic's ClickHouse target.
+
+    ``flush_count`` -> ``batchsize`` (rows per INSERT round trip; the
+    reference's count trigger, ``collector.go:93-100``) and
+    ``write_timeout`` -> ``queryTimeout`` (parsed-but-dropped in the
+    reference, ``prepare-functions.go:96-99`` — honored here).
+    """
+    ch = cfg.clickhouse
+    return {
+        "url": ch.jdbc_url,
+        "dbtable": ch.table,
+        "user": ch.user,
+        "password": ch.password,
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "batchsize": str(cfg.flush_count),
+        "queryTimeout": str(ch.write_timeout),
+        "isolationLevel": "NONE",  # ClickHouse has no transactions
+    }
+
+
+def ping_clickhouse(spark: SparkSession, cfg: TopicConfig) -> bool:
+    """Startup connectivity probe (replaces ``pingCHServers``,
+    ``prepare-functions.go:104-119``, which required an HTTP 400 +
+    marker body). A 1-row JDBC round trip proves driver + host + creds
+    in one shot; raises on failure so the pipeline fails fast."""
+    opts = clickhouse_jdbc_options(cfg)
+    probe = dict(opts, dbtable="(SELECT 1 AS ok) AS probe")
+    spark.read.format("jdbc").options(**probe).load().collect()
+    return True
+
+
+def clickhouse_writer(cfg: TopicConfig) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function appending each micro-batch to ClickHouse.
+
+    Replaces ``(t *Table) insertDump`` (``collector.go:119-155``): the
+    two-subprocess pipeline becomes a typed JDBC append that writes all
+    partitions in parallel. Spark's sequential micro-batches give the
+    backpressure the reference's fire-and-forget goroutine
+    (``collector.go:113``) lacked.
+    """
+    opts = clickhouse_jdbc_options(cfg)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(BATCH_ID_COL, F.lit(batch_id))
+            .write.format("jdbc")
+            .options(**opts)
+            .mode("append")
+            .save()
+        )
+
+    return write
+
+
+def parquet_writer(
+    path: str, stamp_batch_id: bool = True
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function appending micro-batches to a Parquet
+    landing directory — the service-free sink (tests, oracle runs, and
+    the bronze layer of a lake deployment)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if stamp_batch_id:
+            out = out.withColumn(BATCH_ID_COL, F.lit(batch_id))
+        out.write.mode("append").parquet(path)
+
+    return write
+
+
+def dead_letter_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Dead-letter sink: failed rows land durably with their error type
+    instead of being dropped after a counter bump (``main.go:87-109``
+    increments ``kafka_consumer_msg_error`` and discards the payload —
+    here the payload is kept for replay)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(BATCH_ID_COL, F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write
+
+
+def dedupe_replayed_batches(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Read-side effectively-once: collapse at-least-once replays by
+    keeping one row per key (the ReplacingMergeTree-equivalent for the
+    Parquet landing sink). Shuffles once on the key — at scale, point
+    this at the partition columns the landing write already used."""
+    return df.dropDuplicates(key_cols)

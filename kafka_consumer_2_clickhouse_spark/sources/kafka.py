@@ -1,0 +1,71 @@
+"""Streaming source builders.
+
+``kafka_stream`` is the production source (reference: the librdkafka
+consumer built at ``cmd/kafka-consumer/prepare-functions.go:193-219``
+and polled one message at a time at ``main.go:72-75``; Spark's Kafka
+source instead assigns one partition per topic-partition and reads in
+parallel — strictly better than the reference's single poll loop).
+
+``file_stream`` delivers the SAME Kafka-shaped schema from parquet
+files so the whole pipeline is testable with zero services (the
+driver's ``events`` table replayed as payload files mirrors FIXTURES.md
+A1 exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from ..config import PipelineConfig
+
+#: the subset of the Kafka source schema the pipeline consumes
+KAFKA_SHAPE = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+    ]
+)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    config: PipelineConfig,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded Kafka-shaped stream for every configured topic.
+
+    ``consumer_config`` keys pass through as ``kafka.*`` options
+    (reference ``config-example.json:34-43``); auto-commit is stripped
+    because the checkpoint owns offsets (§3.3: the reference's
+    auto-commit gave at-most-once — this upgrade is deliberate).
+    ``maxOffsetsPerTrigger`` approximates the reference's count-based
+    flush (``flush_count``, ``collector.go:93-100``) at the source;
+    exact sink-side batch size is enforced in the writer.
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in config.kafka_options().items():
+        reader = reader.option(k, v)
+    reader = reader.option("startingOffsets", starting_offsets)
+    reader = reader.option("failOnDataLoss", "false")
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Kafka-shaped stream from parquet files (service-free testing).
+
+    Each file plays the role of a broker fetch; ``maxFilesPerTrigger``
+    gives deterministic micro-batch boundaries in tests.
+    """
+    reader = spark.readStream.schema(KAFKA_SHAPE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

@@ -1,0 +1,1 @@
+from . import observe, pipeline, stateful, windows  # noqa: F401

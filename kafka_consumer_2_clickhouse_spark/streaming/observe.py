@@ -1,0 +1,147 @@
+"""Observability: metrics + status, reference-compatible names.
+
+The reference exposes three Prometheus metrics
+(``internal/promMetrics/prom.go:14-31``) and a ``/status`` endpoint of
+per-table buffer fill (``prepare-functions.go:37-58``):
+
+- ``kafka_consumer_msg{topic,partition}``        counter, processed ok
+- ``kafka_consumer_msg_error{table,type}``       counter, snappy/parse
+- ``dumps_time_insert{table}``                   histogram, insert secs
+                                                 (linear buckets 0-60)
+
+Here the numbers come from the engine instead of hand-placed counter
+bumps: ``df.observe()`` aggregations ride each micro-batch (computed
+JVM-side, no extra pass over the data) and a
+``StreamingQueryListener`` harvests them from ``QueryProgressEvent``
+alongside batch durations and source offsets. ``prometheus_client`` is
+optional — when absent the same values are served from
+:meth:`MetricsRegistry.render` in exposition text format.
+
+The listener reads progress events on Spark's listener bus — off the
+data path, so at scale this costs nothing per row (the reference's
+metrics bumped process-global counters inside the single-threaded hot
+loop).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import defaultdict
+from typing import Any
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+from .pipeline import OBS_ERROR, OBS_NAME, OBS_VALID
+
+#: reference histogram buckets: prometheus.LinearBuckets(0, 1, 60)
+INSERT_SECONDS_BUCKETS = [float(i) for i in range(60)]
+
+
+class MetricsRegistry:
+    """Thread-safe counters/histogram with Prometheus exposition output.
+
+    Names mirror ``prom.go:17,22,27`` so existing dashboards re-point
+    with a label swap only.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.msg: dict[str, int] = defaultdict(int)  # per query/topic
+        self.msg_error: dict[str, int] = defaultdict(int)
+        self.insert_seconds: dict[str, list[float]] = defaultdict(list)
+
+    def add_valid(self, name: str, n: int) -> None:
+        with self._lock:
+            self.msg[name] += n
+
+    def add_error(self, name: str, n: int) -> None:
+        with self._lock:
+            self.msg_error[name] += n
+
+    def observe_insert(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self.insert_seconds[name].append(seconds)
+
+    def render(self) -> str:
+        """Prometheus text exposition (the ``/metrics`` body)."""
+        with self._lock:
+            lines = [
+                "# TYPE kafka_consumer_msg counter",
+                *(
+                    f'kafka_consumer_msg{{query="{q}"}} {v}'
+                    for q, v in sorted(self.msg.items())
+                ),
+                "# TYPE kafka_consumer_msg_error counter",
+                *(
+                    f'kafka_consumer_msg_error{{query="{q}"}} {v}'
+                    for q, v in sorted(self.msg_error.items())
+                ),
+                "# TYPE dumps_time_insert histogram",
+            ]
+            for q, obs in sorted(self.insert_seconds.items()):
+                for b in INSERT_SECONDS_BUCKETS:
+                    n = sum(1 for s in obs if s <= b)
+                    lines.append(
+                        f'dumps_time_insert_bucket{{query="{q}",le="{b:g}"}} {n}'
+                    )
+                lines.append(
+                    f'dumps_time_insert_bucket{{query="{q}",le="+Inf"}} {len(obs)}'
+                )
+                lines.append(
+                    f'dumps_time_insert_sum{{query="{q}"}} {sum(obs):g}'
+                )
+                lines.append(f'dumps_time_insert_count{{query="{q}"}} {len(obs)}')
+        return "\n".join(lines) + "\n"
+
+
+class IngestMetricsListener(StreamingQueryListener):
+    """Harvests observe() metrics + batch timings from progress events.
+
+    Registered once per session (``spark.streams.addListener``); covers
+    every ingest query. ``status()`` is the ``/status`` endpoint twin
+    (per-query input rate, batch duration, backlog) sourced from
+    ``lastProgress`` — the reference showed ``counter/FlushCounter``
+    per table (``prepare-functions.go:39-44``).
+    """
+
+    def __init__(self, registry: MetricsRegistry | None = None) -> None:
+        self.registry = registry or MetricsRegistry()
+        self._last: dict[str, dict[str, Any]] = {}
+
+    # -- StreamingQueryListener interface ---------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        name = p.name or p.id
+        obs = p.observedMetrics or {}
+        if OBS_NAME in obs:
+            row = obs[OBS_NAME]
+            self.registry.add_valid(name, row[OBS_VALID] or 0)
+            self.registry.add_error(name, row[OBS_ERROR] or 0)
+        durations = p.durationMs or {}
+        add_batch = durations.get("addBatch")
+        if add_batch is not None:
+            self.registry.observe_insert(name, add_batch / 1000.0)
+        self._last[name] = json.loads(p.json)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- /status twin ------------------------------------------------------
+    def status(self) -> dict[str, dict[str, Any]]:
+        out: dict[str, dict[str, Any]] = {}
+        for name, p in self._last.items():
+            out[name] = {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+                "processedRowsPerSecond": p.get("processedRowsPerSecond"),
+                "addBatchMs": (p.get("durationMs") or {}).get("addBatch"),
+            }
+        return out

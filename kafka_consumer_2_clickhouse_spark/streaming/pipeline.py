@@ -1,0 +1,215 @@
+"""Streaming assembly: source -> convert -> route -> sink, one query per topic.
+
+Re-expresses the reference's whole runtime — the ``main.go:27-111`` poll
+loop plus ``internal/collector/collector.go`` buffering/flushing — as
+Structured Streaming queries:
+
+- one query per topic/table pair, so each keeps the reference's
+  per-table independence (own flush cadence, own sink coordinates, own
+  checkpoint = own offset ledger; ``configStructures.go:16-23``)
+- ``trigger(processingTime=flush_interval_seconds)`` makes the
+  reference's *dead* time trigger real (configured at
+  ``configStructures.go:20``, stored at ``collector.go:38``, never
+  fires — here Spark owns the timer)
+- ``maxOffsetsPerTrigger ~= flush_count`` bounds the micro-batch like
+  the count trigger at ``collector.go:93-100``; exact row-count batch
+  boundaries are deliberately NOT promised — parity is defined at the
+  sink (same rows land), per SURVEY.md §7
+- ``checkpointLocation`` replaces the hand-rolled CSV staging WAL
+  (``collector.go:193-210``) and upgrades delivery from the reference's
+  at-most-once (auto-committed offsets, §3.3) to at-least-once
+- graceful shutdown is ``stop_all`` — the SIGTERM drain ritual
+  (``main.go:52-69``) is unnecessary because replay is safe
+
+Scale notes: the Kafka source maps one Spark partition per Kafka
+topic-partition, so a 256-partition topic fans out to 256 parallel
+tasks end-to-end (decode -> parse -> write) with zero shuffles — the
+whole ingest plan is narrow. The reference processed one message at a
+time under a global mutex (``collector.go:173``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import convert as C
+from ..config import PipelineConfig, TopicConfig
+from ..sinks import dead_letter_writer, parquet_writer
+from ..sources.kafka import file_stream, kafka_stream
+
+#: observe() observation name + field aliases consumed by
+#: observe.IngestMetricsListener — same metric family names as the
+#: reference (internal/promMetrics/prom.go:14-31)
+OBS_NAME = "ingest"
+OBS_VALID = "kafka_consumer_msg"
+OBS_ERROR = "kafka_consumer_msg_error"
+
+
+@dataclass
+class TopicPipeline:
+    """A started per-topic streaming query + its routing metadata."""
+
+    topic: str
+    query: StreamingQuery
+    config: TopicConfig
+
+
+def transform_topic(
+    source: DataFrame, cfg: TopicConfig, target: T.StructType
+) -> DataFrame:
+    """Filter one topic out of a (possibly multi-topic) Kafka-shaped
+    stream and run decode+parse+project, KEEPING the error flag columns
+    (the ``getTableStructure`` routing lookup at
+    ``prepare-functions.go:185-191`` as a Catalyst filter).
+
+    The valid/dead split deliberately does NOT happen here: splitting
+    a stream into two filtered branches makes Spark scan the source
+    once per branch. Returning one flagged stream keeps the plan a
+    single narrow scan; the split runs inside ``foreachBatch`` on the
+    persisted micro-batch.
+
+    Kafka metadata columns ride along so the dead-letter branch can
+    point back at the exact (topic, partition, offset).
+    """
+    one_topic = source.filter(F.col("topic") == cfg.topic)
+    decoded = (
+        C.decode_snappy(one_topic)
+        if cfg.snappy
+        else C.with_plain_utf8(one_topic)
+    )
+    return C.parse_project_cast(
+        decoded, target, keep_meta=["topic", "partition", "offset"]
+    )
+
+
+def start_topic_query(
+    spark: SparkSession,
+    source: DataFrame,
+    cfg: TopicConfig,
+    target: T.StructType,
+    config: PipelineConfig,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger: dict | None = None,
+) -> TopicPipeline:
+    """Assemble and start one topic's end-to-end streaming query.
+
+    ``sink`` defaults to the ClickHouse JDBC writer; tests pass a
+    parquet/collecting sink. Valid and dead-letter rows are split inside
+    one ``foreachBatch`` so both sides commit atomically with the
+    offset range (two separate queries would double-read the source).
+    """
+    from ..sinks import clickhouse_writer
+
+    shaped = transform_topic(source, cfg, target)
+    meta_cols = ["topic", "partition", "offset"]
+    data_cols = sorted(target.fieldNames())
+    ok = F.col(C.DECODE_ERROR_COL).isNull() & ~F.col(C.CORRUPT_FLAG_COL)
+    # One engine-computed observation per batch: no extra pass, no
+    # second source scan (prom.go:14-31 counted the same split by hand).
+    observed = shaped.observe(
+        OBS_NAME,
+        F.count(F.when(ok, 1)).alias(OBS_VALID),
+        F.count(F.when(~ok, 1)).alias(OBS_ERROR),
+    )
+    write_valid = sink or clickhouse_writer(cfg)
+    write_dead = (
+        dead_letter_writer(f"{config.dead_letter_path}/{cfg.topic}")
+        if config.dead_letter_path
+        else None
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        """Valid/dead split on the persisted micro-batch — both sinks
+        commit under one checkpointed batch (main.go:87-109 routing)."""
+        batch_df = batch_df.persist()
+        try:
+            valid = batch_df.filter(ok).select(*data_cols, *meta_cols)
+            write_valid(valid, batch_id)
+            if write_dead is not None:
+                dead = (
+                    batch_df.filter(~ok)
+                    .withColumn(
+                        "error_type",
+                        F.when(
+                            F.col(C.DECODE_ERROR_COL).isNotNull(),
+                            F.lit("snappy"),
+                        ).otherwise(F.lit("parse")),
+                    )
+                    .withColumn("error_detail", F.col(C.DECODE_ERROR_COL))
+                    .select(*meta_cols, "error_type", "error_detail")
+                )
+                if dead.limit(1).count():
+                    write_dead(dead, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        observed.writeStream.foreachBatch(route)
+        .option(
+            "checkpointLocation", f"{config.checkpoint_root}/{cfg.topic}"
+        )
+        .queryName(f"ingest_{cfg.topic}")
+    )
+    if trigger is None:
+        trigger = {"processingTime": f"{cfg.flush_interval_seconds} seconds"}
+    writer = writer.trigger(**trigger)
+    return TopicPipeline(topic=cfg.topic, query=writer.start(), config=cfg)
+
+
+def start_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    schemas: dict[str, T.StructType],
+    source: DataFrame | None = None,
+    sinks: dict[str, Callable[[DataFrame, int], None]] | None = None,
+    trigger: dict | None = None,
+) -> list[TopicPipeline]:
+    """Start every configured topic's query (the whole ``main()``).
+
+    ``schemas`` maps topic -> target StructType (built from config or a
+    live ``DESCRIBE TABLE`` via ``schema.build_struct``). ``source``
+    defaults to the real Kafka stream; tests inject a file stream.
+    """
+    src = source if source is not None else kafka_stream(spark, config)
+    out = []
+    for cfg in config.topics:
+        sink = (sinks or {}).get(cfg.topic)
+        out.append(
+            start_topic_query(
+                spark, src, cfg, schemas[cfg.topic], config, sink, trigger
+            )
+        )
+    return out
+
+
+def stop_all(pipelines: list[TopicPipeline]) -> None:
+    """Graceful shutdown (``main.go:52-69`` + ``FlushAll`` drain): stop
+    each query; in-flight batches finish or replay from checkpoint."""
+    for p in pipelines:
+        p.query.stop()
+    for p in pipelines:
+        p.query.awaitTermination()
+
+
+def run_file_pipeline_once(
+    spark: SparkSession,
+    config: PipelineConfig,
+    schemas: dict[str, T.StructType],
+    source_path: str,
+    sinks: dict[str, Callable[[DataFrame, int], None]],
+) -> None:
+    """Service-free end-to-end run: Kafka-shaped parquet files in,
+    availableNow trigger (process everything then stop). The test/CI
+    twin of the production Kafka pipeline."""
+    src = file_stream(spark, source_path, max_files_per_trigger=None)
+    pipelines = start_pipeline(
+        spark, config, schemas, source=src, sinks=sinks,
+        trigger={"availableNow": True},
+    )
+    for p in pipelines:
+        p.query.awaitTermination()

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: per-key running accumulator.
+
+Demonstrates the engine's arbitrary-state surface
+(``applyInPandasWithState``) — the capability the reference approximated
+with its in-memory per-table buffer + counter (``collector.go:31-48``,
+reset on flush at ``:115-116``) but could never checkpoint: state here
+survives restarts and is bounded by timeouts.
+
+The operator keeps, per key, a running ``(count, sum)`` and emits an
+updated snapshot row each micro-batch in which the key appears; idle
+keys time out and emit a final row flagged ``closed``. This is the
+building block for streaming counters/sessionization beyond what
+``session_window`` expresses.
+
+Scale notes: state is partitioned by key across executors (shuffle on
+the grouping key once), Arrow-batched in and out of Python, and GC'd by
+the processing-time timeout — bounded memory at any stream size.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _make_accumulate(idle_timeout_ms: int | None):
+    def _accumulate(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"key": key[0], "n": n, "total": total, "closed": True}]
+            )
+            return
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"key": key[0], "n": n, "total": total, "closed": False}]
+        )
+
+    return _accumulate
+
+
+def running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, sum), optional idle-timeout close-out.
+
+    Input must be a streaming DataFrame with ``key_col`` and a numeric
+    ``value`` column. Output mode must be ``update``.
+
+    ``idle_timeout_ms`` is opt-in for live streams only: with
+    processing-time timeouts, the engine keeps scheduling batches to
+    fire timers, so a finite ``availableNow`` replay would spin empty
+    micro-batches until every key times out instead of terminating —
+    leave it ``None`` for replays/backfills.
+    """
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key", f"cast({value_col} as double) as value"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_accumulate(idle_timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

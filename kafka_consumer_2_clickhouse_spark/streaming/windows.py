@@ -1,0 +1,116 @@
+"""Event-time streaming operators: windows, watermarks, streaming dedup.
+
+The reference has no event time at all — its only temporal behavior is
+a count-based flush (``collector.go:93-100``) and a wall-clock stamp on
+the dump filename (``collector.go:198``). These operators are the
+§2b "new engine surface" column: what the landed stream supports once
+it flows through a real engine. All are stock Structured Streaming —
+state lives in the checkpoint, watermarks bound it, and every
+aggregation is partial+final (map-side combine before the shuffle).
+
+Scale notes: windowed aggregations shuffle on (window, keys); watermarks
+cap state size so a 100 TB/day stream holds only the open windows.
+``dropDuplicatesWithinWatermark`` keeps one fingerprint per key within
+the lateness horizon instead of unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count+sum per key with late-data handling.
+
+    The streaming twin of the batch ``events_hourly_rollup`` query —
+    identical output semantics once the watermark closes a window.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event rate (overlapping windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: per-key sessions closed after ``gap`` idle time.
+
+    Streaming twin of the batch ``events_sessionized`` query (which
+    derives sessions with lag+cumsum); ``session_window`` is the
+    engine-native form with merge-on-update state.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-one-per-key within the watermark horizon.
+
+    This is the streaming form of the exact-dedup [EXT] operator and
+    the read-side replay collapse in ``sinks.dedupe_replayed_batches``:
+    state holds one entry per key only until the watermark passes it.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1,0 +1,141 @@
+"""End-to-end streaming ingest test: Kafka-shaped files -> convert ->
+foreachBatch sinks -> landed parquet, with dead-letter routing and
+reference-named metrics. Service-free twin of the production pipeline
+(SURVEY.md §5 item 3)."""
+
+import json
+import time
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.config import (
+    ClickHouseConfig,
+    PipelineConfig,
+    TopicConfig,
+)
+from kafka_consumer_2_clickhouse_spark.sinks import (
+    BATCH_ID_COL,
+    dedupe_replayed_batches,
+    parquet_writer,
+)
+from kafka_consumer_2_clickhouse_spark.sources.kafka import KAFKA_SHAPE
+from kafka_consumer_2_clickhouse_spark.streaming import observe, pipeline
+
+TARGET = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def snappy_compress(b: bytes) -> bytes:
+    return bytes(pa.Codec("snappy").compress(b))
+
+
+def write_kafka_files(spark, path: str, payloads: list[bytes], topic="events"):
+    rows = [(None, p, topic, 0, i, None) for i, p in enumerate(payloads)]
+    spark.createDataFrame(rows, KAFKA_SHAPE).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return tmp_path
+
+
+def make_payloads(n_valid=20, n_bad_snappy=2, n_bad_json=1):
+    valid = [
+        snappy_compress(
+            json.dumps(
+                {"event_id": i, "event_type": f"t{i % 3}", "value": i * 1.5,
+                 "extra_key": "dropped"}
+            ).encode()
+        )
+        for i in range(n_valid)
+    ]
+    bad_snappy = [b"\xff\xff not snappy" for _ in range(n_bad_snappy)]
+    bad_json = [snappy_compress(b"{definitely not json") for _ in range(n_bad_json)]
+    return valid + bad_snappy + bad_json
+
+
+def run_pipeline(spark, workdir, payloads):
+    src = workdir / "source"
+    out = workdir / "landed"
+    dl = workdir / "dead"
+    ckpt = workdir / "ckpt"
+    write_kafka_files(spark, str(src), payloads)
+    cfg = PipelineConfig(
+        topics=[
+            TopicConfig(
+                topic="events",
+                clickhouse=ClickHouseConfig(table="events"),
+                flush_count=1000,
+            )
+        ],
+        checkpoint_root=str(ckpt),
+        dead_letter_path=str(dl),
+    )
+    pipeline.run_file_pipeline_once(
+        spark,
+        cfg,
+        {"events": TARGET},
+        str(src),
+        sinks={"events": parquet_writer(str(out))},
+    )
+    return out, dl
+
+
+def test_end_to_end_ingest(spark, workdir):
+    out, dl = run_pipeline(spark, workdir, make_payloads())
+    landed = spark.read.parquet(str(out))
+    # 20 valid rows, sorted target columns + kafka meta + batch stamp
+    assert landed.count() == 20
+    assert [c for c in landed.columns if not c.startswith("_")] == [
+        "event_id", "event_type", "value", "topic", "partition", "offset",
+    ]
+    assert BATCH_ID_COL in landed.columns
+    got = {r.event_id for r in landed.select("event_id").collect()}
+    assert got == set(range(20))
+    # extra_key was dropped by the explicit schema
+    assert "extra_key" not in landed.columns
+
+    dead = spark.read.parquet(str(dl / "events"))
+    by_type = {r.error_type: r.n for r in
+               dead.groupBy("error_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"snappy": 2, "parse": 1}
+    # dead letters point back at the exact source offsets
+    assert dead.select("offset").distinct().count() == 3
+
+
+def test_metrics_listener(spark, workdir):
+    listener = observe.IngestMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        run_pipeline(spark, workdir, make_payloads())
+        # listener-bus delivery is async relative to query termination
+        deadline = time.time() + 30
+        while time.time() < deadline and not listener.registry.msg:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.registry.msg.get("ingest_events") == 20
+    assert listener.registry.msg_error.get("ingest_events") == 3
+    body = listener.registry.render()
+    assert 'kafka_consumer_msg{query="ingest_events"} 20' in body
+    assert "dumps_time_insert_count" in body
+    status = listener.status()
+    assert status["ingest_events"]["numInputRows"] == 23
+
+
+def test_replay_dedupe(spark, workdir):
+    """At-least-once replays collapse via read-side dedupe."""
+    out, _ = run_pipeline(spark, workdir, make_payloads(n_valid=10))
+    landed = spark.read.parquet(str(out))
+    replayed = landed.union(landed)  # simulate a redelivered batch
+    deduped = dedupe_replayed_batches(replayed, ["event_id"])
+    assert deduped.count() == 10

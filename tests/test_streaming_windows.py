@@ -1,0 +1,115 @@
+"""Event-time streaming operators: windows, watermark dedup, custom
+stateful accumulator (SURVEY.md §2b streaming surface)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming import stateful, windows
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+ROWS = [
+    # (event_id, user_id, event_type, value, ts)
+    (1, 1, "click", 1.0, "2026-01-01 10:05:00"),
+    (2, 1, "click", 2.0, "2026-01-01 10:20:00"),
+    (3, 2, "view", 3.0, "2026-01-01 10:40:00"),
+    (4, 2, "view", 4.0, "2026-01-01 11:10:00"),
+    (5, 1, "click", 5.0, "2026-01-01 11:30:00"),
+    (5, 1, "click", 5.0, "2026-01-01 11:30:00"),  # exact duplicate
+]
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    path = str(tmp_path / "events_stream")
+    df = spark.createDataFrame(
+        [(i, u, t, v, ts) for (i, u, t, v, ts) in ROWS],
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_stream(spark, stream_dir):
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+
+
+def run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_counts(spark, stream_dir):
+    out = run_to_memory(
+        windows.tumbling_counts(read_stream(spark, stream_dir)),
+        "tumbling", "complete",
+    )
+    rows = {
+        (r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert rows[(10, "click")] == (2, 3.0)
+    assert rows[(10, "view")] == (1, 3.0)
+    assert rows[(11, "click")] == (2, 10.0)
+    assert rows[(11, "view")] == (1, 4.0)
+
+
+def test_session_windows(spark, stream_dir):
+    out = run_to_memory(
+        windows.session_windows(read_stream(spark, stream_dir), gap="30 minutes"),
+        "sessions", "complete",
+    )
+    per_user = {r.user_id: r for r in
+                out.groupBy("user_id").agg(
+                    F.count("*").alias("n_sessions"),
+                    F.sum("n_events").alias("events"),
+                ).collect()}
+    # user 1: events at 10:05/10:20 chain (gap 15m), then 11:30 x2 -> 2 sessions
+    assert per_user[1].n_sessions == 2 and per_user[1].events == 4
+    # user 2: 10:40 and 11:10 are exactly 30m apart -> single chained session
+    assert per_user[2].n_sessions == 1 and per_user[2].events == 2
+
+
+def test_streaming_dedup(spark, stream_dir):
+    out = run_to_memory(
+        windows.streaming_dedup(read_stream(spark, stream_dir), keys=["event_id"]),
+        "dedup", "append",
+    )
+    assert out.count() == 5
+    assert out.select("event_id").distinct().count() == 5
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    out = run_to_memory(
+        stateful.running_totals(read_stream(spark, stream_dir)),
+        "totals", "update",
+    )
+    latest = {r.key: r for r in out.collect()}
+    assert latest["1"].n == 4 and latest["1"].total == 13.0
+    assert latest["2"].n == 2 and latest["2"].total == 7.0
+    assert not latest["1"].closed
+
+
+def test_sliding_rates(spark, stream_dir):
+    out = run_to_memory(
+        windows.sliding_rates(read_stream(spark, stream_dir)),
+        "sliding", "complete",
+    )
+    # every event lands in exactly 2 overlapping 10m/5m windows
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * len(ROWS)
