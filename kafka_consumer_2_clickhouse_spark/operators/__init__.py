@@ -1,4 +1,4 @@
-from . import analytics, dedup, similarity, text_analysis  # noqa: F401
+from . import analytics, dedup, multimodal, similarity, text_analysis  # noqa: F401
 
 # All operator modules register into the same QUERIES/ORACLE_SQL
 # registries (declared in analytics.py) via the @query decorator.

@@ -188,6 +188,71 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 2
+NGRAM_JACCARD_MIN = 0.5
+LEN_BUCKET = 100
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             CAST(n_chars // {LEN_BUCKET} AS BIGINT) AS len_bucket,
+             list_distinct({X.sql_shingles(X.sql_tokens('text'), NGRAM_N)}) AS sh
+      FROM documents
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= {NGRAM_JACCARD_MIN}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs with blocked pairwise compare.
+
+    Blocking key = (lang, source, length-bucket): near-dups share
+    language/source and have similar length, so the quadratic compare
+    runs inside small blocks instead of the full cross product — the
+    standard blocked-dedup shape. Scale: the join is an equi-join on
+    the block key (AQE handles a skewed block); shingle arrays travel
+    only within their block.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = F.array_distinct(X.shingles(X.tokens("text"), NGRAM_N))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / LEN_BUCKET).alias("len_bucket"),
+        sh.alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+    )
+
+
 def _simhash_sql() -> str:
     bit_cases = X.simhash_bit_exprs("tok", bits=64)
     sums = ",\n           ".join(

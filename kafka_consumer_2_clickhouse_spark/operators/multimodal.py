@@ -1,0 +1,198 @@
+"""Multimodal columns ([EXT]): binary media payloads with typed metadata.
+
+Treats image/audio/video as opaque ``binary`` columns plus a typed
+metadata struct, per the large-scale training-pipeline pattern: the
+engine moves/filters/partitions bytes it never interprets, and decode /
+feature-extraction runs as Arrow-batched Python over ``mapInPandas``.
+
+The corpus has no real media files, so the media table derives
+deterministically from ``documents`` (payload = UTF-8 bytes of the
+text, modality assigned round-robin) and the decode step is a
+DETERMINISTIC FAKE (see ``_fake_decode``): it computes plausible
+dimensions from the payload bytes so the full pipeline — binary
+column in parquet, metadata struct, batch-shaped Pandas UDF, frame
+explode — is real and oracle-checkable, while the pixel decode itself
+is stubbed. ``decode_image_real`` is the marked seam where Pillow/
+ffmpeg would slot in (NotImplementedError in this container).
+
+Scale notes: payloads stay in executor memory only batch-at-a-time
+(Arrow chunks); feature extraction is map-only; the frame-sample
+explode multiplies rows but carries (media_id, frame_no, ts) only —
+never the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..sources.tables import load_table, spread
+from .analytics import query
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MODALITIES = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("lang", T.StringType(), True),
+                    T.StructField("declared_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` -> media table: binary payload + typed metadata.
+
+    Modality round-robins on ``doc_id`` so each run exercises all three
+    code paths. Entirely JVM-side (``encode`` produces the binary)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source"),
+            F.col("lang"),
+            F.col("n_chars").cast("bigint").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, modality: str) -> dict:
+    """DETERMINISTIC FAKE decode — stands in for Pillow/librosa/ffmpeg
+    (not in this container). Derives stable pseudo-dimensions from the
+    byte length so every engine (and the DuckDB oracle) agrees."""
+    import hashlib
+
+    n = len(payload)
+    return {
+        "byte_len": n,
+        "content_md5": hashlib.md5(payload).hexdigest(),
+        "width": 64 + (n * 7) % 960 if modality in ("image", "video") else None,
+        "height": 64 + (n * 11) % 540 if modality in ("image", "video") else None,
+        "n_frames": 1 + n % 30 if modality == "video" else None,
+    }
+
+
+def decode_image_real(payload: bytes) -> "tuple[int, int]":
+    """THE REAL-DECODE SEAM — swap in Pillow here on a cluster with
+    image libs installed. Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        "real image decode requires Pillow/opencv; use _fake_decode in tests"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    The production shape: ``mapInPandas`` receives whole Arrow batches
+    (payload bytes as object dtype), computes per-row features in
+    Python, emits a typed frame. Only this stage touches bytes."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _fake_decode(bytes(p) if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "modality", pdf["modality"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             length(text) AS n, md5(text) AS h
+      FROM documents
+    )
+    SELECT media_id, modality,
+           CAST(n AS BIGINT) AS byte_len,
+           h AS content_md5,
+           CASE WHEN modality IN ('image','video')
+                THEN CAST(64 + (n * 7) % 960 AS BIGINT) END AS width,
+           CASE WHEN modality IN ('image','video')
+                THEN CAST(64 + (n * 11) % 540 AS BIGINT) END AS height,
+           CASE WHEN modality = 'video'
+                THEN CAST(1 + n % 30 AS BIGINT) END AS n_frames
+    FROM media
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction, end to end: documents ->
+    media table (binary + metadata struct) -> Arrow-batched decode ->
+    typed features. The oracle replays the deterministic fake in SQL
+    (md5 over the same UTF-8 bytes), so the whole Pandas-UDF path is
+    value-checked."""
+    return extract_features(media_table(spark, sf_dir))
+
+
+@query(
+    "media_frame_samples",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, length(text) AS n FROM documents
+      WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, CAST(1 + n % 30 AS BIGINT) AS n_frames FROM media
+    )
+    SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+           CAST((f - 1) * 1000 AS BIGINT) AS ts_ms
+    FROM frames, unnest(range(1, n_frames + 1)) AS t(f)
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: explode 1..n_frames into
+    (media_id, frame_no, ts_ms) — the row multiplication happens
+    JVM-side on metadata only; payloads are never duplicated."""
+    feats = extract_features(
+        media_table(spark, sf_dir).filter(F.col("modality") == "video")
+    )
+    return feats.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_frames"))).alias("frame_no"),
+    ).select(
+        "media_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        ((F.col("frame_no") - 1) * 1000).cast("bigint").alias("ts_ms"),
+    )

@@ -160,6 +160,106 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+@query("ivf_cosine_topk")  # no oracle: approximate by construction;
+# recall vs the exact operator is asserted in tests/test_similarity.py
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the bucketed scale path.
+
+    Index = coarse quantizer: k-means centroids over a driver-side
+    sample (deterministic seed), every vector assigned to its nearest
+    cell JVM-side. Search = probe only the ``N_PROBE`` cells nearest to
+    each query, brute-force inside those cells via the same blocked
+    GEMM as ``ann_cosine_topk``.
+
+    Scale: assignment is map-only against broadcast centroids; the
+    probed fraction (~N_PROBE/N_CELLS of the table) bounds compute and
+    I/O per query — at 100 TB with 4096 cells and 64 probes you scan
+    ~1.5% of the data, and cell-partitioned storage turns the probe
+    into partition pruning at the scan.
+    """
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = spread(raw)
+
+    # --- build the coarse quantizer from a bounded driver-side sample
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in raw.select("embedding")
+            .sample(fraction=1.0, seed=7)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(7)
+    cents = sample[rng.choice(len(sample), N_CELLS, replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample (spherical)
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(N_CELLS):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    bc_cents = spark.sparkContext.broadcast(cents)
+
+    qrows = (
+        raw.filter(F.col("vec_id") < N_QUERY).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    # cells to probe per query: N_PROBE nearest centroids
+    probe = {int(q): set((qmat[i] @ cents.T).argsort()[-N_PROBE:].tolist())
+             for i, q in enumerate(qids)}
+    bc_q = spark.sparkContext.broadcast((qids, qmat, probe))
+    top_k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_v = bc_cents.value
+        ids, qm, probe_v = bc_q.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cell = (cm @ cents_v.T).argmax(axis=1)
+            sims = qm @ cm.T
+            for qi, qid in enumerate(ids):
+                in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                mask = in_probe & (cand_ids != qid)
+                c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                if len(c_ids) == 0:
+                    continue
+                k = min(top_k, len(c_ids))
+                part = np.argpartition(-c_sims, k - 1)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": c_ids[part],
+                        "cosine": c_sims[part],
+                    }
+                )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, cand_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 @query("ann_cosine_topk")  # no oracle: vectorized Python path; equality
 # with embedding_cosine_topk is asserted in tests/test_similarity.py
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

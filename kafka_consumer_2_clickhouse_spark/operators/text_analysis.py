@@ -161,6 +161,79 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, text, {X.sql_tokens('text')} AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST({X.stopword_filter_sql('toks', _QUALITY_STOPWORDS)} AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1) AS ttr
+      FROM t
+    )
+    SELECT doc_id, n_chars, punct_ratio, stopword_ratio, ttr,
+           round(
+             0.25 * least(n_chars / 500.0, 1.0)
+           + 0.25 * (1.0 - least(punct_ratio / 0.3, 1.0))
+           + 0.25 * least(stopword_ratio / 0.1, 1.0)
+           + 0.25 * ttr, 6) AS quality_score
+    FROM feats
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 document quality score from length, punctuation
+    ratio, stopword ratio, and type-token ratio — the standard
+    pretraining-corpus quality gate (each component clipped to its
+    healthy range, equally weighted).
+
+    Scale: pure map-only expressions; filterable at scan time when used
+    as a corpus gate (``WHERE quality_score >= x`` pushes the cheap
+    column predicates down).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "n_chars", "text", X.tokens("text").alias("toks")
+    )
+    n_toks = F.greatest(F.size("toks"), F.lit(1))
+    punct = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stop = (
+        X.stopword_count(F.col("toks"), _QUALITY_STOPWORDS).cast("double")
+        / n_toks
+    )
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_toks
+    feats = base.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+    )
+    score = (
+        0.25 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(F.col("punct_ratio") / 0.3, F.lit(1.0)))
+        + 0.25 * F.least(F.col("stopword_ratio") / 0.1, F.lit(1.0))
+        + 0.25 * F.col("ttr")
+    )
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "punct_ratio",
+        "stopword_ratio",
+        "ttr",
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@query(
     "token_count_estimates",
     oracle=r"""
     SELECT doc_id,

@@ -15,3 +15,24 @@ def test_ann_matches_exact_topk(spark, sf_dir):
     assert set(exact) == set(ann)
     mismatches = {k: (exact[k], ann[k]) for k in exact if exact[k] != ann[k]}
     assert not mismatches, f"top-k disagreement: {mismatches}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF probes N_PROBE/N_CELLS of the table; recall@5 against the
+    exact top-k should still be high on this corpus."""
+    exact = {
+        r["query_id"]: set()
+        for r in similarity.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.embedding_cosine_topk(spark, sf_dir).collect():
+        exact[r["query_id"]].add(r["cand_id"])
+    ivf = {q: set() for q in exact}
+    for r in similarity.ivf_cosine_topk(spark, sf_dir).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+    # every returned candidate must carry a sane cosine
+    for r in similarity.ivf_cosine_topk(spark, sf_dir).collect():
+        assert -1.0001 <= r["cosine"] <= 1.0001
