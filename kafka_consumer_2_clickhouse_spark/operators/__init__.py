@@ -1,4 +1,11 @@
-from . import analytics, dedup, multimodal, similarity, text_analysis  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+    tpch_suite,
+)
 
 # All operator modules register into the same QUERIES/ORACLE_SQL
 # registries (declared in analytics.py) via the @query decorator.

@@ -1,0 +1,946 @@
+"""TPC-H-adapted query suite (Q2..Q22) over the driver corpus.
+
+Completes the TPC-H-style spine started in ``analytics.py`` (Q1, Q3-Q6,
+Q10 live there). The driver's corpus is a *reduced* TPC-H (FIXTURES.md
+§B): there is no ``partsupp`` table and several columns are absent
+(``l_shipmode``, ``l_commitdate``, ``l_receiptdate``, ``p_container``,
+``c_phone``, ``o_shippriority``). Each query below keeps the *plan
+shape* of its TPC-H namesake — the join topology, subquery pattern, and
+aggregation structure that make the query a meaningful engine test —
+with predicates adapted to the available columns. Where the original
+needs ``partsupp``, the supplier<->part relationship is derived from
+``lineitem`` (the fact table records which supplier shipped which
+part), which preserves the join/anti-join/correlated-subquery shape.
+
+All the determinism rules from ``analytics.py`` apply: decimal-exact
+reductions published as doubles, unique-key tie-breaks on every
+sort/limit, bigint integer sums.
+
+Reference provenance: the reference engine has no query surface at all
+(SURVEY.md §2b — it is a Kafka->ClickHouse pipe, /root/reference/
+internal/collector/collector.go); this module is part of the
+batch-analytics dividend the PySpark rebuild exposes over landed
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import load_table
+from .analytics import dsum, query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (correlated MIN subquery shape)
+# --------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name, p_partkey, p_type, unit_cost
+    FROM cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                       JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+                       JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                       JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                       WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery -> window-min + filter.
+
+    No ``partsupp`` in the corpus, so supplier cost per part is the
+    shipped unit price derived from lineitem (decimal-exact sums; the
+    final division is a single deterministic IEEE op on both engines).
+
+    Scale: the correlated subquery is decorrelated into ONE window
+    (min over partkey) on the already-aggregated (part,supp) grain —
+    no self-join, no re-scan of the 100 TB fact table; dims broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg((dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bi-directional nation pair volume, grouped by ship year.
+
+    Scale: the disjunctive nation predicate is applied after two
+    broadcast nation joins; lineitem<->orders is the only shuffle.
+    The shipdate range prunes the scan (PushedFilters).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region
+# --------------------------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume_dec ELSE 0 END)
+                AS DOUBLE)
+             / CAST(sum(volume_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume_dec,
+             n1.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) v
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: market share = conditional sum / total sum per year.
+
+    Both numerator and denominator are decimal-exact before the single
+    dividing IEEE op, so the published double hash-matches DuckDB.
+
+    Scale: 8-table star; every dimension broadcasts, the one shuffle
+    is lineitem<->orders. Catalyst pushes p_type/r_name filters below
+    their joins.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast("decimal(27,6)").alias("volume_dec"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_5", F.col("volume_dec")).otherwise(
+        F.lit(0).cast("decimal(27,6)")
+    )
+    return (
+        volume.groupBy("o_year")
+        .agg(
+            (
+                F.sum(nat).cast("double") / F.sum("volume_dec").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity AS DECIMAL(27,6)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order year.
+
+    No ``ps_supplycost`` in the corpus; cost is modeled as
+    ``0.6 * p_retailprice * l_quantity`` (same per-row arithmetic
+    shape — fact column x dimension column — so the plan is identical
+    to the original's).
+
+    Scale: part LIKE-filter broadcasts; single fact shuffle on
+    orderkey. The profit expression stays inside whole-stage codegen.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (HAVING vs scalar subquery)
+# --------------------------------------------------------------------------
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS value_dec
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT 0.001 * CAST(sum(value_dec) AS DOUBLE) FROM pv)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group value > fraction of the global total.
+
+    No ``partsupp``; per-part "stock value" is shipped extendedprice
+    from one nation's suppliers. The scalar subquery over the same
+    aggregate becomes a reused local aggregate + cross-joined
+    single-row threshold (computed once, broadcast to every row).
+
+    Scale: the per-part aggregate is computed ONCE and both consumed
+    and re-aggregated for the threshold — at 100 TB, cache/persist pv
+    or rely on AQE exchange reuse rather than recomputing.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("value_dec"))
+    )
+    threshold = pv.agg(
+        (F.lit(0.001) * F.sum("value_dec").cast("double")).alias("thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_dec").cast("double") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-class vs order priority (conditional aggregation)
+# --------------------------------------------------------------------------
+
+@query(
+    "q12_priority_by_class",
+    oracle="""
+    SELECT CASE WHEN l_quantity >= 30 THEN 'BULK' ELSE 'PARCEL' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY ship_class
+    """,
+)
+def q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-based conditional counts.
+
+    ``l_shipmode`` doesn't exist in the corpus; the shipping class is
+    derived from quantity (same CASE-pivot aggregation shape).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(F.col("l_quantity") >= 30, "BULK")
+            .otherwise("PARCEL")
+            .alias("ship_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double group-by)
+# --------------------------------------------------------------------------
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) co
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with an ON-clause filter, then a
+    distribution over the first aggregate (two chained group-bys).
+
+    The original filters comments; the corpus has no o_comment, so the
+    ON-filter is an orderpriority exclusion (same outer-join-with-
+    predicate shape: customers with zero qualifying orders count 0).
+
+    Scale: first groupBy shuffles on custkey (same key as the join —
+    one exchange reused); second groupBy's domain is tiny (#orders per
+    customer), so the final shuffle is negligible.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo revenue percentage
+# --------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional-sum ratio over a broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-10-01 00:00:00"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(27,6)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            (F.lit(100.0) * F.sum(promo).cast("double"))
+            / F.sum(vol).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (view + scalar MAX subquery)
+# --------------------------------------------------------------------------
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+               AS total_revenue_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar MAX — argmax via window on the
+    aggregated (small) relation. The MAX compares decimals, so
+    float-tie ambiguity can't break the hash match.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+        ).alias("total_revenue_dec")
+    )
+    # scalar MAX as a 1-row broadcast, not a global window: a window
+    # with no partitionBy funnels every supplier through ONE task.
+    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier count per part descriptor (distinct-agg + NOT IN)
+# --------------------------------------------------------------------------
+
+@query(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN anti-join + count-distinct per descriptor.
+
+    ``partsupp`` is derived from lineitem; the complaint-supplier
+    NOT IN becomes a broadcast anti-join (negative acctbal stands in
+    for the original's comment filter).
+
+    Scale: count(DISTINCT supp) shuffles on the full grouping key with
+    Spark's two-phase distinct-aggregate expansion; the anti-join side
+    is tiny and broadcasts.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG subquery)
+# --------------------------------------------------------------------------
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) / 7.0 AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 10
+      AND l_quantity < (
+        SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated AVG decorrelated to aggregate + join.
+
+    ``p_container`` doesn't exist; the part slice is brand + size. The
+    per-part average is decimal-exact sum / exact count -> one IEEE
+    division, then a broadcast join back onto lineitem.
+
+    Scale: the per-part avg aggregates lineitem BEFORE the join (tiny
+    result, broadcast); lineitem is scanned once per side — at 100 TB
+    persist the filtered slice or rely on exchange reuse.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (dsum("l_quantity") / F.count("*"))
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)")) / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING subquery -> semi join)
+# --------------------------------------------------------------------------
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(27,6))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-IN subquery as a left-semi join on orderkey.
+
+    Scale: the qualifying-order set is tiny after HAVING (heavy
+    map-side combine on orderkey first), broadcasts into the semi
+    join; top-100 is TakeOrdered, not a global sort.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    li2 = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li2, orders.o_orderkey == li2.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-range predicate)
+# --------------------------------------------------------------------------
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides.
+
+    Scale: Catalyst extracts the common-side conjuncts — the part
+    disjunction (brand/size) prunes the broadcast side, the quantity
+    ranges push into the lineitem scan; the residual OR evaluates
+    post-join inside codegen.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (nested semi-join chain)
+# --------------------------------------------------------------------------
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(27,6))) > 100)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN (IN + HAVING) nested semi-join chain.
+
+    ``partsupp``/availqty don't exist; the inner threshold is shipped
+    quantity of 'red%' parts in the year (same nested-semi-join plan:
+    part-filter semi-join inside, supplier semi-join outside).
+    """
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    last_suppliers AS (
+      SELECT l.l_orderkey, p.max_ship, max(l.l_suppkey) AS the_suppkey
+      FROM lineitem l JOIN per_order p ON p.l_orderkey = l.l_orderkey
+      WHERE l.l_shipdate = p.max_ship AND p.n_supp > 1
+      GROUP BY l.l_orderkey, p.max_ship
+      HAVING count(DISTINCT l.l_suppkey) = 1
+    ),
+    waiting AS (
+      SELECT ls.* FROM last_suppliers ls
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = ls.l_orderkey
+                      AND o.o_orderstatus = 'F')
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM waiting
+      JOIN supplier ON s_suppkey = the_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS(other supplier) + NOT EXISTS(other late
+    supplier) — the sole supplier who shipped last on a multi-supplier
+    finalized order.
+
+    No commit/receipt dates in the corpus; "kept waiting" = shipped at
+    the order's max shipdate, uniquely (NOT EXISTS another supplier at
+    that date), on an order with >1 supplier (EXISTS). Both correlated
+    subqueries decorrelate into ONE per-order aggregate joined back —
+    lineitem is shuffled on orderkey once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    last_suppliers = (
+        li.join(per_order, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1))
+        .groupBy("l_orderkey", "max_ship")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_last"),
+            F.max("l_suppkey").alias("the_suppkey"),
+        )
+        .filter(F.col("n_last") == 1)
+    )
+    waiting = last_suppliers.join(
+        orders, last_suppliers.l_orderkey == orders.o_orderkey, "left_semi"
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("the_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar AVG subquery + anti join)
+# --------------------------------------------------------------------------
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, c_nationkey
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT CAST(c_nationkey AS INT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM eligible
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                              / count(*)
+                       FROM eligible WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-AVG threshold + NOT EXISTS anti-join.
+
+    No ``c_phone`` in the corpus; the country slice is nationkey-based.
+    The average is decimal-sum / exact-count (one IEEE division).
+
+    Scale: threshold is a 1-row broadcast; the anti-join against
+    orders shuffles on custkey — or broadcasts the distinct custkey
+    set if orders' customer cardinality is small enough.
+    """
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
