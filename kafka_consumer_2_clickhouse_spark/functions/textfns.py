@@ -68,20 +68,26 @@ def sql_minhash(shingles_expr: str, seed: int) -> str:
     return f"list_min(list_transform({shingles_expr}, s -> md5('{seed}|' || s)))"
 
 
-def simhash_bit_exprs(tok: str, bits: int = 64) -> list[str]:
+def simhash_bit_exprs(tok: str, bits: int = 64, pre_hashed: bool = False) -> list[str]:
     """Per-bit ±1 contribution CASE expressions over one token variable.
 
     Bit ``i`` of a token's 128-bit md5 lives in hex nibble ``i // 4``
     with mask ``8 >> (i % 4)``; the CASE tests the hex character
     directly. Valid in both Spark SQL and DuckDB.
+
+    With ``pre_hashed=True``, ``tok`` is already the md5 hex string —
+    project ``md5(tok)`` ONCE upstream instead of re-hashing inside
+    each of the 64 aggregate expressions (Spark does not do common-
+    subexpression elimination across aggregate buffers).
     """
+    h = tok if pre_hashed else f"md5({tok})"
     out = []
     for i in range(bits):
         pos = 1 + i // 4
         mask = 8 >> (i % 4)
         chars = ", ".join(f"'{c}'" for c in _NIBBLE_WITH_BIT[mask])
         out.append(
-            f"CASE WHEN substr(md5({tok}), {pos}, 1) IN ({chars}) THEN 1 ELSE -1 END"
+            f"CASE WHEN substr({h}, {pos}, 1) IN ({chars}) THEN 1 ELSE -1 END"
         )
     return out
 

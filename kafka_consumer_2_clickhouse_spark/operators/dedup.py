@@ -146,7 +146,13 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sigs.select("doc_id", "shingles", *band_cols)
+    # Materialize the signature relation once: four consumers below
+    # (both self-join sides + both verify sides) would otherwise each
+    # recompute the shingle+8xmd5 pipeline from the scan (observed: 4
+    # parquet scans, 0 reused exchanges). At 100 TB this is "write the
+    # signature table, then join against it" — locally, a lazy
+    # localCheckpoint gives the same compute-once shape within the job.
+    banded = sigs.select("doc_id", "shingles", *band_cols).localCheckpoint(eager=False)
 
     keys = banded.select(
         "doc_id",
@@ -283,8 +289,14 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings of the bitstring (same LSH shape as minhash).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    bit_cases = X.simhash_bit_exprs("tok", bits=64)
+    # hash each token ONCE in the projection; the 64 per-bit aggregate
+    # expressions then test hex nibbles of the precomputed digest
+    # (Spark has no cross-aggregate-buffer CSE — inlining md5 into each
+    # CASE costs 64 digests per token).
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bit_cases = X.simhash_bit_exprs("h", bits=64, pre_hashed=True)
     sums = toks.groupBy("doc_id").agg(
         *[F.sum(F.expr(c)).alias(f"s{i}") for i, c in enumerate(bit_cases)]
     )
