@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    temporal,
     text_analysis,
     tpch_suite,
 )

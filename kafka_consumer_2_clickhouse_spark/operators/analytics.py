@@ -825,3 +825,78 @@ def ingest_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = convert(payload, target, snappy=False)
     return res.valid.select("event_id", "event_type", "props", "ts", "user_id", "value")
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) with
+    grouping() flags disambiguating real NULLs from subtotal rows.
+
+    Scale: Catalyst expands the sets into one Expand + single
+    aggregation pass — the fact table is scanned once, not once per
+    set.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    ).select(
+        "g_flag", "g_status", "l_returnflag", "l_linestatus", "revenue", "n_lines"
+    )
+
+
+@query(
+    "order_value_quartiles",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS p75,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of order value per market segment.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition (h = (n-1)q), so results are
+    bit-identical on the same doubles.
+
+    Scale: exact percentile sorts each group; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) and
+    accept bounded rank error — kept exact here because the oracle
+    gate compares values.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.50).alias("p50"),
+            F.percentile("o_totalprice", 0.75).alias("p75"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native AS-OF or banded RANGE join (DuckDB/Pandas do);
+the reference engine has no joins at all (SURVEY.md §2b). These are
+the composition-of-DataFrame-ops implementations of both shapes —
+the two join patterns every event/feature pipeline needs:
+
+- **as-of**: attach to each row the most recent matching row at or
+  before its timestamp (point-in-time-correct feature lookup).
+  Implemented with ONE ordered window per key using
+  ``last(..., ignorenulls=True)`` over a tagged union — never a
+  row-multiplying join + argmax. For two tables: tag both, union,
+  window, keep the probe side's rows.
+- **range**: join rows whose timestamps fall within a band of each
+  other. Implemented as a *bucketed band join*: quantize time into
+  bins the width of the band, explode the probe side to its 3
+  adjacent bins, equi-join on (key, bin) — Catalyst gets a hashable
+  equality key instead of an O(n*m) theta-join — then apply the
+  exact range predicate as a residual filter.
+
+Both patterns scale: the window shuffles each key once; the bucketed
+join's fan-out is a constant 3x on the (smaller) probe side, and the
+equi-join is AQE/skew-join eligible, which a raw theta-join is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import load_table
+from .analytics import dsum, query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                      IGNORE NULLS) OVER w AS last_purchase_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER w AS last_purchase_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event gets the same user's most recent purchase
+    at-or-before its timestamp (point-in-time feature attachment).
+
+    Self-table case of the tagged-union pattern: the "build" side
+    (purchases) is folded into the probe side as a nullable struct and
+    carried forward by an ordered ``last(ignorenulls)`` window — no
+    join, no row multiplication, one shuffle on the key. With two
+    tables, union(probe tagged 1, build tagged 0) ordered by
+    (ts, tag, id) gives identical semantics.
+
+    Deterministic: window order (ts, event_id) is a total order.
+    """
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_id"),
+        F.last(F.when(is_p, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@query(
+    "events_error_context",
+    oracle="""
+    SELECT e.event_id AS err_id,
+           CAST(count(o.user_id) AS BIGINT) AS n_context,
+           CAST(sum(CAST(o.value AS DECIMAL(27,6))) AS DOUBLE) AS context_value
+    FROM events e
+    LEFT JOIN events o
+      ON o.user_id = e.user_id AND o.event_type <> 'error'
+     AND o.ts >= e.ts - INTERVAL 60 SECOND
+     AND o.ts <= e.ts + INTERVAL 60 SECOND
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: per error event, count + value-sum of the same
+    user's non-error events within +/-60 s.
+
+    Bucketed band join: both sides quantize ts into 60 s bins; the
+    error side explodes to bins {b-1, b, b+1} so every in-band partner
+    (which lives in exactly one of those bins) meets it through a pure
+    equi-join on (user_id, bin); the exact +/-60 s predicate filters
+    residually. Errors with no partners are restored by a left join
+    against the error spine (count 0 / sum NULL, same as SQL).
+
+    Scale: the theta-join this replaces is O(rows^2) per user and not
+    shuffle-partitionable; (key, bin) hashes like any equi-join, AQE
+    skew-split included, at a bounded 3x fan-out of the error side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    band = 60  # seconds
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    oth = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id").alias("o_user"),
+        F.col("ts").alias("o_ts"),
+        F.col("value").alias("o_value"),
+        F.floor(F.unix_timestamp("ts") / band).alias("o_bin"),
+    )
+    err_binned = err.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.unix_timestamp("err_ts") / band) + d).alias("b")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bin"),
+    )
+    matched = (
+        err_binned.join(
+            oth,
+            (F.col("err_user") == F.col("o_user")) & (F.col("bin") == F.col("o_bin")),
+        )
+        .filter(
+            (F.col("o_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {band} SECOND"))
+            & (F.col("o_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {band} SECOND"))
+        )
+        .groupBy("err_id")
+        .agg(
+            F.count("o_user").cast("bigint").alias("n_context"),
+            dsum("o_value").alias("context_value"),
+        )
+    )
+    # left join back onto the error spine: errors with no in-band
+    # partner must appear with (0, NULL) exactly as SQL's LEFT JOIN does
+    return (
+        err.select("err_id")
+        .join(matched, "err_id", "left")
+        .select(
+            "err_id",
+            F.coalesce(F.col("n_context"), F.lit(0)).cast("bigint").alias("n_context"),
+            F.col("context_value"),
+        )
+    )
