@@ -90,11 +90,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine) reduces 100 TB of lineitem to KBs before the
     exchange. Filter + 7-column projection push into the parquet scan.
     """
+    from ..sources.tables import spread
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # filter FIRST (stays pushed into the scan), then fan out: the
+    # 7-decimal-sum partial aggregate is the CPU cost and must not run
+    # on the scan's single local row-group partition. spread() is a
+    # no-op on a real cluster where the scan arrives in many splits.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
