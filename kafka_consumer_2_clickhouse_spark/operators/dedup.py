@@ -289,19 +289,39 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings of the bitstring (same LSH shape as minhash).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # hash each token ONCE in the projection; the 64 per-bit aggregate
-    # expressions then test hex nibbles of the precomputed digest
-    # (Spark has no cross-aggregate-buffer CSE — inlining md5 into each
-    # CASE costs 64 digests per token).
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("h"))
-    bit_cases = X.simhash_bit_exprs("h", bits=64, pre_hashed=True)
+    # Hash each token ONCE, then parse each of the 16 leading hex
+    # nibbles to an int ONCE (Spark has no cross-aggregate-buffer CSE;
+    # the naive form re-hashed and re-substring-matched per bit — 64
+    # digests + ~512 char compares per token). Each per-bit aggregate
+    # is then a shift/AND on a small int. The ±1 sign-sum becomes
+    # popcount algebra: sum(±1 over bit b) > 0  ⇔  2*sum(bit b) > n.
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("h"))
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 1 + p, 1), 16, 10)
+                .cast("int")
+                .alias(f"nib{p}")
+                for p in range(16)
+            ],
+        )
+    )
     sums = toks.groupBy("doc_id").agg(
-        *[F.sum(F.expr(c)).alias(f"s{i}") for i, c in enumerate(bit_cases)]
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col(f"nib{i // 4}"), 3 - i % 4).bitwiseAND(1)).alias(
+                f"s{i}"
+            )
+            for i in range(64)
+        ],
     )
     bits = F.concat(
-        *[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)]
+        *[
+            F.when(2 * F.col(f"s{i}") > F.col("n_tok"), "1").otherwise("0")
+            for i in range(64)
+        ]
     )
     return sums.select("doc_id", bits.alias("simhash64"))
 

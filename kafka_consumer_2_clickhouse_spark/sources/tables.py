@@ -79,17 +79,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+@lru_cache(maxsize=4096)
+def _row_groups(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(path).num_row_groups
+    except Exception:
+        return 1
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster's parallelism.
 
     The local corpus stores each table as ONE parquet row group, so the
     scan yields a single partition and any CPU-heavy map stage runs
     single-threaded. On a real cluster a large table arrives in many
-    splits and this is a no-op (the partition count already exceeds the
+    splits and this is a no-op (the split count already exceeds the
     target). Only round-robin-repartition when genuinely starved.
+
+    Splittability is probed from the parquet FOOTERS of the scan's
+    input files (driver-side metadata, lru-cached) — NOT via
+    ``df.rdd.getNumPartitions()``, which converts the plan to an RDD
+    and costs ~1 s of driver time per call.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    files = df.inputFiles()
+    if files:
+        splits = sum(_row_groups(f.removeprefix("file:")) for f in files)
+    else:  # not file-backed (memory/local relation): ask the plan
+        splits = df.rdd.getNumPartitions()
+    if splits >= max(2, target // 2):
         return df
     return df.repartition(target)
 
