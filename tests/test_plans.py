@@ -1,0 +1,105 @@
+"""Physical-plan quality gates.
+
+Correctness is the oracle suite's job; these tests pin the *plan
+shapes* that make the operators survive a 1000-executor / 100 TB
+deployment: filters and projections reaching the parquet scan,
+dimension joins broadcasting, aggregates running partial+final, and —
+suite-wide — no accidental cartesian products. A regression here is
+invisible at sf0.001 and fatal at scale.
+"""
+
+import pytest
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = ops.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Ops where a broadcast-nested-loop join is the *intended* physical
+# shape: 1-row scalar-threshold broadcasts (cheap, optimal) and the
+# deliberately-quadratic all-pairs verifiers.
+BNLJ_ALLOWED = {
+    "q11_important_stock",  # 1-row threshold crossJoin
+    "q22_sales_opportunity",  # 1-row avg-balance crossJoin
+    "q15_top_supplier",  # 1-row max-revenue crossJoin
+    "q17_small_qty_revenue",  # tiny per-part-avg broadcast
+    "embedding_cosine_topk",  # all-pairs scoring vs broadcast queries
+    "embedding_near_dup_pairs",  # all-pairs verifier (documented O(n^2))
+    "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
+}
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """CartesianProduct must not appear in ANY query plan, and
+    BroadcastNestedLoopJoin only where it is the designed shape."""
+    offenders = []
+    for name in sorted(ops.QUERIES):
+        p = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, f"unexpected join shapes: {offenders}"
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """All four predicates and the 4-column projection must reach the
+    parquet scan — Q6 is the pushdown showcase."""
+    p = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters" in p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in p.split("PushedFilters")[1][:400], f"{col} not pushed"
+    # column pruning: the scan reads exactly the 4 referenced columns
+    read_cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(read_cols) == 4, f"scan reads {len(read_cols)} cols: {read_cols}"
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """Star-schema dimension joins must be broadcast, never shuffle."""
+    p = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in p, f"{name}: no broadcast join in plan"
+    assert "CartesianProduct" not in p
+
+
+def test_q1_partial_final_aggregation(spark, sf_dir):
+    """Q1 must aggregate in two phases (map-side combine before the
+    exchange) — at 100 TB this is what keeps the shuffle at KBs."""
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2, "no partial+final aggregation"
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    """EXISTS must compile to a semi join (no row multiplication)."""
+    p = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p or "left_semi" in p.lower()
+
+
+def test_q22_anti_join_shape(spark, sf_dir):
+    """NOT EXISTS must compile to an anti join."""
+    p = plan_of(spark, sf_dir, "q22_sales_opportunity")
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
+def test_asof_is_single_window_no_join(spark, sf_dir):
+    """The as-of join must stay a windowed scan — zero joins."""
+    p = plan_of(spark, sf_dir, "events_asof_last_purchase")
+    assert "Join" not in p, "as-of should not join"
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The banded range join must hash-join on (key, bin) — never a
+    nested-loop over the raw range predicate."""
+    p = plan_of(spark, sf_dir, "events_error_context")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
