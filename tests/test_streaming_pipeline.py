@@ -139,3 +139,65 @@ def test_replay_dedupe(spark, workdir):
     replayed = landed.union(landed)  # simulate a redelivered batch
     deduped = dedupe_replayed_batches(replayed, ["event_id"])
     assert deduped.count() == 10
+
+
+def test_checkpoint_recovery_exactly_once(spark, workdir):
+    """Stop/restart with the same checkpoint must process each source
+    file exactly once — the durability guarantee that replaces the
+    reference's CSV staging files (collector.go:193-210) and fixes its
+    at-most-once offset handling (SURVEY.md §3.3): a restarted query
+    resumes from committed offsets with no loss and no duplicates."""
+    src = workdir / "source"
+    out = workdir / "landed"
+    ckpt = workdir / "ckpt"
+    cfg = PipelineConfig(
+        topics=[
+            TopicConfig(
+                topic="events",
+                clickhouse=ClickHouseConfig(table="events"),
+                flush_count=1000,
+            )
+        ],
+        checkpoint_root=str(ckpt),
+        dead_letter_path=None,
+    )
+
+    def payload(i: int) -> bytes:
+        return snappy_compress(
+            json.dumps(
+                {"event_id": i, "event_type": f"t{i % 3}", "value": i * 1.5}
+            ).encode()
+        )
+
+    def append_file(ids, name):
+        rows = [(None, payload(i), "events", 0, i, None) for i in ids]
+        spark.createDataFrame(rows, KAFKA_SHAPE).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # run 1: first 50 ids land, query stops (availableNow drains)
+    append_file(range(50), "a")
+    pipeline.run_file_pipeline_once(
+        spark, cfg, {"events": TARGET}, str(src),
+        sinks={"events": parquet_writer(str(out))},
+    )
+    assert spark.read.parquet(str(out)).count() == 50
+
+    # run 2: new source file appears; SAME checkpoint -> only the new
+    # file is processed on restart
+    append_file(range(50, 100), "b")
+    pipeline.run_file_pipeline_once(
+        spark, cfg, {"events": TARGET}, str(src),
+        sinks={"events": parquet_writer(str(out))},
+    )
+    landed = spark.read.parquet(str(out))
+    assert landed.count() == 100  # no loss, no duplicates
+    got = sorted(r.event_id for r in landed.select("event_id").collect())
+    assert got == list(range(100))
+
+    # run 3: nothing new -> restart is a no-op (offsets fully committed)
+    pipeline.run_file_pipeline_once(
+        spark, cfg, {"events": TARGET}, str(src),
+        sinks={"events": parquet_writer(str(out))},
+    )
+    assert spark.read.parquet(str(out)).count() == 100
