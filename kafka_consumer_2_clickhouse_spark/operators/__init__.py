@@ -2,6 +2,7 @@ from . import (  # noqa: F401
     analytics,
     dedup,
     multimodal,
+    sampling,
     similarity,
     temporal,
     text_analysis,

@@ -1,0 +1,125 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training-data pipelines need *reproducible* splits and samples:
+``df.sample()`` draws from a seeded RNG whose stream depends on
+partitioning, so the same call on the same data can return different
+rows under repartition/AQE — unacceptable for a train/val/test split
+that must be stable across reruns and engines.
+
+The operators here derive membership from a content hash (md5 of the
+stable key, first 4 hex digits → int in [0, 65536)), which is:
+- deterministic across engines, partitionings, and reruns;
+- uniform enough for split/sampling purposes;
+- pushdown-friendly (a plain scalar predicate on the scan);
+- exactly reproducible in the DuckDB oracle — so unlike RNG sampling
+  these are value-hash-checked, not rows-only.
+
+At 100 TB the hash predicate evaluates map-side in codegen with no
+shuffle; the summary aggregate shuffles only the 3-row split totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import dsum, query
+
+#: split boundaries in hash-space (out of 65536): 80% / 10% / 10%
+_TRAIN_END = 52429  # floor(65536 * 0.8)
+_VAL_END = 58982  # floor(65536 * 0.9)
+
+
+def _bucket(key: F.Column) -> F.Column:
+    """Deterministic uniform bucket in [0, 65536) from a stable key."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def _bucket_sql(key: str) -> str:
+    return f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 4))::INT)"
+
+
+def split_column(key: F.Column) -> F.Column:
+    """train/val/test label, 80/10/10, stable under any partitioning."""
+    b = _bucket(key)
+    return (
+        F.when(b < _TRAIN_END, "train")
+        .when(b < _VAL_END, "val")
+        .otherwise("test")
+    )
+
+
+def _split_sql(key: str) -> str:
+    b = _bucket_sql(key)
+    return (
+        f"CASE WHEN {b} < {_TRAIN_END} THEN 'train' "
+        f"WHEN {b} < {_VAL_END} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "doc_split_assignment",
+    oracle=f"""
+    SELECT doc_id, {_split_sql('doc_id')} AS split
+    FROM documents
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level train/val/test assignment for every document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", split_column(F.col("doc_id")).alias("split"))
+
+
+@query(
+    "doc_split_summary",
+    oracle=f"""
+    SELECT {_split_sql('doc_id')} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def doc_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-level sanity summary (sizes ~80/10/10, language coverage).
+
+    The assignment expression evaluates map-side; only 3 grouped rows
+    cross the exchange.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(split_column(F.col("doc_id")).alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            dsum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "events_deterministic_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE {_bucket_sql('event_id')} % 16 = 0
+    """,
+)
+def events_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 deterministic sample of events by key hash.
+
+    Unlike ``df.sample()`` this returns the SAME rows on every engine,
+    partitioning, and rerun — the property a debugging/eval slice of a
+    100 TB table actually needs. Pure map-side predicate, no shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(_bucket(F.col("event_id")) % 16 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
