@@ -1,0 +1,115 @@
+"""Skew-mitigation utilities: key salting for joins and heavy
+aggregations.
+
+AQE's skew-join splitting (enabled in ``session.py``) handles most
+runtime skew, but two shapes still need explicit salting at 100 TB:
+
+- **Skewed equi-join where AQE can't split** (e.g. the skewed side
+  feeds a co-partitioned downstream op, or the skew is extreme enough
+  that a single key exceeds one task's memory): replicate the small
+  side ``n_salt`` times and scatter the big side's hot keys across the
+  replicas.
+- **Exact count-distinct on a skewed group key**: Spark expands
+  distinct aggregates into a two-phase plan, but all rows of one group
+  still meet in one task. Pre-aggregating on (key, value) first
+  spreads that work.
+
+Both transformations are *semantic no-ops*: results are identical to
+the unsalted operator (property-tested in ``tests/test_skew.py``);
+only the shuffle layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's keys scattered over ``n_salt``
+    sub-keys and the small side replicated to match.
+
+    The big side's salt must only be *well-distributed*, not stable:
+    ``crc32`` of the key columns plus the partition id spreads rows of
+    one hot key across replicas deterministically within a run. The
+    small side is exploded ``n_salt``x — keep it genuinely small
+    (dimension-sized); the big side is never duplicated.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt_of_row = F.pmod(
+        F.crc32(F.concat_ws("\x00", *[F.col(c).cast("string") for c in on]))
+        + F.spark_partition_id()
+        + F.monotonically_increasing_id(),
+        F.lit(n_salt),
+    ).cast("int")
+    big_s = big.withColumn(SALT_COL, salt_of_row)
+    small_s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return big_s.join(small_s, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str | Column, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase grouped aggregation through a salted intermediate key.
+
+    ``aggs`` maps output alias -> (column, fn) with fn in
+    {sum, count, min, max} — the decomposable aggregates whose partial
+    results merge losslessly (count merges by sum). Phase 1 groups by
+    (keys + salt), phase 2 merges per key, so no single task ever
+    holds a hot key's full row set.
+
+    Note: for plain sum/count/min/max Spark's own partial aggregation
+    already achieves this map-side; use salted_agg when the first
+    phase must materialize per-group state that partial agg can't
+    (collect-style or distinct-style pipelines), or to cap per-task
+    group width explicitly.
+    """
+    supported = {"sum", "count", "min", "max"}
+    for alias, (_, fn) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"{alias}: fn must be one of {supported}")
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(F.crc32(F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys])
+                       ) + F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"),
+    )
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(
+        *[
+            getattr(F, fn)(col).alias(f"__p_{alias}")
+            for alias, (col, fn) in aggs.items()
+        ]
+    )
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return phase1.groupBy(*keys).agg(
+        *[
+            merge[fn](f"__p_{alias}").alias(alias)
+            for alias, (col, fn) in aggs.items()
+        ]
+    )
+
+
+def skew_count_distinct(
+    df: DataFrame, keys: list[str], value: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Exact count-distinct that never concentrates a hot group.
+
+    Phase 1 reduces to the distinct (keys, value) pairs — this shuffle
+    spreads by BOTH key and value, so a hot key's values scatter across
+    tasks; phase 2 counts pairs per key. Identical result to
+    ``count_distinct(value)`` grouped by keys.
+    """
+    pairs = df.select(*keys, value).distinct()
+    return pairs.groupBy(*keys).agg(F.count("*").cast("bigint").alias(alias))

@@ -1,0 +1,114 @@
+"""Skew utilities are semantic no-ops (identical results to the plain
+operator) — verified on a deliberately skewed dataset — and the
+bucketed co-located join eliminates its shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.functions.skew import (
+    salted_agg,
+    salted_join,
+    skew_count_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1 hot key (10k rows) + 100 cold keys (10 rows each)."""
+    hot = spark.range(10_000).select(
+        F.lit(0).alias("k"), (F.col("id") % 7).alias("v"), F.lit(1.5).alias("x")
+    )
+    cold = spark.range(1_000).select(
+        (1 + F.col("id") % 100).alias("k"),
+        (F.col("id") % 13).alias("v"),
+        F.lit(2.5).alias("x"),
+    )
+    return hot.unionAll(cold)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(101).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), "id").alias("k_name")
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(skewed, dim):
+    plain = skewed.join(dim, "k").select("k", "v", "x", "k_name")
+    salted = salted_join(skewed, dim, ["k"], n_salt=8).select("k", "v", "x", "k_name")
+    assert rows(salted) == rows(plain)
+
+
+def test_salted_join_matches_plain_left(spark, skewed, dim):
+    dim_missing = dim.filter(F.col("k") < 50)  # force unmatched big rows
+    plain = skewed.join(dim_missing, "k", "left").select("k", "v", "x", "k_name")
+    salted = salted_join(skewed, dim_missing, ["k"], n_salt=4, how="left").select(
+        "k", "v", "x", "k_name"
+    )
+    assert rows(salted) == rows(plain)
+
+
+def test_salted_agg_matches_plain(skewed):
+    plain = skewed.groupBy("k").agg(
+        F.sum("x").alias("sx"),
+        F.count("v").alias("cv"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    salted = salted_agg(
+        skewed,
+        ["k"],
+        {"sx": ("x", "sum"), "cv": ("v", "count"), "mn": ("v", "min"),
+         "mx": ("v", "max")},
+        n_salt=16,
+    )
+    assert rows(salted.select("k", "sx", "cv", "mn", "mx")) == rows(
+        plain.select("k", "sx", "cv", "mn", "mx")
+    )
+
+
+def test_skew_count_distinct_matches_plain(skewed):
+    plain = skewed.groupBy("k").agg(
+        F.count_distinct("v").cast("bigint").alias("n_distinct")
+    )
+    two_phase = skew_count_distinct(skewed, ["k"], "v")
+    assert rows(two_phase) == rows(plain)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Writing both sides bucketed on the join key makes the join
+    shuffle-free — the 100 TB co-location strategy for repeated joins
+    on the same key (fact-to-fact on orderkey). Plan must contain a
+    SortMergeJoin with NO shuffle exchange on either side."""
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a_val")
+    )
+    b = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b_val")
+    )
+    for name, df in [("bk_a", a), ("bk_b", b)]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        # disable broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
