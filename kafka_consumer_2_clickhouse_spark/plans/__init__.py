@@ -1,0 +1,8 @@
+from .inspect import (  # noqa: F401
+    broadcast_join_count,
+    has_cartesian,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)

@@ -1,0 +1,57 @@
+"""Physical-plan inspection helpers.
+
+The engine has no custom Catalyst rules (SURVEY.md §4: nothing in the
+reference's surface needs one) — this package is instead the *plan
+audit* layer: programmatic access to the properties that decide
+whether a query survives 100 TB (pushdown, pruning, broadcast vs
+shuffle, partial aggregation), used by ``tests/test_plans.py`` and by
+hand during optimization (`.explain("formatted")` companions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (the scale-limiting operator)."""
+    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return physical_plan(df).count("BroadcastHashJoin")
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in physical_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lists of every parquet scan in the plan."""
+    out = []
+    for line in physical_plan(df).splitlines():
+        if "PushedFilters" in line:
+            seg = line.split("PushedFilters:", 1)[1]
+            out.append(seg.split("]", 1)[0].strip(" ["))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists read by each FileScan (column-pruning check)."""
+    out = []
+    for line in physical_plan(df).splitlines():
+        if "FileScan parquet" in line:
+            cols = line.split("[", 1)[1].split("]", 1)[0]
+            out.append([c.split("#")[0].strip() for c in cols.split(",")])
+    return out

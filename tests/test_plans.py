@@ -11,11 +11,11 @@ invisible at sf0.001 and fatal at scale.
 import pytest
 
 from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.plans import physical_plan
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = ops.QUERIES[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(ops.QUERIES[name](spark, sf_dir))
 
 
 # Ops where a broadcast-nested-loop join is the *intended* physical
