@@ -289,37 +289,45 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings of the bitstring (same LSH shape as minhash).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # Hash each token ONCE, then parse each of the 16 leading hex
-    # nibbles to an int ONCE (Spark has no cross-aggregate-buffer CSE;
-    # the naive form re-hashed and re-substring-matched per bit — 64
-    # digests + ~512 char compares per token). Each per-bit aggregate
-    # is then a shift/AND on a small int. The ±1 sign-sum becomes
-    # popcount algebra: sum(±1 over bit b) > 0  ⇔  2*sum(bit b) > n.
+    # Hash each token ONCE; per md5 nibble, one LUT lookup yields the
+    # nibble's 4 bit-counters PACKED into one long at 15-bit lanes
+    # (bit3<<45 | bit2<<30 | bit1<<15 | bit0) — so the whole 64-bit
+    # popcount is 16 aggregate sums instead of 64 (Spark has no
+    # cross-aggregate-buffer CSE, and each agg buffer costs analysis +
+    # codegen + per-row update). Lanes can't collide below 2^15 = 32768
+    # tokens per doc (corpus max: 100; at ingest, cap token streams or
+    # widen to 2 lanes/long). The ±1 sign-sum becomes popcount algebra:
+    # sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
+    lut = [
+        ((n >> 3 & 1) << 45) | ((n >> 2 & 1) << 30) | ((n >> 1 & 1) << 15) | (n & 1)
+        for n in range(16)
+    ]
+    lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", F.md5("tok").alias("h"))
         .select(
             "doc_id",
             *[
-                F.conv(F.substring("h", 1 + p, 1), 16, 10)
-                .cast("int")
-                .alias(f"nib{p}")
+                F.element_at(
+                    lut_arr,
+                    F.conv(F.substring("h", 1 + p, 1), 16, 10).cast("int") + 1,
+                ).alias(f"packed{p}")
                 for p in range(16)
             ],
         )
     )
     sums = toks.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
-        *[
-            F.sum(F.shiftright(F.col(f"nib{i // 4}"), 3 - i % 4).bitwiseAND(1)).alias(
-                f"s{i}"
-            )
-            for i in range(64)
-        ],
+        *[F.sum(f"packed{p}").alias(f"s{p}") for p in range(16)],
     )
+
+    def ones(i: int):  # set-bit count for global bit i, from lane i%4
+        return F.shiftright(F.col(f"s{i // 4}"), 45 - 15 * (i % 4)).bitwiseAND(0x7FFF)
+
     bits = F.concat(
         *[
-            F.when(2 * F.col(f"s{i}") > F.col("n_tok"), "1").otherwise("0")
+            F.when(2 * ones(i) > F.col("n_tok"), "1").otherwise("0")
             for i in range(64)
         ]
     )
