@@ -1,0 +1,126 @@
+"""Property-based tests for the parse/project/cast stage.
+
+The golden tests (test_convert.py) pin each documented branch of the
+reference converter (``pkg/converter/converter.go:49-83``); these
+hypothesis tests sweep the input space — arbitrary unicode strings
+(quotes, commas, newlines, control chars), full-range int64s, extreme
+doubles, missing keys, JSON nulls, extra keys — and assert the typed
+round-trip invariant: what lands equals what was sent, with the
+reference's projection semantics (extra keys dropped, missing/null ->
+NULL) and none of its corruption bugs.
+
+One Spark job per hypothesis example is too slow, so each example IS a
+whole batch of rows (the generator produces lists of row-dicts).
+"""
+
+import json
+import math
+
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import types as T
+
+from kafka_consumer_2_clickhouse_spark import convert as cv
+from kafka_consumer_2_clickhouse_spark import schema as sch
+
+TARGET_COLS = {
+    "a_id": "Int64",
+    "b_text": "String",
+    "c_val": "Float64",
+    "d_flag": "UInt8",
+}
+
+utf8_text = st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=40
+)
+
+row_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        # each key may be absent (missing-field branch) or None (JSON null)
+        "a_id": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "b_text": st.one_of(st.none(), utf8_text),
+        "c_val": st.one_of(
+            st.none(), st.floats(allow_nan=False, allow_infinity=False)
+        ),
+        "d_flag": st.one_of(st.none(), st.integers(0, 255)),
+        # extra key the table doesn't have: must be dropped silently
+        "z_extra": st.one_of(utf8_text, st.integers(), st.booleans()),
+    },
+)
+
+batch_strategy = st.lists(row_strategy, min_size=1, max_size=25)
+
+
+def _expected(row: dict):
+    return (
+        row.get("a_id"),
+        row.get("b_text"),
+        row.get("c_val"),
+        row.get("d_flag"),
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch_strategy)
+def test_roundtrip_preserves_values(spark, rows):
+    target = sch.build_struct(TARGET_COLS)
+    payloads = [
+        bytes(pa.Codec("snappy").compress(json.dumps(r).encode("utf-8")))
+        for r in rows
+    ]
+    kdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType()),
+                T.StructField("value", T.BinaryType()),
+            ]
+        ),
+    )
+    res = cv.convert(kdf, target, snappy=True, keep_meta=["offset"])
+    landed = {
+        r["offset"]: (r["a_id"], r["b_text"], r["c_val"], r["d_flag"])
+        for r in res.valid.select(
+            "offset", *sorted(TARGET_COLS)
+        ).collect()
+    }
+    assert res.dead_letter.count() == 0
+    assert len(landed) == len(rows)
+    for i, row in enumerate(rows):
+        exp = _expected(row)
+        got = landed[i]
+        for e, g, col in zip(exp, got, sorted(TARGET_COLS)):
+            if isinstance(e, float):
+                assert g is not None and (
+                    math.isclose(e, g, rel_tol=0.0, abs_tol=0.0) or e == g
+                ), f"row {i} col {col}: {e!r} != {g!r}"
+            else:
+                assert g == e, f"row {i} col {col}: {e!r} != {g!r}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=16))
+def test_arbitrary_garbage_never_crashes_never_lands(spark, blobs):
+    """Any byte blob either decodes+parses cleanly or dead-letters;
+    nothing crashes, nothing half-lands (the reference pushed corrupt
+    bytes onward, main.go:87-104)."""
+    target = sch.build_struct(TARGET_COLS)
+    kdf = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType()),
+                T.StructField("value", T.BinaryType()),
+            ]
+        ),
+    )
+    res = cv.convert(kdf, target, snappy=True)
+    n_valid = res.valid.count()
+    n_dead = res.dead_letter.count()
+    assert n_valid + n_dead == len(blobs)
