@@ -123,3 +123,34 @@ def events_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(_bucket(F.col("event_id")) % 16 == 0).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query("events_sketch_stats")  # rows-only: sketches are engine-specific
+def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates per event type: HyperLogLog++
+    distinct users and t-digest value percentiles.
+
+    No oracle SQL on purpose: sketch outputs are deterministic for a
+    given engine+data but not portable across engines (DuckDB's
+    approx_count_distinct uses a different HLL construction), so the
+    driver records the rows-only check; the error-bound unit test
+    (tests/test_sketches.py) asserts accuracy against exact values.
+
+    Scale: THIS is the 100 TB shape for cardinality/percentiles —
+    both sketches merge map-side (partial aggregation), so the shuffle
+    carries KB-sized sketch states instead of raw values, where the
+    exact operators (count_distinct, percentile) must move every
+    distinct value / sort every group.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "value_quantiles"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

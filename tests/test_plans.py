@@ -59,13 +59,36 @@ def test_q6_pushdown_and_pruning(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q14_promo_revenue",
+        "q19_discounted_revenue",
+    ],
 )
 def test_dimension_joins_broadcast(spark, sf_dir, name):
     """Star-schema dimension joins must be broadcast, never shuffle."""
     p = plan_of(spark, sf_dir, name)
     assert "BroadcastHashJoin" in p, f"{name}: no broadcast join in plan"
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name", ["q18_large_volume_customers", "q20_potential_promotion"]
+)
+def test_having_in_compiles_to_semi_join(spark, sf_dir, name):
+    p = plan_of(spark, sf_dir, name)
+    assert "LeftSemi" in p, f"{name}: HAVING-IN did not become a semi join"
+
+
+def test_q16_not_in_compiles_to_anti_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q16_parts_supplier_counts")
+    assert "LeftAnti" in p
 
 
 def test_q1_partial_final_aggregation(spark, sf_dir):

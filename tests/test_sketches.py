@@ -1,0 +1,48 @@
+"""Sketch aggregates: accuracy bounds vs exact answers.
+
+The sketch ops are rows-only in the driver gate (engine-specific
+output); accuracy is pinned here instead."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_sketches_within_error_bounds(spark, sf_dir):
+    approx = {
+        r["event_type"]: r
+        for r in ops.QUERIES["events_sketch_stats"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    values = {
+        et: sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et).select("value").collect()
+        )
+        for et in exact
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_events"] == e["n"]
+        # HLL++ at rsd=2%: allow 3 sigma
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
+        # percentile_approx guarantees RANK accuracy (returns a real
+        # data point whose rank is within 1/accuracy of the target),
+        # not value proximity — tail gaps between adjacent points can
+        # be arbitrarily wide. Check the returned value's rank.
+        vals = values[et]
+        n = len(vals)
+        for got, q in zip(a["value_quantiles"], (0.5, 0.95, 0.99)):
+            rank = sum(1 for v in vals if v <= got) / n
+            assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, got, rank)
