@@ -162,3 +162,43 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("context_value"),
         )
     )
+
+
+@query(
+    "events_rolling_value_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS value_1h
+    FROM events
+    """,
+)
+def events_rolling_value_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling sum per user — a RANGE window frame
+    (value-based bounds on event time), the frame type tumbling/
+    sliding aggregates can't express row-wise.
+
+    Scale: one shuffle on user_id; within a partition the frame is a
+    sliding two-pointer over the time-sorted rows. Decimal sum keeps
+    the incremental frame arithmetic exact on both engines. Frame
+    bounds are INTEGER MICROSECONDS on both sides: second-truncating
+    (Spark unix_timestamp) vs fractional (DuckDB epoch) ordering keys
+    would disagree on events exactly at the window boundary.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )
