@@ -113,3 +113,30 @@ def test_sliding_rates(spark, stream_dir):
     # every event lands in exactly 2 overlapping 10m/5m windows
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == 2 * len(ROWS)
+
+
+def test_stream_static_enrichment_join(spark, stream_dir, tmp_path):
+    """Stream-static join: each micro-batch broadcast-joins against a
+    static dimension (the enrichment shape for landed-reference lookups;
+    SURVEY.md §2b joins row). The static side re-resolves per batch, so
+    dimension updates are picked up without restarting the stream."""
+    users = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id long, user_name string"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    enriched = stream.join(F.broadcast(users), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT event_id, user_name FROM enriched_events ORDER BY event_id"
+    ).collect()
+    assert len(got) == len(ROWS)
+    names = {r.event_id: r.user_name for r in got}
+    assert names[1] == "alice" and names[3] == "bob"
