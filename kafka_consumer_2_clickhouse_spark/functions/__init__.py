@@ -1,1 +1,1 @@
-from . import textfns  # noqa: F401
+from . import asof, skew, textfns  # noqa: F401

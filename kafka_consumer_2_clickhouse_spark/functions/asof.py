@@ -1,0 +1,89 @@
+"""Generic two-table AS-OF join.
+
+``asof_join(left, right, ...)`` attaches to every left row the most
+recent right row with the same key at-or-before its timestamp —
+point-in-time-correct feature/state lookup (pandas ``merge_asof``,
+DuckDB ``ASOF JOIN``; Spark has no builtin).
+
+Implementation: the tagged-union window pattern, never a join.
+
+1. Project both sides to a common layout; tag right rows 0, left 1.
+2. Union, then one window per key ordered by (ts, tag, tiebreak):
+   ``last(right_payload, ignorenulls=True)`` carries the latest right
+   payload forward — a right row at the same timestamp sorts BEFORE
+   the left row (tag 0 < 1), making the join at-or-before inclusive.
+3. Keep the left rows, unpack the carried payload.
+
+Scale: ONE shuffle (by key), zero row multiplication — a naive
+left.join(right, key && r.ts <= l.ts) explodes to the full history per
+key before its argmax; this stays linear. Skew in the key column is
+the window's partition skew: pre-split hot keys by time-bucketing the
+window (run per day, carry the last state across buckets) if a single
+key's history exceeds one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_TAG = "__asof_tag"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """AS-OF join: left rows + latest right ``payload`` columns (as-of
+    ``left_ts``, matched on ``on``). Right columns come back with their
+    own names; unmatched left rows get NULLs (like a left join).
+
+    ``tiebreak`` (a right column, e.g. its unique id) makes the result
+    deterministic when several right rows share (key, ts): the greatest
+    tiebreak wins.
+    """
+    lcols = left.columns
+    tb = (
+        F.col(_PAYLOAD)[tiebreak]
+        if tiebreak
+        else F.lit(0)
+    )
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in payload
+            )
+            + ">"
+        ).alias(_PAYLOAD),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias(_TAG),
+        F.struct(*payload).alias(_PAYLOAD),
+    ).select(*lcols, "__asof_ts", _TAG, _PAYLOAD)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("__asof_ts"), F.col(_TAG), tb)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col(_TAG) == 1).select(
+        *lcols,
+        *[F.col(_PAYLOAD)[c].alias(c) for c in payload],
+    )
+    return out

@@ -1,0 +1,75 @@
+"""Generic as-of join vs the pandas merge_asof oracle."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.functions.asof import asof_join
+
+
+def test_asof_join_matches_pandas(spark):
+    # quotes: per-symbol price updates; trades: point-in-time lookups
+    quotes = [
+        ("A", "2026-01-01 09:00:00", 10.0, 1),
+        ("A", "2026-01-01 09:05:00", 11.0, 2),
+        ("A", "2026-01-01 09:10:00", 12.0, 3),
+        ("B", "2026-01-01 09:02:00", 100.0, 4),
+        ("B", "2026-01-01 09:08:00", 101.0, 5),
+    ]
+    trades = [
+        ("A", "2026-01-01 08:59:00", 1),  # before any quote -> null
+        ("A", "2026-01-01 09:05:00", 2),  # exactly at a quote -> inclusive
+        ("A", "2026-01-01 09:07:30", 3),
+        ("A", "2026-01-01 09:30:00", 4),
+        ("B", "2026-01-01 09:08:00", 5),
+        ("B", "2026-01-01 09:01:59", 6),  # 1s before B's first quote
+        ("C", "2026-01-01 09:10:00", 7),  # key with no right rows
+    ]
+    qdf = spark.createDataFrame(
+        quotes, "symbol string, q_ts string, price double, quote_id int"
+    ).withColumn("q_ts", F.to_timestamp("q_ts"))
+    tdf = spark.createDataFrame(
+        trades, "symbol string, t_ts string, trade_id int"
+    ).withColumn("t_ts", F.to_timestamp("t_ts"))
+
+    got = {
+        r["trade_id"]: (r["price"], r["quote_id"])
+        for r in asof_join(
+            tdf, qdf, on="symbol", left_ts="t_ts", right_ts="q_ts",
+            payload=["price", "quote_id"], tiebreak="quote_id",
+        ).collect()
+    }
+
+    qp = pd.DataFrame(quotes, columns=["symbol", "ts", "price", "quote_id"])
+    tp = pd.DataFrame(trades, columns=["symbol", "ts", "trade_id"])
+    for df in (qp, tp):
+        df["ts"] = pd.to_datetime(df["ts"])
+    expected = pd.merge_asof(
+        tp.sort_values("ts"),
+        qp.sort_values("ts"),
+        on="ts",
+        by="symbol",
+        direction="backward",
+    )
+    for _, row in expected.iterrows():
+        g_price, g_qid = got[row["trade_id"]]
+        if pd.isna(row["price"]):
+            assert g_price is None and g_qid is None, row["trade_id"]
+        else:
+            assert g_price == row["price"] and g_qid == row["quote_id"], (
+                row["trade_id"], g_price, g_qid, row["price"], row["quote_id"],
+            )
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    qdf = spark.createDataFrame(
+        [("A", "2026-01-01 09:00:00", 1.0)], "symbol string, q_ts string, price double"
+    ).withColumn("q_ts", F.to_timestamp("q_ts"))
+    tdf = spark.createDataFrame(
+        [("A", "2026-01-01 09:01:00", 1)], "symbol string, t_ts string, trade_id int"
+    ).withColumn("t_ts", F.to_timestamp("t_ts"))
+    out = asof_join(
+        tdf, qdf, on="symbol", left_ts="t_ts", right_ts="q_ts", payload=["price"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "as-of must not compile to a join"
+    assert "Window" in plan
