@@ -202,3 +202,58 @@ def events_rolling_value_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_1h"),
     )
+
+
+@query(
+    "events_view_asof_purchase",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, 1 AS tag, event_id,
+             CAST(NULL AS BIGINT) AS p_event_id,
+             CAST(NULL AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, 0 AS tag, NULL, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT event_id, user_id, ts, tag,
+             last_value(p_event_id IGNORE NULLS) OVER w AS p_event_id,
+             last_value(p_value IGNORE NULLS) OVER w AS p_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, tag, p_event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, p_event_id, p_value
+    FROM carried WHERE tag = 1
+    """,
+)
+def events_view_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table AS-OF join through the generic ``asof_join`` API:
+    every view event gets the same user's most recent purchase
+    at-or-before it (views and purchases as two separate relations —
+    the trades/quotes shape). The oracle mirrors the tagged-union
+    window construction in portable SQL.
+    """
+    from ..functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_event_id", "p_value"],
+        tiebreak="p_event_id",
+    )
