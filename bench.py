@@ -28,25 +28,40 @@ from kafka_consumer_2_clickhouse_spark.sources.tables import (  # noqa: E402
 )
 from kafka_consumer_2_clickhouse_spark import operators as ops  # noqa: E402
 
-#: headline set: the scan/join/agg/window/dedup/similarity spine
+#: headline set: the scan/join/agg/window/dedup/similarity spine plus
+#: the heavy TPC-H adaptations, temporal joins, splits, and sketches —
+#: round 1 sets the baseline, so it covers the full operator spectrum
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
     "topk_orders_per_customer",
     "events_sessionized",
     "events_hourly_rollup",
+    "events_asof_last_purchase",
+    "events_error_context",
+    "events_rolling_value_1h",
+    "events_sketch_stats",
+    "doc_split_summary",
     "dedup_exact_docs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_docs",
+    "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "ann_cosine_topk",
+    "ivf_cosine_topk",
     "token_frequencies",
     "doc_token_stats",
+    "multimodal_features",
     "ingest_roundtrip_events",
 ]
 
