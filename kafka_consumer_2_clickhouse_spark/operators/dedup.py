@@ -303,16 +303,28 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in range(16)
     ]
     lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
+
+    # Nibble extraction: parse the first 16 hex chars as TWO 32-bit ints
+    # (2 string-parsing convs per token instead of 16 substring+conv),
+    # then pull each nibble with integer shift+mask — all inside one
+    # whole-stage-codegen span. Nibble p of a big-endian 8-char parse
+    # sits at shift 4*(7 - p%8).
+    def nibble(p: int):
+        word = F.col("v0") if p < 8 else F.col("v1")
+        return F.shiftright(word, 4 * (7 - p % 8)).bitwiseAND(15)
+
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", F.md5("tok").alias("h"))
         .select(
             "doc_id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v0"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v1"),
+        )
+        .select(
+            "doc_id",
             *[
-                F.element_at(
-                    lut_arr,
-                    F.conv(F.substring("h", 1 + p, 1), 16, 10).cast("int") + 1,
-                ).alias(f"packed{p}")
+                F.element_at(lut_arr, nibble(p).cast("int") + 1).alias(f"packed{p}")
                 for p in range(16)
             ],
         )
