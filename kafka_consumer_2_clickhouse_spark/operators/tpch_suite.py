@@ -855,10 +855,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     No commit/receipt dates in the corpus; "kept waiting" = shipped at
     the order's max shipdate, uniquely (NOT EXISTS another supplier at
     that date), on an order with >1 supplier (EXISTS). Both correlated
-    subqueries decorrelate into ONE per-order aggregate joined back —
-    lineitem is shuffled on orderkey once.
+    subqueries decorrelate into ONE per-order aggregate: because an
+    order has a bounded lineitem count (<=7 in TPC-H), the aggregate
+    carries a collect_set of (shipdate, suppkey) pairs and derives the
+    max-ship supplier set with array expressions — lineitem shuffles on
+    orderkey ONCE, with map-side partial sets, and never joins back.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -866,18 +871,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_order = li.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("max_ship"),
-        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.collect_set(
+            F.struct(
+                F.col("l_shipdate").alias("d"), F.col("l_suppkey").alias("s")
+            )
+        ).alias("ds"),
     )
-    last_suppliers = (
-        li.join(per_order, "l_orderkey")
-        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1))
-        .groupBy("l_orderkey", "max_ship")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_last"),
-            F.max("l_suppkey").alias("the_suppkey"),
+    last_supps = F.array_distinct(
+        F.transform(
+            F.filter("ds", lambda x: x["d"] == F.col("max_ship")),
+            lambda x: x["s"],
         )
-        .filter(F.col("n_last") == 1)
     )
+    all_supps = F.array_distinct(F.transform("ds", lambda x: x["s"]))
+    last_suppliers = per_order.select(
+        "l_orderkey",
+        "max_ship",
+        F.size(all_supps).alias("n_supp"),
+        F.size(last_supps).alias("n_last"),
+        F.array_max(last_supps).alias("the_suppkey"),
+    ).filter((F.col("n_supp") > 1) & (F.col("n_last") == 1))
     waiting = last_suppliers.join(
         orders, last_suppliers.l_orderkey == orders.o_orderkey, "left_semi"
     )
