@@ -54,18 +54,41 @@ def sql_shingles(tokens_expr: str, n: int = 3) -> str:
     )
 
 
-def minhash(shingles_col: Column, seed: int) -> Column:
-    """One MinHash component: lexicographic min of seeded md5 over the
-    shingle set. md5(seed || '|' || s) is a distinct uniform hash per
-    seed; the lexicographic min of hex strings is order-isomorphic to
-    the numeric min of the 128-bit values."""
+#: independent MinHash components carved from one 128-bit digest:
+#: four disjoint 8-hex-char (32-bit) slices. Hashing k components costs
+#: ceil(k/4) md5 calls per shingle instead of k.
+MINHASH_SLICES_PER_DIGEST = 4
+
+
+def minhash_digests(shingles_col: Column, seed: int) -> Column:
+    """Seeded md5 digest per shingle (array<string>, map-only).
+
+    One digest feeds :data:`MINHASH_SLICES_PER_DIGEST` independent
+    MinHash components — the md5 bits are uniform and independent, so
+    disjoint 32-bit slices are as good as separately-seeded hashes
+    (the one-permutation-hashing idea applied across the digest)."""
+    return F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+
+
+def minhash_slice(digests_col: Column, slot: int) -> Column:
+    """MinHash component ``slot`` (0-based) over a digest array:
+    lexicographic min of the slot's 8-hex-char slice. Fixed-length
+    lowercase hex makes the lexicographic min order-isomorphic to the
+    numeric min of the 32-bit values on every engine."""
     return F.array_min(
-        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        F.transform(digests_col, lambda h: F.substring(h, 1 + 8 * slot, 8))
     )
 
 
-def sql_minhash(shingles_expr: str, seed: int) -> str:
-    return f"list_min(list_transform({shingles_expr}, s -> md5('{seed}|' || s)))"
+def sql_minhash_digests(shingles_expr: str, seed: int) -> str:
+    return f"list_transform({shingles_expr}, s -> md5('{seed}|' || s))"
+
+
+def sql_minhash_slice(digests_expr: str, slot: int) -> str:
+    return (
+        f"list_min(list_transform({digests_expr},"
+        f" h -> substring(h, {1 + 8 * slot}, 8)))"
+    )
 
 
 def simhash_bit_exprs(tok: str, bits: int = 64, pre_hashed: bool = False) -> list[str]:

@@ -57,37 +57,73 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: md5 digests per shingle = ceil(K / slices-per-digest)
+N_DIGESTS = -(-N_MINHASH // X.MINHASH_SLICES_PER_DIGEST)
+
+
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, shingles, mh0..mh{K-1}) — map-only."""
+    """documents -> (doc_id, shingles, mh0..mh{K-1}) — map-only.
+
+    Hash-once-slice-4-ways: each shingle is md5'd ``N_DIGESTS`` times
+    (not ``N_MINHASH``); every digest yields 4 independent 32-bit
+    components. The staged selects keep shingles, then digests,
+    materialized as columns — CollapseProject won't inline a non-cheap
+    expression into multiple consumers, so each stage computes once.
+    """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     sh = X.shingles(toks, SHINGLE_N)
-    # two selects so minhash reads the materialized shingle array once
     base = docs.select(F.col("doc_id"), sh.alias("shingles"))
-    return base.select(
+    digs = base.select(
         "doc_id",
         "shingles",
-        *[X.minhash(F.col("shingles"), j).alias(f"mh{j}") for j in range(N_MINHASH)],
+        *[
+            X.minhash_digests(F.col("shingles"), d).alias(f"d{d}")
+            for d in range(N_DIGESTS)
+        ],
+    )
+    spd = X.MINHASH_SLICES_PER_DIGEST
+    return digs.select(
+        "doc_id",
+        "shingles",
+        *[
+            X.minhash_slice(F.col(f"d{j // spd}"), j % spd).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ],
+    )
+
+
+def _digests_sql() -> str:
+    return ",\n           ".join(
+        f"{X.sql_minhash_digests('sh', d)} AS d{d}" for d in range(N_DIGESTS)
+    )
+
+
+def _slices_sql() -> str:
+    spd = X.MINHASH_SLICES_PER_DIGEST
+    return ",\n           ".join(
+        f"{X.sql_minhash_slice(f'd{j // spd}', j % spd)} AS mh{j}"
+        for j in range(N_MINHASH)
     )
 
 
 def _signature_sql() -> str:
     toks = X.sql_tokens("text")
     sh = X.sql_shingles(toks, SHINGLE_N)
-    mh = ",\n           ".join(
-        f"{X.sql_minhash('sh', j)} AS mh{j}" for j in range(N_MINHASH)
-    )
     return f"""
     WITH shingled AS (
       SELECT doc_id, {sh} AS sh FROM documents
+    ), digs AS (
+      SELECT doc_id, {_digests_sql()} FROM shingled
     )
-    SELECT doc_id, {mh} FROM shingled
+    SELECT doc_id, {_slices_sql()} FROM digs
     """
 
 
 @query("minhash_signatures", oracle=_signature_sql())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (8 seeded-md5 components)."""
+    """Per-document MinHash signature: 8 components sliced from 2
+    seeded md5 digests per shingle (4x32-bit slices per digest)."""
     return _signature_df(spark, sf_dir).drop("shingles")
 
 
@@ -107,10 +143,10 @@ def _bands_sql() -> str:
     WITH shingled AS (
       SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), SHINGLE_N)} AS sh
       FROM documents
+    ), digs AS (
+      SELECT doc_id, sh, {_digests_sql()} FROM shingled
     ), sigs AS (
-      SELECT doc_id, sh,
-           {",_MH_".join(f"{X.sql_minhash('sh', j)} AS mh{j}" for j in range(N_MINHASH)).replace(",_MH_", ", ")}
-      FROM shingled
+      SELECT doc_id, sh, {_slices_sql()} FROM digs
     ), banded AS (
       SELECT doc_id, sh, {_bands_sql()} FROM sigs
     ), pairs AS (
