@@ -48,6 +48,13 @@ def asof_join(
     tiebreak wins.
     """
     lcols = left.columns
+    clash = set(payload) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(clash)} collide with left "
+            "columns — rename or prefix them on the right side first "
+            "(the result would contain ambiguous duplicate names)"
+        )
     tb = (
         F.col(_PAYLOAD)[tiebreak]
         if tiebreak

@@ -112,4 +112,9 @@ def skew_count_distinct(
     ``count_distinct(value)`` grouped by keys.
     """
     pairs = df.select(*keys, value).distinct()
-    return pairs.groupBy(*keys).agg(F.count("*").cast("bigint").alias(alias))
+    # count(value), not count(*): the distinct pairs keep a (key, NULL)
+    # row for groups containing NULLs, which count(*) would count —
+    # count_distinct never counts NULL.
+    return pairs.groupBy(*keys).agg(
+        F.count(F.col(value)).cast("bigint").alias(alias)
+    )

@@ -186,9 +186,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both self-join sides + both verify sides) would otherwise each
     # recompute the shingle+8xmd5 pipeline from the scan (observed: 4
     # parquet scans, 0 reused exchanges). At 100 TB this is "write the
-    # signature table, then join against it" — locally, a lazy
-    # localCheckpoint gives the same compute-once shape within the job.
-    banded = sigs.select("doc_id", "shingles", *band_cols).localCheckpoint(eager=False)
+    # signature table, then join against it" — in-job, a RECOMPUTABLE
+    # persist gives the compute-once shape: unlike localCheckpoint,
+    # lineage survives executor loss / dynamic deallocation, so a lost
+    # block recomputes instead of failing the job.
+    from pyspark import StorageLevel
+
+    banded = sigs.select("doc_id", "shingles", *band_cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     keys = banded.select(
         "doc_id",

@@ -143,14 +143,24 @@ def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct value / sort every group.
     """
     ev = _t(spark, sf_dir, "events")
+    # One t-digest per group computes all three quantiles; the array is
+    # unpacked into scalar columns so downstream tooling (and the
+    # driver's pandas-based canonicalizer) sees plain doubles.
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10_000))
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-                "value_quantiles"
-            ),
+            q.alias("_q"),
             F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_q", 1).alias("p50"),
+            F.element_at("_q", 2).alias("p95"),
+            F.element_at("_q", 3).alias("p99"),
+            "n_events",
         )
         .orderBy("event_type")
     )

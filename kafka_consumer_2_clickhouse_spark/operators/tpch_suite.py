@@ -484,9 +484,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
         F.lit(0).cast("decimal(27,6)")
     )
+    # Multiply in decimal BEFORE the single cast to double, mirroring the
+    # oracle's operation order (decimal 100.00 * decimal sum, one cast);
+    # rounding twice (cast then IEEE *100.0) can differ by 1 ulp.
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         (
-            (F.lit(100.0) * F.sum(promo).cast("double"))
+            (F.lit(100).cast("decimal(5,2)") * F.sum(promo)).cast("double")
             / F.sum(vol).cast("double")
         ).alias("promo_revenue")
     )

@@ -80,13 +80,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @lru_cache(maxsize=4096)
-def _row_groups(path: str) -> int:
+def _row_groups_at(path: str, mtime_ns: int, size: int) -> int:
     import pyarrow.parquet as pq
 
     try:
         return pq.ParquetFile(path).num_row_groups
     except Exception:
         return 1
+
+
+def _row_groups(uri: str) -> int:
+    """Row-group count for one input-file URI, cached by
+    (path, mtime, size) so an in-place overwrite (re-landed table, test
+    fixture) invalidates; URI %-escapes are decoded before open."""
+    from urllib.parse import unquote
+
+    path = unquote(uri.removeprefix("file:"))
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 1
+    return _row_groups_at(path, st.st_mtime_ns, st.st_size)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -106,7 +120,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files:
-        splits = sum(_row_groups(f.removeprefix("file:")) for f in files)
+        splits = sum(_row_groups(f) for f in files)
     else:  # not file-backed (memory/local relation): ask the plan
         splits = df.rdd.getNumPartitions()
     if splits >= max(2, target // 2):

@@ -73,3 +73,21 @@ def test_asof_join_is_single_window_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "as-of must not compile to a join"
     assert "Window" in plan
+
+
+def test_asof_join_rejects_payload_name_collision(spark):
+    """A payload column that collides with a left column would yield an
+    ambiguous duplicate name; must fail fast at call time."""
+    import pytest
+
+    qdf = spark.createDataFrame(
+        [("A", "2026-01-01 09:00:00", 1.0)], "symbol string, q_ts string, price double"
+    ).withColumn("q_ts", F.to_timestamp("q_ts"))
+    tdf = spark.createDataFrame(
+        [("A", "2026-01-01 09:01:00", 1.0)], "symbol string, t_ts string, price double"
+    ).withColumn("t_ts", F.to_timestamp("t_ts"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            tdf, qdf, on="symbol", left_ts="t_ts", right_ts="q_ts",
+            payload=["price"],
+        )

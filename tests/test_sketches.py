@@ -43,6 +43,6 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         # be arbitrarily wide. Check the returned value's rank.
         vals = values[et]
         n = len(vals)
-        for got, q in zip(a["value_quantiles"], (0.5, 0.95, 0.99)):
+        for got, q in zip((a["p50"], a["p95"], a["p99"]), (0.5, 0.95, 0.99)):
             rank = sum(1 for v in vals if v <= got) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, got, rank)

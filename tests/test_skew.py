@@ -79,6 +79,22 @@ def test_skew_count_distinct_matches_plain(skewed):
     assert rows(two_phase) == rows(plain)
 
 
+def test_skew_count_distinct_ignores_nulls(spark):
+    """count_distinct never counts NULL; the two-phase form must not
+    count the (key, NULL) pair either. Covers mixed and all-NULL groups."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None), ("c", 2)],
+        "k string, v int",
+    )
+    plain = df.groupBy("k").agg(
+        F.count_distinct("v").cast("bigint").alias("n_distinct")
+    )
+    two_phase = skew_count_distinct(df, ["k"], "v")
+    assert rows(two_phase) == rows(plain)
+    got = {r["k"]: r["n_distinct"] for r in two_phase.collect()}
+    assert got == {"a": 1, "b": 0, "c": 1}
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Writing both sides bucketed on the join key makes the join
     shuffle-free — the 100 TB co-location strategy for repeated joins
