@@ -132,13 +132,23 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_dot_sql('a.e', 'b.e', 'duck')} / (a.nn * b.nn) >= {NEAR_DUP_COS}
     """,
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.8).
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame | None = None,
+    threshold: float = NEAR_DUP_COS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= ``threshold``).
 
-    Scale: all-pairs is quadratic — this exact operator is the
-    *verifier* stage; at 100 TB candidates come from ``ann_cosine_topk``
-    buckets or LSH, and this runs only on the candidate set. Spark-side
-    it's a broadcast-nested-loop kept deliberately explicit.
+    Two execution shapes:
+
+    - ``candidates=None`` (default, the oracle-checked registered form):
+      exact all-pairs — quadratic, correct, only for small n.
+    - ``candidates`` given (a DataFrame with ``vec_a < vec_b`` columns,
+      e.g. from ``srp_candidate_pairs``): the 100 TB shape — two hash
+      equi-joins attach the embeddings to the candidate pairs and only
+      candidates are scored; no nested-loop join anywhere in the plan
+      (pinned by tests/test_plans.py).
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     n = emb.select(
@@ -153,10 +163,153 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nn").alias("nb")
     )
     cosine = F.expr(_dot_sql("ea", "eb", "spark")) / (F.col("na") * F.col("nb"))
+    if candidates is None:
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        pairs = candidates.join(a, "vec_a").join(b, "vec_b")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH (signed random projections) — bucketed near-dup at scale
+# --------------------------------------------------------------------------
+
+#: sparse random-projection LSH layout: SRP_BANDS bands of SRP_ROWS sign
+#: bits each; every hyperplane touches SRP_NNZ of the DIM dimensions with
+#: +/-1 weights (very sparse random projections — angle-preserving in
+#: expectation, and each sign bit stays an 8-term codegen expression
+#: instead of a 64-term dense dot).
+SRP_BANDS = 8
+SRP_ROWS = 8
+SRP_NNZ = 8
+SRP_SEED = 42
+#: verify threshold for the registered LSH query — the synthetic corpus
+#: has no true near-dups (max pairwise cosine ~0.6), so the demo
+#: threshold sits where the corpus has signal; production near-dup
+#: filtering would use 0.85+ where SRP recall is high.
+SRP_NEAR_COS = 0.4
+
+
+def _srp_planes() -> list[list[tuple[int, int]]]:
+    """Deterministic sparse +/-1 hyperplanes: [(dim_index, sign), ...]
+    per sign bit. Pure-Python PRNG so the same literals are baked into
+    the Spark expression and the DuckDB oracle SQL at import time."""
+    import random
+
+    rng = random.Random(SRP_SEED)
+    planes = []
+    for _ in range(SRP_BANDS * SRP_ROWS):
+        dims = rng.sample(range(DIM), SRP_NNZ)
+        planes.append(sorted((d, rng.choice((-1, 1))) for d in dims))
+    return planes
+
+
+_SRP_PLANES = _srp_planes()
+
+
+def _srp_band_sql(col: str, band: int, engine: str) -> str:
+    """Integer band key: SRP_ROWS sign bits packed little-endian.
+    Identical literal expression text for both engines (only array
+    indexing differs)."""
+
+    def idx(i: int) -> str:
+        if engine == "spark":
+            return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+        return f"CAST({col}[{i + 1}] AS DOUBLE)"
+
+    bits = []
+    for r in range(SRP_ROWS):
+        plane = _SRP_PLANES[band * SRP_ROWS + r]
+        proj = " + ".join(f"({s} * {idx(d)})" for d, s in plane)
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << r} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def srp_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from signed-random-projection band collisions.
+
+    Same shape as the MinHash path (``dedup.lsh_candidate_pairs``): map-
+    side band keys -> explode to (band_id, key, vec) -> bucketed self
+    equi-join -> distinct pairs. Collision probability for a random pair
+    is SRP_BANDS * 2^-SRP_ROWS (~3%), vs ~94% per band for cosine-0.9
+    true duplicates — the quadratic blowup happens only inside tiny
+    buckets of look-alikes.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sig = emb.select(
+        "vec_id",
+        *[
+            F.expr(_srp_band_sql("embedding", b, "spark")).alias(f"band{b}")
+            for b in range(SRP_BANDS)
+        ],
+    )
+    keys = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(SRP_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band_id", "bk.key")
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def _srp_oracle() -> str:
+    band_eq = " OR ".join(
+        f"a.band{b} = b.band{b}" for b in range(SRP_BANDS)
+    )
+    band_cols = ",\n             ".join(
+        f"{_srp_band_sql('embedding', b, 'duck')} AS band{b}"
+        for b in range(SRP_BANDS)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {band_cols}
+      FROM embeddings
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_eq})
+    ), n AS (
+      SELECT vec_id, embedding AS e, {_norm_sql('embedding', 'duck')} AS nn
+      FROM embeddings
+    )
+    SELECT vec_a, vec_b,
+           {_dot_sql('x.e', 'y.e', 'duck')} / (x.nn * y.nn) AS cosine
+    FROM pairs
+      JOIN n x ON x.vec_id = vec_a
+      JOIN n y ON y.vec_id = vec_b
+    WHERE {_dot_sql('x.e', 'y.e', 'duck')} / (x.nn * y.nn) >= {SRP_NEAR_COS}
+    """
+
+
+@query("embedding_near_dup_lsh", oracle=_srp_oracle())
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at scale: SRP-LSH candidates + exact-cosine verify.
+
+    The end-to-end 100 TB shape: candidate generation is map-side sign
+    bits + a bucketed equi-join (never all-pairs); the verifier scores
+    only candidates through hash equi-joins. The oracle replays the
+    identical banding (same baked hyperplane literals) in SQL, so the
+    result is exactly hash-checkable despite LSH being approximate.
+    """
+    cands = srp_candidate_pairs(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        spark, sf_dir, candidates=cands, threshold=SRP_NEAR_COS
     )
 
 

@@ -117,6 +117,20 @@ def test_asof_is_single_window_no_join(spark, sf_dir):
     assert "Window" in p
 
 
+def test_near_dup_lsh_candidate_path_is_equi_join(spark, sf_dir):
+    """The candidate-fed near-dup verifier must never nested-loop: SRP
+    band collisions are a bucketed equi self-join and the verify stage
+    attaches embeddings by hash equi-joins. (The all-pairs form stays
+    whitelisted as the small-n oracle default; this pins the scale
+    path.)"""
+    p = plan_of(spark, sf_dir, "embedding_near_dup_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
 def test_range_join_is_equi_join(spark, sf_dir):
     """The banded range join must hash-join on (key, bin) — never a
     nested-loop over the raw range predicate."""
