@@ -388,6 +388,101 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", bits.alias("simhash64"))
 
 
+SIMHASH_BANDS = 8  # 8 bands x 8 bits of the 64-char bitstring
+#: with 8 bands, any pair differing in <= 7 bits shares at least one
+#: untouched band (pigeonhole), so banding has PERFECT recall for every
+#: threshold <= 7; 4 is the near-dup cut for this corpus (the pairwise
+#: Hamming median is ~20 — docs share vocabulary, so fingerprints
+#: correlate and a loose cut would sweep in non-duplicates).
+SIMHASH_MAX_HAMMING = 4
+
+
+def _hamming_sql(a: str, b: str) -> str:
+    """64-char bitstring Hamming distance — identical text for Spark SQL
+    and DuckDB (both expose substr(s, pos, len))."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN substr({a}, {i + 1}, 1) <> substr({b}, {i + 1}, 1) "
+            "THEN 1 ELSE 0 END)"
+            for i in range(64)
+        )
+        + ")"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    width = 64 // SIMHASH_BANDS
+    band_eq = " OR ".join(
+        f"substr(a.simhash64, {b * width + 1}, {width}) = "
+        f"substr(b.simhash64, {b * width + 1}, {width})"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_hamming_sql('a.simhash64', 'b.simhash64')} AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ({band_eq})
+    WHERE {_hamming_sql('a.simhash64', 'b.simhash64')} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("simhash_near_pairs", oracle=_simhash_pairs_sql())
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-substring LSH + Hamming verify.
+
+    Completes the simhash family the way ``lsh_candidate_pairs``
+    completes minhash: fingerprints band into 8 x 8-bit substrings, a
+    bucketed equi self-join surfaces pairs agreeing exactly on >= 1
+    band, and the Hamming verify runs only on candidates. With the
+    threshold below 8, recall is PERFECT by pigeonhole: fewer differing
+    bits than bands means some band is untouched and the pair collides.
+
+    Scale: |docs| x 8 rows of (band key, id) into the bucket join —
+    never all-pairs; a hot bucket (boilerplate) is AQE-skew territory,
+    same guard as the minhash path. The oracle replays the identical
+    banding in SQL, so the approximate pipeline stays hash-checkable.
+    """
+    width = 64 // SIMHASH_BANDS
+    sigs = simhash_docs(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    sh = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers below
+
+    keys = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.substring("simhash64", b * width + 1, width).alias("key"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sh_b"))
+    hamming = F.expr(_hamming_sql("sh_a", "sh_b"))
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
 @query(
     "doc_fingerprint_clusters",
     oracle="""

@@ -1,0 +1,92 @@
+"""Near-dup pair operators: recall/containment properties the oracle
+hash-match can't express (the oracle replays the same banding, so it
+would agree even if the banding lost pairs — these tests pin the
+banding against brute force)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators import dedup as dd
+from kafka_consumer_2_clickhouse_spark.operators import similarity as sim
+
+
+def test_simhash_near_pairs_perfect_recall_vs_bruteforce(spark, sf_dir):
+    """With fewer differing bits than bands, banding can't miss a pair
+    (pigeonhole) — the LSH result must EQUAL the brute-force result."""
+    sigs = {
+        r["doc_id"]: r["simhash64"]
+        for r in dd.simhash_docs(spark, sf_dir).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= dd.SIMHASH_MAX_HAMMING
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(spark, sf_dir).collect()
+    }
+    assert dd.SIMHASH_MAX_HAMMING < dd.SIMHASH_BANDS  # pigeonhole premise
+    assert got == brute
+
+
+def test_srp_near_dup_is_subset_of_allpairs_with_exact_cosines(spark, sf_dir):
+    """The LSH-fed verifier must emit a SUBSET of the all-pairs result
+    at the same threshold, with identical cosines on shared pairs."""
+    full = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs(
+            spark, sf_dir, threshold=sim.SRP_NEAR_COS
+        ).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.embedding_near_dup_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(full)
+    assert all(lsh[p] == full[p] for p in lsh)
+
+
+def test_srp_candidates_are_selective(spark, sf_dir):
+    """The point of LSH: candidate count must be a small fraction of
+    all pairs (expected ~ B * 2^-R ~ 3% for near-orthogonal vectors)."""
+    n = sim.load_table(spark, sf_dir, "embeddings").count()
+    cands = sim.srp_candidate_pairs(spark, sf_dir).count()
+    all_pairs = n * (n - 1) // 2
+    assert cands < 0.15 * all_pairs, (cands, all_pairs)
+
+
+def test_srp_bands_match_numpy_reference(spark, sf_dir):
+    """The baked-literal band expressions must agree with a NumPy
+    recomputation from the same hyperplanes (guards expression-text
+    generation bugs that the self-consistent oracle can't see)."""
+    import numpy as np
+
+    emb = sim.load_table(spark, sf_dir, "embeddings").limit(50).collect()
+    planes = sim._SRP_PLANES
+    sig = sim.srp_candidate_pairs  # noqa: F841  (module import sanity)
+    df = (
+        sim.load_table(spark, sf_dir, "embeddings")
+        .limit(50)
+        .select(
+            "vec_id",
+            *[
+                F.expr(sim._srp_band_sql("embedding", b, "spark")).alias(f"band{b}")
+                for b in range(sim.SRP_BANDS)
+            ],
+        )
+    )
+    got = {r["vec_id"]: [r[f"band{b}"] for b in range(sim.SRP_BANDS)] for r in df.collect()}
+    for row in emb:
+        e = np.array(row["embedding"], dtype=np.float64)
+        want = []
+        for b in range(sim.SRP_BANDS):
+            key = 0
+            for r in range(sim.SRP_ROWS):
+                plane = planes[b * sim.SRP_ROWS + r]
+                proj = sum(s * e[d] for d, s in plane)
+                if proj >= 0:
+                    key |= 1 << r
+            want.append(key)
+        assert got[row["vec_id"]] == want, row["vec_id"]
