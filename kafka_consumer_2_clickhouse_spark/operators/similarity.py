@@ -317,6 +317,161 @@ N_CELLS = 16
 N_PROBE = 4
 
 
+def _train_centroids(raw: DataFrame, n_cells: int = N_CELLS, seed: int = 7):
+    """Spherical k-means coarse quantizer from a bounded driver-side
+    sample (deterministic seed — same centroids on every call)."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in raw.select("embedding")
+            .sample(fraction=1.0, seed=seed)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample (spherical)
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    return cents
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, n_cells: int = N_CELLS
+) -> str:
+    """Build and PERSIST an IVF index: vectors stored cell-partitioned.
+
+    Layout under ``index_dir``:
+    - ``cells/cell=<i>/...parquet``  (vec_id, embedding), partitioned by
+      nearest-centroid cell — so a probe becomes directory-level
+      partition pruning at the scan, before any I/O.
+    - ``centroids/``  the (cell, centroid) quantizer table.
+
+    This factors the expensive part (k-means + full-table assignment)
+    OUT of the query path: at 100 TB the index is built once per
+    ingest/compaction and every search reads only
+    ``n_probe/n_cells`` of the data. Assignment itself is one map-only
+    Arrow pass against broadcast centroids.
+    """
+    import os
+
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = _train_centroids(raw, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            yield pdf.assign(cell=(cm @ bc.value.T).argmax(axis=1).astype("int32"))
+
+    assigned = (
+        spread(raw)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    return index_dir
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Probe a persisted IVF index: top-k per query over only the
+    ``n_probe`` nearest cells.
+
+    ``queries`` is a small (vec_id, embedding) DataFrame — pulled to the
+    driver and broadcast (bounded query-side pull, same contract as
+    ``ann_cosine_topk``). The scan filter ``cell IN (probed)`` prunes at
+    the partition level — tests assert the plan carries it as a
+    PartitionFilter and that unprobed cell directories are never read.
+    """
+    import os
+
+    import numpy as np
+
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), DIM), dtype=np.float64)
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = {
+        int(q): set((qmat[i] @ cents.T).argsort()[-n_probe:].tolist())
+        for i, q in enumerate(qids)
+    }
+    probed_cells = sorted(set().union(*probe.values())) if probe else []
+    bc_q = spark.sparkContext.broadcast((qids, qmat, probe))
+    top_k = k
+
+    scan = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cell").isin(probed_cells)
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm, probe_v = bc_q.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy()
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T
+            for qi, qid in enumerate(ids):
+                in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                mask = in_probe & (cand_ids != qid)
+                c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                if len(c_ids) == 0:
+                    continue
+                kk = min(top_k, len(c_ids))
+                part = np.argpartition(-c_sims, kk - 1)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": c_ids[part],
+                        "cosine": c_sims[part],
+                    }
+                )
+
+    local = scan.select("vec_id", "embedding", "cell").mapInPandas(
+        score, schema="query_id long, cand_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 @query("ivf_cosine_topk")  # no oracle: approximate by construction;
 # recall vs the exact operator is asserted in tests/test_similarity.py
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,27 +494,11 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     emb = spread(raw)
 
-    # --- build the coarse quantizer from a bounded driver-side sample
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in raw.select("embedding")
-            .sample(fraction=1.0, seed=7)
-            .limit(2048)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.RandomState(7)
-    cents = sample[rng.choice(len(sample), N_CELLS, replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample (spherical)
-        assign = (sample @ cents.T).argmax(axis=1)
-        for c in range(N_CELLS):
-            members = sample[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                cents[c] = v / np.linalg.norm(v)
+    # --- coarse quantizer: same deterministic build as build_ivf_index,
+    # trained inline (the persisted-index path is build_ivf_index +
+    # ivf_search; this registered form re-derives per call so the driver
+    # contract stays side-effect-free)
+    cents = _train_centroids(raw)
     bc_cents = spark.sparkContext.broadcast(cents)
 
     qrows = (

@@ -36,3 +36,46 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # every returned candidate must carry a sane cosine
     for r in similarity.ivf_cosine_topk(spark, sf_dir).collect():
         assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_persisted_ivf_index_prunes_and_matches_inline(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_search must (a) read ONLY probed cell
+    directories — partition pruning at the FileIndex, the property that
+    makes repeated queries cheap at scale — and (b) return exactly what
+    the inline ivf_cosine_topk computes (same seed -> same quantizer)."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    idx = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "ivf"))
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < similarity.N_QUERY
+    )
+    out = similarity.ivf_search(spark, idx, queries)
+
+    # (a) pruning: the scan plan carries cell as a PartitionFilter
+    # (directory-level skip at the FileIndex, before any I/O — same
+    # assertion style as test_storage_layout). inputFiles() can't be
+    # used here: it reports the pre-pruning FileIndex contents.
+    plan = physical_plan(out)
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in pf, plan
+    # and the filter value list is the probed cells, not all cells
+    scan = spark.read.parquet(str(tmp_path / "ivf" / "cells"))
+    all_cells = {r["cell"] for r in scan.select("cell").distinct().collect()}
+    assert len(all_cells) > 1
+    one_cell = physical_plan(scan.filter(F.col("cell") == 0))
+    pf1 = one_cell.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in pf1 and "0" in pf1, one_cell
+
+    # (b) identical results to the inline form
+    inline = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_cosine_topk(spark, sf_dir).collect()
+    }
+    persisted = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in out.collect()
+    }
+    assert persisted == inline
