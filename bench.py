@@ -83,19 +83,20 @@ def main() -> None:
     for name in HEADLINE:
         ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two timed passes, best per query: strips driver-host scheduling
-    # noise (this is a shared box) without hiding any real cost — every
-    # pass executes the full plan including the scan.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Three timed passes; "queries" reports the best per query (strips
+    # driver-host scheduling noise on a shared box without hiding real
+    # cost — every pass executes the full plan including the scan) and
+    # "runs" keeps all samples so a round-over-round comparison can
+    # tell a regression from a noise blip (box noise is ~±15%).
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             fn = ops.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            runs[name].append(round(time.time() - t0, 3))
 
+    timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -104,6 +105,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -25,12 +25,18 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    clickhouse_jdbc: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     On a real cluster, ``master`` comes from spark-submit and this
     builder only contributes SQL conf; locally it defaults to
     ``local[$SPARK_GRAFT_CPUS]``.
+
+    ``clickhouse_jdbc=True`` pins the ClickHouse JDBC driver via
+    ``spark.jars.packages`` (resolved from Maven Central at session
+    start — requires network, so it is opt-in; air-gapped deployments
+    ship the same jar with ``--jars``).
     """
     cores = default_parallelism()
     builder = (
@@ -48,6 +54,13 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
+    if clickhouse_jdbc:
+        from .sinks import CLICKHOUSE_JDBC_CLASSIFIER, CLICKHOUSE_JDBC_PACKAGE
+
+        builder = builder.config(
+            "spark.jars.packages",
+            f"{CLICKHOUSE_JDBC_PACKAGE}:{CLICKHOUSE_JDBC_CLASSIFIER}",
+        )
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cores}]")
     if extra_conf:

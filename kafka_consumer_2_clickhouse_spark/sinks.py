@@ -35,6 +35,21 @@ from .config import TopicConfig
 #: column stamped by sinks so replayed micro-batches are identifiable
 BATCH_ID_COL = "_batch_id"
 
+#: pinned ClickHouse JDBC driver, resolvable from Maven Central. Pass as
+#: ``spark.jars.packages`` (get_spark(clickhouse_jdbc=True) does this)
+#: or ship the equivalent jar with --jars; the "all" classifier bundles
+#: the HTTP client deps the plain jar expects on the classpath.
+CLICKHOUSE_JDBC_PACKAGE = "com.clickhouse:clickhouse-jdbc:0.6.3"
+CLICKHOUSE_JDBC_CLASSIFIER = "all"
+
+
+class SinkUnavailableError(RuntimeError):
+    """The sink can't be reached (dead host, bad creds, missing JDBC
+    driver on the classpath). Raised by ``ping_clickhouse`` so startup
+    fails fast with the target URL in the message — the behavior
+    ``pingCHServers`` (``prepare-functions.go:104-119``) implemented
+    with an HTTP probe + ``os.Exit(1)``."""
+
 
 def clickhouse_jdbc_options(cfg: TopicConfig) -> dict[str, str]:
     """JDBC options for one topic's ClickHouse target.
@@ -64,7 +79,14 @@ def ping_clickhouse(spark: SparkSession, cfg: TopicConfig) -> bool:
     in one shot; raises on failure so the pipeline fails fast."""
     opts = clickhouse_jdbc_options(cfg)
     probe = dict(opts, dbtable="(SELECT 1 AS ok) AS probe")
-    spark.read.format("jdbc").options(**probe).load().collect()
+    try:
+        spark.read.format("jdbc").options(**probe).load().collect()
+    except Exception as exc:  # py4j wraps the JVM-side failure
+        raise SinkUnavailableError(
+            f"ClickHouse ping failed for {opts['url']} "
+            f"(table={cfg.clickhouse.table!r}): {type(exc).__name__}: "
+            f"{str(exc).splitlines()[0][:300]}"
+        ) from exc
     return True
 
 

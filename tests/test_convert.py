@@ -163,3 +163,38 @@ def test_convert_stays_jvm_side_after_decode(spark, target):
     # exactly one python-eval stage (the decode), no row-at-a-time PythonUDF
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_csv_encode_golden_documented_divergence(spark):
+    """CSV byte-parity seam (SURVEY §2a op 8, §5.1): rows stay typed in
+    this engine, but when a byte stream is needed, to_csv(struct(*
+    sorted_cols)) is the encoder. Golden strings pin its exact output
+    AND document the deliberate divergences from the reference encoder
+    (``pkg/converter/converter.go:66-82``):
+
+    - reference wraps EVERY value in quotes and never escapes embedded
+      quotes -> emits broken CSV for `has "quote"` (CSV injection);
+      Spark quotes only when needed and escapes correctly.
+    - reference formats floats with FormatFloat('f') -> never
+      scientific notation; Spark uses shortest-repr (1.0E300).
+    - NULL is an empty field in both (reference: empty unquoted cell).
+    """
+    df = spark.createDataFrame(
+        [
+            (1.5, "plain", True),
+            (None, 'has "quote"', False),
+            (0.1, "comma, inside", None),
+            (1e300, None, True),
+        ],
+        "v double, s string, b boolean",
+    )
+    cols = sorted(df.columns)  # the reference's sorted-column discipline
+    got = [
+        r["csv"] for r in df.select(F.to_csv(F.struct(*cols)).alias("csv")).collect()
+    ]
+    assert got == [
+        "true,plain,1.5",
+        'false,"has \\"quote\\"",',  # ref would emit: "false","has "quote"",""
+        ',"comma, inside",0.1',  # ref would emit: "","comma, inside","0.1"
+        "true,,1.0E300",  # ref would emit: "true","","1" + 300 zeros
+    ]

@@ -1,0 +1,75 @@
+"""ClickHouse sink evidence.
+
+The sandbox has no ClickHouse server, so the live round trip is
+integration-flagged (set SPARK_GRAFT_CH_URL to run it); what CAN be
+pinned service-free is the failure contract: a dead host or missing
+driver must fail fast with a diagnosable SinkUnavailableError, not
+hang or leak a raw py4j stack as the first signal.
+"""
+
+import os
+
+import pytest
+
+from kafka_consumer_2_clickhouse_spark.config import ClickHouseConfig, TopicConfig
+from kafka_consumer_2_clickhouse_spark.sinks import (
+    CLICKHOUSE_JDBC_PACKAGE,
+    SinkUnavailableError,
+    clickhouse_jdbc_options,
+    ping_clickhouse,
+)
+
+
+def _cfg(host: str) -> TopicConfig:
+    return TopicConfig(
+        topic="t",
+        clickhouse=ClickHouseConfig(host=host, table="t", write_timeout=5),
+    )
+
+
+def test_ping_dead_host_raises_sink_unavailable(spark):
+    """Startup probe against a dead endpoint: must raise the typed
+    error (with the target URL in the message) — the fail-fast behavior
+    the reference implemented as pingCHServers + os.Exit(1)."""
+    cfg = _cfg("127.0.0.1:59999")  # nothing listens there
+    with pytest.raises(SinkUnavailableError, match="127.0.0.1:59999"):
+        ping_clickhouse(spark, cfg)
+
+
+def test_jdbc_options_shape():
+    """flush_count -> batchsize, write_timeout -> queryTimeout, driver
+    pinned; url derived from host (port defaulted to HTTP 8123)."""
+    cfg = _cfg("ch.example.com")
+    opts = clickhouse_jdbc_options(cfg)
+    assert opts["url"] == "jdbc:clickhouse://ch.example.com:8123"
+    assert opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert opts["batchsize"] == str(cfg.flush_count)
+    assert opts["queryTimeout"] == "5"
+    assert CLICKHOUSE_JDBC_PACKAGE.startswith("com.clickhouse:clickhouse-jdbc:")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_CH_URL"),
+    reason="integration: set SPARK_GRAFT_CH_URL=host:port to a live ClickHouse",
+)
+def test_clickhouse_roundtrip_integration(spark):
+    """Live write+read round trip (requires a real server and the
+    pinned JDBC driver on the classpath; see session.get_spark
+    clickhouse_jdbc=True)."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sinks import clickhouse_writer
+
+    cfg = _cfg(os.environ["SPARK_GRAFT_CH_URL"])
+    cfg.clickhouse.table = "spark_graft_roundtrip_test"
+    ping_clickhouse(spark, cfg)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    clickhouse_writer(cfg)(df, batch_id=0)
+    back = (
+        spark.read.format("jdbc")
+        .options(**clickhouse_jdbc_options(cfg))
+        .load()
+    )
+    assert back.count() >= 100
