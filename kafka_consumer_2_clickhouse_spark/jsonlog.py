@@ -1,0 +1,80 @@
+"""Structured JSON logging — the reference's ``customLogger`` surface.
+
+The reference emits ``{"status": ..., "message": ..., "description":
+...}`` JSON lines, info to stdout and errors to stderr
+(``pkg/customLogger/logger.go:16-50``). This module reproduces that
+wire shape on top of stdlib ``logging`` so Python-side pipeline events
+(startup, per-batch sink results, dead-letter counts) land in the same
+log schema the reference's dashboards parse — JVM-side Spark logs are
+configured separately via log4j2's JSON layout.
+
+Infrastructure, not an operator (SURVEY §2a #20) — no data-path code
+imports this; the streaming pipeline calls it from driver-side hooks
+only.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+
+
+class JsonLineFormatter(logging.Formatter):
+    """One JSON object per line, reference key names."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        doc = {
+            "status": record.levelname.lower(),
+            "message": record.getMessage(),
+            "description": getattr(record, "description", ""),
+        }
+        if record.exc_info and record.exc_info[0] is not None:
+            doc["description"] = (
+                f"{doc['description']} {record.exc_info[0].__name__}: "
+                f"{record.exc_info[1]}"
+            ).strip()
+        return json.dumps(doc, ensure_ascii=False)
+
+
+class _MaxLevel(logging.Filter):
+    def __init__(self, level: int):
+        super().__init__()
+        self.level = level
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        return record.levelno <= self.level
+
+
+def get_json_logger(
+    name: str = "kafka_consumer_2_clickhouse_spark",
+    info_stream=None,
+    error_stream=None,
+) -> logging.Logger:
+    """Logger with the reference's routing: <=INFO lines to stdout,
+    >=WARNING to stderr (``logger.go``: Info->stdout, Error->stderr).
+    Idempotent per name — handlers attach once."""
+    logger = logging.getLogger(name)
+    if getattr(logger, "_jsonlog_configured", False):
+        return logger
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+
+    out = logging.StreamHandler(info_stream or sys.stdout)
+    out.setFormatter(JsonLineFormatter())
+    out.addFilter(_MaxLevel(logging.INFO))
+    err = logging.StreamHandler(error_stream or sys.stderr)
+    err.setFormatter(JsonLineFormatter())
+    err.setLevel(logging.WARNING)
+    logger.addHandler(out)
+    logger.addHandler(err)
+    logger._jsonlog_configured = True  # type: ignore[attr-defined]
+    return logger
+
+
+def log_info(logger: logging.Logger, message: str, description: str = "") -> None:
+    logger.info(message, extra={"description": description})
+
+
+def log_error(logger: logging.Logger, message: str, description: str = "") -> None:
+    logger.error(message, extra={"description": description})

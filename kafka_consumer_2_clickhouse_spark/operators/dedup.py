@@ -239,16 +239,29 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 2
 NGRAM_JACCARD_MIN = 0.5
 LEN_BUCKET = 100
+#: hard cap on docs compared per (lang, source, len_bucket) block: a hot
+#: block (boilerplate, templated docs) would otherwise go quadratic —
+#: the cap bounds the worst block at CAP^2 comparisons, deterministically
+#: (first CAP doc_ids win), and is replayed in the oracle so results
+#: stay hash-checkable. Mass beyond the cap is the minhash/simhash
+#: paths' job — they don't degrade on hot blocks.
+NGRAM_BLOCK_CAP = 500
 
 
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
+    WITH ranked AS (
       SELECT doc_id, lang, source,
              CAST(n_chars // {LEN_BUCKET} AS BIGINT) AS len_bucket,
-             list_distinct({X.sql_shingles(X.sql_tokens('text'), NGRAM_N)}) AS sh
+             list_distinct({X.sql_shingles(X.sql_tokens('text'), NGRAM_N)}) AS sh,
+             row_number() OVER (
+               PARTITION BY lang, source, n_chars // {LEN_BUCKET}
+               ORDER BY doc_id) AS rk
       FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, source, len_bucket, sh
+      FROM ranked WHERE rk <= {NGRAM_BLOCK_CAP}
     ), scored AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -270,16 +283,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside small blocks instead of the full cross product — the
     standard blocked-dedup shape. Scale: the join is an equi-join on
     the block key (AQE handles a skewed block); shingle arrays travel
-    only within their block.
+    only within their block; NGRAM_BLOCK_CAP bounds the worst block's
+    cost (deterministically, oracle-replayed).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
     sh = F.array_distinct(X.shingles(X.tokens("text"), NGRAM_N))
-    base = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.floor(F.col("n_chars") / LEN_BUCKET).alias("len_bucket"),
-        sh.alias("sh"),
+    block = W.partitionBy(
+        "lang", "source", F.floor(F.col("n_chars") / LEN_BUCKET)
+    ).orderBy("doc_id")
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / LEN_BUCKET).alias("len_bucket"),
+            sh.alias("sh"),
+            F.row_number().over(block).alias("rk"),
+        )
+        .filter(F.col("rk") <= NGRAM_BLOCK_CAP)
+        .drop("rk")
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

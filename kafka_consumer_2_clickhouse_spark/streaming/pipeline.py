@@ -39,8 +39,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .. import convert as C
 from ..config import PipelineConfig, TopicConfig
+from ..jsonlog import get_json_logger, log_error, log_info
 from ..sinks import dead_letter_writer, parquet_writer
 from ..sources.kafka import file_stream, kafka_stream
+
+#: driver-side structured log (reference customLogger wire shape)
+_LOG = get_json_logger()
 
 #: observe() observation name + field aliases consumed by
 #: observe.IngestMetricsListener — same metric family names as the
@@ -143,8 +147,14 @@ def start_topic_query(
                     .withColumn("error_detail", F.col(C.DECODE_ERROR_COL))
                     .select(*meta_cols, "error_type", "error_detail")
                 )
-                if dead.limit(1).count():
+                n_dead = dead.count()  # batch is persisted: one cheap pass
+                if n_dead:
                     write_dead(dead, batch_id)
+                    log_error(
+                        _LOG,
+                        "dead-letter rows written",
+                        f"topic={cfg.topic} batch={batch_id} rows={n_dead}",
+                    )
         finally:
             batch_df.unpersist()
 
@@ -158,7 +168,13 @@ def start_topic_query(
     if trigger is None:
         trigger = {"processingTime": f"{cfg.flush_interval_seconds} seconds"}
     writer = writer.trigger(**trigger)
-    return TopicPipeline(topic=cfg.topic, query=writer.start(), config=cfg)
+    started = TopicPipeline(topic=cfg.topic, query=writer.start(), config=cfg)
+    log_info(
+        _LOG,
+        "ingest query started",
+        f"topic={cfg.topic} table={cfg.clickhouse.table or '(custom sink)'}",
+    )
+    return started
 
 
 def start_pipeline(
@@ -194,6 +210,7 @@ def stop_all(pipelines: list[TopicPipeline]) -> None:
         p.query.stop()
     for p in pipelines:
         p.query.awaitTermination()
+        log_info(_LOG, "ingest query stopped", f"topic={p.topic}")
 
 
 def run_file_pipeline_once(

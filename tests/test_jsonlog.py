@@ -1,0 +1,49 @@
+"""JSON log lines: reference wire shape + stream routing."""
+
+import io
+import json
+
+from kafka_consumer_2_clickhouse_spark.jsonlog import (
+    get_json_logger,
+    log_error,
+    log_info,
+)
+
+
+def test_json_lines_shape_and_routing():
+    out, err = io.StringIO(), io.StringIO()
+    lg = get_json_logger("jsonlog-test", info_stream=out, error_stream=err)
+    log_info(lg, "consumer started", "topics=events")
+    log_error(lg, "insert failed", "table=events")
+
+    info_lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    err_lines = [json.loads(l) for l in err.getvalue().splitlines()]
+    assert info_lines == [
+        {"status": "info", "message": "consumer started",
+         "description": "topics=events"}
+    ]
+    assert err_lines == [
+        {"status": "error", "message": "insert failed",
+         "description": "table=events"}
+    ]
+
+
+def test_exception_lands_in_description():
+    out, err = io.StringIO(), io.StringIO()
+    lg = get_json_logger("jsonlog-test-exc", info_stream=out, error_stream=err)
+    try:
+        raise ValueError("boom")
+    except ValueError:
+        lg.error("batch failed", exc_info=True, extra={"description": "b=7"})
+    doc = json.loads(err.getvalue().splitlines()[0])
+    assert doc["status"] == "error"
+    assert "ValueError: boom" in doc["description"] and "b=7" in doc["description"]
+
+
+def test_configuration_is_idempotent():
+    out, err = io.StringIO(), io.StringIO()
+    lg1 = get_json_logger("jsonlog-test-idem", info_stream=out, error_stream=err)
+    lg2 = get_json_logger("jsonlog-test-idem")
+    assert lg1 is lg2 and len(lg1.handlers) == 2
+    log_info(lg1, "once")
+    assert len(out.getvalue().splitlines()) == 1  # no duplicate handlers
