@@ -290,21 +290,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     sh = F.array_distinct(X.shingles(X.tokens("text"), NGRAM_N))
-    block = W.partitionBy(
-        "lang", "source", F.floor(F.col("n_chars") / LEN_BUCKET)
-    ).orderBy("doc_id")
-    base = (
+    # The cap ranks a NARROW (id, block-key) relation — the window
+    # shuffles ids and keys only, never text or shingles — and the
+    # survivors semi-join back against the shingled scan. Shingle CPU
+    # stays map-side on the full scan parallelism (running it after the
+    # window shuffle would execute on AQE-coalesced post-shuffle
+    # partitions: tiny bytes, huge CPU, one task). AQE picks a
+    # broadcast semi-join locally; at 100 TB it becomes a shuffled
+    # semi-join on doc_id — both fine, both bounded.
+    block = W.partitionBy("lang", "source", "len_bucket").orderBy("doc_id")
+    survivors = (
         docs.select(
             "doc_id",
             "lang",
             "source",
             F.floor(F.col("n_chars") / LEN_BUCKET).alias("len_bucket"),
-            sh.alias("sh"),
-            F.row_number().over(block).alias("rk"),
         )
+        .withColumn("rk", F.row_number().over(block))
         .filter(F.col("rk") <= NGRAM_BLOCK_CAP)
-        .drop("rk")
+        .select("doc_id")
     )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / LEN_BUCKET).alias("len_bucket"),
+        sh.alias("sh"),
+    ).join(survivors, "doc_id", "left_semi")
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
