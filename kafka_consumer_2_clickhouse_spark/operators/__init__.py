@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     analytics,
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,

@@ -1,0 +1,115 @@
+"""Iterative graph operator: connected components over near-dup edges.
+
+Dedup at corpus scale ends with a graph step: verified near-dup PAIRS
+must become CLUSTERS (keep one doc per component, drop the rest). This
+module closes that loop with min-label propagation — the canonical
+iterative DataFrame algorithm (repeat: every node takes the min label
+among itself and its neighbors; converge when nothing changes).
+
+No reference citation exists ([EXT], SURVEY §2c): the reference has no
+graph surface. The oracle is a DuckDB recursive CTE computing min
+reachable id per node over the same edge set — iterative Spark result,
+closed-form SQL check.
+
+Scale: each round is ONE shuffle (edges join labels on node id) + an
+aggregate; rounds needed = graph diameter. Near-dup graphs are shallow
+(dups cluster in cliques/short chains), so a handful of rounds
+suffices; the production-hardened variant for adversarial diameters is
+large-star/small-star (O(log n) rounds) — same per-round plan shape,
+different neighbor sets. Labels persist per round (recomputable
+lineage) and the previous round unpersists — bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import ORACLE_SQL, query
+from .dedup import lsh_candidate_pairs
+
+#: minimum verified Jaccard for a pair to become an edge
+COMPONENT_JACCARD_MIN = 0.5
+#: diameter bound before giving up (near-dup graphs are shallow;
+#: hitting this means the edge set is pathological, not near-dup-like)
+MAX_ROUNDS = 15
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``nodes``: one column ``id``; ``edges``: columns ``src``, ``dst``
+    (one row per undirected edge is enough — symmetrized here).
+    Returns (id, component_id) where component_id = min node id in the
+    component. Early-stops on convergence via a strictly-decreasing
+    label-sum invariant (two scalar aggregates per round, no row diff).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("id"), F.col("id").cast("bigint").alias("comp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    total = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(MAX_ROUNDS):
+        nmin = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.id == nmin.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_total = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_total == total:  # labels only decrease: equal sum = fixpoint
+            break
+        total = new_total
+    return labels.select("id", F.col("comp").alias("component_id"))
+
+
+def _components_oracle() -> str:
+    lsh = ORACLE_SQL["lsh_candidate_pairs"]
+    return f"""
+    WITH RECURSIVE lsh AS (
+      SELECT * FROM ({lsh}) q WHERE jaccard >= {COMPONENT_JACCARD_MIN}
+    ), e AS (
+      SELECT doc_a AS s, doc_b AS d FROM lsh
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM lsh
+    ), reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN e ON r.node = e.s
+    )
+    SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component_id
+    FROM reach GROUP BY src
+    """
+
+
+@query("near_dup_components", oracle=_components_oracle())
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (minhash-LSH
+    edges with Jaccard >= 0.5): (doc_id, component_id), component_id =
+    min doc id in the cluster — the "keep one per cluster" key.
+
+    The iterative Spark computation is checked against a closed-form
+    recursive-CTE oracle on the same edges.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = (
+        lsh_candidate_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= COMPONENT_JACCARD_MIN)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    out = connected_components(docs, edges)
+    return out.select(F.col("id").alias("doc_id"), "component_id")

@@ -125,6 +125,49 @@ def events_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-stratum sampling fractions (event_type -> keep fraction):
+#: keep every conversion event, half the errors, 1/8 of the bulk —
+#: the usual shape for building an eval slice that over-samples rare,
+#: important strata.
+STRATA_FRACTIONS: dict[str, float] = {"purchase": 1.0, "error": 0.5}
+STRATA_DEFAULT = 0.125
+
+
+def _strata_threshold(frac: float) -> int:
+    return int(65536 * frac)
+
+
+@query(
+    "events_stratified_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE {_bucket_sql('event_id')} <
+          CASE event_type
+            {' '.join(f"WHEN '{k}' THEN {_strata_threshold(v)}"
+                      for k, v in STRATA_FRACTIONS.items())}
+            ELSE {_strata_threshold(STRATA_DEFAULT)} END
+    """,
+)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-event-type keep fractions
+    via the same content-hash bucketing as the uniform sample — stable
+    across engines/partitionings/reruns, and a pure map-side predicate
+    (no shuffle, pushdown-friendly) at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    thresh = F.when(
+        F.col("event_type") == list(STRATA_FRACTIONS)[0],
+        _strata_threshold(list(STRATA_FRACTIONS.values())[0]),
+    )
+    for k, v in list(STRATA_FRACTIONS.items())[1:]:
+        thresh = thresh.when(F.col("event_type") == k, _strata_threshold(v))
+    thresh = thresh.otherwise(_strata_threshold(STRATA_DEFAULT))
+    return ev.filter(_bucket(F.col("event_id")) < thresh).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 @query("events_sketch_stats")  # rows-only: sketches are engine-specific
 def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates per event type: HyperLogLog++

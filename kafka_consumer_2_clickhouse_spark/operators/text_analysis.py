@@ -233,6 +233,88 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), ntok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), dfreq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+             round((CAST(tf.tf AS DOUBLE) / ntok.n_tokens)
+                   * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 9) AS tfidf
+      FROM tf JOIN ntok ON tf.doc_id = ntok.doc_id
+              JOIN dfreq ON tf.tok = dfreq.tok
+              CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, tok) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by TF-IDF.
+
+    Engine-portability: the score is rounded to 9 decimals BEFORE
+    ranking in both engines — ``ln`` implementations may differ in the
+    last ulp, and ranking on the rounded value (with a token tiebreak)
+    keeps the top-k stable across engines.
+
+    Scale: tf is a partial-aggregated groupBy on (doc, token); df is
+    vocabulary-sized and joins broadcast; n_tokens is a map-only array
+    length on the scan (no second pass over tokens); the corpus count
+    is a 1-row broadcast. The only per-doc shuffle carries (token,
+    count) pairs — never text. The top-k window benefits from
+    WindowGroupLimit partial ranking.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(ntok, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tokens"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "tfidf", "rank")
+    )
+
+
 @query(
     "token_count_estimates",
     oracle=r"""

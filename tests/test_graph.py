@@ -1,0 +1,32 @@
+"""connected_components: hand-built graphs (the oracle run covers the
+corpus-derived edges; these pin the iteration itself)."""
+
+from kafka_consumer_2_clickhouse_spark.operators.graph import connected_components
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(
+        edge_pairs or [(None, None)], "src long, dst long"
+    )
+    if not edge_pairs:
+        edges = edges.filter("src IS NOT NULL")
+    out = connected_components(nodes, edges)
+    return {r["id"]: r["component_id"] for r in out.collect()}
+
+
+def test_two_components_and_isolated_node(spark):
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    """A length-5 chain: the min label walks one hop per round — pins
+    that the loop iterates to convergence, not a fixed round count."""
+    got = _cc(spark, [5, 4, 3, 2, 1], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {i: 1 for i in range(1, 6)}
+
+
+def test_no_edges_identity(spark):
+    got = _cc(spark, [7, 8], [])
+    assert got == {7: 7, 8: 8}

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "embedding_cosine_topk",  # all-pairs scoring vs broadcast queries
     "embedding_near_dup_pairs",  # all-pairs verifier (documented O(n^2))
     "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
+    "tfidf_top_terms",  # 1-row corpus-count crossJoin
 }
 
 
