@@ -425,11 +425,17 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BANDS = 8  # 8 bands x 8 bits of the 64-char bitstring
-#: with 8 bands, any pair differing in <= 7 bits shares at least one
-#: untouched band (pigeonhole), so banding has PERFECT recall for every
-#: threshold <= 7; 4 is the near-dup cut for this corpus (the pairwise
-#: Hamming median is ~20 — docs share vocabulary, so fingerprints
-#: correlate and a loose cut would sweep in non-duplicates).
+#: candidates must agree on >= this many bands. SimHash bits are
+#: vocabulary-correlated (docs from one token distribution share bit
+#: majorities), so agreeing on ONE 8-bit band is barely selective —
+#: measured at sf0.1: ~5M intra-bucket pairs for 2000 docs, i.e. nearly
+#: all-pairs. Two-band agreement keeps recall PERFECT by pigeonhole
+#: (d differing bits dirty at most d bands, so d <= BANDS - MATCHES = 6
+#: still leaves 2 clean bands) while cutting the verify set ~20x.
+SIMHASH_MIN_BAND_MATCHES = 2
+#: near-dup cut for this corpus (pairwise Hamming median is ~20; a
+#: loose cut would sweep in non-duplicates). Must stay <=
+#: SIMHASH_BANDS - SIMHASH_MIN_BAND_MATCHES for the recall guarantee.
 SIMHASH_MAX_HAMMING = 4
 
 
@@ -454,12 +460,18 @@ def _simhash_pairs_sql() -> str:
         f"substr(b.simhash64, {b * width + 1}, {width})"
         for b in range(SIMHASH_BANDS)
     )
+    n_matches = " + ".join(
+        f"(CASE WHEN substr(a.simhash64, {b * width + 1}, {width}) = "
+        f"substr(b.simhash64, {b * width + 1}, {width}) THEN 1 ELSE 0 END)"
+        for b in range(SIMHASH_BANDS)
+    )
     return f"""
     WITH sh AS ({_simhash_sql()})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            {_hamming_sql('a.simhash64', 'b.simhash64')} AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ({band_eq})
-    WHERE {_hamming_sql('a.simhash64', 'b.simhash64')} <= {SIMHASH_MAX_HAMMING}
+    WHERE ({n_matches}) >= {SIMHASH_MIN_BAND_MATCHES}
+      AND {_hamming_sql('a.simhash64', 'b.simhash64')} <= {SIMHASH_MAX_HAMMING}
     """
 
 
@@ -469,15 +481,22 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Completes the simhash family the way ``lsh_candidate_pairs``
     completes minhash: fingerprints band into 8 x 8-bit substrings, a
-    bucketed equi self-join surfaces pairs agreeing exactly on >= 1
-    band, and the Hamming verify runs only on candidates. With the
-    threshold below 8, recall is PERFECT by pigeonhole: fewer differing
-    bits than bands means some band is untouched and the pair collides.
+    bucketed equi self-join surfaces band collisions, pairs must agree
+    on >= SIMHASH_MIN_BAND_MATCHES bands (an aggregate count over the
+    collision stream — correlated corpora make single-band agreement
+    non-selective), and the Hamming verify runs only on survivors.
+    Recall is PERFECT by pigeonhole for thresholds up to
+    SIMHASH_BANDS - SIMHASH_MIN_BAND_MATCHES differing bits.
 
     Scale: |docs| x 8 rows of (band key, id) into the bucket join —
     never all-pairs; a hot bucket (boilerplate) is AQE-skew territory,
-    same guard as the minhash path. The oracle replays the identical
-    banding in SQL, so the approximate pipeline stays hash-checkable.
+    same guard as the minhash path. On corpora where fingerprint bits
+    correlate across most documents (shared vocabulary), substring
+    banding degrades toward all-pairs regardless of the match filter —
+    the production design there is Manku-style sorted fingerprint
+    tables probed under bit rotations, which replaces the join fan-out
+    with sorted-range scans. The oracle replays the identical banding +
+    match-count semantics in SQL, so the pipeline stays hash-checkable.
     """
     width = 64 // SIMHASH_BANDS
     sigs = simhash_docs(spark, sf_dir)
@@ -506,7 +525,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_band_matches"))
+        .filter(F.col("n_band_matches") >= SIMHASH_MIN_BAND_MATCHES)
+        .drop("n_band_matches")
     )
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sh_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sh_b"))

@@ -27,7 +27,12 @@ def test_simhash_near_pairs_perfect_recall_vs_bruteforce(spark, sf_dir):
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in dd.simhash_near_pairs(spark, sf_dir).collect()
     }
-    assert dd.SIMHASH_MAX_HAMMING < dd.SIMHASH_BANDS  # pigeonhole premise
+    # pigeonhole premise: d differing bits dirty at most d bands, so
+    # d <= BANDS - MIN_MATCHES leaves >= MIN_MATCHES clean bands
+    assert (
+        dd.SIMHASH_MAX_HAMMING
+        <= dd.SIMHASH_BANDS - dd.SIMHASH_MIN_BAND_MATCHES
+    )
     assert got == brute
 
 
