@@ -156,6 +156,12 @@ def embedding_near_dup_pairs(
         F.col("embedding").alias("e"),
         F.expr(_norm_sql("embedding", "spark")).alias("nn"),
     )
+    if candidates is not None:
+        # candidate path: both verify sides read the normed relation —
+        # compute the 64-term norm chain once (recomputable persist)
+        from pyspark import StorageLevel
+
+        n = n.persist(StorageLevel.MEMORY_AND_DISK)
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nn").alias("na")
     )
@@ -246,15 +252,27 @@ def srp_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(SRP_BANDS)
         ],
     )
-    keys = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
-                for b in range(SRP_BANDS)
-            ])
-        ).alias("bk"),
-    ).select("vec_id", "bk.band_id", "bk.key")
+    from pyspark import StorageLevel
+
+    # materialize the (id, band, key) relation once: both self-join
+    # sides would otherwise re-evaluate the 512-term sign-bit projection
+    # over the scan (recomputable persist — same rationale as the
+    # minhash signature relation)
+    keys = (
+        sig.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")
+                    )
+                    for b in range(SRP_BANDS)
+                ])
+            ).alias("bk"),
+        )
+        .select("vec_id", "bk.band_id", "bk.key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(
