@@ -98,6 +98,39 @@ def session_windows(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    before: str = "0 seconds",
+    after: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: left rows match right rows
+    with the same key whose event time lies in
+    ``[left_ts - before, left_ts + after]``.
+
+    Both sides carry watermarks AND the join condition carries explicit
+    event-time bounds — together they let the engine expire buffered
+    state (a stream-stream join without a time bound would buffer both
+    streams forever). Column names other than ``on`` must be disjoint.
+
+    Scale: state per key is bounded by watermark + interval width; the
+    join shuffles both streams on the key, exactly like the batch
+    banded range join but with engine-managed buffering.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
+    )
+    return l.join(r, cond).drop(r[on])
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

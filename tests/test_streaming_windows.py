@@ -140,3 +140,40 @@ def test_stream_static_enrichment_join(spark, stream_dir, tmp_path):
     assert len(got) == len(ROWS)
     names = {r.event_id: r.user_name for r in got}
     assert names[1] == "alice" and names[3] == "bob"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on key within an event-time interval:
+    a purchase matches views by the same user in the preceding hour.
+    Watermarks + time-bounded condition keep join state finite."""
+    views = spark.createDataFrame(
+        [
+            (1, 100, "2026-01-01 10:00:00"),
+            (1, 101, "2026-01-01 10:50:00"),
+            (2, 102, "2026-01-01 10:10:00"),
+            (3, 103, "2026-01-01 09:00:00"),  # too old for the purchase
+        ],
+        "user_id long, view_id long, v_ts string",
+    ).withColumn("v_ts", F.to_timestamp("v_ts"))
+    purchases = spark.createDataFrame(
+        [
+            (1, 900, "2026-01-01 11:00:00"),
+            (3, 901, "2026-01-01 11:00:00"),
+        ],
+        "user_id long, p_id long, p_ts string",
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.coalesce(1).write.parquet(vdir)
+    purchases.coalesce(1).write.parquet(pdir)
+
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = windows.interval_join(
+        ps, vs, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        before="1 hour", after="0 seconds",
+    )
+    out = run_to_memory(joined, "interval_join", "append")
+    got = {(r["p_id"], r["view_id"]) for r in out.collect()}
+    # user 1's purchase matches both views in the prior hour (10:00 is
+    # exactly p_ts - 1h, inclusive); user 3's 9:00 view is outside
+    assert got == {(900, 100), (900, 101)}
