@@ -65,6 +65,17 @@ HEADLINE = [
     "ingest_roundtrip_events",
 ]
 
+#: operators added after the round-1 baseline: timed and reported under
+#: "extra_queries" but NOT in "value"/"queries", so the 31-query
+#: headline stays comparable round-over-round.
+EXTRA = [
+    "simhash_near_pairs",
+    "embedding_near_dup_lsh",
+    "near_dup_components",
+    "tfidf_top_terms",
+    "events_stratified_sample",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +109,17 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in ops.QUERIES:
+            continue
+        fn = ops.QUERIES[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extra[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -106,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )
