@@ -233,6 +233,56 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_token,
+           CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS} - 1)) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: CHUNK_TOKENS-token chunks
+    every CHUNK_STRIDE tokens — the standard segmentation step before
+    embedding/training; trailing chunks are shorter (slice clips), so
+    every token is covered by >= 1 chunk.
+
+    Scale: pure map + explode — sequence/slice/array_join are all
+    codegen expressions, one output row per chunk, no shuffle at any
+    size.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+    exploded = base.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 TFIDF_TOP_K = 5
 
 
