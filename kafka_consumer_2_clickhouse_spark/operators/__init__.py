@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     analytics,
+    behavior,
     dedup,
     graph,
     multimodal,

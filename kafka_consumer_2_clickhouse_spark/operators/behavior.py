@@ -1,0 +1,133 @@
+"""Behavioral event analytics: ordered funnels and retention cohorts.
+
+The two queries every event warehouse runs against a landed stream
+([EXT] — the reference lands events but can't query them). Both are
+pure aggregation pipelines: no windows over raw events, no row
+multiplication beyond per-user step states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts >= v.t0
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts >= c.t1
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+             (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, '{" > ".join(FUNNEL_STEPS[:2])}', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, '{" > ".join(FUNNEL_STEPS)}', (SELECT count(*) FROM p)
+    ) t ORDER BY step_idx
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): users counted
+    at step k only if step k happened at-or-after their first step-k-1
+    completion — the ORDER matters, not mere co-occurrence.
+
+    Scale: each stage is groupBy(user) min + an equi-join against the
+    previous stage's per-user row — state per stage is one row per
+    surviving user, never raw events; partial aggregation collapses
+    map-side. The funnel summary itself is 3 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def row(idx: int, label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("step_idx"),
+            F.lit(label).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        row(1, FUNNEL_STEPS[0], v)
+        .unionAll(row(2, " > ".join(FUNNEL_STEPS[:2]), c))
+        .unionAll(row(3, " > ".join(FUNNEL_STEPS), p))
+        .orderBy("step_idx")
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in each later week they were active.
+
+    Scale: one per-user min (partial agg), one distinct over
+    (user, week) — both shuffle user-sized relations, never raw events
+    twice; the output is |weeks|^2 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
