@@ -51,7 +51,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select(
         F.col("id"), F.col("id").cast("bigint").alias("comp")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    total = labels.agg(F.sum("comp")).collect()[0][0]
+
+    def label_sum(df: DataFrame):
+        # decimal(38,0): a bigint sum overflows around 10^9 nodes with
+        # 10^9-sized ids — the fixpoint test must be exact at any scale
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    total = label_sum(labels)
     for _ in range(MAX_ROUNDS):
         nmin = (
             sym.join(labels, sym.dst == labels.id)
@@ -66,7 +72,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_total = new_labels.agg(F.sum("comp")).collect()[0][0]
+        new_total = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_total == total:  # labels only decrease: equal sum = fixpoint
