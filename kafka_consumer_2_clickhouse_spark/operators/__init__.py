@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    profile,
     sampling,
     similarity,
     temporal,

@@ -1,0 +1,82 @@
+"""Data-profiling operator: per-column quality stats in one scan.
+
+The QC pass a training-data pipeline runs on every landed table:
+null counts, exact distinct cardinality, numeric min/max — one row per
+column. [EXT]: the reference lands data blind; profiling is how a
+100 TB corpus gets sanity-checked before training.
+
+Scale: ONE pass over the table. The exact count_distinct per column is
+what makes the result oracle-checkable (DuckDB computes the same
+number); at 100 TB swap in ``approx_count_distinct`` and the plan
+collapses from an expand+shuffle to a pure map-side sketch merge —
+same operator shape, documented trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+#: (column, is_numeric) — numeric columns get min/max in the profile
+_EVENT_COLS: list[tuple[str, bool]] = [
+    ("event_id", True),
+    ("user_id", True),
+    ("event_type", False),
+    ("value", True),
+    ("props", False),
+]
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for col, numeric in _EVENT_COLS:
+        mn = f"CAST(min({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"""SELECT '{col}' AS col_name,
+                   CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_value, {mx} AS max_value
+            FROM events"""
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY col_name"
+
+
+@query("events_profile", oracle=_profile_oracle())
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the events table (see module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for col, numeric in _EVENT_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls__{col}")
+        )
+        aggs.append(F.count_distinct(col).cast("bigint").alias(f"nd__{col}"))
+        if numeric:
+            aggs.append(F.min(col).cast("double").alias(f"min__{col}"))
+            aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
+    one = ev.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col(f"nulls__{col}").alias("n_nulls"),
+            F.col(f"nd__{col}").alias("n_distinct"),
+            (
+                F.col(f"min__{col}") if numeric else F.lit(None).cast("double")
+            ).alias("min_value"),
+            (
+                F.col(f"max__{col}") if numeric else F.lit(None).cast("double")
+            ).alias("max_value"),
+        )
+        for col, numeric in _EVENT_COLS
+    ])
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.col_name", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value")
+        .orderBy("col_name")
+    )
