@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     temporal,
     text_analysis,
     tpch_suite,
+    training_prep,
 )
 
 # All operator modules register into the same QUERIES/ORACLE_SQL

@@ -1,0 +1,127 @@
+"""Training-preparation operators: sequence packing and embedding
+quantization ([EXT] — the last mile between a cleaned corpus and a
+training job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import load_table, spread
+from .analytics import query
+
+#: target packed-sequence length in (whitespace) tokens
+SEQ_LEN = 256
+#: independent packing shards — packing needs a running total, i.e. an
+#: ordered scan; one GLOBAL order is a single-task bottleneck at scale,
+#: so docs deterministically shard first (doc_id mod N) and each shard
+#: packs independently. More shards = more parallelism, same packing
+#: quality in aggregate.
+PACK_SHARDS = 8
+
+
+@query(
+    "doc_pack_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+           CAST(shard * 1000000 + prev_tokens // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(prev_tokens % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs stream in doc_id order within
+    their shard and each lands at the running-token offset; documents
+    whose offset crosses a SEQ_LEN boundary straddle into the next
+    sequence (the standard concat-then-chunk packing used for training
+    token streams, as opposed to bin packing that forbids straddling).
+
+    Scale: one window per shard (PARTITION BY shard = parallel ordered
+    scans), arithmetic after that is map-only. seq_id is globally
+    unique via the shard prefix.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "prev_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "n_tokens",
+        (
+            F.col("shard") * 1_000_000
+            + F.floor(F.col("prev_tokens") / SEQ_LEN)
+        ).cast("bigint").alias("seq_id"),
+        (F.col("prev_tokens") % SEQ_LEN).cast("bigint").alias("seq_offset"),
+    )
+
+
+QUANT_DIMS = 64
+
+
+@query(
+    "embedding_int8_quant",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, embedding AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(floor(CAST(e[dim] AS DOUBLE) / scale + 0.5) AS INT) AS q,
+           scale
+    FROM t CROSS JOIN (SELECT unnest(range(1, {QUANT_DIMS + 1})) AS dim) d
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q = floor(x / scale + 0.5) — the 4x memory shrink before an ANN
+    index or GPU transfer, emitted one row per (vector, dim) so every
+    quantized value is hash-checkable (``floor(+0.5)`` rounds
+    identically on both engines, unlike bankers-vs-away ``round``).
+
+    Scale: map-only (array max + per-element arithmetic + posexplode);
+    nothing shuffles. The row-per-dim form is the checkable twin of the
+    production array<byte> output.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127.0
+    )
+    t = emb.select("vec_id", "embedding", scale.alias("scale"))
+    return t.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") / F.col("scale") + 0.5)
+        .cast("int")
+        .alias("q"),
+        "scale",
+    )
