@@ -1,0 +1,55 @@
+"""Batch source formats beyond parquet (SURVEY §2b scans row): CSV and
+JSON land and read back value-identical under an explicit schema —
+schema-on-read, no inference in the data path."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = str(tmp_path / "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(orders.schema)  # explicit schema: no inference
+        .option("header", True)
+        .csv(out)
+    )
+    assert _canon(back, orders.columns) == _canon(orders, orders.columns)
+
+
+def test_json_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    out = str(tmp_path / "events_json")
+    # default JSON timestampFormat is millisecond-precision: an
+    # explicit microsecond format on BOTH sides makes the round trip
+    # lossless for micros-precision event times
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    back = spark.read.schema(ev.schema).option("timestampFormat", fmt).json(out)
+    assert back.count() == ev.count()
+    # timestamps survive (ISO serialization), values exact
+    diff = back.exceptAll(ev).count() + ev.exceptAll(back).count()
+    assert diff == 0
+
+
+def test_csv_schema_mismatch_yields_nulls_not_crash(spark, tmp_path):
+    """PERMISSIVE mode: malformed cells become nulls (the batch twin of
+    the streaming dead-letter split, same engine semantics)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_a_number,3\n")
+    df = spark.read.schema("a int, b int").option("header", True).csv(str(p))
+    rows = sorted(
+        ((r["a"], r["b"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert rows == [(1, 2), (None, 3)]
