@@ -118,6 +118,41 @@ def test_asof_is_single_window_no_join(spark, sf_dir):
     assert "Window" in p
 
 
+def test_map_only_operators_have_no_exchange(spark, sf_dir):
+    """Chunking and stratified sampling are pure map work — any
+    Exchange in their plans is a regression that turns a free operator
+    into a shuffle at 100 TB."""
+    for name in ("doc_chunks", "events_stratified_sample"):
+        p = plan_of(spark, sf_dir, name)
+        # spread() may inject one round-robin repartition in local mode;
+        # anything keyed (hashpartitioning) would be a real shuffle
+        assert "hashpartitioning" not in p, f"{name} shuffles: {p}"
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The per-column profile must read the table ONCE (one aggregate
+    pass unpivoted), not once per column."""
+    p = plan_of(spark, sf_dir, "events_profile")
+    assert p.count("FileScan") == 1, p
+
+
+def test_tfidf_dimension_side_broadcasts(spark, sf_dir):
+    """Document frequencies are vocabulary-sized: they must broadcast
+    into the (doc, token) relation, never shuffle it."""
+    p = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pack_assignment_windows_per_shard(spark, sf_dir):
+    """Sequence packing must partition its running-sum window by shard
+    (parallel ordered scans) — a global window would single-task the
+    whole corpus."""
+    p = plan_of(spark, sf_dir, "doc_pack_assignment")
+    assert "Window" in p
+    w = p[p.index("Window"):][:400]
+    assert "shard" in w, w
+
+
 def test_near_dup_lsh_candidate_path_is_equi_join(spark, sf_dir):
     """The candidate-fed near-dup verifier must never nested-loop: SRP
     band collisions are a bucketed equi self-join and the verify stage
