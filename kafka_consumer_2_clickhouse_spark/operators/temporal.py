@@ -257,3 +257,83 @@ def events_view_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["p_event_id", "p_value"],
         tiebreak="p_event_id",
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour_start, t.event_type,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY h.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS carried_sum_value
+    FROM hours h CROSS JOIN types t
+      LEFT JOIN agg a ON a.hour_start = h.hour_start
+                     AND a.event_type = t.event_type
+    ORDER BY h.hour_start, t.event_type
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with carry-forward: every (hour, type)
+    cell exists even when no events landed — zero-filled counts and a
+    last-observation-carried-forward value column, the
+    ``time_bucket_gapfill + locf`` shape of hypertable stores, built
+    from a generated time spine + left join + ignore-nulls window.
+
+    Scale: the spine is |hours| x |types| rows (tiny next to the fact
+    table) generated from a 1-row bounds aggregate; the fact table
+    aggregates ONCE (partial+final) and left-joins the spine; the
+    carry-forward window shuffles spine-sized data only.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"),
+        F.date_trunc("hour", F.max("ts")).alias("b"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("a", "b", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    spine = hours.crossJoin(types)
+    joined = spine.join(agg, ["hour_start", "event_type"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last(F.col("sum_value"), ignorenulls=True)
+            .over(w)
+            .alias("carried_sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "embedding_near_dup_pairs",  # all-pairs verifier (documented O(n^2))
     "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
     "tfidf_top_terms",  # 1-row corpus-count crossJoin
+    "events_hourly_gapfill",  # hours x types spine: two tiny derived dims
 }
 
 
