@@ -36,17 +36,27 @@ TABLE_NAMES = [
 ]
 
 
-@lru_cache(maxsize=256)
 def _nanos_columns(path: str) -> tuple[str, ...]:
-    """Column names stored as timestamp[ns] in the parquet footer."""
-    import pyarrow.parquet as pq
-
+    """Column names stored as timestamp[ns] in the parquet footer.
+    Cached by (file, mtime, size) so an in-place overwrite invalidates
+    (same discipline as ``_row_groups``)."""
     target = path
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             return ()
         target = parts[0]
+    try:
+        st = os.stat(target)
+    except OSError:
+        return ()
+    return _nanos_columns_at(target, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns_at(target: str, mtime_ns: int, size: int) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
     schema = pq.read_schema(target)
     out = []
     for field in schema:
