@@ -101,6 +101,10 @@ def main() -> None:
     # tell a regression from a noise blip (box noise is ~±15%).
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
+        # operators persist intermediate relations (signatures, norms);
+        # each invocation builds NEW DataFrames, so without this the
+        # block manager accumulates every pass's caches
+        spark.catalog.clearCache()
         for name in HEADLINE:
             fn = ops.QUERIES[name]
             t0 = time.time()

@@ -58,6 +58,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
     total = label_sum(labels)
+    converged = False
     for _ in range(MAX_ROUNDS):
         nmin = (
             sym.join(labels, sym.dst == labels.id)
@@ -76,8 +77,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_total == total:  # labels only decrease: equal sum = fixpoint
+            converged = True
             break
         total = new_total
+    if not converged:
+        # loop exhaustion would silently return SPLIT components; a
+        # diameter this large means the edges aren't near-dup-shaped —
+        # fail loudly rather than hand back wrong clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds "
+            "(graph diameter exceeds the bound; raise MAX_ROUNDS or use "
+            "large-star/small-star for adversarial graphs)"
+        )
     return labels.select("id", F.col("comp").alias("component_id"))
 
 

@@ -470,7 +470,10 @@ def ivf_search(
                 if len(c_ids) == 0:
                     continue
                 kk = min(top_k, len(c_ids))
-                part = np.argpartition(-c_sims, kk - 1)[:kk]
+                # lexsort, not argpartition: exact cosine ties at the
+                # local cut must keep the LOWER cand_id (the global
+                # window's tiebreak) or the result depends on batching
+                part = np.lexsort((c_ids, -c_sims))[:kk]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -550,7 +553,8 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(c_ids) == 0:
                     continue
                 k = min(top_k, len(c_ids))
-                part = np.argpartition(-c_sims, k - 1)[:k]
+                # lexsort: deterministic under cosine ties (see ivf_search)
+                part = np.lexsort((c_ids, -c_sims))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -616,7 +620,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(c_ids) == 0:
                     continue
                 k = min(top_k, len(c_ids))
-                part = np.argpartition(-c_sims, k - 1)[:k]
+                # lexsort: deterministic under cosine ties (see ivf_search)
+                part = np.lexsort((c_ids, -c_sims))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,

@@ -36,7 +36,8 @@ PACK_SHARDS = 8
       FROM t
     )
     SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
-           CAST(shard * 1000000 + prev_tokens // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST((prev_tokens // {SEQ_LEN}) * {PACK_SHARDS} + shard AS BIGINT)
+             AS seq_id,
            CAST(prev_tokens % {SEQ_LEN} AS BIGINT) AS seq_offset
     FROM c
     """,
@@ -49,8 +50,10 @@ def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     token streams, as opposed to bin packing that forbids straddling).
 
     Scale: one window per shard (PARTITION BY shard = parallel ordered
-    scans), arithmetic after that is map-only. seq_id is globally
-    unique via the shard prefix.
+    scans), arithmetic after that is map-only. seq_id interleaves as
+    ``seq_in_shard * PACK_SHARDS + shard`` — collision-free for ANY
+    sequence count (a fixed shard prefix would collide once a shard
+    exceeded it).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select(
@@ -71,8 +74,8 @@ def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("int").alias("shard"),
         "n_tokens",
         (
-            F.col("shard") * 1_000_000
-            + F.floor(F.col("prev_tokens") / SEQ_LEN)
+            F.floor(F.col("prev_tokens") / SEQ_LEN) * PACK_SHARDS
+            + F.col("shard")
         ).cast("bigint").alias("seq_id"),
         (F.col("prev_tokens") % SEQ_LEN).cast("bigint").alias("seq_offset"),
     )
@@ -91,7 +94,8 @@ QUANT_DIMS = 64
       FROM embeddings
     )
     SELECT vec_id, CAST(dim AS INT) AS dim,
-           CAST(floor(CAST(e[dim] AS DOUBLE) / scale + 0.5) AS INT) AS q,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE floor(CAST(e[dim] AS DOUBLE) / scale + 0.5) END AS INT) AS q,
            scale
     FROM t CROSS JOIN (SELECT unnest(range(1, {QUANT_DIMS + 1})) AS dim) d
     """,
@@ -120,7 +124,9 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.floor(F.col("x").cast("double") / F.col("scale") + 0.5)
+        # all-zero vector -> scale 0: quantize to 0 instead of x/0
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("x").cast("double") / F.col("scale") + 0.5))
         .cast("int")
         .alias("q"),
         "scale",

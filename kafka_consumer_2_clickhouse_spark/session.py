@@ -55,12 +55,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     if clickhouse_jdbc:
-        from .sinks import CLICKHOUSE_JDBC_CLASSIFIER, CLICKHOUSE_JDBC_PACKAGE
+        from .sinks import CLICKHOUSE_JDBC_PACKAGE
 
-        builder = builder.config(
-            "spark.jars.packages",
-            f"{CLICKHOUSE_JDBC_PACKAGE}:{CLICKHOUSE_JDBC_CLASSIFIER}",
-        )
+        builder = builder.config("spark.jars.packages", CLICKHOUSE_JDBC_PACKAGE)
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cores}]")
     if extra_conf:

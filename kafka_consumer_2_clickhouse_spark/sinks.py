@@ -36,11 +36,12 @@ from .config import TopicConfig
 BATCH_ID_COL = "_batch_id"
 
 #: pinned ClickHouse JDBC driver, resolvable from Maven Central. Pass as
-#: ``spark.jars.packages`` (get_spark(clickhouse_jdbc=True) does this)
-#: or ship the equivalent jar with --jars; the "all" classifier bundles
-#: the HTTP client deps the plain jar expects on the classpath.
+#: ``spark.jars.packages`` (get_spark(clickhouse_jdbc=True) does this) —
+#: Spark's coordinate parser accepts EXACTLY group:artifact:version (no
+#: classifier), and ivy resolves the transitive HTTP-client deps; for
+#: air-gapped --jars deployments ship the self-contained
+#: ``clickhouse-jdbc-0.6.3-all.jar`` instead.
 CLICKHOUSE_JDBC_PACKAGE = "com.clickhouse:clickhouse-jdbc:0.6.3"
-CLICKHOUSE_JDBC_CLASSIFIER = "all"
 
 
 class SinkUnavailableError(RuntimeError):
@@ -82,10 +83,11 @@ def ping_clickhouse(spark: SparkSession, cfg: TopicConfig) -> bool:
     try:
         spark.read.format("jdbc").options(**probe).load().collect()
     except Exception as exc:  # py4j wraps the JVM-side failure
+        first_line = (str(exc).splitlines() or [""])[0]
         raise SinkUnavailableError(
             f"ClickHouse ping failed for {opts['url']} "
             f"(table={cfg.clickhouse.table!r}): {type(exc).__name__}: "
-            f"{str(exc).splitlines()[0][:300]}"
+            f"{first_line[:300]}"
         ) from exc
     return True
 

