@@ -131,6 +131,27 @@ def parquet_writer(
     return write
 
 
+def partitioned_parquet_writer(
+    path: str,
+    partition_cols: list[str],
+    stamp_batch_id: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` parquet sink that lands micro-batches
+    PARTITIONED (e.g. by event date): the layout decision that makes
+    every later date-filtered scan a directory-level partition-pruned
+    read (tests/test_storage_layout.py pins the pruning behavior).
+    At 100 TB this is the difference between a bronze table you can
+    query and one you can only full-scan."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if stamp_batch_id:
+            out = out.withColumn(BATCH_ID_COL, F.lit(batch_id))
+        out.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+    return write
+
+
 def dead_letter_writer(path: str) -> Callable[[DataFrame, int], None]:
     """Dead-letter sink: failed rows land durably with their error type
     instead of being dropped after a counter bump (``main.go:87-109``

@@ -73,3 +73,28 @@ def test_clickhouse_roundtrip_integration(spark):
         .load()
     )
     assert back.count() >= 100
+
+
+def test_partitioned_landing_sink_prunes(spark, tmp_path):
+    """The partitioned foreachBatch sink lands a queryable layout: a
+    date filter on the read-back table carries a PartitionFilter."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+    from kafka_consumer_2_clickhouse_spark.sinks import partitioned_parquet_writer
+
+    out = str(tmp_path / "landed")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "k long, d string",
+    ).withColumn("d", F.to_date("d"))
+    partitioned_parquet_writer(out, ["d"])(df, batch_id=7)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"k", "d", "_batch_id"}
+    one_day = back.filter(F.col("d") == "2024-01-02")
+    plan = physical_plan(one_day)
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "d" in pf and "2024-01-02" in pf, plan
+    assert one_day.count() == 2
