@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+The FINAL stdout line is ONE compact JSON object (the driver tail-parses
+it, so it must stay small — BENCH_r02 was lost to an oversized line):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>}
+
+Detail that doesn't fit the tail window (per-pass "runs", the
+"extra_queries" timings) goes on a SEPARATE earlier line tagged
+"bench_detail" and into bench_detail.json next to this script.
 
 Execution is forced with the noop sink (full computation, no driver
 collect). A warm-up pass touches each table once so timings reflect
@@ -114,16 +119,34 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
 
-    extra: dict[str, float] = {}
-    for name in EXTRA:
-        if name not in ops.QUERIES:
-            continue
-        fn = ops.QUERIES[name]
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extra[name] = round(time.time() - t0, 3)
+    # EXTRA queries use the same best-of-3 protocol as the headline, with
+    # clearCache before every timed pass so one operator's persisted
+    # intermediates (simhash/SRP/CC relations) can't warm or evict the
+    # next query's run — numbers here feed round-over-round comparison.
+    extra_runs: dict[str, list[float]] = {n: [] for n in EXTRA if n in ops.QUERIES}
+    for name in extra_runs:
+        ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+    for _ in range(3):
+        for name in extra_runs:
+            spark.catalog.clearCache()
+            fn = ops.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            extra_runs[name].append(round(time.time() - t0, 3))
+    extra = {name: min(ts) for name, ts in extra_runs.items()}
 
+    detail = {
+        "bench_detail": True,
+        "runs": runs,
+        "extra_queries": extra,
+        "extra_runs": extra_runs,
+    }
+    print(json.dumps(detail))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # final line: compact, driver-parsed — keep this shape stable
     print(
         json.dumps(
             {
@@ -131,8 +154,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "extra_queries": extra,
                 "sf": sf,
             }
         )
