@@ -424,19 +424,24 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", bits.alias("simhash64"))
 
 
-SIMHASH_BANDS = 8  # 8 bands x 8 bits of the 64-char bitstring
-#: candidates must agree on >= this many bands. SimHash bits are
-#: vocabulary-correlated (docs from one token distribution share bit
-#: majorities), so agreeing on ONE 8-bit band is barely selective —
-#: measured at sf0.1: ~5M intra-bucket pairs for 2000 docs, i.e. nearly
-#: all-pairs. Two-band agreement keeps recall PERFECT by pigeonhole
-#: (d differing bits dirty at most d bands, so d <= BANDS - MATCHES = 6
-#: still leaves 2 clean bands) while cutting the verify set ~20x.
-SIMHASH_MIN_BAND_MATCHES = 2
 #: near-dup cut for this corpus (pairwise Hamming median is ~20; a
-#: loose cut would sweep in non-duplicates). Must stay <=
-#: SIMHASH_BANDS - SIMHASH_MIN_BAND_MATCHES for the recall guarantee.
+#: loose cut would sweep in non-duplicates).
 SIMHASH_MAX_HAMMING = 4
+#: Manku-style block decomposition (Manku, Jain & Das Sarma,
+#: "Detecting Near-Duplicates for Web Crawling", WWW 2007): split the
+#: 64-bit fingerprint into 8 x 8-bit blocks; a pair within Hamming
+#: distance d <= 4 dirties at most 4 blocks, so it agrees EXACTLY on
+#: at least one of the C(8,4) = 70 4-block combinations — probing all
+#: 70 as 32-bit compound keys gives perfect recall by pigeonhole.
+#: Why 32-bit keys: simhash bits are vocabulary-correlated (per-bit
+#: agreement between random docs runs ~80%+ on shared-vocab corpora),
+#: so a 16-bit band-pair key collides at ~0.82^16 ~ 2% per key —
+#: measured ~60% of all-pairs total fan-out at sf0.1. Widening to 32
+#: bits squares that per-key rate (~0.82^32 ~ 0.2%), cutting the
+#: candidate stream ~10x; that, not more keys, is the lever that
+#: survives correlated corpora.
+SIMHASH_BLOCKS = 8
+SIMHASH_CLEAN_BLOCKS = SIMHASH_BLOCKS - SIMHASH_MAX_HAMMING
 
 
 def _hamming_sql(a: str, b: str) -> str:
@@ -454,99 +459,109 @@ def _hamming_sql(a: str, b: str) -> str:
 
 
 def _simhash_pairs_sql() -> str:
-    width = 64 // SIMHASH_BANDS
-    band_eq = " OR ".join(
-        f"substr(a.simhash64, {b * width + 1}, {width}) = "
-        f"substr(b.simhash64, {b * width + 1}, {width})"
-        for b in range(SIMHASH_BANDS)
-    )
-    n_matches = " + ".join(
-        f"(CASE WHEN substr(a.simhash64, {b * width + 1}, {width}) = "
-        f"substr(b.simhash64, {b * width + 1}, {width}) THEN 1 ELSE 0 END)"
-        for b in range(SIMHASH_BANDS)
-    )
+    """Oracle states the SEMANTIC (all pairs within SIMHASH_MAX_HAMMING)
+    — candidate generation is the engine's concern, and DuckDB's
+    all-pairs join is exact at oracle scale. This is the same result
+    set as the earlier banded oracle: hamming <= 4 implies >= 4 of 8
+    clean bands, so its ">= 2 band matches" clause was never binding.
+    """
     return f"""
     WITH sh AS ({_simhash_sql()})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            {_hamming_sql('a.simhash64', 'b.simhash64')} AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ({band_eq})
-    WHERE ({n_matches}) >= {SIMHASH_MIN_BAND_MATCHES}
-      AND {_hamming_sql('a.simhash64', 'b.simhash64')} <= {SIMHASH_MAX_HAMMING}
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {_hamming_sql('a.simhash64', 'b.simhash64')} <= {SIMHASH_MAX_HAMMING}
     """
 
 
 @query("simhash_near_pairs", oracle=_simhash_pairs_sql())
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band-substring LSH + Hamming verify.
+    """SimHash near-dup pairs: Manku block-combination LSH + popcount
+    verify (all pairs within SIMHASH_MAX_HAMMING).
 
-    Completes the simhash family the way ``lsh_candidate_pairs``
-    completes minhash: fingerprints band into 8 x 8-bit substrings, a
-    bucketed equi self-join surfaces band collisions, pairs must agree
-    on >= SIMHASH_MIN_BAND_MATCHES bands (an aggregate count over the
-    collision stream — correlated corpora make single-band agreement
-    non-selective), and the Hamming verify runs only on survivors.
-    Recall is PERFECT by pigeonhole for thresholds up to
-    SIMHASH_BANDS - SIMHASH_MIN_BAND_MATCHES differing bits.
+    Candidates: explode each fingerprint into C(8,4) = 70 rows keyed by
+    (combo_id, 32-bit concatenation of that combo's four 8-bit blocks)
+    and bucket self-join — exact recall by pigeonhole (see the
+    SIMHASH_BLOCKS comment). This replaces the 16-bit band-pair scheme
+    whose measured fan-out on this corpus was ~60% of all-pairs: the
+    wider key squares the correlated-bit collision rate, which is what
+    Manku's "permute so a clean block-combination leads, then
+    prefix-match" construction does with sorted tables — a hash
+    equi-join on the combination key is the shuffle-native equivalent.
 
-    Scale: |docs| x 8 rows of (band key, id) into the bucket join —
-    never all-pairs; a hot bucket (boilerplate) is AQE-skew territory,
-    same guard as the minhash path. On corpora where fingerprint bits
-    correlate across most documents (shared vocabulary), substring
-    banding degrades toward all-pairs regardless of the match filter —
-    the production design there is Manku-style sorted fingerprint
-    tables probed under bit rotations, which replaces the join fan-out
-    with sorted-range scans. The oracle replays the identical banding +
-    match-count semantics in SQL, so the pipeline stays hash-checkable.
+    Verify: fingerprints travel WITH the key rows as two 32-bit integer
+    halves, so Hamming distance is two XOR+popcounts inside the join's
+    codegen span — no join-back to the signature relation, no persisted
+    intermediate (one consumer per relation; the self-join's two sides
+    reuse one exchange), no 64-way substring compare. De-dup of multi-
+    combo collisions (distinct) runs AFTER the Hamming filter, on final
+    survivors only.
+
+    Scale: |docs| x 70 rows of ~36 bytes into one equi-join shuffle —
+    linear in corpus size; a hot bucket (boilerplate block values) is
+    AQE-skew territory, same guard as the minhash path.
     """
     from itertools import combinations
 
-    from pyspark import StorageLevel
-
-    width = 64 // SIMHASH_BANDS
-    sigs = simhash_docs(spark, sf_dir)
-    sh = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers below
-
-    # Candidates via band-PAIR compound keys: a pair agrees on >= 2 of
-    # the 8 bands iff it collides on >= 1 of the C(8,2)=28 concatenated
-    # band-pair keys — the SAME candidate set as counting single-band
-    # matches, but the 16-bit compound keys are ~4x more selective
-    # (measured at sf0.1: 1.2M intra-bucket pairs vs 5M single-band),
-    # so the join fan-out shrinks while the recall proof is unchanged.
-    combos = list(combinations(range(SIMHASH_BANDS), 2))
-    keys = sh.select(
+    width = 64 // SIMHASH_BLOCKS
+    sh = simhash_docs(spark, sf_dir)
+    fp = sh.select(
         "doc_id",
+        F.conv(F.substring("simhash64", 1, 32), 2, 10).cast("long").alias("v0"),
+        F.conv(F.substring("simhash64", 33, 32), 2, 10).cast("long").alias("v1"),
+    )
+
+    def block(b: int):  # block b = bits [8b, 8b+8) of the fingerprint
+        word = F.col("v0") if b < SIMHASH_BLOCKS // 2 else F.col("v1")
+        return F.shiftright(word, width * (3 - b % 4)).bitwiseAND(255)
+
+    blocks = fp.select(
+        "doc_id", "v0", "v1",
+        *[block(b).alias(f"b{b}") for b in range(SIMHASH_BLOCKS)],
+    )
+
+    def combo_key(combo):
+        k = F.col(f"b{combo[0]}")
+        for c in combo[1:]:
+            k = F.shiftleft(k, width).bitwiseOR(F.col(f"b{c}"))
+        return k
+
+    combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_CLEAN_BLOCKS))
+    keys = blocks.select(
+        "doc_id", "v0", "v1",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(ci).alias("combo_id"),
-                    F.concat(
-                        F.substring("simhash64", i * width + 1, width),
-                        F.substring("simhash64", j * width + 1, width),
-                    ).alias("key"),
-                )
-                for ci, (i, j) in enumerate(combos)
+                F.struct(F.lit(ci).alias("combo_id"), combo_key(c).alias("key"))
+                for ci, c in enumerate(combos)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.combo_id", "bk.key")
-    a, b = keys.alias("a"), keys.alias("b")
-    pairs = (
+    ).select("doc_id", "v0", "v1", "bk.combo_id", "bk.key")
+
+    # SHUFFLE_HASH pins both sides to shuffle on (combo_id, key): the
+    # two sides are the SAME plan, so Spark computes the simhash
+    # pipeline once and wires a ReusedExchange into the other side —
+    # without the hint, local-mode AQE broadcasts one side (the
+    # relation is small at test SF) and the signature pipeline runs
+    # twice. At 100 TB the keys relation could never broadcast, so the
+    # hint also pins the only shape that exists at scale.
+    a, b = keys.alias("a"), keys.hint("shuffle_hash").alias("b")
+    hamming = F.bit_count(F.col("a.v0").bitwiseXOR(F.col("b.v0"))) + F.bit_count(
+        F.col("a.v1").bitwiseXOR(F.col("b.v1"))
+    )
+    return (
         a.join(
             b,
             (F.col("a.combo_id") == F.col("b.combo_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sh_a"))
-    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sh_b"))
-    hamming = F.expr(_hamming_sql("sh_a", "sh_b"))
-    return (
-        pairs.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -27,11 +27,11 @@ def test_simhash_near_pairs_perfect_recall_vs_bruteforce(spark, sf_dir):
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in dd.simhash_near_pairs(spark, sf_dir).collect()
     }
-    # pigeonhole premise: d differing bits dirty at most d bands, so
-    # d <= BANDS - MIN_MATCHES leaves >= MIN_MATCHES clean bands
+    # pigeonhole premise: d differing bits dirty at most d of the 8
+    # blocks, so d <= BLOCKS - CLEAN_BLOCKS leaves a clean 4-combo
     assert (
         dd.SIMHASH_MAX_HAMMING
-        <= dd.SIMHASH_BANDS - dd.SIMHASH_MIN_BAND_MATCHES
+        <= dd.SIMHASH_BLOCKS - dd.SIMHASH_CLEAN_BLOCKS
     )
     assert got == brute
 
