@@ -45,9 +45,7 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(selects) + " ORDER BY col_name"
 
 
-@query("events_profile", oracle=_profile_oracle())
-def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of the events table (see module docstring)."""
+def _profile_df(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     aggs = []
     for col, numeric in _EVENT_COLS:
@@ -56,7 +54,12 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"nulls__{col}")
         )
-        aggs.append(F.count_distinct(col).cast("bigint").alias(f"nd__{col}"))
+        nd = (
+            F.approx_count_distinct(col, rsd=0.01)
+            if approx
+            else F.count_distinct(col)
+        )
+        aggs.append(nd.cast("bigint").alias(f"nd__{col}"))
         if numeric:
             aggs.append(F.min(col).cast("double").alias(f"min__{col}"))
             aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
@@ -80,3 +83,28 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.col_name", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value")
         .orderBy("col_name")
     )
+
+
+@query("events_profile", oracle=_profile_oracle())
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the events table (see module docstring).
+
+    Exact ``count_distinct`` => oracle-checkable, but N distinct aggs
+    in one plan Expand the fact table xN before the shuffle — use
+    :func:`events_profile_approx` at scale.
+    """
+    return _profile_df(spark, sf_dir, approx=False)
+
+
+@query("events_profile_approx")  # rows-only: HLL sketch values are engine-specific
+def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`events_profile`: HyperLogLog++
+    ``approx_count_distinct`` (rsd=1%) replaces the exact distincts, so
+    the plan is ONE partial+final aggregate over the scan — no Expand,
+    no xN row multiplication, sketch buffers merge map-side. Error
+    bound vs the exact profile is pinned in
+    ``tests/test_sketches.py`` (same gate family as the percentile
+    sketches: no cross-engine oracle because DuckDB's HLL constants
+    differ; n_nulls/min/max remain exact and are asserted equal).
+    """
+    return _profile_df(spark, sf_dir, approx=True)

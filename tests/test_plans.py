@@ -177,3 +177,14 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_profile_approx_has_no_expand(spark, sf_dir):
+    """The approx profile is the 100 TB shape: one partial+final
+    aggregate over the scan — the exact variant's Expand (xN row
+    multiplication for N distinct aggs) must be gone."""
+    exact = plan_of(spark, sf_dir, "events_profile")
+    approx = plan_of(spark, sf_dir, "events_profile_approx")
+    assert "Expand" in exact  # the documented cost of exactness
+    assert "Expand" not in approx, approx
+    assert approx.count("FileScan") == 1

@@ -46,3 +46,25 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         for got, q in zip((a["p50"], a["p95"], a["p99"]), (0.5, 0.95, 0.99)):
             rank = sum(1 for v in vals if v <= got) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, got, rank)
+
+
+def test_profile_approx_matches_exact_within_hll_bounds(spark, sf_dir):
+    """events_profile_approx: n_nulls/min/max EXACTLY equal the exact
+    profile; n_distinct within HLL++ rsd=1% (3 sigma)."""
+    exact = {
+        r["col_name"]: r
+        for r in ops.QUERIES["events_profile"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in ops.QUERIES["events_profile_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for col, a in approx.items():
+        e = exact[col]
+        assert a["n_nulls"] == e["n_nulls"], col
+        assert a["min_value"] == e["min_value"], col
+        assert a["max_value"] == e["max_value"], col
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            3, 0.03 * e["n_distinct"]
+        ), (col, a["n_distinct"], e["n_distinct"])
