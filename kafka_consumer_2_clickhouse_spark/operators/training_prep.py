@@ -12,19 +12,23 @@ from .analytics import query
 
 #: target packed-sequence length in (whitespace) tokens
 SEQ_LEN = 256
-#: independent packing shards — packing needs a running total, i.e. an
+#: default packing-shard count — packing needs a running total, i.e. an
 #: ordered scan; one GLOBAL order is a single-task bottleneck at scale,
 #: so docs deterministically shard first (doc_id mod N) and each shard
 #: packs independently. More shards = more parallelism, same packing
-#: quality in aggregate.
+#: quality in aggregate. Size it so each shard's ordered scan stays a
+#: single-executor-sized slice: n_shards ~ corpus_docs / docs-per-task
+#: (pack_sql/doc_pack_assignment take it as a parameter; 8 suits the
+#: test corpus, a 100 TB run passes thousands).
 PACK_SHARDS = 8
 
 
-@query(
-    "doc_pack_assignment",
-    oracle=f"""
+def pack_sql(n_shards: int = PACK_SHARDS, seq_len: int = SEQ_LEN) -> str:
+    """DuckDB oracle for :func:`doc_pack_assignment`, parameterized the
+    same way so any shard count is cross-checkable."""
+    return f"""
     WITH t AS (
-      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+      SELECT doc_id, doc_id % {n_shards} AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -36,29 +40,39 @@ PACK_SHARDS = 8
       FROM t
     )
     SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
-           CAST((prev_tokens // {SEQ_LEN}) * {PACK_SHARDS} + shard AS BIGINT)
+           CAST((prev_tokens // {seq_len}) * {n_shards} + shard AS BIGINT)
              AS seq_id,
-           CAST(prev_tokens % {SEQ_LEN} AS BIGINT) AS seq_offset
+           CAST(prev_tokens % {seq_len} AS BIGINT) AS seq_offset
     FROM c
-    """,
-)
-def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@query("doc_pack_assignment", oracle=pack_sql())
+def doc_pack_assignment(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = PACK_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
     """Greedy sequence packing: docs stream in doc_id order within
     their shard and each lands at the running-token offset; documents
-    whose offset crosses a SEQ_LEN boundary straddle into the next
+    whose offset crosses a seq_len boundary straddle into the next
     sequence (the standard concat-then-chunk packing used for training
     token streams, as opposed to bin packing that forbids straddling).
 
     Scale: one window per shard (PARTITION BY shard = parallel ordered
-    scans), arithmetic after that is map-only. seq_id interleaves as
-    ``seq_in_shard * PACK_SHARDS + shard`` — collision-free for ANY
+    scans), arithmetic after that is map-only; grow ``n_shards`` with
+    the corpus (see PACK_SHARDS). seq_id interleaves as
+    ``seq_in_shard * n_shards + shard`` — collision-free for ANY
     sequence count (a fixed shard prefix would collide once a shard
-    exceeded it).
+    exceeded it) — computed with integer ``div``: double-based
+    ``floor(x / n)`` is exact only below 2^53, and a 100 TB token
+    stream's running totals have no business near a float mantissa.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % n_shards).alias("shard"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     w = (
@@ -74,10 +88,9 @@ def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("int").alias("shard"),
         "n_tokens",
         (
-            F.floor(F.col("prev_tokens") / SEQ_LEN) * PACK_SHARDS
-            + F.col("shard")
+            F.expr(f"prev_tokens div {seq_len}") * n_shards + F.col("shard")
         ).cast("bigint").alias("seq_id"),
-        (F.col("prev_tokens") % SEQ_LEN).cast("bigint").alias("seq_offset"),
+        (F.col("prev_tokens") % seq_len).cast("bigint").alias("seq_offset"),
     )
 
 

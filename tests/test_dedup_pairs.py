@@ -122,3 +122,20 @@ def test_int8_quant_zero_vector_and_seq_id_uniqueness(spark, sf_dir):
     assert (
         pairs.groupBy("seq_id").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_pack_assignment_parameterized_shards_oracle_green(spark, sf_dir):
+    """doc_pack_assignment at two shard counts, each vs the identically
+    parameterized DuckDB oracle — the shard knob must not be baked in."""
+    from kafka_consumer_2_clickhouse_spark.operators import training_prep as tp
+
+    from .oracle_utils import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+    try:
+        for n_shards in (3, 8):
+            df = tp.doc_pack_assignment(spark, sf_dir, n_shards=n_shards)
+            ok, msg = compare(df, con, tp.pack_sql(n_shards=n_shards))
+            assert ok, f"n_shards={n_shards}: {msg}"
+    finally:
+        con.close()
