@@ -174,3 +174,112 @@ def dedupe_replayed_batches(df: DataFrame, key_cols: list[str]) -> DataFrame:
     Parquet landing sink). Shuffles once on the key — at scale, point
     this at the partition columns the landing write already used."""
     return df.dropDuplicates(key_cols)
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Parquet data files under a landing dir (skips _SUCCESS/.crc and
+    any _-prefixed metadata dirs)."""
+    import os
+
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return out
+
+
+def compact_landing(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Compact a Parquet landing directory in place: merge the
+    per-micro-batch small files into ~``target_file_bytes`` files and
+    (optionally) apply :func:`dedupe_replayed_batches`, keeping row
+    content otherwise identical.
+
+    This replaces the reference's dump-file lifecycle — its collector
+    deleted each staged CSV after a successful INSERT
+    (``collector.go:193-210``), so nothing accumulated; a streaming
+    parquet sink instead accretes one file per partition per
+    micro-batch, and after a day of 30 s triggers a bronze table is
+    thousands of footer-read stalls per scan. Compaction is the
+    maintenance operator that keeps it scannable.
+
+    Scale shape: ONE shuffle. Unpartitioned tables repartition to
+    ``ceil(input_bytes / target_file_bytes)`` tasks; hive-partitioned
+    tables repartition on the partition columns so each output
+    directory is written by one task, with ``maxRecordsPerFile``
+    (derived from the observed compressed bytes/row) splitting any
+    partition that exceeds the target size — a skewed partition costs
+    write time, never an oversized file. The rewrite stages into a
+    sibling directory and swaps via two renames; on a real lake this
+    operator is the compaction/OPTIMIZE job of a table format (Delta,
+    Iceberg), which adds the snapshot atomicity a bare directory can't
+    give — the dataframe work is identical.
+
+    Returns ``{"files_before", "files_after", "rows_before",
+    "rows_after"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    before = _list_data_files(path)
+    if not before:
+        return {
+            "files_before": 0,
+            "files_after": 0,
+            "rows_before": 0,
+            "rows_after": 0,
+        }
+    in_bytes = sum(os.path.getsize(f) for f in before)
+
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    out = dedupe_replayed_batches(df, key_cols) if key_cols else df
+    # compressed-bytes-per-row from the files being rewritten is the
+    # right estimator for the files being written (same codec, same
+    # schema); guard rows==0 (all-duplicate or empty table)
+    avg_row_bytes = max(1.0, in_bytes / max(1, rows_before))
+    max_records = max(1, int(target_file_bytes / avg_row_bytes))
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_cols:
+        (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        n_files = max(1, math.ceil(in_bytes / target_file_bytes))
+        out.repartition(n_files).write.mode("overwrite").option(
+            "maxRecordsPerFile", max_records
+        ).parquet(tmp)
+
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before and not key_cols:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction would change row count {rows_before} -> {rows_after}; "
+            "aborted, landing dir untouched"
+        )
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list_data_files(path)),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

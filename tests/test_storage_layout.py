@@ -55,3 +55,68 @@ def test_sorted_write_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in orders.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_compact_landing_merges_files_content_unchanged(spark, sf_dir, tmp_path):
+    """Simulated micro-batch appends (incl. a replayed batch) -> compact
+    -> file count drops, replays collapse, surviving content identical."""
+    from kafka_consumer_2_clickhouse_spark import sinks
+
+    out = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    write = sinks.parquet_writer(out)
+    # 6 micro-batches of ~333 rows; batch 2 is delivered twice
+    # (at-least-once replay) under the SAME batch id, as checkpoint
+    # recovery would
+    chunks = ev.randomSplit([1.0] * 6, seed=7)
+    for i, chunk in enumerate(chunks):
+        write(chunk, i)
+    write(chunks[2], 2)
+
+    files_before = len(sinks._list_data_files(out))
+    rows_landed = spark.read.parquet(out).count()
+    stats = sinks.compact_landing(
+        spark, out, key_cols=["event_id", sinks.BATCH_ID_COL]
+    )
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+    assert stats["files_after"] >= 1
+
+    back = spark.read.parquet(out)
+    # replayed batch collapsed to one copy, nothing else lost
+    want = ev.count()
+    assert stats["rows_before"] == rows_landed > want
+    assert stats["rows_after"] == back.count() == want
+    # content identical to the source rows (modulo the batch-id stamp)
+    a = sorted(tuple(r) for r in ev.collect())
+    b = sorted(tuple(r) for r in back.drop(sinks.BATCH_ID_COL).collect())
+    assert a == b
+
+
+def test_compact_landing_partitioned_keeps_pruning(spark, sf_dir, tmp_path):
+    """Partitioned landing + compaction: hive layout survives, pruning
+    still works, one file per partition at test scale."""
+    from kafka_consumer_2_clickhouse_spark import sinks
+
+    out = str(tmp_path / "landing_by_date")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write = sinks.partitioned_parquet_writer(out, ["event_date"])
+    chunks = ev.randomSplit([1.0] * 4, seed=11)
+    for i, chunk in enumerate(chunks):
+        write(chunk, i)
+
+    files_before = len(sinks._list_data_files(out))
+    stats = sinks.compact_landing(
+        spark, out, partition_cols=["event_date"]
+    )
+    assert stats["files_after"] < files_before
+    assert stats["rows_after"] == stats["rows_before"] == ev.count()
+    n_dates = ev.select("event_date").distinct().count()
+    assert stats["files_after"] == n_dates  # one file per partition here
+
+    back = spark.read.parquet(out)
+    plan = physical_plan(back.filter(F.col("event_date") == "2024-01-03"))
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf and "2024-01-03" in pf
