@@ -509,10 +509,29 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O per query — at 100 TB with 4096 cells and 64 probes you scan
     ~1.5% of the data, and cell-partitioned storage turns the probe
     into partition pruning at the scan.
+
+    ``SPARK_GRAFT_IVF_INDEX=<dir>``: probe a PREBUILT index
+    (:func:`build_ivf_index` layout) via :func:`ivf_search` instead of
+    re-deriving the quantizer inline — the production path, where the
+    index is built once per ingest and queries only prune+scan.
+    Equality of the two paths is pinned in ``tests/test_similarity.py``.
     """
+    import os
+
     import numpy as np
 
     raw = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.environ.get("SPARK_GRAFT_IVF_INDEX")
+    if index_dir:
+        if not os.path.isdir(os.path.join(index_dir, "cells")):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_IVF_INDEX={index_dir!r} has no cells/ dir — "
+                "build it with build_ivf_index()"
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERY).select(
+            "vec_id", "embedding"
+        )
+        return ivf_search(spark, index_dir, queries)
     emb = spread(raw)
 
     # --- coarse quantizer: same deterministic build as build_ivf_index,

@@ -79,3 +79,29 @@ def test_persisted_ivf_index_prunes_and_matches_inline(spark, sf_dir, tmp_path):
         for r in out.collect()
     }
     assert persisted == inline
+
+    # (c) the REGISTERED query takes the prebuilt-index path when
+    # SPARK_GRAFT_IVF_INDEX is set, with identical results and the same
+    # pruned-scan plan shape
+    import os
+
+    import pytest
+
+    os.environ["SPARK_GRAFT_IVF_INDEX"] = idx
+    try:
+        switched = similarity.ivf_cosine_topk(spark, sf_dir)
+        sw_plan = physical_plan(switched)
+        assert "PartitionFilters" in sw_plan and "cell" in sw_plan.split(
+            "PartitionFilters:", 1
+        )[1].split("]", 1)[0]
+        got = {
+            (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+            for r in switched.collect()
+        }
+        assert got == inline
+        # a bogus index dir fails loudly, not silently-inline
+        os.environ["SPARK_GRAFT_IVF_INDEX"] = str(idx) + "_nope"
+        with pytest.raises(FileNotFoundError):
+            similarity.ivf_cosine_topk(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_IVF_INDEX"]
