@@ -177,3 +177,64 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # user 1's purchase matches both views in the prior hour (10:00 is
     # exactly p_ts - 1h, inclusive); user 3's 9:00 view is outside
     assert got == {(900, 100), (900, 101)}
+
+
+def test_streaming_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """The dedup fingerprint state must live in the checkpoint: a key
+    seen before a stop and replayed by a NEW query on the same
+    checkpoint stays deduped; only genuinely new keys land. This closes
+    the loop between the batch dedup family and the ingest path."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, value double, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            windows.streaming_dedup(
+                spark.readStream.schema(EVENTS_SCHEMA).parquet(src),
+                keys=["event_id"],
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: keys 1-5, key 1 duplicated in-batch
+    write_batch("a", [
+        (1, 1, "click", 1.0, "2026-01-01 10:00:00"),
+        (1, 1, "click", 1.0, "2026-01-01 10:00:00"),
+        (2, 1, "click", 2.0, "2026-01-01 10:01:00"),
+        (3, 2, "view", 3.0, "2026-01-01 10:02:00"),
+        (4, 2, "view", 4.0, "2026-01-01 10:03:00"),
+        (5, 1, "click", 5.0, "2026-01-01 10:04:00"),
+    ])
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 5
+    assert first.select("event_id").distinct().count() == 5
+
+    # run 2 (new query object, same checkpoint): replay of key 3 within
+    # the watermark horizon + new keys 6, 6-dup
+    write_batch("b", [
+        (3, 2, "view", 3.0, "2026-01-01 10:02:00"),   # cross-restart dup
+        (6, 3, "click", 6.0, "2026-01-01 10:05:00"),
+        (6, 3, "click", 6.0, "2026-01-01 10:05:00"),  # in-batch dup
+    ])
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 6, sorted(
+        r["event_id"] for r in final.select("event_id").collect()
+    )
+    got = sorted(r["event_id"] for r in final.select("event_id").collect())
+    assert got == [1, 2, 3, 4, 5, 6]
