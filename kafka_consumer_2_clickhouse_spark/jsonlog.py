@@ -53,10 +53,17 @@ def get_json_logger(
 ) -> logging.Logger:
     """Logger with the reference's routing: <=INFO lines to stdout,
     >=WARNING to stderr (``logger.go``: Info->stdout, Error->stderr).
-    Idempotent per name — handlers attach once."""
+    Idempotent per name — handlers attach once; passing EXPLICIT
+    streams for an already-configured name reconfigures (replaces this
+    module's handlers) instead of silently keeping the first streams.
+    """
     logger = logging.getLogger(name)
-    if getattr(logger, "_jsonlog_configured", False):
+    configured = getattr(logger, "_jsonlog_configured", False)
+    if configured and info_stream is None and error_stream is None:
         return logger
+    if configured:
+        for h in [h for h in logger.handlers if getattr(h, "_jsonlog", False)]:
+            logger.removeHandler(h)
     logger.setLevel(logging.INFO)
     logger.propagate = False
 
@@ -66,6 +73,7 @@ def get_json_logger(
     err = logging.StreamHandler(error_stream or sys.stderr)
     err.setFormatter(JsonLineFormatter())
     err.setLevel(logging.WARNING)
+    out._jsonlog = err._jsonlog = True  # type: ignore[attr-defined]
     logger.addHandler(out)
     logger.addHandler(err)
     logger._jsonlog_configured = True  # type: ignore[attr-defined]

@@ -17,3 +17,22 @@ from . import (  # noqa: F401
 # registries (declared in analytics.py) via the @query decorator.
 QUERIES = analytics.QUERIES
 ORACLE_SQL = analytics.ORACLE_SQL
+
+
+def release_intermediate_caches(spark) -> None:
+    """Drop the recomputable persisted relations some operators leave
+    behind (LSH signature/band tables, SRP key tables, the final
+    connected-components labels).
+
+    Those persists exist so one invocation computes its expensive
+    relation once; they cannot be unpersisted inside the operator
+    because the RETURNED DataFrame is lazily backed by them. The
+    cleanup contract is therefore caller-owned: after the consuming
+    action, call this (or ``df.unpersist()`` on the result you hold).
+    Long-lived sessions that invoke these operators repeatedly without
+    releasing accumulate block-manager memory — bench.py clears between
+    queries for exactly this reason. All levels are MEMORY_AND_DISK
+    with intact lineage, so releasing is always safe (recompute, never
+    data loss).
+    """
+    spark.catalog.clearCache()

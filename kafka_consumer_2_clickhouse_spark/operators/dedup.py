@@ -189,7 +189,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table, then join against it" — in-job, a RECOMPUTABLE
     # persist gives the compute-once shape: unlike localCheckpoint,
     # lineage survives executor loss / dynamic deallocation, so a lost
-    # block recomputes instead of failing the job.
+    # block recomputes instead of failing the job. The returned
+    # DataFrame stays backed by this persist — cleanup is caller-owned
+    # (operators.release_intermediate_caches / result.unpersist()).
     from pyspark import StorageLevel
 
     banded = sigs.select("doc_id", "shingles", *band_cols).persist(

@@ -44,6 +44,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     Returns (id, component_id) where component_id = min node id in the
     component. Early-stops on convergence via a strictly-decreasing
     label-sum invariant (two scalar aggregates per round, no row diff).
+
+    Superseded rounds unpersist inside the loop; the FINAL labels
+    relation backs the returned DataFrame and stays persisted —
+    cleanup is caller-owned (``operators.release_intermediate_caches``
+    or ``result.unpersist()`` after the consuming action).
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

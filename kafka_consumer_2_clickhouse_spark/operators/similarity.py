@@ -158,7 +158,8 @@ def embedding_near_dup_pairs(
     )
     if candidates is not None:
         # candidate path: both verify sides read the normed relation —
-        # compute the 64-term norm chain once (recomputable persist)
+        # compute the 64-term norm chain once (recomputable persist;
+        # caller-owned cleanup, see operators.release_intermediate_caches)
         from pyspark import StorageLevel
 
         n = n.persist(StorageLevel.MEMORY_AND_DISK)
@@ -271,6 +272,8 @@ def srp_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
         .select("vec_id", "bk.band_id", "bk.key")
+        # recomputable persist; caller-owned cleanup — see
+        # operators.release_intermediate_caches
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = keys.alias("a"), keys.alias("b")

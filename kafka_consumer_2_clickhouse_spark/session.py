@@ -57,6 +57,20 @@ def get_spark(
     if clickhouse_jdbc:
         from .sinks import CLICKHOUSE_JDBC_PACKAGE
 
+        # spark.jars.packages is JVM-startup-only: getOrCreate() against
+        # an existing session silently ignores it and the missing driver
+        # would only surface later at ping time — fail fast instead.
+        existing = SparkSession.getActiveSession()
+        if existing is not None and CLICKHOUSE_JDBC_PACKAGE not in existing.conf.get(
+            "spark.jars.packages", ""
+        ):
+            raise RuntimeError(
+                "clickhouse_jdbc=True cannot take effect: a SparkSession "
+                "already exists in this process and spark.jars.packages is "
+                "a startup-only config. Stop the existing session first, or "
+                "launch with --packages/--jars so the driver is on the "
+                "classpath from the start."
+            )
         builder = builder.config("spark.jars.packages", CLICKHOUSE_JDBC_PACKAGE)
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cores}]")

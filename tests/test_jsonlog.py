@@ -47,3 +47,18 @@ def test_configuration_is_idempotent():
     assert lg1 is lg2 and len(lg1.handlers) == 2
     log_info(lg1, "once")
     assert len(out.getvalue().splitlines()) == 1  # no duplicate handlers
+
+
+def test_explicit_streams_reconfigure_existing_logger():
+    """Passing fresh streams for an already-configured name must route
+    output to THOSE streams, not silently keep the first ones."""
+    out1, err1 = io.StringIO(), io.StringIO()
+    lg = get_json_logger("jsonlog-test-reconf", info_stream=out1, error_stream=err1)
+    log_info(lg, "first")
+    out2, err2 = io.StringIO(), io.StringIO()
+    lg2 = get_json_logger("jsonlog-test-reconf", info_stream=out2, error_stream=err2)
+    assert lg2 is lg and len(lg2.handlers) == 2  # replaced, not stacked
+    log_info(lg2, "second")
+    assert len(out1.getvalue().splitlines()) == 1  # only "first"
+    lines = [json.loads(l) for l in out2.getvalue().splitlines()]
+    assert [d["message"] for d in lines] == ["second"]

@@ -98,3 +98,16 @@ def test_partitioned_landing_sink_prunes(spark, tmp_path):
     pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "d" in pf and "2024-01-02" in pf, plan
     assert one_day.count() == 2
+
+
+def test_clickhouse_jdbc_flag_fails_fast_on_existing_session(spark):
+    """spark.jars.packages is startup-only: asking for the ClickHouse
+    driver while a session already exists must raise, not return a
+    session that fails later at ping time."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.session import get_spark
+
+    assert spark is not None  # fixture guarantees an active session
+    with pytest.raises(RuntimeError, match="startup-only"):
+        get_spark(clickhouse_jdbc=True)
