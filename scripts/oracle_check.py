@@ -21,6 +21,11 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:  # write a per-query JSON artifact (committed
+        i = args.index("--json")  # each round as ORACLE_LOCAL_r{N}.json)
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -30,6 +35,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failed = []
+    results: dict[str, dict] = {}
     for name in sorted(qs):
         if filters and not any(f in name for f in filters):
             continue
@@ -40,14 +46,25 @@ def main() -> int:
             if sql is None:
                 n = df.count()
                 print(f"  {name:40s} rows-only ({n} rows) [{time.time()-t0:.1f}s]")
+                results[name] = {"mode": "rows_only", "ok": True, "rows": n,
+                                 "secs": round(time.time() - t0, 1)}
                 continue
             ok, msg = compare(df, con, sql)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         status = "OK " if ok else "FAIL"
         print(f"  {name:40s} {status} [{time.time()-t0:.1f}s] {'' if ok else msg}")
+        results[name] = {"mode": "oracle", "ok": ok,
+                         "secs": round(time.time() - t0, 1),
+                         **({} if ok else {"err": msg})}
         if not ok:
             failed.append(name)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                        "n_failed": len(failed), "results": results}, f, indent=1)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
