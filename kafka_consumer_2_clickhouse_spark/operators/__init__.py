@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     analytics,
     behavior,
+    curation,
     dedup,
     graph,
     multimodal,

@@ -1,0 +1,322 @@
+"""Training-corpus curation operators ([EXT], SURVEY §2c): Gopher-style
+repetition scoring, benchmark decontamination, text normalization,
+ReplacingMergeTree-style latest-row snapshots, and deterministic
+per-group reservoir sampling.
+
+These are the quality/hygiene stages an LLM data pipeline runs between
+ingest and packing: score repetitive documents (Rae et al., "Scaling
+Language Models: ... Gopher", §A1.1 repetition filters), drop training
+documents that leak evaluation shingles (Brown et al., GPT-3 appendix C
+n-gram decontamination), canonicalize text, collapse upserted event
+streams to their latest version (the Spark twin of ClickHouse
+ReplacingMergeTree FINAL — the reference's sink table engine family,
+``internal/collector/collector.go:119-155`` inserts into tables whose
+dedup-on-merge semantics this operator reproduces engine-side), and
+take reproducible bounded samples per group.
+
+All five are oracle-checked: every expression is engine-portable
+(md5-hex ordering, list/array higher-order functions, window ties
+broken on unique keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import textfns as X
+from ..sources.tables import load_table, spread
+from .analytics import query
+from .sampling import _split_sql, split_column
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition scores
+# --------------------------------------------------------------------------
+
+
+def _top_count(grams: Column) -> Column:
+    """Occurrence count of the most frequent element of an array column.
+
+    O(distinct x total) per document — bounded by document length, pure
+    map-side codegen, no explode/shuffle. At 100 TB this is the shape
+    you want: the per-doc cost is constant, the corpus cost is linear,
+    and the stage fuses into the scan.
+    """
+    return F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda g: g == x)),
+        )
+    )
+
+
+def _sql_top_count(grams: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({grams}),"
+        f" x -> len(list_filter({grams}, g -> g = x))))"
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks, {X.sql_shingles('toks', 2)} AS g2 FROM t
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS dup_token_ratio,
+           CAST({_sql_top_count('toks')} AS DOUBLE) / len(toks)
+             AS top_token_ratio,
+           CAST({_sql_top_count('g2')} AS DOUBLE) / len(g2)
+             AS top_bigram_ratio,
+           (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.5
+            OR CAST({_sql_top_count('g2')} AS DOUBLE) / len(g2) > 0.18)
+             AS flagged
+    FROM g
+    WHERE len(g2) > 0
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (Gopher §A1.1 family): duplicate
+    -token fraction, most-frequent-token fraction, most-frequent-bigram
+    fraction, and a flag at the paper-style thresholds.
+
+    Scale: pure map over the scan — every metric is a higher-order
+    array expression on the document's own tokens; zero shuffles for
+    100 TB of documents, and the ``flagged`` predicate is exactly the
+    filter a curation pass would push into the scan.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", X.tokens("text").alias("toks")
+    ).withColumn("g2", X.shingles(F.col("toks"), 2))
+    n = F.size("toks")
+    n2 = F.size("g2")
+    dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
+    top1 = _top_count(F.col("toks")).cast("double") / n
+    top2 = _top_count(F.col("g2")).cast("double") / n2
+    return base.filter(n2 > 0).select(
+        "doc_id",
+        dup.alias("dup_token_ratio"),
+        top1.alias("top_token_ratio"),
+        top2.alias("top_bigram_ratio"),
+        ((dup > 0.5) | (top2 > 0.18)).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+DECON_SHINGLE_N = 3
+DECON_THRESHOLD = 0.10  # contaminated if >=10% of a doc's shingles leak
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_split_sql('doc_id')} AS split,
+             list_distinct({X.sql_shingles(X.sql_tokens('text'), DECON_SHINGLE_N)})
+               AS sh
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE split = 'test'
+    ), train AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM s WHERE split = 'train'
+    ), totals AS (
+      SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+      FROM s WHERE split = 'train' AND len(sh) > 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n_hits
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT totals.doc_id, totals.n_shingles,
+           COALESCE(hits.n_hits, 0) AS n_overlap,
+           CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / totals.n_shingles
+             AS overlap_ratio,
+           CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / totals.n_shingles
+             >= {DECON_THRESHOLD} AS contaminated
+    FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination: for every *train*-split
+    document, how many of its distinct ``DECON_SHINGLE_N``-gram
+    shingles appear anywhere in the *test*-split (the stand-in for an
+    eval benchmark), and is the overlap ratio above the drop threshold.
+
+    Scale: the benchmark side is SMALL by nature (eval suites are MBs
+    against a 100 TB corpus) — its distinct-shingle set is broadcast,
+    so the contaminated-shingle probe is a map-side hash-join against
+    the exploded train shingles; the only real shuffle is the final
+    per-doc count, keyed on doc_id (narrow, combiner-friendly). The
+    100 TB train side is never shuffled on the shingle.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        split_column(F.col("doc_id")).alias("split"),
+        F.array_distinct(
+            X.shingles(X.tokens("text"), DECON_SHINGLE_N)
+        ).alias("sh"),
+    )
+    bench = (
+        docs.filter(F.col("split") == "test")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = docs.filter(F.col("split") == "train")
+    totals = train.filter(F.size("sh") > 0).select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        train.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ratio = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_overlap"),
+            ratio.alias("overlap_ratio"),
+            (ratio >= DECON_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+             length(text) AS n_chars_raw
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize document text: lowercase, digit runs -> ``0``
+    (number normalization), strip non-alphanumerics, collapse runs of
+    spaces, trim. The standard pre-dedup canonical form — exact-hash
+    dedup over ``norm_text`` catches near-misses that raw md5 misses.
+
+    Scale: map-only ``regexp_replace`` chain in whole-stage codegen;
+    the regexes use only character classes + quantifiers so Java regex
+    (Spark) and RE2-ish (DuckDB) agree.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+                "[^a-z0-9 ]",
+                "",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ReplacingMergeTree-style latest-row snapshot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "latest_events_snapshot",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def latest_events_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user_id, event_type) — the engine-side twin of
+    ClickHouse ReplacingMergeTree ``FINAL`` (version column = ``ts``,
+    insert-order tiebreak = ``event_id``), i.e. what the reference's
+    sink tables resolve to after background merges
+    (``internal/collector/collector.go:119-155`` feeds such tables).
+
+    Scale: one shuffle on the dedup key. The window + row_number form
+    keeps the full row without a second self-join; AQE handles skewed
+    hot keys. On a sorted/bucketed landing layout the Exchange drops
+    out entirely.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group reservoir sample
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 4
+
+
+@query(
+    "events_user_reservoir",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+    ) <= {RESERVOIR_K}
+    """,
+)
+def events_user_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible bounded sample: at most ``RESERVOIR_K`` events per
+    user, chosen by content-hash order — the per-group counterpart of
+    ``events_deterministic_sample``. Unlike an RNG reservoir, the same
+    rows are selected on every engine, partitioning, and rerun.
+
+    Scale: one shuffle on user_id; Spark plans window + rank-filter as
+    WindowGroupLimit, so each partition keeps a K-row heap per group
+    instead of sorting whole groups — the right shape for uniform
+    per-entity subsampling of a 100 TB event log.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= RESERVOIR_K)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -1,0 +1,184 @@
+"""Curation operators: behavior on constructed corpora + the plan
+shapes that make them scale (map-only scoring, broadcast-side
+decontamination probe, WindowGroupLimit reservoir)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators import curation
+from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+
+
+def test_repetition_flags_repeated_doc(spark, sf_dir, tmp_path):
+    """A document that is one token repeated must max out every metric;
+    an all-distinct document must zero them."""
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 40)),
+            (2, " ".join(f"w{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    res = {
+        r["doc_id"]: r
+        for r in curation.doc_repetition_scores(spark, str(tmp_path)).collect()
+    }
+    assert res[1]["dup_token_ratio"] > 0.9
+    assert res[1]["top_token_ratio"] == 1.0
+    assert res[1]["top_bigram_ratio"] == 1.0
+    assert res[1]["flagged"] is True
+    assert res[2]["dup_token_ratio"] == 0.0
+    assert abs(res[2]["top_bigram_ratio"] - 1.0 / 39) < 1e-12
+    assert res[2]["flagged"] is False
+
+
+def test_repetition_scores_map_only_plan(spark, sf_dir):
+    """All three metrics must compute without any shuffle: at 100 TB
+    this stage has to fuse into the scan."""
+    p = physical_plan(curation.doc_repetition_scores(spark, sf_dir))
+    # spread()'s RoundRobin fan-out is the only exchange allowed — no
+    # hash/range repartitioning anywhere (those would mean a shuffle
+    # keyed on data, i.e. not map-only)
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "FileScan parquet" in p
+
+
+def test_decontamination_counts_match_bruteforce(spark, sf_dir):
+    """Recompute overlap per train doc with plain Python sets over the
+    same corpus; the operator must agree exactly."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def split_of(doc_id: int) -> str:
+        import hashlib
+
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return "train" if b < 52429 else ("val" if b < 58982 else "test")
+
+    def sh(toks):
+        n = curation.DECON_SHINGLE_N
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    bench = set()
+    for d, toks in docs.items():
+        if split_of(d) == "test":
+            bench |= sh(toks)
+    expect = {
+        d: len(sh(toks) & bench)
+        for d, toks in docs.items()
+        if split_of(d) == "train" and sh(toks)
+    }
+
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in curation.benchmark_decontamination(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v > 0 for v in got.values())  # probe actually fires
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must be the BROADCAST side of the
+    probe join — never a shuffle of the 100 TB train side on shingle —
+    and the only hash-partition exchanges allowed are doc_id-keyed."""
+    p = physical_plan(curation.benchmark_decontamination(spark, sf_dir))
+    probe = [
+        l for l in p.splitlines() if "BroadcastHashJoin [shingle" in l
+    ]
+    assert probe and "BuildRight" in probe[0]
+    # exactly ONE shingle-keyed exchange: the benchmark side's own
+    # distinct (small by nature). The exploded train side must never
+    # hash-partition on shingle.
+    shingle_shuffles = [
+        l
+        for l in p.splitlines()
+        if "Exchange hashpartitioning(shingle" in l
+    ]
+    assert len(shingle_shuffles) == 1, shingle_shuffles
+
+
+def test_latest_snapshot_is_max_by(spark, sf_dir):
+    """Window-dedup result must equal the max_by aggregate per key."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    got = curation.latest_events_snapshot(spark, sf_dir)
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "value", "props"),
+                F.struct("ts", "event_id"),
+            ).alias("m")
+        )
+        .select("user_id", "event_type", "m.event_id", "m.ts", "m.value", "m.props")
+    )
+    assert got.count() == ref.count()
+    assert (
+        got.select("event_id").exceptAll(ref.select("event_id")).count() == 0
+    )
+
+
+def test_reservoir_bounded_and_partition_invariant(spark, sf_dir):
+    """<= K rows per user, and the SAME rows under a different input
+    partitioning (the whole point vs RNG sampling)."""
+    res = curation.events_user_reservoir(spark, sf_dir)
+    per_user = res.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user <= curation.RESERVOIR_K
+
+    ids1 = sorted(r["event_id"] for r in res.select("event_id").collect())
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    shuffled = load_table(spark, sf_dir, "events").repartition(13)
+    shuffled.createOrReplaceTempView("__res_ev")
+    ids2 = sorted(
+        r["event_id"]
+        for r in spark.sql(
+            f"""SELECT event_id FROM (
+              SELECT event_id, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY md5(CAST(event_id AS STRING)), event_id
+              ) AS rn FROM __res_ev
+            ) WHERE rn <= {curation.RESERVOIR_K}"""
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_reservoir_plan_uses_window_group_limit(spark, sf_dir):
+    """rank<=K must plan as WindowGroupLimit (per-group top-K heap),
+    not a full per-group sort."""
+    p = physical_plan(curation.events_user_reservoir(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_normalize_idempotent(spark, sf_dir):
+    """Normalizing already-normalized text is a fixpoint."""
+    once = curation.doc_text_normalize(spark, sf_dir).select(
+        F.col("doc_id"), F.col("norm_text").alias("text")
+    )
+    again = (
+        once.select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+                        "[^a-z0-9 ]",
+                        "",
+                    ),
+                    " +",
+                    " ",
+                )
+            ).alias("text2"),
+        )
+    )
+    assert again.filter(F.col("text") != F.col("text2")).count() == 0
