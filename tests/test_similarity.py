@@ -105,3 +105,42 @@ def test_persisted_ivf_index_prunes_and_matches_inline(spark, sf_dir, tmp_path):
             similarity.ivf_cosine_topk(spark, sf_dir)
     finally:
         del os.environ["SPARK_GRAFT_IVF_INDEX"]
+
+
+def test_pq_rerank_matches_exact_topk(spark, sf_dir):
+    """ADC shortlist (PQ_SHORTLIST per query) + exact re-rank must
+    reproduce the exact top-k EXACTLY on this corpus — the re-ranked
+    scores are true cosines, so any disagreement means the shortlist
+    dropped a true neighbor."""
+    exact = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+        for r in similarity.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+        for r in similarity.pq_cosine_topk(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(pq)
+    for k in exact:
+        assert exact[k][0] == pq[k][0], (k, exact[k], pq[k])
+        assert abs(exact[k][1] - pq[k][1]) < 1e-9
+
+
+def test_pq_codes_compact_and_deterministic(spark, sf_dir):
+    """Codes are PQ_M small ints (the ~25x memory claim) and encoding
+    is bit-stable across invocations (seeded codebooks, argmin ties
+    fixed by numpy's first-minimum rule)."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(raw)
+    assert books.shape == (similarity.PQ_M, similarity.PQ_K,
+                           similarity.DIM // similarity.PQ_M)
+    c1 = {r["vec_id"]: r["codes"]
+          for r in similarity.pq_encode(raw, books).collect()}
+    c2 = {r["vec_id"]: r["codes"]
+          for r in similarity.pq_encode(raw, books).collect()}
+    assert c1 == c2
+    for codes in c1.values():
+        assert len(codes) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_K for c in codes)
