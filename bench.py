@@ -79,6 +79,14 @@ EXTRA = [
     "near_dup_components",
     "tfidf_top_terms",
     "events_stratified_sample",
+    # round 3
+    "doc_repetition_scores",
+    "benchmark_decontamination",
+    "doc_text_normalize",
+    "latest_events_snapshot",
+    "events_user_reservoir",
+    "pq_cosine_topk",
+    "events_profile_approx",
 ]
 
 

@@ -106,3 +106,83 @@ def running_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _upsert_latest(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    best = state.get if state.exists else None  # (ts_micros, event_id, value)
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            cand = (int(r.ts.value // 1_000), int(r.event_id), float(r.value))
+            # ClickHouse ReplacingMergeTree keep-rule: max version wins,
+            # later insert (higher event_id) breaks ties
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(key[0]),
+                "event_type": key[1],
+                "event_id": best[1],
+                "ts": pd.Timestamp(best[0] * 1_000),
+                "value": best[2],
+            }
+        ]
+    )
+
+
+def latest_snapshots(
+    events: DataFrame,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.latest_events_snapshot``
+    (ClickHouse ReplacingMergeTree semantics, resolved continuously):
+    per (user_id, event_type), maintain the row with the highest
+    (ts, event_id) across micro-batches and emit the refreshed
+    snapshot row whenever the key receives data. Unlike the
+    reference's sink tables — where dedup happens at some unscheduled
+    background merge and reads see duplicates until then
+    (``collector.go:119-155`` just inserts) — the snapshot here is
+    correct at every micro-batch boundary and the state is
+    checkpointed.
+
+    Output mode must be ``update``. Scale: state is one scalar tuple
+    per live key, hash-partitioned across executors; batch rows fold
+    into state Arrow-batch by Arrow-batch, so memory is O(live keys),
+    not O(stream).
+    """
+    keyed = events.select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        _upsert_latest,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -238,3 +238,69 @@ def test_streaming_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in final.select("event_id").collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_stateful_latest_snapshots(spark, stream_dir):
+    """Streaming ReplacingMergeTree: the emitted snapshot per key must
+    be the (ts, event_id)-max row, duplicates folded away."""
+    out = run_to_memory(
+        stateful.latest_snapshots(read_stream(spark, stream_dir)),
+        "latest_snap", "update",
+    )
+    latest = {
+        (r.user_id, r.event_type): r
+        for r in out.orderBy("ts").collect()  # last update wins in memory sink
+    }
+    assert latest[(1, "click")].event_id == 5
+    assert latest[(1, "click")].value == 5.0
+    assert latest[(2, "view")].event_id == 4
+    assert str(latest[(2, "view")].ts) == "2026-01-01 11:10:00"
+
+
+def test_latest_snapshots_state_survives_restart(spark, tmp_path):
+    """Two micro-batch replays against one checkpoint: the second run
+    must refine the FIRST run's state (a stale earlier row arriving
+    later must NOT displace the checkpointed newer row)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def write_batch(rows, n):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, value double, ts string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            stateful.latest_snapshots(stream)
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch([(10, 7, "click", 1.0, "2026-01-01 12:00:00")], 0)
+    run_once()
+    # second run delivers an OLDER row for the same key
+    write_batch([(9, 7, "click", 99.0, "2026-01-01 11:00:00")], 1)
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    snaps = [r for r in rows if r.user_id == 7]
+    assert snaps, "no snapshot rows written"
+    # every emitted snapshot for key 7 must be the checkpointed newer
+    # row — the stale late arrival never wins
+    for r in snaps:
+        assert r.event_id == 10 and r.value == 1.0
