@@ -1,7 +1,6 @@
 from . import (  # noqa: F401
     analytics,
     behavior,
-    curation,
     dedup,
     graph,
     multimodal,
@@ -13,6 +12,9 @@ from . import (  # noqa: F401
     tpch_suite,
     training_prep,
 )
+# curation composes oracle SQL from text_analysis's registered queries,
+# so it must import after them
+from . import curation  # noqa: F401, E402
 
 # All operator modules register into the same QUERIES/ORACLE_SQL
 # registries (declared in analytics.py) via the @query decorator.

@@ -320,3 +320,87 @@ def events_user_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= RESERVOIR_K)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Composite keep/drop gate
+# --------------------------------------------------------------------------
+
+QF_MIN_QUALITY = 0.5
+QF_MIN_CHARS = 100
+QF_LANGS = ("en", "es", "fr", "de")
+
+
+def _qf_oracle() -> str:
+    from .analytics import ORACLE_SQL
+
+    langs = ", ".join(f"'{l}'" for l in QF_LANGS)
+    reasons = f"""list_filter([
+        CASE WHEN q.quality_score < {QF_MIN_QUALITY} THEN 'low_quality' END,
+        CASE WHEN r.flagged THEN 'repetitive' END,
+        CASE WHEN d.lang NOT IN ({langs}) THEN 'lang' END,
+        CASE WHEN q.n_chars < {QF_MIN_CHARS} THEN 'too_short' END
+      ], x -> x IS NOT NULL)"""
+    return f"""
+    WITH q AS ({ORACLE_SQL['doc_quality_scores']}),
+         r AS ({ORACLE_SQL['doc_repetition_scores']})
+    SELECT d.doc_id, len({reasons}) = 0 AS keep, {reasons} AS reasons
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN r ON d.doc_id = r.doc_id
+    """
+
+
+@query("doc_quality_filter", oracle=_qf_oracle())
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus gate: keep/drop per document with machine-readable
+    reasons, combining the quality score (``doc_quality_scores``
+    formula), the repetition flag (``doc_repetition_scores``
+    thresholds), a language allowlist, and a length floor.
+
+    All four signals are recomputed INLINE over one scan — map-only,
+    no join of the component queries — because at 100 TB the gate must
+    fuse into the ingest scan, not orchestrate three passes.
+    Consistency with the registered component queries is pinned by
+    ``tests/test_curation.py`` (and the oracle composes their oracle
+    SQL, so drift fails the hash gate too).
+    """
+    from .text_analysis import _QUALITY_STOPWORDS
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "lang", "n_chars", "text", X.tokens("text").alias("toks")
+    ).withColumn("g2", X.shingles(F.col("toks"), 2))
+    n_toks = F.greatest(F.size("toks"), F.lit(1))
+    punct = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stop = X.stopword_count(F.col("toks"), _QUALITY_STOPWORDS).cast("double") / n_toks
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_toks
+    score = F.round(
+        0.25 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(punct / 0.3, F.lit(1.0)))
+        + 0.25 * F.least(stop / 0.1, F.lit(1.0))
+        + 0.25 * ttr,
+        6,
+    )
+    n = F.size("toks")
+    n2 = F.size("g2")
+    dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
+    top2 = _top_count(F.col("g2")).cast("double") / n2
+    rep_flag = (dup > 0.5) | (top2 > 0.18)
+    reasons = F.filter(
+        F.array(
+            F.when(score < QF_MIN_QUALITY, "low_quality"),
+            F.when(rep_flag, "repetitive"),
+            F.when(~F.col("lang").isin(*QF_LANGS), "lang"),
+            F.when(F.col("n_chars") < QF_MIN_CHARS, "too_short"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return base.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

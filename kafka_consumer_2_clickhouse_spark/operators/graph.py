@@ -97,7 +97,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels.select("id", F.col("comp").alias("component_id"))
 
 
-def _components_oracle() -> str:
+def _components_cte() -> str:
+    """Shared recursive-CTE prefix: ``comp(doc_id, component_id)`` over
+    the verified LSH near-dup edges."""
     lsh = ORACLE_SQL["lsh_candidate_pairs"]
     return f"""
     WITH RECURSIVE lsh AS (
@@ -110,10 +112,14 @@ def _components_oracle() -> str:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.src, e.d FROM reach r JOIN e ON r.node = e.s
-    )
-    SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component_id
-    FROM reach GROUP BY src
-    """
+    ), comp AS (
+      SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component_id
+      FROM reach GROUP BY src
+    )"""
+
+
+def _components_oracle() -> str:
+    return _components_cte() + "\n    SELECT doc_id, component_id FROM comp"
 
 
 @query("near_dup_components", oracle=_components_oracle())
@@ -135,3 +141,49 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = connected_components(docs, edges)
     return out.select(F.col("id").alias("doc_id"), "component_id")
+
+
+def _keep_docs_oracle() -> str:
+    return (
+        _components_cte()
+        + """
+    , sizes AS (
+      SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, CAST(s.n_members AS BIGINT) AS n_members, d.n_chars
+    FROM comp c
+    JOIN sizes s USING (component_id)
+    JOIN documents d USING (doc_id)
+    WHERE c.doc_id = c.component_id
+    """
+    )
+
+
+@query("dedup_keep_docs", oracle=_keep_docs_oracle())
+def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the kept corpus. One canonical doc
+    per near-dup component (the min doc_id — the component label
+    itself), with its cluster size. Singleton docs pass through with
+    n_members = 1, so this IS the deduplicated dataset a training run
+    reads.
+
+    Scale: components' labels relation (already persisted by the
+    fixpoint loop) aggregates once on component_id for sizes — a
+    shuffle of |docs| narrow rows — then the keep predicate
+    ``doc_id = component_id`` filters to one row per cluster and a
+    final doc_id join recovers payload columns. At 100 TB the payload
+    join is the big equi-join, and it's on the same doc_id the landing
+    layout buckets by (tests/test_storage_layout.py), so it degenerates
+    to a co-located join on a bucketed table.
+    """
+    comp = near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    kept = (
+        comp.filter(F.col("doc_id") == F.col("component_id"))
+        .join(sizes, "component_id")
+        .select("doc_id", "n_members")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return kept.join(docs, "doc_id").select("doc_id", "n_members", "n_chars")

@@ -388,3 +388,89 @@ def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: bounded-memory candidates + exact recount
+# --------------------------------------------------------------------------
+
+HH_K = 50  # published top-k
+HH_CAPACITY = 256  # Misra-Gries counters per partition
+
+
+def _mg_candidates(batches):
+    """Weighted Misra-Gries per partition (bounded memory).
+
+    Folds each Arrow batch's value_counts into <= HH_CAPACITY counters;
+    overflow subtracts the order-statistic d that leaves HH_CAPACITY
+    survivors (the generalized MG decrement). Guarantee: every token
+    with partition count > n_partition/(HH_CAPACITY+1) survives, so the
+    union over partitions is a SUPERSET of every token with global
+    count > n/(HH_CAPACITY+1) (pigeonhole across partitions).
+    """
+    import numpy as np
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok, cnt in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        if len(counters) > HH_CAPACITY:
+            vals = np.array(list(counters.values()))
+            # smallest d such that #(vals > d) <= HH_CAPACITY
+            d = int(np.partition(vals, len(vals) - HH_CAPACITY - 1)[
+                len(vals) - HH_CAPACITY - 1
+            ])
+            counters = {t: c - d for t, c in counters.items() if c > d}
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=f"""
+    SELECT tok, n FROM (
+      SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ) t WHERE rk <= {HH_K}
+    ORDER BY n DESC, tok
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-``HH_K`` tokens via Misra-Gries candidates + exact
+    recount — the bounded-memory alternative to ``token_frequencies``'
+    full groupBy.
+
+    Why it exists: a full token groupBy holds the whole vocabulary in
+    the aggregation hash tables — fine here, but a 100 TB web corpus
+    has billions of distinct tokens and the partial-aggregate maps
+    spill. This plan caps state at HH_CAPACITY counters per partition
+    (phase 1, Arrow-batched MG), broadcasts the tiny candidate union,
+    and recounts ONLY candidate tokens exactly (phase 2) — the
+    full-vocabulary shuffle never happens; non-candidate tokens die at
+    the scan's broadcast semi-join.
+
+    Result is provably the exact top-k whenever the k-th frequency
+    exceeds n/(HH_CAPACITY+1) — amply true for natural-language token
+    distributions (Zipf) at any corpus size with k=50, C=256. The
+    exact-recount phase is what makes an approximate-sketch pattern
+    oracle-checkable.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    cands = toks.mapInPandas(_mg_candidates, "tok string").distinct()
+    counted = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
+    return (
+        counted.withColumn("rk", rk)
+        .filter(F.col("rk") <= HH_K)
+        .select("tok", "n")
+        .orderBy(F.desc("n"), F.asc("tok"))
+    )

@@ -182,3 +182,53 @@ def test_normalize_idempotent(spark, sf_dir):
         )
     )
     assert again.filter(F.col("text") != F.col("text2")).count() == 0
+
+
+def test_quality_filter_consistent_with_components(spark, sf_dir):
+    """The fused gate must agree row-by-row with the registered
+    component queries it inlines."""
+    from kafka_consumer_2_clickhouse_spark.operators import (
+        curation,
+        text_analysis,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    q = {r["doc_id"]: r for r in
+         text_analysis.doc_quality_scores(spark, sf_dir).collect()}
+    rep = {r["doc_id"]: r for r in
+           curation.doc_repetition_scores(spark, sf_dir).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in
+             load_table(spark, sf_dir, "documents").collect()}
+    for r in curation.doc_quality_filter(spark, sf_dir).collect():
+        d = r["doc_id"]
+        expect = []
+        if q[d]["quality_score"] < curation.QF_MIN_QUALITY:
+            expect.append("low_quality")
+        if rep[d]["flagged"]:
+            expect.append("repetitive")
+        if langs[d] not in curation.QF_LANGS:
+            expect.append("lang")
+        if q[d]["n_chars"] < curation.QF_MIN_CHARS:
+            expect.append("too_short")
+        assert list(r["reasons"]) == expect, (d, r["reasons"], expect)
+        assert r["keep"] == (not expect)
+
+
+def test_heavy_hitters_match_full_groupby(spark, sf_dir):
+    """MG candidates + exact recount must equal the exact top-k from
+    the full-vocabulary groupBy, including tie order."""
+    from kafka_consumer_2_clickhouse_spark.operators import text_analysis
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    hh = [(r["tok"], r["n"]) for r in
+          text_analysis.token_heavy_hitters(spark, sf_dir).collect()]
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(text_analysis.HH_K)
+        .collect()
+    )
+    assert hh == [(r["tok"], r["count"]) for r in full]

@@ -42,3 +42,26 @@ def test_nonconvergence_raises_instead_of_wrong_clusters(spark, monkeypatch):
     monkeypatch.setattr(graph, "MAX_ROUNDS", 2)
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, list(range(1, 8)), [(i, i + 1) for i in range(1, 7)])
+
+
+def test_dedup_keep_docs_partitions_corpus(spark, sf_dir):
+    """Every document belongs to exactly one kept representative's
+    cluster: sum of n_members == corpus size, representatives are
+    their own component labels, and no two kept docs share a
+    component."""
+    from kafka_consumer_2_clickhouse_spark.operators import graph
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    kept = graph.dedup_keep_docs(spark, sf_dir)
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    agg = kept.agg(
+        F.sum("n_members").alias("covered"),
+        F.count("*").alias("n_kept"),
+        F.count_distinct("doc_id").alias("n_distinct"),
+    ).first()
+    assert agg["covered"] == total_docs
+    assert agg["n_kept"] == agg["n_distinct"]
+    comp = graph.near_dup_components(spark, sf_dir)
+    reps = comp.filter(F.col("doc_id") == F.col("component_id")).count()
+    assert agg["n_kept"] == reps

@@ -50,7 +50,7 @@ def test_sketches_within_error_bounds(spark, sf_dir):
 
 def test_profile_approx_matches_exact_within_hll_bounds(spark, sf_dir):
     """events_profile_approx: n_nulls/min/max EXACTLY equal the exact
-    profile; n_distinct within HLL++ rsd=1% (3 sigma)."""
+    profile; n_distinct within HLL++ rsd=2% (3 sigma)."""
     exact = {
         r["col_name"]: r
         for r in ops.QUERIES["events_profile"](spark, sf_dir).collect()
@@ -66,5 +66,5 @@ def test_profile_approx_matches_exact_within_hll_bounds(spark, sf_dir):
         assert a["min_value"] == e["min_value"], col
         assert a["max_value"] == e["max_value"], col
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
-            3, 0.03 * e["n_distinct"]
+            3, 0.06 * e["n_distinct"]
         ), (col, a["n_distinct"], e["n_distinct"])
