@@ -144,3 +144,43 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         "scale",
     )
+
+
+def manifest_sql(n_shards: int = PACK_SHARDS, seq_len: int = SEQ_LEN) -> str:
+    return f"""
+    WITH p AS ({pack_sql(n_shards, seq_len)})
+    SELECT seq_id,
+           list(doc_id ORDER BY seq_offset, doc_id) AS doc_ids,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM p GROUP BY seq_id
+    """
+
+
+@query("pack_manifest", oracle=manifest_sql())
+def pack_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = PACK_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """The packed dataset's read plan: for every packed sequence, the
+    ordered document ids that START in it, with doc and token counts —
+    what a training data-loader consumes to assemble token streams
+    (straddling docs appear in their starting sequence; the loader
+    carries the overflow forward, exactly as the offsets dictate).
+
+    Scale: one narrow shuffle keyed on seq_id over the (doc_id,
+    seq_offset) assignment rows; list assembly is a sorted
+    collect_list per sequence, bounded by docs-per-sequence (~seq_len
+    / avg_doc_tokens), not corpus size.
+    """
+    asn = doc_pack_assignment(spark, sf_dir, n_shards, seq_len)
+    return asn.groupBy("seq_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seq_offset", "doc_id"))),
+            lambda s: s.doc_id,
+        ).alias("doc_ids"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -1,0 +1,59 @@
+"""Incremental rollup maintenance: fold-in-any-order == recompute."""
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.functions import rollup
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def _canon(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=repr,
+    )
+
+
+def test_incremental_equals_recompute(spark, sf_dir):
+    """Split events into 3 arbitrary batches, maintain the state
+    incrementally, finalize — identical to the from-scratch rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    state = reduce(
+        rollup.merge_rollup, (rollup.rollup_state(b) for b in batches)
+    )
+    incremental = rollup.finalize_rollup(state)
+    scratch = rollup.finalize_rollup(rollup.rollup_state(ev))
+    assert _canon(incremental) == _canon(scratch)
+
+
+def test_merge_order_invariant(spark, sf_dir):
+    """The fold is associative/commutative: reversed batch order gives
+    the identical state (exact decimal sums — no IEEE drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [rollup.rollup_state(b) for b in batches]
+    fwd = reduce(rollup.merge_rollup, states)
+    rev = reduce(rollup.merge_rollup, reversed(states))
+    assert _canon(fwd) == _canon(rev)
+
+
+def test_empty_delta_is_identity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    state = rollup.rollup_state(ev)
+    empty = rollup.rollup_state(ev.filter(F.lit(False)))
+    merged = rollup.merge_rollup(state, empty)
+    assert _canon(merged) == _canon(state)
+
+
+def test_state_stays_keyspace_sized(spark, sf_dir):
+    """State rows == distinct (bucket, key) pairs, not event count —
+    the property that keeps 100 TB maintenance shuffles tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    state = rollup.rollup_state(ev)
+    keyspace = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).distinct()
+    assert state.count() == keyspace.count()
