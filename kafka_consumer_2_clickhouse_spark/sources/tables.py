@@ -77,7 +77,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table with nanos-timestamp restoration."""
+    """Load one corpus table with timestamp normalization.
+
+    The corpus has shipped timestamps two ways across driver versions:
+    parquet TIMESTAMP(NANOS) (read as epoch-nanos longs under
+    ``nanosAsLong``) and naive TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Both are restored to plain ``TimestampType`` here —
+    the session timezone is pinned UTC, so the NTZ->LTZ cast is
+    value-preserving and every downstream operator (RANGE frames over
+    ``unix_micros``, ``window()``, timestamp-literal comparisons) sees
+    one consistent type either way.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -86,6 +98,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with INTEGER division — epoch-nanos (~1.7e18) overflow a double's
         # 53-bit mantissa, so `/ 1000` + cast would be off by ±1 microsecond.
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 
