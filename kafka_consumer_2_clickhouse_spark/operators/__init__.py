@@ -1,9 +1,11 @@
 from . import (  # noqa: F401
     analytics,
     behavior,
+    clustering,
     dedup,
     graph,
     multimodal,
+    pii,
     profile,
     sampling,
     similarity,

@@ -1,0 +1,262 @@
+"""Distributed k-means clustering over the embedding corpus ([EXT]).
+
+Semantic clustering is a first-class curation operator in LLM data
+pipelines (cluster-balanced sampling, topic pruning, semantic dedup
+pre-grouping — e.g. the SemDeDup / DoReMi family of recipes all start
+from a k-means partition of an embedding table). This module runs
+Lloyd's algorithm as pure DataFrame ops with an *exact* cross-engine
+contract, so the full iterative algorithm is value-hash oracle-checked
+against DuckDB — not rows-only.
+
+Determinism engineering (no floating-point drift anywhere):
+
+- Distances are computed as SCALED INTEGERS: per-dimension
+  ``round((a-b)^2 * 1e9) :: bigint``, summed exactly. Assignment is an
+  argmin over bigints with ties broken on centroid id — bit-identical
+  on any engine and any partitioning.
+- Centroid updates sum coordinates as ``decimal(27,9)`` (associative,
+  order-insensitive — the repo-wide ``dsum`` discipline) and divide by
+  the exact member count in double: identical inputs -> identical IEEE
+  result on both engines.
+- Init is the K lowest ``vec_id`` vectors (no RNG), so reruns and the
+  oracle see the same seeds.
+
+Scale (100 TB embedding table, 1000 executors):
+- Assignment is MAP-ONLY: centroids are K*D literals compiled into the
+  plan (k-means centroid state is tiny by construction; the classic
+  broadcast-Lloyd's layout). No shuffle, no UDF — whole-stage codegen.
+- The update step shuffles only K*D grouped rows after map-side partial
+  aggregation (posexplode fans out D rows per vector, but the combiner
+  collapses them to K*D partial sums per task before the exchange).
+- Driver pulls K*D means per iteration (bounded, ~KBs) to compile the
+  next round's literals — the same bounded-pull pattern as the IVF
+  coarse quantizer (`similarity.py`).
+- Iteration count is a fixed constant: the cost is ITERS scans, each
+  embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table, spread
+from .analytics import query
+
+KMEANS_K = 8
+KMEANS_DIM = 64
+KMEANS_ITERS = 3  # centroid updates; output assignment uses the final set
+DIST_SCALE = 1_000_000_000.0  # 1e-9 distance resolution, exact in bigint
+
+
+def _v(df: DataFrame) -> DataFrame:
+    """Embedding as double array (float->double widening is exact)."""
+    return df.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sqdist_scaled(v: Column, centroid: list[float]) -> Column:
+    """Exact scaled-integer squared distance to one literal centroid."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    terms = F.zip_with(
+        v, carr, lambda a, b: F.round((a - b) * (a - b) * F.lit(DIST_SCALE)).cast("long")
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign(vecs: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Argmin assignment against literal centroids (map-only)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_scaled(F.col("v"), c).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, c in sorted(centroids.items())
+            ]
+        )
+    )
+    return vecs.withColumn("best", best).select(
+        "vec_id",
+        "label",
+        "v",
+        F.col("best.cid").alias("cluster"),
+        F.col("best.d").alias("dsc"),
+    )
+
+
+def _update(assigned: DataFrame) -> dict[int, list[float]]:
+    """Exact per-cluster coordinate means; empty clusters drop out.
+
+    decimal(27,9) sums are associative -> identical across engines and
+    partitionings; the K*D grouped aggregate collapses map-side.
+    """
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,9)")).cast("double") / F.count("*")
+            ).alias("m")
+        )
+        .collect()
+    )
+    cents: dict[int, list[float]] = {}
+    for r in rows:
+        cents.setdefault(r["cluster"], [0.0] * KMEANS_DIM)[r["pos"]] = r["m"]
+    return cents
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's run; returns (vec_id, label, cluster, dsc)."""
+    vecs = spread(_v(load_table(spark, sf_dir, "embeddings")))
+    init = (
+        vecs.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "v").collect()
+    )
+    centroids = {i: list(r["v"]) for i, r in enumerate(init)}
+    for _ in range(KMEANS_ITERS):
+        centroids = _update(_assign(vecs, centroids))
+    return _assign(vecs, centroids)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — the same algorithm, unrolled
+# ---------------------------------------------------------------------------
+
+_SQL_DIST = (
+    "CAST(list_sum(list_transform(range(1, {dim1}), "
+    "i -> CAST(round((v[i]-cv[i])*(v[i]-cv[i]) * {scale}) AS BIGINT))) AS BIGINT)"
+).format(dim1=KMEANS_DIM + 1, scale=f"{DIST_SCALE:.1f}")
+
+
+def _sql_assign(src: str, cents: str) -> str:
+    return f"""(
+  SELECT vec_id, label, v, cid AS cluster, dsc FROM (
+    SELECT s.vec_id, s.label, s.v, c.cid, {_SQL_DIST} AS dsc,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_SQL_DIST}, c.cid) AS rn
+    FROM {src} s CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_update(assigned: str) -> str:
+    return f"""(
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cluster AS cid, i AS pos,
+           CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m
+    FROM {assigned} CROSS JOIN generate_series(1, {KMEANS_DIM}) AS t(i)
+    GROUP BY cluster, i
+  ) GROUP BY cid
+)"""
+
+
+def _kmeans_ctes() -> str:
+    parts = [
+        "e AS (SELECT vec_id, label,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)""",
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(f"a{it} AS {_sql_assign('e', f'c{it}')}")
+        parts.append(f"c{it + 1} AS {_sql_update(f'a{it}')}")
+    parts.append(f"afinal AS {_sql_assign('e', f'c{KMEANS_ITERS}')}")
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    {_kmeans_ctes()}
+    SELECT vec_id, cluster,
+           CAST(dsc AS DOUBLE) / {DIST_SCALE:.1f} AS dist
+    FROM afinal
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster assignment after KMEANS_ITERS Lloyd's rounds.
+
+    The whole iterative algorithm is exact (see module doc), so this is
+    value-hash-checked against a fully unrolled DuckDB twin — an
+    iterative distributed algorithm with a closed-form SQL oracle.
+    """
+    out = kmeans_assignments(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        "cluster",
+        (F.col("dsc").cast("double") / F.lit(DIST_SCALE)).alias("dist"),
+    )
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    {_kmeans_ctes()}
+    , sized AS (
+      SELECT cluster, label, count(*) AS nl,
+             CAST(sum(dsc) AS BIGINT) AS dsum_l
+      FROM afinal GROUP BY cluster, label
+    ), tot AS (
+      SELECT cluster, CAST(sum(nl) AS BIGINT) AS n_vecs,
+             CAST(sum(dsum_l) AS DOUBLE) / sum(nl) / {DIST_SCALE:.1f}
+               AS avg_dist
+      FROM sized GROUP BY cluster
+    ), maj AS (
+      SELECT cluster, label AS majority_label, nl FROM (
+        SELECT cluster, label, nl,
+               row_number() OVER (
+                 PARTITION BY cluster ORDER BY nl DESC, label) AS rn
+        FROM sized
+      ) WHERE rn = 1
+    )
+    SELECT t.cluster, t.n_vecs, t.avg_dist, m.majority_label,
+           CAST(m.nl AS DOUBLE) / t.n_vecs AS purity
+    FROM tot t JOIN maj m ON t.cluster = m.cluster
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster QC summary: size, mean distance, majority ground-truth
+    label and its purity — the table a curation run reads to decide
+    which semantic clusters to keep, downsample, or drop.
+
+    Scale: one K*L grouped aggregate over the assignment (map-side
+    combine -> tiny), then K-row joins. All heavy math happened in the
+    map-only assignment pass.
+    """
+    assigned = kmeans_assignments(spark, sf_dir)
+    sized = assigned.groupBy("cluster", "label").agg(
+        F.count("*").alias("nl"), F.sum("dsc").cast("bigint").alias("dsum_l")
+    )
+    tot = sized.groupBy("cluster").agg(
+        F.sum("nl").cast("bigint").alias("n_vecs"),
+        (
+            F.sum("dsum_l").cast("double") / F.sum("nl") / F.lit(DIST_SCALE)
+        ).alias("avg_dist"),
+    )
+    w = F.struct(F.col("nl").alias("nl"), (-F.col("label")).alias("neg"))
+    maj = (
+        sized.groupBy("cluster")
+        .agg(F.max_by(F.struct("label", "nl"), w).alias("m"))
+        .select(
+            "cluster",
+            F.col("m.label").alias("majority_label"),
+            F.col("m.nl").alias("maj_n"),
+        )
+    )
+    return (
+        tot.join(maj, "cluster")
+        .select(
+            "cluster",
+            "n_vecs",
+            "avg_dist",
+            "majority_label",
+            (F.col("maj_n").cast("double") / F.col("n_vecs")).alias("purity"),
+        )
+    )

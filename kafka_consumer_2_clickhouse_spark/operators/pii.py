@@ -1,0 +1,121 @@
+"""PII detection / redaction over the document corpus ([EXT]).
+
+Every production training-data pipeline runs a PII pass between ingest
+and packing (e.g. the C4 / Dolma / FineWeb recipes strip emails, phone
+numbers, IP addresses before anything else sees the text). These
+operators are the Spark-native version: pure regex map stages that scan
+once, count per category, and rewrite the text with typed placeholder
+tags.
+
+Engine portability: the patterns below use only the regex subset with
+identical semantics in Java's engine (Spark) and RE2 (DuckDB) — ASCII
+character classes, bounded quantifiers, ``\\b`` word boundaries; no
+backreferences, no lookaround. Cross-engine equality of both the counts
+and the redacted strings (including overlap edge cases like
+``12.34.56.78.90``) is pinned by ``tests/test_pii.py`` on synthetic
+PII-bearing text; the registered corpus queries are oracle-checked the
+same as every other query (the synthetic corpus is PII-free, so they
+also document the expected all-clear shape).
+
+Scale (100 TB): both operators are MAP-ONLY — regex evaluation fuses
+into the parquet scan under whole-stage codegen, no shuffle, no UDF,
+no Python. Redaction order is fixed (email -> ssn -> phone -> ipv4) so
+the output is deterministic wherever patterns could interact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+#: category -> pattern, in fixed application order (dict order matters
+#: for redaction when matches could overlap).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+}
+
+
+def pii_count_columns(text: Column | str) -> list[Column]:
+    """One ``<kind>_count`` int column per PII category (map-only)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(p)).cast("int").alias(f"{k}_count")
+        for k, p in PII_PATTERNS.items()
+    ]
+
+
+def redact_column(text: Column | str) -> Column:
+    """Text with every PII match replaced by its ``<KIND>`` tag."""
+    c = F.col(text) if isinstance(text, str) else text
+    for k, p in PII_PATTERNS.items():
+        c = F.regexp_replace(c, p, f"<{k.upper()}>")
+    return c
+
+
+def _sql_counts(text: str) -> str:
+    return ", ".join(
+        f"CAST(len(regexp_extract_all({text}, '{p}')) AS INT) AS {k}_count"
+        for k, p in PII_PATTERNS.items()
+    )
+
+
+def _sql_redact(text: str) -> str:
+    expr = text
+    for k, p in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{p}', '<{k.upper()}>', 'g')"
+    return expr
+
+
+_TOTAL = " + ".join(f"{k}_count" for k in PII_PATTERNS)
+
+
+@query(
+    "doc_pii_scan",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT doc_id, {_sql_counts('text')},
+             {_sql_redact('text')} <> text AS has_pii
+      FROM documents
+    )
+    """,
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII category counts + a has-PII flag.
+
+    The flag is derived from the redacted text (not the counts) so it
+    is true exactly when redaction would change the document — the
+    predicate a filtering pass pushes into the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *pii_count_columns("text"),
+        (redact_column("text") != F.col("text")).alias("has_pii"),
+    )
+
+
+@query(
+    "doc_pii_redact",
+    oracle=f"""
+    SELECT doc_id, {_sql_redact('text')} AS clean_text,
+           CAST(length(text) - length({_sql_redact('text')}) AS BIGINT)
+             AS chars_removed
+    FROM documents
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted corpus: PII spans replaced with ``<KIND>`` tags, plus
+    the per-doc size delta (negative when a tag is longer than the
+    span it replaced)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = redact_column("text")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length("text") - F.length(clean)).cast("bigint").alias("chars_removed"),
+    )

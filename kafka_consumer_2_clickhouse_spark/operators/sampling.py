@@ -207,3 +207,139 @@ def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Source/language mixture sampling
+# --------------------------------------------------------------------------
+
+#: target language proportions for the mixed training corpus. The
+#: achievable scale is set by the most-constrained language (here "en":
+#: its corpus share is below its 50% target, so every en doc is kept
+#: and the other languages are downsampled proportionally).
+MIXTURE_TARGET: dict[str, float] = {
+    "en": 0.50,
+    "fr": 0.20,
+    "de": 0.10,
+    "es": 0.10,
+    "zh": 0.10,
+}
+
+
+def _mixture_quota(spark: SparkSession, sf_dir: str):
+    """(lang, n_avail, quota) — all lazy, no driver pull.
+
+    quota_l = floor(s * p_l) with s = min_l(n_l / p_l): the largest
+    total corpus for which every language can meet its target share.
+    All arithmetic is forced to double on both engines so the floor
+    boundary is computed identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_TARGET.items() for x in kv]
+    )
+    cnt = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n_l"))
+        .withColumn("p_l", tgt[F.col("lang")])
+        .filter(F.col("p_l").isNotNull())
+    )
+    scale = cnt.agg(F.min(F.col("n_l") / F.col("p_l")).alias("s"))
+    return cnt.crossJoin(F.broadcast(scale)).select(
+        "lang",
+        F.col("n_l").cast("bigint").alias("n_avail"),
+        F.floor(F.col("s") * F.col("p_l")).cast("bigint").alias("quota"),
+    )
+
+
+_MIX_CTES = f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n_l FROM documents GROUP BY lang
+    ), p AS (
+      SELECT * FROM (VALUES {', '.join(
+          f"('{k}', CAST({v} AS DOUBLE))" for k, v in MIXTURE_TARGET.items()
+      )}) AS t(lang, p_l)
+    ), cp AS (
+      SELECT c.lang, c.n_l, p.p_l FROM c JOIN p USING (lang)
+    ), s AS (
+      SELECT min(n_l / p_l) AS s FROM cp
+    ), q AS (
+      SELECT lang, CAST(n_l AS BIGINT) AS n_avail,
+             CAST(floor(s.s * p_l) AS BIGINT) AS quota
+      FROM cp, s
+    ), r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+"""
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    {_MIX_CTES}
+    SELECT r.doc_id, r.lang, r.source
+    FROM r JOIN q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed corpus: exactly quota_l docs per language, chosen by
+    content-hash rank — deterministic across engines, partitionings,
+    and reruns (DoReMi-style source weighting, made reproducible).
+
+    Scale: the language counts collapse map-side (5 grouped rows); the
+    quota relation is 5 rows and broadcast into the filter. The
+    per-language ``row_number`` is the price of EXACT quotas — one
+    shuffle on ``lang``; skewed languages are handled by AQE skew
+    splitting only up to ordering, so the truly-huge-corpus variant is
+    the hash-THRESHOLD filter (see ``events_stratified_sample``), which
+    trades exact counts for a fully map-side plan. Both are provided;
+    this one is the contract the mixture's accounting needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    quota = _mixture_quota(spark, sf_dir)
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", rk)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "corpus_mixture_summary",
+    oracle=f"""
+    {_MIX_CTES}
+    SELECT lang, n_avail, quota,
+           CAST(quota AS DOUBLE) / n_avail AS keep_frac,
+           CAST(quota AS DOUBLE) / (SELECT sum(quota) FROM q)
+             AS achieved_share
+    FROM q
+    """,
+)
+def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting: per-language availability, quota, keep
+    fraction, and the achieved share of the mixed corpus (equals the
+    target share up to floor rounding). Tiny aggregate — the table a
+    pipeline run logs next to the sampled output."""
+    quota = _mixture_quota(spark, sf_dir)
+    tot = quota.agg(F.sum("quota").cast("double").alias("t"))
+    return quota.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_avail",
+        "quota",
+        (F.col("quota").cast("double") / F.col("n_avail")).alias("keep_frac"),
+        (F.col("quota").cast("double") / F.col("t")).alias("achieved_share"),
+    )
