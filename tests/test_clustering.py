@@ -1,0 +1,100 @@
+"""k-means clustering: algorithmic sanity beyond the oracle hash
+(which pins exact equality with the unrolled DuckDB twin) — cluster
+quality against ground-truth labels, determinism across invocations,
+and the scale-critical plan shape of the assignment pass."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators.clustering import (
+    KMEANS_ITERS,
+    KMEANS_K,
+    _assign,
+    _v,
+    kmeans_assignments,
+)
+from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_clusters_align_with_labels(spark, sf_dir):
+    """The corpus embeddings carry 10 ground-truth labels, but the
+    label signal is WEAK by construction (near-isotropic unit vectors:
+    same-label mean cosine ~0.02; even a nearest-label-centroid
+    classifier scores only ~37%). The bar is therefore "measurably
+    above the 10% random floor", not textbook-separable purity."""
+    prof = ops.QUERIES["kmeans_cluster_profile"](spark, sf_dir).collect()
+    assert 1 <= len(prof) <= KMEANS_K
+    total = sum(r["n_vecs"] for r in prof)
+    weighted_purity = sum(r["purity"] * r["n_vecs"] for r in prof) / total
+    assert weighted_purity > 0.12, f"purity {weighted_purity:.2f}"
+    # every vector assigned exactly once
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n_vecs
+
+
+def test_assignments_deterministic(spark, sf_dir):
+    a = sorted(
+        (r["vec_id"], r["cluster"]) for r in kmeans_assignments(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"]) for r in kmeans_assignments(spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_iterations_do_not_increase_cost(spark, sf_dir):
+    """Lloyd's invariant: total within-cluster cost is non-increasing
+    across iterations (assignment and update each only improve it)."""
+    vecs = _v(load_table(spark, sf_dir, "embeddings"))
+    init = vecs.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "v").collect()
+    centroids = {i: list(r["v"]) for i, r in enumerate(init)}
+    from kafka_consumer_2_clickhouse_spark.operators.clustering import _update
+
+    costs = []
+    for _ in range(KMEANS_ITERS + 1):
+        assigned = _assign(vecs, centroids)
+        costs.append(assigned.agg(F.sum("dsc")).collect()[0][0])
+        centroids = _update(assigned)
+    assert costs == sorted(costs, reverse=True), f"cost increased: {costs}"
+
+
+def test_assignment_plan_is_map_only(spark, sf_dir):
+    """The per-iteration assignment must compile to a literal-centroid
+    map with no exchange and no Python stage — the property that makes
+    broadcast-Lloyd's scan-bound at 100 TB."""
+    vecs = _v(load_table(spark, sf_dir, "embeddings"))
+    init = vecs.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "v").collect()
+    centroids = {i: list(r["v"]) for i, r in enumerate(init)}
+    p = physical_plan(_assign(vecs, centroids))
+    for bad in ("Exchange", "Join", "ArrowEval", "BatchEval"):
+        assert bad not in p, f"unexpected {bad} in assignment plan\n{p}"
+
+
+def test_mixture_quota_accounting(spark, sf_dir):
+    """Quotas respect availability, the constrained language keeps all
+    its docs, and the sample realizes the quotas exactly."""
+    summary = {
+        r["lang"]: r
+        for r in ops.QUERIES["corpus_mixture_summary"](spark, sf_dir).collect()
+    }
+    from kafka_consumer_2_clickhouse_spark.operators.sampling import MIXTURE_TARGET
+
+    assert set(summary) == set(MIXTURE_TARGET)
+    for lang, r in summary.items():
+        assert 0 <= r["quota"] <= r["n_avail"]
+    assert any(r["quota"] == r["n_avail"] for r in summary.values())
+    # achieved shares match targets up to floor rounding
+    total = sum(r["quota"] for r in summary.values())
+    for lang, r in summary.items():
+        assert abs(r["achieved_share"] - MIXTURE_TARGET[lang]) < 2.0 / max(total, 1)
+
+    sample = (
+        ops.QUERIES["corpus_mixture_sample"](spark, sf_dir)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert {r["lang"]: r["count"] for r in sample} == {
+        lang: r["quota"] for lang, r in summary.items() if r["quota"] > 0
+    }

@@ -31,6 +31,8 @@ BNLJ_ALLOWED = {
     "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
     "tfidf_top_terms",  # 1-row corpus-count crossJoin
     "events_hourly_gapfill",  # hours x types spine: two tiny derived dims
+    "corpus_mixture_sample",  # 1-row scale-factor crossJoin into 5-row quota
+    "corpus_mixture_summary",  # 1-row scale + 1-row total crossJoins
 }
 
 
