@@ -87,6 +87,10 @@ EXTRA = [
     "events_user_reservoir",
     "pq_cosine_topk",
     "events_profile_approx",
+    # round 4
+    "kmeans_clusters",
+    "corpus_mixture_sample",
+    "doc_pii_redact",
 ]
 
 

@@ -156,12 +156,26 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count, keyed on doc_id (narrow, combiner-friendly). The
     100 TB train side is never shuffled on the shingle.
     """
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        split_column(F.col("doc_id")).alias("split"),
-        F.array_distinct(
-            X.shingles(X.tokens("text"), DECON_SHINGLE_N)
-        ).alias("sh"),
+    from pyspark import StorageLevel
+
+    # Three consumers read this relation (benchmark shingle set, train
+    # totals, train hit counts); persist so the tokenize+shingle map —
+    # the dominant CPU of this operator — runs once, not three times.
+    # Recomputable lineage (caller-owned cleanup, see
+    # operators.release_intermediate_caches). At 100 TB you'd persist
+    # DISK_ONLY or restructure to carry n_shingles through the explode;
+    # the plan shape (broadcast probe, single doc_id shuffle) is
+    # unchanged either way.
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            split_column(F.col("doc_id")).alias("split"),
+            F.array_distinct(
+                X.shingles(X.tokens("text"), DECON_SHINGLE_N)
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bench = (
         docs.filter(F.col("split") == "test")

@@ -372,50 +372,58 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash each token ONCE; per md5 nibble, one LUT lookup yields the
     # nibble's 4 bit-counters PACKED into one long at 15-bit lanes
     # (bit3<<45 | bit2<<30 | bit1<<15 | bit0) — so the whole 64-bit
-    # popcount is 16 aggregate sums instead of 64 (Spark has no
-    # cross-aggregate-buffer CSE, and each agg buffer costs analysis +
-    # codegen + per-row update). Lanes can't collide below 2^15 = 32768
-    # tokens per doc (corpus max: 100; at ingest, cap token streams or
-    # widen to 2 lanes/long). The ±1 sign-sum becomes popcount algebra:
-    # sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
+    # popcount is 16 sums instead of 64. Lanes can't collide below
+    # 2^15 = 32768 tokens per doc (corpus max: 100; at ingest, cap
+    # token streams or widen to 2 lanes/long). The ±1 sign-sum becomes
+    # popcount algebra: sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
+    #
+    # MAP-ONLY formulation: fold the token array with F.aggregate into
+    # a 16-lane struct accumulator instead of explode + groupBy. Same
+    # arithmetic, but zero shuffle and no 10M-row materialization —
+    # measured ~2.5x faster than the explode plan at sf0.1, and at
+    # 100 TB the signature stage becomes pure scan parallelism (the
+    # explode plan's per-doc combine already kept the shuffle small;
+    # this removes it entirely).
     lut = [
         ((n >> 3 & 1) << 45) | ((n >> 2 & 1) << 30) | ((n >> 1 & 1) << 15) | (n & 1)
         for n in range(16)
     ]
     lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
 
-    # Nibble extraction: parse the first 16 hex chars as TWO 32-bit ints
-    # (2 string-parsing convs per token instead of 16 substring+conv),
-    # then pull each nibble with integer shift+mask — all inside one
-    # whole-stage-codegen span. Nibble p of a big-endian 8-char parse
-    # sits at shift 4*(7 - p%8).
-    def nibble(p: int):
-        word = F.col("v0") if p < 8 else F.col("v1")
-        return F.shiftright(word, 4 * (7 - p % 8)).bitwiseAND(15)
+    def packed(tok):
+        # Parse the first 16 hex chars of md5(tok) as TWO 32-bit ints
+        # (2 string-parsing convs per token instead of 16
+        # substring+conv); nibble p of a big-endian 8-char parse sits
+        # at shift 4*(7 - p%8).
+        h = F.md5(tok)
+        v0 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        v1 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
 
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .select("doc_id", F.md5("tok").alias("h"))
-        .select(
-            "doc_id",
-            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v0"),
-            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v1"),
+        def nibble(p: int):
+            word = v0 if p < 8 else v1
+            return F.shiftright(word, 4 * (7 - p % 8)).bitwiseAND(15)
+
+        return [F.element_at(lut_arr, nibble(p).cast("int") + 1) for p in range(16)]
+
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"s{p}") for p in range(16)])
+
+    def fold(acc, tok):
+        ps = packed(tok)
+        return F.struct(
+            *[(acc[f"s{p}"] + ps[p]).alias(f"s{p}") for p in range(16)]
         )
-        .select(
-            "doc_id",
-            *[
-                F.element_at(lut_arr, nibble(p).cast("int") + 1).alias(f"packed{p}")
-                for p in range(16)
-            ],
-        )
-    )
-    sums = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[F.sum(f"packed{p}").alias(f"s{p}") for p in range(16)],
+
+    toks = F.split("text", " ")
+    sums = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(toks, zero, fold).alias("s"),
     )
 
     def ones(i: int):  # set-bit count for global bit i, from lane i%4
-        return F.shiftright(F.col(f"s{i // 4}"), 45 - 15 * (i % 4)).bitwiseAND(0x7FFF)
+        return F.shiftright(
+            F.col("s").getField(f"s{i // 4}"), 45 - 15 * (i % 4)
+        ).bitwiseAND(0x7FFF)
 
     bits = F.concat(
         *[
@@ -505,13 +513,22 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from itertools import combinations
 
+    from pyspark import StorageLevel
+
     width = 64 // SIMHASH_BLOCKS
     sh = simhash_docs(spark, sf_dir)
+    # Persist the narrow (doc_id, v0, v1) fingerprints: the self-join's
+    # two sides are structurally identical but Spark's exchange-reuse
+    # did NOT fire for this plan (verified: 2 FileScans, 0
+    # ReusedExchange), so without the persist the whole signature
+    # pipeline — the dominant cost — executed twice. 24 bytes/doc,
+    # recomputable lineage, caller-owned cleanup
+    # (operators.release_intermediate_caches).
     fp = sh.select(
         "doc_id",
         F.conv(F.substring("simhash64", 1, 32), 2, 10).cast("long").alias("v0"),
         F.conv(F.substring("simhash64", 33, 32), 2, 10).cast("long").alias("v1"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def block(b: int):  # block b = bits [8b, 8b+8) of the fingerprint
         word = F.col("v0") if b < SIMHASH_BLOCKS // 2 else F.col("v1")
@@ -539,13 +556,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "v0", "v1", "bk.combo_id", "bk.key")
 
-    # SHUFFLE_HASH pins both sides to shuffle on (combo_id, key): the
-    # two sides are the SAME plan, so Spark computes the simhash
-    # pipeline once and wires a ReusedExchange into the other side —
-    # without the hint, local-mode AQE broadcasts one side (the
-    # relation is small at test SF) and the signature pipeline runs
-    # twice. At 100 TB the keys relation could never broadcast, so the
-    # hint also pins the only shape that exists at scale.
+    # SHUFFLE_HASH pins both sides to shuffle on (combo_id, key) —
+    # without the hint, local-mode AQE broadcasts one side because the
+    # relation is small at test SF. At 100 TB the keys relation could
+    # never broadcast, so the hint pins the only shape that exists at
+    # scale. (Pipeline reuse across the two sides comes from the fp
+    # persist above, not from exchange reuse — see that comment.)
     a, b = keys.alias("a"), keys.hint("shuffle_hash").alias("b")
     hamming = F.bit_count(F.col("a.v0").bitwiseXOR(F.col("b.v0"))) + F.bit_count(
         F.col("a.v1").bitwiseXOR(F.col("b.v1"))

@@ -50,8 +50,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     cleanup is caller-owned (``operators.release_intermediate_caches``
     or ``result.unpersist()`` after the consuming action).
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Persist the symmetrized edges ONCE: every round's neighbor-min
+    # join consumes this relation, and without the persist each round
+    # re-executes the full upstream edge derivation (for near-dup
+    # edges, the entire LSH band join) — measured as the dominant cost
+    # of the fixpoint loop at sf0.1. Recomputable lineage, so eviction
+    # degrades to recompute, never loss.
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(
         F.col("id"), F.col("id").cast("bigint").alias("comp")
@@ -89,11 +97,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         # loop exhaustion would silently return SPLIT components; a
         # diameter this large means the edges aren't near-dup-shaped —
         # fail loudly rather than hand back wrong clusters
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {MAX_ROUNDS} rounds "
             "(graph diameter exceeds the bound; raise MAX_ROUNDS or use "
             "large-star/small-star for adversarial graphs)"
         )
+    # final labels are materialized (the fixpoint collect ran), so the
+    # edge cache can go now; eviction of labels would recompute through
+    # lineage — correct, just slower.
+    sym.unpersist()
     return labels.select("id", F.col("comp").alias("component_id"))
 
 

@@ -1,0 +1,134 @@
+"""Streaming rollup maintenance: incremental-equals-recompute across
+micro-batches, checkpoint-recovery restarts, and replay idempotence —
+the materialized-view-on-ingest contract (streaming twin of
+``tests/test_rollup.py``)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.functions.rollup import (
+    finalize_rollup,
+    rollup_state,
+)
+from kafka_consumer_2_clickhouse_spark.streaming.rollup_sink import (
+    committed_batch,
+    read_state,
+    rollup_maintainer,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _rows(start, n):
+    return [
+        (
+            i,
+            f"2026-01-01 {i % 24:02d}:15:00",
+            f"t{i % 3}",
+            float(i) * 0.5,
+        )
+        for i in range(start, start + n)
+    ]
+
+
+def _write_chunk(spark, src_dir, start, n, name):
+    df = spark.createDataFrame(
+        [(i, ts, et, v) for i, ts, et, v in _rows(start, n)],
+        "event_id long, ts string, event_type string, value double",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{name}")
+
+
+def _run_stream(spark, src_dir, ckpt, state_dir):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(rollup_maintainer(str(state_dir)))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _canon(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    src, ckpt, state = tmp_path / "src", tmp_path / "ckpt", tmp_path / "state"
+    for b, start in enumerate((0, 40, 80)):
+        _write_chunk(spark, src, start, 40, f"chunk{b}")
+    _run_stream(spark, src, ckpt, state)
+    # one state version remains, folded over >1 micro-batch
+    assert committed_batch(str(state)) >= 1
+
+    all_rows = spark.createDataFrame(
+        [(i, ts, et, v) for i, ts, et, v in _rows(0, 120)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    incremental = finalize_rollup(read_state(spark, str(state)))
+    scratch = finalize_rollup(rollup_state(all_rows))
+    assert _canon(incremental) == _canon(scratch)
+
+    # restart with NEW data on the same checkpoint: only the new file
+    # is processed, and the state keeps equaling a full recompute
+    _write_chunk(spark, src, 120, 30, "chunk3")
+    _run_stream(spark, src, ckpt, state)
+    all_rows2 = spark.createDataFrame(
+        [(i, ts, et, v) for i, ts, et, v in _rows(0, 150)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    incremental2 = finalize_rollup(read_state(spark, str(state)))
+    scratch2 = finalize_rollup(rollup_state(all_rows2))
+    assert _canon(incremental2) == _canon(scratch2)
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """Calling the maintainer twice with the same batch_id (the crash-
+    replay case) must not double-fold."""
+    state = tmp_path / "state"
+    batch = spark.createDataFrame(
+        [(i, ts, et, v) for i, ts, et, v in _rows(0, 30)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    maintain = rollup_maintainer(str(state))
+    maintain(batch, 0)
+    once = _canon(finalize_rollup(read_state(spark, str(state))))
+    maintain(batch, 0)  # replay
+    twice = _canon(finalize_rollup(read_state(spark, str(state))))
+    assert once == twice
+    # an out-of-order older id is also ignored
+    maintain(batch.limit(5), 0)
+    assert _canon(finalize_rollup(read_state(spark, str(state)))) == once
+
+
+def test_new_batch_advances_version(spark, tmp_path):
+    state = tmp_path / "state"
+    df = spark.createDataFrame(
+        [(i, ts, et, v) for i, ts, et, v in _rows(0, 20)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    maintain = rollup_maintainer(str(state))
+    maintain(df, 0)
+    maintain(df.filter(F.lit(False)), 1)  # empty batch still commits
+    assert committed_batch(str(state)) == 1
+    # superseded version is gone
+    import os
+
+    assert os.listdir(str(state)) == ["batch=1"]
