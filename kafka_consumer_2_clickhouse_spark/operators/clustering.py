@@ -260,3 +260,48 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("maj_n").cast("double") / F.col("n_vecs")).alias("purity"),
         )
     )
+
+
+#: per-cluster cap for the balanced sample
+CLUSTER_SAMPLE_K = 50
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    {_kmeans_ctes()}
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM afinal
+    ) WHERE rk <= {CLUSTER_SAMPLE_K}
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset: at most CLUSTER_SAMPLE_K vectors per
+    learned k-means cluster, chosen by content-hash rank — the
+    SemDeDup-style diversity sample (cap each semantic neighborhood
+    instead of sampling the head distribution), reproducible across
+    engines and reruns.
+
+    Scale: assignment is the map-only broadcast-Lloyd's pass; the cap
+    is a per-cluster window limit (WindowGroupLimit pushes the k-cap
+    before the full sort materializes — same plan shape as
+    ``events_user_reservoir``).
+    """
+    from pyspark.sql import Window as W
+
+    assigned = kmeans_assignments(spark, sf_dir)
+    rk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= CLUSTER_SAMPLE_K)
+        .select("vec_id", "cluster")
+    )

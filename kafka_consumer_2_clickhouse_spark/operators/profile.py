@@ -113,3 +113,55 @@ def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ; n_nulls/min/max remain exact and are asserted equal).
     """
     return _profile_df(spark, sf_dir, approx=True)
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - st.s / st.n)
+                   / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 6) AS zscore
+      FROM events e JOIN st USING (event_type)
+      WHERE st.n > 1
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE abs(zscore) > 3.0
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): the data-QC pass that flags
+    corrupt measurements before they poison training aggregates.
+
+    Determinism: mean and variance derive from EXACT decimal sums
+    (sum, sum-of-squares), so both engines see bit-identical stats;
+    sqrt and the division are correctly-rounded IEEE ops on identical
+    inputs, and the published z is rounded to 6 decimals.
+
+    Scale: one grouped-stats aggregate (map-side combine, key-space
+    rows), broadcast back over the fact table — the scan evaluates the
+    z-test map-side; only outlier rows survive. The textbook two-pass
+    z-score with the second pass fused into the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("ss"),
+    ).filter(F.col("n") > 1)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )

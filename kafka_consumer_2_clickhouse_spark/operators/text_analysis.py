@@ -474,3 +474,84 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "n")
         .orderBy(F.desc("n"), F.asc("tok"))
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM log-prob scoring (the exact-oracle analog of LM-perplexity
+# quality filtering, CCNet-style)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM f
+    ), term AS (
+      SELECT doc_id, round(-ln(CAST(f.c AS DOUBLE) / tot.t), 6) AS nl
+      FROM tok JOIN f USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(nl AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS avg_neg_logprob
+    FROM term GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram LM — the exactly-checkable stand-in for the KenLM-perplexity
+    quality filter (CCNet, Wenzek et al. 2020): fluent/common text
+    scores low, rare-token gibberish scores high; a curation pass drops
+    the top tail.
+
+    Determinism: ``ln`` may differ in the last ulp across engines, so
+    each term is rounded to 6 decimals BEFORE the exact decimal sum
+    (round-before-aggregate — same discipline as tfidf's
+    round-before-rank); the mean then divides two identical numbers.
+
+    Scale: token frequencies collapse map-side (vocab-sized result);
+    the probe re-joins tokens to frequencies — one shuffle on the token
+    key, the same shape as ``tfidf_top_terms`` — and the per-doc
+    aggregate combines map-side. When the vocabulary fits (it usually
+    does after minimum-count pruning), broadcast the frequency table
+    and the probe becomes map-only.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freqs.agg(F.sum("c").cast("double").alias("t"))
+    term = toks.join(freqs, "tok").crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.round(-F.log(F.col("c").cast("double") / F.col("t")), 6).alias("nl"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("nl").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("avg_neg_logprob"),
+    )
+
+
+@query(
+    "language_id_confusion",
+    oracle=f"""
+    WITH lg AS ({{LANG_GUESS}})
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM lg GROUP BY labeled_lang, predicted_lang
+    """.replace("{LANG_GUESS}", _lang_guess_sql()),
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus
+    labels — the QC table that tells a pipeline owner where the cheap
+    n-gram classifier needs a model upgrade. Tiny aggregate over the
+    map-only classifier."""
+    lg = language_guess(spark, sf_dir)
+    return lg.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "events_hourly_gapfill",  # hours x types spine: two tiny derived dims
     "corpus_mixture_sample",  # 1-row scale-factor crossJoin into 5-row quota
     "corpus_mixture_summary",  # 1-row scale + 1-row total crossJoins
+    "doc_unigram_logprob",  # 1-row corpus-token-total crossJoin
 }
 
 
