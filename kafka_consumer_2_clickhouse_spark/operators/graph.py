@@ -200,3 +200,111 @@ def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return kept.join(docs, "doc_id").select("doc_id", "n_members", "n_chars")
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    O(log n)-round alternative to min-label propagation for graphs
+    whose diameter is NOT shallow (adversarial chains, long dup
+    threads). Same contract as :func:`connected_components`:
+    returns (id, component_id), component_id = min node id.
+
+    Each round is two half-steps over the directed edge relation
+    (u, v), u > v:
+
+    - LARGE-STAR: per node u with m = min(N(u) + {u}), re-point every
+      neighbor v > u at m. Tames high-degree nodes: their neighborhood
+      collapses onto the minimum in one step.
+    - SMALL-STAR: per node u, re-point u and its smaller neighbors at
+      m. Flattens the remaining short chains.
+
+    Both halves are one groupBy(u) min-aggregate plus an equi-join —
+    the identical shuffle shape as a min-label round — but the round
+    count is logarithmic in component size instead of linear in
+    diameter. Convergence = edge-set fixpoint (count + exceptAll
+    emptiness: exact, no hash-collision risk).
+
+    Lineage is TRUNCATED each round (checkpoint): one round references
+    the previous edge relation ~8 times (sym x join x two half-steps),
+    so the logical plan would grow 8^rounds and OOM the analyzer by
+    round 3 — persist alone does not cap plan size, only recompute.
+    This is the one place truncation is REQUIRED, not a convenience:
+    with a configured ``spark.sparkContext.setCheckpointDir`` the
+    truncation is reliable (fault-tolerant); otherwise it falls back to
+    ``localCheckpoint`` and a lost executor restarts the operator —
+    acceptable for a fixpoint loop that re-runs from its input edges.
+    """
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    # directed representation: (u, v) with u > v, dedup'd
+    base = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def half_step(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    cur = _truncate(base)
+    base.unpersist()
+    converged = False
+    for _ in range(max_rounds):
+        nxt = _truncate(half_step(half_step(cur, large=True), large=False))
+        same = (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        )
+        cur = nxt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds (theoretical bound is O(log n) — this indicates a bug "
+            "or a pathological edge stream, not a deep graph)"
+        )
+    # fixpoint edges form stars: every non-root u points only at its
+    # root; roots/singletons have no outgoing (u, v) edge
+    roots = cur.groupBy("u").agg(F.min("v").alias("root"))
+    out = (
+        nodes.select("id")
+        .join(roots, nodes.id == roots.u, "left")
+        .select(
+            "id",
+            F.coalesce(F.col("root"), F.col("id"))
+            .cast("bigint")
+            .alias("component_id"),
+        )
+    )
+    return out

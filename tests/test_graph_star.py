@@ -1,0 +1,87 @@
+"""Large-star/small-star connected components: equality with a
+driver-side union-find ground truth on graph shapes chosen to break
+naive propagation — long chains (diameter >> round budget), cliques,
+stars, forests of singletons — plus agreement with the min-label
+implementation on the shallow case it is tuned for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    comp = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def _run_star(spark, n_nodes, edges):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    e = (
+        spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(nodes, e).collect()
+    }
+    spark.catalog.clearCache()
+    return got
+
+
+CASES = {
+    # 120-node chain: diameter 119 — min-label would need 119 rounds,
+    # star finishes in O(log n)
+    "long_chain": (120, [(i, i + 1) for i in range(119)]),
+    "clique": (30, [(i, j) for i in range(30) for j in range(i + 1, 30)]),
+    "two_chains_and_singletons": (
+        60,
+        [(i, i + 1) for i in range(20)] + [(i, i + 1) for i in range(30, 50)],
+    ),
+    "star_high_degree": (50, [(0, i) for i in range(1, 40)]),
+    "reversed_ids": (40, [(i + 1, i) for i in range(39)]),
+    "empty_edges": (10, []),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_star_matches_union_find(spark, case):
+    n, edges = CASES[case]
+    assert _run_star(spark, n, edges) == union_find(n, edges)
+
+
+def test_star_agrees_with_min_label_on_shallow_graph(spark):
+    """On the shallow graphs min-label handles, both algorithms must
+    return identical labelings."""
+    n, edges = 40, [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (10, 11)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    star = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(nodes, e).collect()
+    }
+    minlabel = {
+        r["id"]: r["component_id"] for r in connected_components(nodes, e).collect()
+    }
+    spark.catalog.clearCache()
+    assert star == minlabel
