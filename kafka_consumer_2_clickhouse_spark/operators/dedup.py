@@ -61,16 +61,20 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DIGESTS = -(-N_MINHASH // X.MINHASH_SLICES_PER_DIGEST)
 
 
-def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, shingles, mh0..mh{K-1}) — map-only.
+def signature_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, shingles, mh0..mh{K-1}) — map-only.
 
     Hash-once-slice-4-ways: each shingle is md5'd ``N_DIGESTS`` times
     (not ``N_MINHASH``); every digest yields 4 independent 32-bit
     components. The staged selects keep shingles, then digests,
     materialized as columns — CollapseProject won't inline a non-cheap
     expression into multiple consumers, so each stage computes once.
+
+    Takes any DataFrame with (doc_id, text) so the batch queries AND
+    the streaming ingest filter (``streaming/neardup.py``) share one
+    signature definition — signatures written by either side collide
+    correctly with the other's.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     sh = X.shingles(toks, SHINGLE_N)
     base = docs.select(F.col("doc_id"), sh.alias("shingles"))
@@ -91,6 +95,21 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_MINHASH)
         ],
     )
+
+
+def band_key_columns() -> list:
+    """Band-key expressions over the mh* signature columns (md5 of the
+    band's concatenated slices) — shared by the batch LSH join and the
+    streaming signature store so keys are comparable across both."""
+    r = N_MINHASH // N_BANDS
+    return [
+        F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signature_relation(spread(load_table(spark, sf_dir, "documents")))
 
 
 def _digests_sql() -> str:
@@ -177,11 +196,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all bodies (never) and shuffling a few MB of candidates.
     """
     sigs = _signature_df(spark, sf_dir)
-    r = N_MINHASH // N_BANDS
-    band_cols = [
-        F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
-        for b in range(N_BANDS)
-    ]
+    band_cols = band_key_columns()
     # Materialize the signature relation once: four consumers below
     # (both self-join sides + both verify sides) would otherwise each
     # recompute the shingle+8xmd5 pipeline from the scan (observed: 4

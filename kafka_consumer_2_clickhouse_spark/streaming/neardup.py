@@ -1,0 +1,164 @@
+"""Streaming near-duplicate filtering at ingest (MinHash-LSH).
+
+The batch dedup family (``operators/dedup.py``) answers "which docs in
+the landed corpus are near-dups"; a production ingest pipeline wants
+the question answered ON THE WAY IN: drop a document the moment it
+collides with anything already accepted (the Dolma/CCNet "bloom the
+history" pattern, done with LSH signatures instead of exact hashes so
+near-misses are caught too).
+
+Per micro-batch (``foreachBatch``):
+
+1. MinHash signatures for the batch via the SAME
+   ``operators.dedup.signature_relation`` the batch queries use — one
+   signature definition, so streaming state and batch analyses agree.
+2. WITHIN-BATCH filter: LSH band self-collisions; a doc is dropped if
+   it has any band collision with a smaller-id batch doc whose
+   slice-agreement Jaccard estimate clears the threshold. (Greedy
+   smaller-id-wins — on chains this can over-drop relative to full
+   connected components, which a stream cannot see; documented,
+   conservative.)
+3. HISTORY filter: batch band keys equi-join the persisted signature
+   store; same estimator, any hit drops the doc.
+4. Survivors' band keys + signatures append to the store under
+   ``keys/batch=<id>/`` (overwrite-by-batch-dir -> replaying a crashed
+   batch rewrites the same directory: idempotent, no double state).
+
+Estimator: fraction of agreeing MinHash components (unbiased for
+Jaccard); with K=8 components the resolution is 1/8 — a 0.5 threshold
+means ">= 4 of 8 slices agree". Production would raise K for a tighter
+estimate; the plumbing is K-agnostic.
+
+Scale: the store is (doc_id, band keys, K slices) — tens of bytes per
+accepted doc, parquet-partitioned by arrival batch; the probe is a
+band-key equi-join (broadcast when the batch is small vs history,
+shuffle-hash otherwise — AQE's call). Nothing ever compares bodies;
+at 100 TB/day the filter's cost is the signature map over the batch
+plus one key join against the store.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import N_BANDS, N_MINHASH, band_key_columns, signature_relation
+
+#: minimum slice-agreement estimate to call a collision a duplicate
+EST_JACCARD_MIN = 0.5
+
+_KEYS = "keys"
+
+
+def _sig_store_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhK, band_id, key) — one row per doc per band."""
+    sigs = signature_relation(docs).drop("shingles")
+    banded = sigs.select("*", *band_key_columns())
+    return banded.select(
+        "doc_id",
+        *[f"mh{j}" for j in range(N_MINHASH)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", *[f"mh{j}" for j in range(N_MINHASH)], "bk.band_id", "bk.key"
+    )
+
+
+def _est(a: str, b: str):
+    """Slice-agreement Jaccard estimate between two mh-prefixed sides."""
+    agree = sum(
+        F.when(F.col(f"{a}.mh{j}") == F.col(f"{b}.mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    return agree / F.lit(float(N_MINHASH))
+
+
+def read_signature_store(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Signature store rows, with the arrival batch as a partition
+    column. ``before_batch`` prunes to ``batch < before_batch`` — the
+    probe for batch N must exclude N's own (possibly crash-written)
+    directory, or a checkpoint replay would see the batch colliding
+    with itself and drop every survivor."""
+    path = os.path.join(state_dir, _KEYS)
+    dirs = (
+        [d for d in os.listdir(path) if d.startswith("batch=")]
+        if os.path.isdir(path)
+        else []
+    )
+    if before_batch is not None:
+        dirs = [d for d in dirs if int(d.split("=", 1)[1]) < before_batch]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in dirs]
+    )
+
+
+def neardup_filter(
+    state_dir: str,
+    accept: Callable[[DataFrame, int], None],
+    est_threshold: float = EST_JACCARD_MIN,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function: near-dup-filter each batch
+    against history + itself, hand survivors to ``accept(df, batch_id)``
+    (the landing sink), and extend the signature store."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        spark = batch_df.sparkSession
+        rows = _sig_store_rows(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # within-batch: smaller-id near-dup wins
+        a, b = rows.alias("a"), rows.alias("b")
+        intra_drops = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .filter(_est("a", "b") >= est_threshold)
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+
+        hist = read_signature_store(spark, state_dir, before_batch=batch_id)
+        if hist is not None:
+            h = hist.alias("h")
+            hist_drops = (
+                a.join(
+                    h,
+                    (F.col("a.band_id") == F.col("h.band_id"))
+                    & (F.col("a.key") == F.col("h.key")),
+                )
+                .filter(_est("a", "h") >= est_threshold)
+                .select(F.col("a.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            drops = intra_drops.union(hist_drops).distinct()
+        else:
+            drops = intra_drops
+
+        survivors = batch_df.join(drops, "doc_id", "left_anti")
+        accept(survivors, batch_id)
+
+        # store survivors' signature rows; overwrite-by-batch-dir makes
+        # a checkpoint replay rewrite identical state, never append it
+        out = os.path.join(state_dir, _KEYS, f"batch={batch_id}")
+        rows.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(out)
+        rows.unpersist()
+
+    return process
