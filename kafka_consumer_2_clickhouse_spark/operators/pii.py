@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 #: category -> pattern, in fixed application order (dict order matters
@@ -91,7 +91,9 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     is true exactly when redaction would change the document — the
     predicate a filtering pass pushes into the scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): the local corpus is one row group; regex CPU must not
+    # run on a single partition (no-op on a real multi-split scan)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         *pii_count_columns("text"),
@@ -112,7 +114,9 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redacted corpus: PII spans replaced with ``<KIND>`` tags, plus
     the per-doc size delta (negative when a tag is longer than the
     span it replaced)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): the local corpus is one row group; regex CPU must not
+    # run on a single partition (no-op on a real multi-split scan)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     clean = redact_column("text")
     return docs.select(
         "doc_id",
