@@ -91,6 +91,7 @@ EXTRA = [
     "kmeans_clusters",
     "corpus_mixture_sample",
     "doc_pii_redact",
+    "curated_corpus",
 ]
 
 

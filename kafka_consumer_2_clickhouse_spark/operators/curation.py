@@ -418,3 +418,59 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# --------------------------------------------------------------------------
+# The end-to-end curated corpus
+# --------------------------------------------------------------------------
+
+
+def _curated_oracle() -> str:
+    from .graph import _keep_docs_oracle
+    from .pii import _sql_redact
+
+    return f"""
+    SELECT d.doc_id, d.lang, {_split_sql('d.doc_id')} AS split,
+           {_sql_redact('d.text')} AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           k.n_members
+    FROM documents d
+    JOIN ({_keep_docs_oracle()}) k ON d.doc_id = k.doc_id
+    JOIN ({_qf_oracle()}) q ON d.doc_id = q.doc_id AND q.keep
+    """
+
+
+@query("curated_corpus", oracle=_curated_oracle())
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pipeline output: the table a training run actually reads.
+    One row per kept document — near-dup cluster canonical
+    (``dedup_keep_docs``) AND quality-gate pass (``doc_quality_filter``)
+    — with PII-redacted text, train/val/test split, token count, and
+    its dup-cluster size. Every stage is the already-oracle-checked
+    operator, composed; the composite is oracle-checked again end to
+    end (the DuckDB twin composes the same stages' SQL).
+
+    Scale: the dedup keep-list and the quality gate are both doc_id
+    relations; the payload join runs on the landing layout's bucket key
+    (doc_id), so the composite adds two bucket-local semi-joins on top
+    of the component costs — redaction and split assignment stay
+    map-side over the surviving scan.
+    """
+    from .graph import dedup_keep_docs
+    from .pii import redact_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_keep_docs(spark, sf_dir).select("doc_id", "n_members")
+    qf = doc_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    return (
+        docs.join(keep, "doc_id")
+        .join(qf, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            split_column(F.col("doc_id")).alias("split"),
+            redact_column("text").alias("clean_text"),
+            F.size(X.tokens("text")).cast("bigint").alias("n_tokens"),
+            "n_members",
+        )
+    )
