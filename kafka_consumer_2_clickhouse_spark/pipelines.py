@@ -1,0 +1,77 @@
+"""One-call batch curation pipeline: corpus in, training corpus out.
+
+``run_curation_pipeline`` materializes the full dedup -> quality-gate
+-> PII-redact -> split flow (the ``curated_corpus`` operator) to a
+partitioned parquet layout plus the accounting tables a pipeline run
+is expected to leave behind:
+
+    out_dir/
+      corpus/split=train|val|test/   PII-clean kept documents
+      stats/drop_reasons/            quality-gate reason histogram
+      stats/dup_clusters/            near-dup cluster size histogram
+      stats/mixture/                 per-language availability/quota
+
+Returns a small metrics dict (driver-side scalars only). Every number
+is derived from the same oracle-checked operators the driver gates, so
+"the pipeline ran" and "the pipeline is correct" are the same claim.
+
+Scale: the corpus write is partitioned by split (3 directories, each
+written from the surviving scan); stats are key-space-sized
+aggregates. Nothing here adds a shuffle beyond the component
+operators' own plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    from .operators import release_intermediate_caches
+    from .operators.curation import curated_corpus, doc_quality_filter
+    from .operators.graph import dedup_keep_docs
+    from .operators.sampling import corpus_mixture_summary
+    from .sources.tables import load_table
+
+    corpus = curated_corpus(spark, sf_dir)
+    corpus.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out_dir, "corpus")
+    )
+
+    reasons = (
+        doc_quality_filter(spark, sf_dir)
+        .select(F.explode_outer("reasons").alias("reason"))
+        .filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    reasons.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "drop_reasons")
+    )
+
+    clusters = (
+        dedup_keep_docs(spark, sf_dir)
+        .groupBy("n_members")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+    clusters.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "dup_clusters")
+    )
+
+    corpus_mixture_summary(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "mixture")
+    )
+
+    landed: DataFrame = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    metrics = {
+        "docs_in": load_table(spark, sf_dir, "documents").count(),
+        "docs_kept": landed.count(),
+        "train_docs": landed.filter(F.col("split") == "train").count(),
+        "total_tokens": landed.agg(F.sum("n_tokens")).collect()[0][0] or 0,
+    }
+    release_intermediate_caches(spark)
+    return metrics

@@ -1,0 +1,44 @@
+"""End-to-end curation pipeline run: layout, consistency between the
+materialized corpus and the oracle-checked operator, and sane
+accounting."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators.curation import curated_corpus
+from kafka_consumer_2_clickhouse_spark.pipelines import run_curation_pipeline
+
+
+def test_curation_pipeline_run(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "run1")
+    metrics = run_curation_pipeline(spark, sf_dir, out)
+
+    # layout
+    for sub in ("corpus", "stats/drop_reasons", "stats/dup_clusters", "stats/mixture"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    splits = {
+        d.split("=")[1]
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if d.startswith("split=")
+    }
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+    # the landed corpus IS the operator's result
+    landed = spark.read.parquet(os.path.join(out, "corpus"))
+    expect = curated_corpus(spark, sf_dir)
+    assert sorted(
+        (r["doc_id"], r["split"], r["n_tokens"]) for r in landed.collect()
+    ) == sorted((r["doc_id"], r["split"], r["n_tokens"]) for r in expect.collect())
+
+    # accounting
+    assert 0 < metrics["docs_kept"] <= metrics["docs_in"]
+    assert metrics["train_docs"] <= metrics["docs_kept"]
+    assert metrics["total_tokens"] > 0
+    # kept docs are PII-free by construction on this corpus: redaction
+    # changed nothing, so clean_text joins back to the originals
+    assert landed.filter(F.col("clean_text").contains("<EMAIL>")).count() == 0
+
+    # a re-run overwrites cleanly (idempotent operationally)
+    metrics2 = run_curation_pipeline(spark, sf_dir, out)
+    assert metrics2 == metrics
