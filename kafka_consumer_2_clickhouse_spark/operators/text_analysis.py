@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import textfns as X
 from ..sources.tables import load_table, spread
-from .analytics import query
+from .analytics import ORACLE_SQL, query
 
 # tiny per-language stopword inventories for the n-gram/stopword
 # language heuristic (the corpus vocabulary is synthetic; the operator
@@ -554,4 +554,40 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lg = language_guess(spark, sf_dir)
     return lg.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+@query(
+    "doc_difficulty_buckets",
+    oracle="""
+    WITH lp AS ({LOGPROB})
+    SELECT doc_id, n_tokens, avg_neg_logprob,
+           CAST(ntile(4) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT)
+             AS difficulty_bucket
+    FROM lp
+    """.replace("{LOGPROB}", ORACLE_SQL["doc_unigram_logprob"]),
+)
+def doc_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quartiles: documents bucketed 1-4 by unigram-LM
+    difficulty (mean negative log-prob), easiest first — the ordering a
+    curriculum or rejection-sampling schedule consumes. Deterministic:
+    the ntile ordering is (rounded score, doc_id), total on both
+    engines.
+
+    Scale: a global ntile is a total sort — correct for the contract
+    (exact quartile boundaries); the approximate alternative at 100 TB
+    is bucketing by approx-quantile cutpoints (percentile_approx), a
+    one-aggregate map-side variant with epsilon-rank error.
+    """
+    from pyspark.sql import Window as W
+
+    lp = doc_unigram_logprob(spark, sf_dir)
+    return lp.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logprob",
+        F.ntile(4)
+        .over(W.orderBy("avg_neg_logprob", "doc_id"))
+        .cast("int")
+        .alias("difficulty_bucket"),
     )

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "corpus_mixture_sample",  # 1-row scale-factor crossJoin into 5-row quota
     "corpus_mixture_summary",  # 1-row scale + 1-row total crossJoins
     "doc_unigram_logprob",  # 1-row corpus-token-total crossJoin
+    "doc_difficulty_buckets",  # inherits doc_unigram_logprob's 1-row crossJoin
 }
 
 
