@@ -1,0 +1,66 @@
+"""Streaming curation: the ingest-time twin of
+``pipelines.run_curation_pipeline``.
+
+Batch curation asks "clean what landed"; this asks "land it clean":
+every micro-batch of documents is PII-redacted, near-dup-filtered
+against everything already accepted (``streaming/neardup.py``), and
+only then written to the landing layout — so the landed corpus is
+curated AT ALL TIMES, not after a nightly sweep. This is the shape the
+reference's deployment implies (its ClickHouse tables were the always-
+queryable store; curation-on-the-way-in keeps that property when the
+store is a training corpus).
+
+Composition, per micro-batch:
+
+1. redact: map-only regex rewrite (``operators.pii.redact_column``) —
+   PII never touches disk, not even for dropped docs;
+2. near-dup filter: LSH signature probe vs the persistent store.
+   Signatures are computed from the REDACTED text, so a doc whose only
+   difference is its PII spans dedups against its twin;
+3. land survivors under ``landing_dir/batch=<id>/`` (overwrite-by-
+   batch-dir: replay-idempotent, same protocol as the signature store
+   and the rollup state).
+
+Scale: all three stages are the batch operators' plans — redaction
+fuses into the batch scan, the probe is a band-key equi-join, the
+write is partitioned append. Nothing is driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.pii import redact_column
+from .neardup import neardup_filter
+
+
+def read_landed(spark: SparkSession, landing_dir: str) -> DataFrame | None:
+    """All curated-landed documents so far."""
+    if not os.path.isdir(landing_dir) or not any(
+        d.startswith("batch=") for d in os.listdir(landing_dir)
+    ):
+        return None
+    return spark.read.option("basePath", landing_dir).parquet(
+        os.path.join(landing_dir, "batch=*")
+    )
+
+
+def curated_ingest(
+    state_dir: str, landing_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: redact -> near-dup filter -> land."""
+
+    def land(clean_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(landing_dir, f"batch={batch_id}")
+        clean_df.write.mode("overwrite").parquet(out)
+
+    inner = neardup_filter(state_dir, land)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        clean = batch_df.withColumn("text", redact_column("text"))
+        inner(clean, batch_id)
+
+    return process
