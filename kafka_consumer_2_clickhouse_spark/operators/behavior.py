@@ -131,3 +131,59 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_active_users",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (
+      SELECT DISTINCT day FROM e
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY day
+    ), contrib AS (
+      SELECT CAST(e.day + CAST(k AS INTEGER) AS DATE) AS day, e.user_id
+      FROM e CROSS JOIN generate_series(0, 6) AS t(k)
+    ), wau AS (
+      SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c JOIN spine s ON c.day = s.day
+      GROUP BY c.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    table every event warehouse publishes.
+
+    The WAU "range" is computed WITHOUT a range join: each (day, user)
+    pair explodes into the <=7 future days it keeps the user active
+    for, then a distinct count per day. Map-side explode x7 of the
+    deduped day-user relation (already << raw events), one shuffle on
+    (day, user) — the shape that survives a 100 TB event stream, where
+    a day-spine range join would rescan the fact table per day.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    spine = ev.select("day").distinct()
+    dau = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "user_id"
+    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id")
+    wau = (
+        contrib.join(spine, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
