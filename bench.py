@@ -92,6 +92,8 @@ EXTRA = [
     "corpus_mixture_sample",
     "doc_pii_redact",
     "curated_corpus",
+    "doc_unigram_logprob",
+    "events_active_users",
 ]
 
 
