@@ -305,3 +305,80 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CLUSTER_SAMPLE_K)
         .select("vec_id", "cluster")
     )
+
+
+#: SemDeDup verify threshold — on this corpus (max pairwise cosine
+#: ~0.6) the demo cut sits where there is signal; production semantic
+#: dedup uses 0.9+ where same-cell near-dups concentrate.
+SEMANTIC_DUP_COS = 0.4
+
+
+def _semantic_pairs_oracle() -> str:
+    from .similarity import _dot_sql, _norm_sql
+
+    cos = f"{_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.nn * b.nn)"
+    return f"""
+    {_kmeans_ctes()}
+    , sided AS (
+      SELECT f.vec_id, f.cluster, e.embedding,
+             {_norm_sql('e.embedding', 'duck')} AS nn
+      FROM afinal f JOIN embeddings e ON f.vec_id = e.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+           {cos} AS cosine
+    FROM sided a JOIN sided b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= {SEMANTIC_DUP_COS}
+    """
+
+
+@query("semantic_dedup_pairs", oracle=_semantic_pairs_oracle())
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) proper: near-duplicate embedding
+    pairs found by exact cosine WITHIN k-means cells — the cells bound
+    the quadratic verify (sum of cell^2, never corpus^2), which is the
+    paper's entire scaling argument. Complements the SRP-LSH candidate
+    path (`similarity.embedding_near_dup_lsh`): cell blocking catches
+    dense semantic neighborhoods; random-projection bands catch
+    near-identical outliers regardless of cell boundaries.
+
+    Exactness: the cell assignment is the deterministic Lloyd's run
+    (module doc) and the verify is the repo's bit-identical dot-product
+    chain — so a blocked approximate-dedup recipe is value-hash
+    oracle-checked end to end.
+
+    Scale: per-cell self-equi-join on the cluster id; cells are
+    balanced by construction (k-means), skewed cells are AQE skew-join
+    territory; nothing ever compares across cells.
+    """
+    from pyspark import StorageLevel
+
+    from .similarity import _dot_sql, _norm_sql
+
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # both self-join sides read this relation: persist so the Lloyd's
+    # run + norm chain execute once (recomputable; caller-owned cleanup)
+    sided = (
+        asg.join(emb, "vec_id")
+        .withColumn("nn", F.expr(_norm_sql("embedding", "spark")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    cos = F.expr(_dot_sql("a.embedding", "b.embedding", "spark")) / (
+        F.col("a.nn") * F.col("b.nn")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_COS)
+    )
