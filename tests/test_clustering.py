@@ -98,3 +98,34 @@ def test_mixture_quota_accounting(spark, sf_dir):
     assert {r["lang"]: r["count"] for r in sample} == {
         lang: r["quota"] for lang, r in summary.items() if r["quota"] > 0
     }
+
+
+def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
+    """SemDeDup finds only same-cell pairs: every reported pair must
+    appear in the exact all-pairs result at the same threshold, with
+    identical cosine; the cell blocking should still recover a
+    non-trivial fraction of all near-dup pairs on this corpus."""
+    from kafka_consumer_2_clickhouse_spark.operators.clustering import (
+        SEMANTIC_DUP_COS,
+        semantic_dedup_pairs,
+    )
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(spark, sf_dir).collect()
+    }
+    allp = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            spark, sf_dir, threshold=SEMANTIC_DUP_COS
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(sem) <= set(allp)
+    for k, v in sem.items():
+        assert v == allp[k]
+    if allp:  # cell blocking keeps a useful share of true pairs
+        assert len(sem) / len(allp) > 0.2, (len(sem), len(allp))
