@@ -456,12 +456,28 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the component costs — redaction and split assignment stay
     map-side over the surviving scan.
     """
+    from pyspark import StorageLevel
+
     from .graph import dedup_keep_docs
     from .pii import redact_column
 
     docs = load_table(spark, sf_dir, "documents")
     keep = dedup_keep_docs(spark, sf_dir).select("doc_id", "n_members")
-    qf = doc_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    # Persist the FULL gate output before filtering on `keep`: without
+    # the cache boundary, Catalyst pushes the keep-predicate (and with
+    # it every quality/repetition expression) below spread()'s
+    # round-robin exchange onto the single-split local scan — measured
+    # 12 s single-task vs 3 s parallel. The boundary pins evaluation to
+    # the gate's own (parallel) plan; on a real multi-split scan both
+    # shapes parallelize, and the persist still saves the recompute
+    # when several consumers read the gate. Recomputable; caller-owned
+    # cleanup (operators.release_intermediate_caches).
+    qf = (
+        doc_quality_filter(spark, sf_dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
     return (
         docs.join(keep, "doc_id")
         .join(qf, "doc_id", "left_semi")

@@ -36,6 +36,25 @@ COMPONENT_JACCARD_MIN = 0.5
 MAX_ROUNDS = 15
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Checkpoint-truncate an iterative result's lineage.
+
+    A fixpoint loop's output plan references the whole loop history
+    (each round embeds the previous rounds' plan several times over) —
+    the data is cached, but every DOWNSTREAM action re-pays Catalyst
+    analysis of a plan with hundreds of scan nodes (measured: ~10 s of
+    pure planning per action composing on the raw labels relation).
+    Truncation makes the result a leaf. Reliable ``checkpoint`` when a
+    checkpoint dir is configured (fault-tolerant); ``localCheckpoint``
+    otherwise — an executor loss then restarts the operator, acceptable
+    for a loop that re-runs from its input edges.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -103,11 +122,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             "(graph diameter exceeds the bound; raise MAX_ROUNDS or use "
             "large-star/small-star for adversarial graphs)"
         )
-    # final labels are materialized (the fixpoint collect ran), so the
-    # edge cache can go now; eviction of labels would recompute through
-    # lineage — correct, just slower.
+    # final labels are materialized (the fixpoint collect ran):
+    # truncate their lineage so downstream composition plans stay flat
+    # (see _truncate), then release the loop's caches.
+    out = _truncate(labels.select("id", F.col("comp").alias("component_id")))
+    labels.unpersist()
     sym.unpersist()
-    return labels.select("id", F.col("comp").alias("component_id"))
+    return out
 
 
 def _components_cte() -> str:
@@ -231,18 +252,9 @@ def connected_components_star(
     the previous edge relation ~8 times (sym x join x two half-steps),
     so the logical plan would grow 8^rounds and OOM the analyzer by
     round 3 — persist alone does not cap plan size, only recompute.
-    This is the one place truncation is REQUIRED, not a convenience:
-    with a configured ``spark.sparkContext.setCheckpointDir`` the
-    truncation is reliable (fault-tolerant); otherwise it falls back to
-    ``localCheckpoint`` and a lost executor restarts the operator —
-    acceptable for a fixpoint loop that re-runs from its input edges.
+    Truncation policy (reliable vs local checkpoint): see
+    :func:`_truncate`.
     """
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
     # directed representation: (u, v) with u > v, dedup'd
     base = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
