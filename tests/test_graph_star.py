@@ -85,3 +85,36 @@ def test_star_agrees_with_min_label_on_shallow_graph(spark):
     }
     spark.catalog.clearCache()
     assert star == minlabel
+
+
+def test_star_matches_min_label_on_real_neardup_edges(spark, sf_dir):
+    """Both CC algorithms must produce the identical labeling over the
+    actual verified LSH near-dup edge set (the production input)."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from kafka_consumer_2_clickhouse_spark.operators.graph import (
+        COMPONENT_JACCARD_MIN,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = (
+        lsh_candidate_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= COMPONENT_JACCARD_MIN)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    minlabel = {
+        r["id"]: r["component_id"] for r in connected_components(nodes, edges).collect()
+    }
+    star = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    spark.catalog.clearCache()
+    assert star == minlabel
+    assert len(star) == nodes.count()

@@ -76,3 +76,54 @@ def test_pii_plans_are_map_only(spark, sf_dir, name):
     p = physical_plan(ops.QUERIES[name](spark, sf_dir))
     for bad in ("Exchange hashpartitioning", "Join", "ArrowEval", "BatchEval"):
         assert bad not in p, f"{name}: unexpected {bad} in plan\n{p}"
+
+
+def test_randomized_differential_vs_python_re(spark):
+    """200 seeded-random documents with planted PII fragments: Spark's
+    counts and redactions must equal a third, independent
+    implementation (Python ``re``) — catching any case where Spark and
+    DuckDB agree with each other but both diverge from the regex
+    semantics the patterns intend."""
+    import random
+    import re
+
+    rng = random.Random(1234)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "q-q", "dot.", "_u"]
+    pii_bits = [
+        "a@b.io",
+        "first.last+tag@sub.domain.org",
+        "123-45-6789",
+        "555-123-4567",
+        "555.123.4567",
+        "10.0.0.1",
+        "255.255.255.255",
+        "999.999.999.999",  # still matches the (deliberately loose) ipv4 shape
+        "12.34.56.78.90",  # 5-octet overlap edge
+        "1234-56-7890",  # not an ssn
+    ]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(0, 14)
+        toks = [rng.choice(words) for _ in range(n)]
+        for _ in range(rng.randint(0, 3)):
+            toks.insert(rng.randint(0, len(toks)), rng.choice(pii_bits))
+        texts.append(" ".join(toks))
+
+    def py_expected(t):
+        counts = tuple(len(re.findall(p, t)) for p in PII_PATTERNS.values())
+        red = t
+        for k, p in PII_PATTERNS.items():
+            red = re.sub(p, f"<{k.upper()}>", red)
+        return counts + (red,)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: tuple(r)[1:]
+        for r in df.select(
+            "id", *pii_count_columns("text"), redact_column("text").alias("red")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_expected(t), (i, t, got[i], py_expected(t))
