@@ -187,3 +187,94 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+#: minimum co-occurrence count for a pair to be reported
+COPURCHASE_MIN_SUPPORT = 3
+
+
+@query(
+    "part_copurchase_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+    """,
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts bought together in at least
+    COPURCHASE_MIN_SUPPORT orders (the candidate-pair stage of
+    FP-growth-style association mining, exact).
+
+    Scale: the self-join is keyed on the order — pair explosion is
+    bounded by basket size squared (TPC-H baskets are <= 7 lines), so
+    the join output stays linear in order count; the pair aggregate
+    combines map-side. The support HAVING cannot be pushed below the
+    aggregate (it needs total counts), but the distinct pre-pass
+    already collapsed duplicate (order, part) lines before the join.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)
+    )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior Markov matrix: counts of consecutive
+    (prev -> next) event-type transitions per user stream (ties broken
+    on event_id so the sequence is total on both engines).
+
+    Scale: one shuffle on user_id for the lag window (each user's
+    stream sorts independently — AQE handles skewed users), then a
+    T^2-key aggregate that collapses map-side.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
