@@ -910,3 +910,39 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+#: rank-error budget for the approx quartiles: percentile_approx
+#: guarantees the returned value is a real data point whose rank is
+#: within 1/accuracy of the target rank.
+QUARTILE_APPROX_ACC = 10_000
+
+
+@query("order_value_quartiles_approx")  # rows-only: approx by design
+def order_value_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`order_value_quartiles`:
+    ``percentile_approx`` (mergeable KLL-style sketch) instead of the
+    exact per-group percentile sort. The exact variant sorts each
+    segment group inside its reducer — 5 groups means 5 tasks each
+    sorting ~n/5 values at scale; the sketch aggregates map-side and
+    merges tiny summaries, so the shuffle carries KBs regardless of
+    corpus size.
+
+    Rows-only in the driver gate (sketch output is engine-specific);
+    the rank-error bound vs the exact quartiles is pinned in
+    ``tests/test_sketches.py`` (same contract as
+    ``events_sketch_stats``: returned values are real data points
+    whose rank is within 1/accuracy + 1/n of the target).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.25, QUARTILE_APPROX_ACC).alias("p25"),
+            F.percentile_approx("o_totalprice", 0.50, QUARTILE_APPROX_ACC).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.75, QUARTILE_APPROX_ACC).alias("p75"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )

@@ -42,6 +42,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..sources.tables import load_table, spread
 from .analytics import query
 
+# Defaults for the REGISTERED queries (fixed so the oracle CTEs and
+# bench runs are stable). Both are parameters of every function below:
+# production k-means scales K with the corpus (SemDeDup uses tens of
+# thousands of clusters at web scale — see semantic_dedup_pairs'
+# contract), so nothing in this module may hard-wire the constant.
 KMEANS_K = 8
 KMEANS_DIM = 64
 KMEANS_ITERS = 3  # centroid updates; output assignment uses the final set
@@ -88,7 +93,7 @@ def _assign(vecs: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> dict[int, list[float]]:
+def _update(assigned: DataFrame, dim: int = KMEANS_DIM) -> dict[int, list[float]]:
     """Exact per-cluster coordinate means; empty clusters drop out.
 
     decimal(27,9) sums are associative -> identical across engines and
@@ -106,18 +111,28 @@ def _update(assigned: DataFrame) -> dict[int, list[float]]:
     )
     cents: dict[int, list[float]] = {}
     for r in rows:
-        cents.setdefault(r["cluster"], [0.0] * KMEANS_DIM)[r["pos"]] = r["m"]
+        cents.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]
     return cents
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Lloyd's run; returns (vec_id, label, cluster, dsc)."""
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Full Lloyd's run; returns (vec_id, label, cluster, dsc).
+
+    ``k``/``iters`` default to the registered-query constants but are
+    real parameters: the oracle CTE generator (:func:`_kmeans_ctes`)
+    unrolls from the same values, so any (k, iters) choice stays
+    cross-engine exact (pinned at two K values in
+    ``tests/test_clustering.py``).
+    """
     vecs = spread(_v(load_table(spark, sf_dir, "embeddings")))
-    init = (
-        vecs.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "v").collect()
-    )
+    init = vecs.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
     centroids = {i: list(r["v"]) for i, r in enumerate(init)}
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         centroids = _update(_assign(vecs, centroids))
     return _assign(vecs, centroids)
 
@@ -155,19 +170,22 @@ def _sql_update(assigned: str) -> str:
 )"""
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled DuckDB twin of :func:`kmeans_assignments` — same
+    (k, iters) parameters, so the cross-engine contract holds for any
+    choice, not just the registered defaults."""
     parts = [
         "e AS (SELECT vec_id, label,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
 )""",
     ]
-    for it in range(KMEANS_ITERS):
+    for it in range(iters):
         parts.append(f"a{it} AS {_sql_assign('e', f'c{it}')}")
         parts.append(f"c{it + 1} AS {_sql_update(f'a{it}')}")
-    parts.append(f"afinal AS {_sql_assign('e', f'c{KMEANS_ITERS}')}")
+    parts.append(f"afinal AS {_sql_assign('e', f'c{iters}')}")
     return "WITH " + ",\n".join(parts)
 
 
@@ -312,17 +330,38 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup uses 0.9+ where same-cell near-dups concentrate.
 SEMANTIC_DUP_COS = 0.4
 
+#: Hard cap on vectors participating per cell (the NGRAM_BLOCK_CAP
+#: pattern): the within-cell verify is O(cell^2), and SemDeDup's "sum
+#: of cell^2 never corpus^2" bound only holds when K grows with the
+#: corpus (the paper runs tens of thousands of clusters at web scale).
+#: With any FIXED K, cells grow linearly with the corpus and the
+#: verify degenerates toward all-pairs/K — the cap restores a hard
+#: CAP^2-per-cell bound regardless of K. Membership is deterministic
+#: (content-hash rank, first CAP win) and replayed in the oracle, so
+#: capped results stay hash-checkable. Mass beyond the cap is covered
+#: by raising K (the real fix at scale) or the SRP-LSH path.
+SEMDEDUP_CELL_CAP = 256
 
-def _semantic_pairs_oracle() -> str:
+
+def _semantic_pairs_oracle(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    cap: int = SEMDEDUP_CELL_CAP,
+) -> str:
     from .similarity import _dot_sql, _norm_sql
 
     cos = f"{_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.nn * b.nn)"
     return f"""
-    {_kmeans_ctes()}
-    , sided AS (
+    {_kmeans_ctes(k, iters)}
+    , ranked AS (
       SELECT f.vec_id, f.cluster, e.embedding,
-             {_norm_sql('e.embedding', 'duck')} AS nn
+             {_norm_sql('e.embedding', 'duck')} AS nn,
+             row_number() OVER (
+               PARTITION BY f.cluster
+               ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) AS rk
       FROM afinal f JOIN embeddings e ON f.vec_id = e.vec_id
+    ), sided AS (
+      SELECT vec_id, cluster, embedding, nn FROM ranked WHERE rk <= {cap}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
            {cos} AS cosine
@@ -332,35 +371,38 @@ def _semantic_pairs_oracle() -> str:
     """
 
 
-@query("semantic_dedup_pairs", oracle=_semantic_pairs_oracle())
-def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) proper: near-duplicate embedding
-    pairs found by exact cosine WITHIN k-means cells — the cells bound
-    the quadratic verify (sum of cell^2, never corpus^2), which is the
-    paper's entire scaling argument. Complements the SRP-LSH candidate
-    path (`similarity.embedding_near_dup_lsh`): cell blocking catches
-    dense semantic neighborhoods; random-projection bands catch
-    near-identical outliers regardless of cell boundaries.
-
-    Exactness: the cell assignment is the deterministic Lloyd's run
-    (module doc) and the verify is the repo's bit-identical dot-product
-    chain — so a blocked approximate-dedup recipe is value-hash
-    oracle-checked end to end.
-
-    Scale: per-cell self-equi-join on the cluster id; cells are
-    balanced by construction (k-means), skewed cells are AQE skew-join
-    territory; nothing ever compares across cells.
-    """
+def semantic_dedup_pairs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    cap: int = SEMDEDUP_CELL_CAP,
+) -> DataFrame:
+    """Parameterized SemDeDup pair finder (see
+    :func:`semantic_dedup_pairs`); oracle twin generated by
+    :func:`_semantic_pairs_oracle` from the same (k, iters, cap)."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
     from .similarity import _dot_sql, _norm_sql
 
-    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    asg = kmeans_assignments(spark, sf_dir, k, iters).select("vec_id", "cluster")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic per-cell cap: content-hash rank, first `cap` win.
+    # The window ranks a NARROW (vec_id, cluster) relation — embeddings
+    # join on AFTER the cap so vector payloads never enter the shuffle.
+    rk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+    )
+    capped = (
+        asg.withColumn("rk", rk).filter(F.col("rk") <= cap).drop("rk")
+    )
     # both self-join sides read this relation: persist so the Lloyd's
     # run + norm chain execute once (recomputable; caller-owned cleanup)
     sided = (
-        asg.join(emb, "vec_id")
+        capped.join(emb, "vec_id")
         .withColumn("nn", F.expr(_norm_sql("embedding", "spark")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -382,3 +424,30 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= SEMANTIC_DUP_COS)
     )
+
+
+@query("semantic_dedup_pairs", oracle=_semantic_pairs_oracle())
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) proper: near-duplicate embedding
+    pairs found by exact cosine WITHIN k-means cells — the cells bound
+    the quadratic verify (sum of cell^2, never corpus^2), which is the
+    paper's entire scaling argument. Complements the SRP-LSH candidate
+    path (`similarity.embedding_near_dup_lsh`): cell blocking catches
+    dense semantic neighborhoods; random-projection bands catch
+    near-identical outliers regardless of cell boundaries.
+
+    Exactness: the cell assignment is the deterministic Lloyd's run
+    (module doc) and the verify is the repo's bit-identical dot-product
+    chain — so a blocked approximate-dedup recipe is value-hash
+    oracle-checked end to end.
+
+    Scale contract: the paper's bound requires K to GROW with the
+    corpus (tens of thousands of cells at web scale) — K is a real
+    parameter here (:func:`semantic_dedup_pairs_df`), and
+    ``SEMDEDUP_CELL_CAP`` bounds any single cell's quadratic
+    contribution at CAP^2 even when K is set too small (deterministic
+    content-hash membership, oracle-replayed). Per-cell self-equi-join
+    on the cluster id; skewed cells are AQE skew-join territory;
+    nothing ever compares across cells.
+    """
+    return semantic_dedup_pairs_df(spark, sf_dir)

@@ -56,11 +56,47 @@ def _sql_top_count(grams: str) -> str:
     )
 
 
+#: tokens scored per document: ``_top_count`` is O(distinct x total)
+#: per doc, so a pathological multi-MB document would cost CAP-free
+#: quadratic CPU inside one task. Scoring the first CAP tokens bounds
+#: the worst doc at CAP^2 array ops (the repetition recipes score a
+#: prefix/sample for exactly this reason); the truncation is replayed
+#: in the oracle so capped results stay hash-checkable. Inactive on
+#: this corpus (docs are far shorter); pinned by a long-doc fixture in
+#: ``tests/test_curation.py``.
+REPETITION_TOKEN_CAP = 2000
+
+
+def repetition_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, metrics...) repetition scores for a documents relation
+    — the shared expression chain behind ``doc_repetition_scores``,
+    testable on synthetic (long-doc) fixtures."""
+    base = docs.select(
+        "doc_id",
+        F.slice(X.tokens("text"), 1, REPETITION_TOKEN_CAP).alias("toks"),
+    ).withColumn("g2", X.shingles(F.col("toks"), 2))
+    n = F.size("toks")
+    n2 = F.size("g2")
+    dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
+    top1 = _top_count(F.col("toks")).cast("double") / n
+    top2 = _top_count(F.col("g2")).cast("double") / n2
+    return base.filter(n2 > 0).select(
+        "doc_id",
+        dup.alias("dup_token_ratio"),
+        top1.alias("top_token_ratio"),
+        top2.alias("top_bigram_ratio"),
+        ((dup > 0.5) | (top2 > 0.18)).alias("flagged"),
+    )
+
+
 @query(
     "doc_repetition_scores",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+      SELECT doc_id,
+             list_slice({X.sql_tokens('text')}, 1, {REPETITION_TOKEN_CAP})
+               AS toks
+      FROM documents
     ), g AS (
       SELECT doc_id, toks, {X.sql_shingles('toks', 2)} AS g2 FROM t
     )
@@ -86,24 +122,11 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map over the scan — every metric is a higher-order
     array expression on the document's own tokens; zero shuffles for
     100 TB of documents, and the ``flagged`` predicate is exactly the
-    filter a curation pass would push into the scan.
+    filter a curation pass would push into the scan. Per-doc CPU is
+    bounded by ``REPETITION_TOKEN_CAP`` (scores the first CAP tokens;
+    oracle-replayed truncation).
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id", X.tokens("text").alias("toks")
-    ).withColumn("g2", X.shingles(F.col("toks"), 2))
-    n = F.size("toks")
-    n2 = F.size("g2")
-    dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
-    top1 = _top_count(F.col("toks")).cast("double") / n
-    top2 = _top_count(F.col("g2")).cast("double") / n2
-    return base.filter(n2 > 0).select(
-        "doc_id",
-        dup.alias("dup_token_ratio"),
-        top1.alias("top_token_ratio"),
-        top2.alias("top_bigram_ratio"),
-        ((dup > 0.5) | (top2 > 0.18)).alias("flagged"),
-    )
+    return repetition_relation(spread(load_table(spark, sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------

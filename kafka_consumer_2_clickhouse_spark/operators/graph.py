@@ -164,7 +164,17 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The iterative Spark computation is checked against a closed-form
     recursive-CTE oracle on the same edges.
+
+    ``SPARK_GRAFT_CC_ALGO=star`` switches the solver to
+    :func:`connected_components_star` (O(log n) rounds — for edge sets
+    whose diameter is NOT shallow); default is min-label propagation
+    (fewer per-round joins — right for dup graphs' clique/short-chain
+    shape). Both satisfy the identical contract and the same oracle;
+    path equality on the registered edges is pinned in
+    ``tests/test_graph_star.py``.
     """
+    import os
+
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
@@ -173,7 +183,15 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= COMPONENT_JACCARD_MIN)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    out = connected_components(docs, edges)
+    algo = os.environ.get("SPARK_GRAFT_CC_ALGO", "label")
+    if algo == "star":
+        out = connected_components_star(docs, edges)
+    elif algo == "label":
+        out = connected_components(docs, edges)
+    else:
+        raise ValueError(
+            f"SPARK_GRAFT_CC_ALGO={algo!r}: expected 'label' or 'star'"
+        )
     return out.select(F.col("id").alias("doc_id"), "component_id")
 
 
@@ -236,11 +254,16 @@ def connected_components_star(
     Each round is two half-steps over the directed edge relation
     (u, v), u > v:
 
-    - LARGE-STAR: per node u with m = min(N(u) + {u}), re-point every
-      neighbor v > u at m. Tames high-degree nodes: their neighborhood
-      collapses onto the minimum in one step.
-    - SMALL-STAR: per node u, re-point u and its smaller neighbors at
-      m. Flattens the remaining short chains.
+    - LARGE-STAR: per node u with m = min(N(u) ∪ {u}) over the FULL
+      neighborhood, re-point every neighbor v > u at m. Tames
+      high-degree nodes: their neighborhood collapses onto the minimum
+      in one step.
+    - SMALL-STAR: per node u with m = min({v ∈ N(u): v ≤ u} ∪ {u}) —
+      the min over SMALLER neighbors only, exactly the paper's
+      formulation — re-point u and its smaller neighbors at m.
+      Flattens the remaining short chains. (On the canonical directed
+      (u, v), u > v relation the smaller-neighbor set is the edge list
+      itself, so this half-step needs no symmetrization at all.)
 
     Both halves are one groupBy(u) min-aggregate plus an equi-join —
     the identical shuffle shape as a min-label round — but the round
@@ -267,20 +290,28 @@ def connected_components_star(
     )
 
     def half_step(e: DataFrame, large: bool) -> DataFrame:
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        mins = mins.select(
-            "u", F.least(F.col("mv"), F.col("u")).alias("m")
-        )
-        joined = sym.join(mins, "u")
         if large:
-            out = joined.filter(F.col("v") > F.col("u")).select(
-                F.col("v").alias("a"), F.col("m").alias("b")
+            # m = min over the FULL neighborhood ∪ {u}; re-point every
+            # strictly-larger neighbor at m.
+            sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+            mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+            out = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
             )
         else:
-            out = joined.filter(F.col("v") <= F.col("u")).select(
+            # m = min over SMALLER neighbors ∪ {u}. On the canonical
+            # (u, v), u > v relation the smaller neighbors of u are
+            # exactly the rows keyed by u, so min(v) < u already and no
+            # symmetrize/least is needed; nodes with no smaller
+            # neighbor contribute only the self-loop (u, u) — dropped.
+            mins = e.groupBy("u").agg(F.min("v").alias("m"))
+            joined = e.join(mins, "u")
+            out = joined.select(
                 F.col("v").alias("a"), F.col("m").alias("b")
-            ).union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            ).union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
         return (
             out.filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))

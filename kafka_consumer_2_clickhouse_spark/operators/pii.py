@@ -19,8 +19,9 @@ also document the expected all-clear shape).
 
 Scale (100 TB): both operators are MAP-ONLY — regex evaluation fuses
 into the parquet scan under whole-stage codegen, no shuffle, no UDF,
-no Python. Redaction order is fixed (email -> ssn -> phone -> ipv4) so
-the output is deterministic wherever patterns could interact.
+no Python. Redaction order is fixed (email -> ssn -> phone -> ipv4 ->
+credit_card -> ipv6 -> mac -> iban) so the output is deterministic
+wherever patterns could interact.
 """
 
 from __future__ import annotations
@@ -31,12 +32,31 @@ from ..sources.tables import load_table, spread
 from .analytics import query
 
 #: category -> pattern, in fixed application order (dict order matters
-#: for redaction when matches could overlap).
+#: for redaction when matches could overlap). All patterns stay inside
+#: the Java-regex/RE2-identical subset (ASCII classes, bounded
+#: quantifiers, non-capturing groups, \b boundaries; no lookaround, no
+#: backreferences). Coverage follows the C4/Dolma-style production
+#: recipes: contact identifiers, government ids, payment data, network
+#: addresses.
 PII_PATTERNS: dict[str, str] = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
     "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
     "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    # 16-digit grouped card number (4x4, dash or space separated; the
+    # bare-16-digit run is deliberately NOT matched — too collision-
+    # prone with ids/timestamps, same call the public recipes make)
+    "credit_card": "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b",
+    # full (uncompressed) 8-group IPv6; ::-compressed forms need
+    # alternation that explodes the RE2-identical subset — documented
+    # limitation, the common log format is the full form
+    "ipv6": "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b",
+    # colon-separated MAC (6 hex pairs); must run AFTER ipv6 so an
+    # ipv6 tail is never half-eaten as a MAC
+    "mac": "\\b[0-9A-Fa-f]{2}(?::[0-9A-Fa-f]{2}){5}\\b",
+    # IBAN shape: country code + 2 check digits + 11-30 alphanumerics
+    # (length window covers every real country format)
+    "iban": "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b",
 }
 
 

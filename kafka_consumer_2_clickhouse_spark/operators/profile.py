@@ -129,7 +129,7 @@ def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
              round((e.value - st.s / st.n)
                    / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 6) AS zscore
       FROM events e JOIN st USING (event_type)
-      WHERE st.n > 1
+      WHERE st.n > 1 AND st.ss - st.s * st.s / st.n > 0
     )
     SELECT event_id, event_type, value, zscore
     FROM z WHERE abs(zscore) > 3.0
@@ -150,13 +150,26 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score with the second pass fused into the scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    st = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
-        .cast("double")
-        .alias("ss"),
-    ).filter(F.col("n") > 1)
+    st = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("ss"),
+        )
+        # variance-positive guard: a constant-valued group has var = 0
+        # and z = 0/0 — engines disagree on 0/0 (NULL vs IEEE NaN, and
+        # NaN > 3.0 in some engines), so degenerate groups are excluded
+        # explicitly on BOTH sides instead of relying on NULL-drop.
+        # The stats are exact decimal sums, so `ss - s*s/n > 0` is the
+        # same bit-identical predicate on both engines.
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("ss") - F.col("s") * F.col("s") / F.col("n") > 0)
+        )
+    )
     mean = F.col("s") / F.col("n")
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     z = F.round((F.col("value") - mean) / F.sqrt(var), 6)

@@ -591,3 +591,53 @@ def doc_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("difficulty_bucket"),
     )
+
+
+#: percentile_approx accuracy for the approx bucket cutpoints: rank
+#: error <= 1/accuracy of the corpus, so at most ~3*corpus/accuracy
+#: documents can land one bucket off vs the exact quartiles (one
+#: boundary each side of 3 cutpoints). 10000 -> 0.01% rank error.
+DIFFICULTY_APPROX_ACC = 10_000
+
+
+@query("doc_difficulty_buckets_approx")  # rows-only: approx by design
+def doc_difficulty_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`doc_difficulty_buckets`: quartile
+    CUTPOINTS from one mergeable ``percentile_approx`` aggregate
+    (KLL-style sketch, map-side combine), broadcast as a 1-row scalar,
+    buckets assigned MAP-SIDE — no global window, no single-task total
+    sort. The exact ntile variant stays registered as the oracle twin;
+    this one is rows-only with the bucket-disagreement bound pinned in
+    ``tests/test_plans.py`` / ``tests/test_text_analysis_approx.py``.
+
+    Why the exact variant cannot scale: an un-partitioned ntile moves
+    the ENTIRE corpus to one partition for the sort (Spark warns
+    ``WindowExec: No Partition Defined``). Here the only global state
+    is 3 doubles; everything else fuses into the scoring scan.
+
+    Semantics delta vs ntile (documented, bounded): ntile splits
+    exact-equal counts with ties broken by doc_id; cutpoint bucketing
+    puts all docs with the same score on the same side. Disagreements
+    are confined to ranks within the sketch's rank-error of the three
+    quartile boundaries.
+    """
+    lp = doc_unigram_logprob(spark, sf_dir)
+    cuts = lp.agg(
+        F.percentile_approx(
+            "avg_neg_logprob", [0.25, 0.5, 0.75], DIFFICULTY_APPROX_ACC
+        ).alias("cuts")
+    )
+    b = lp.crossJoin(F.broadcast(cuts))
+    score = F.col("avg_neg_logprob")
+    bucket = (
+        F.lit(1)
+        + (score > F.col("cuts")[0]).cast("int")
+        + (score > F.col("cuts")[1]).cast("int")
+        + (score > F.col("cuts")[2]).cast("int")
+    )
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logprob",
+        bucket.cast("int").alias("difficulty_bucket"),
+    )

@@ -5,4 +5,5 @@ from .inspect import (  # noqa: F401
     pushed_filters,
     scan_columns,
     shuffle_count,
+    unpartitioned_windows,
 )

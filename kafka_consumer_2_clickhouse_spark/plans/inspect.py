@@ -47,6 +47,37 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Names of window-family physical nodes with an EMPTY partition
+    spec — i.e. a global sort into ONE task. Correct, but a
+    scale-killer: Spark itself warns ``WindowExec: No Partition
+    Defined`` and moves the entire input to a single partition. Any
+    non-whitelisted hit in ``tests/test_plans.py``'s suite-wide gate is
+    a regression.
+
+    Uses the OPTIMIZED LOGICAL plan's JSON serialization
+    (``partitionSpec`` is a constructor field of the Window nodes)
+    rather than parsing the plan string, which does not distinguish
+    partition from order brackets reliably. (The physical
+    ``executedPlan().toJSON()`` is useless under AQE — it serializes
+    only the AdaptiveSparkPlanExec wrapper.) Every logical Window here
+    becomes a physical WindowExec/WindowGroupLimitExec with the same
+    partition spec, so the logical check pins the physical property.
+    """
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    hits = []
+    for node in nodes:
+        cls = node.get("class", "")
+        name = cls.rsplit(".", 1)[-1]
+        if name in ("Window", "WindowGroupLimit") and not node.get(
+            "partitionSpec"
+        ):
+            hits.append(name)
+    return hits
+
+
 def scan_columns(df: DataFrame) -> list[list[str]]:
     """Column lists read by each FileScan (column-pruning check)."""
     out = []

@@ -23,7 +23,17 @@ Composition, per micro-batch:
 
 Scale: all three stages are the batch operators' plans — redaction
 fuses into the batch scan, the probe is a band-key equi-join, the
-write is partitioned append. Nothing is driver-side.
+write is partitioned append. Nothing is driver-side except the commit
+protocol below.
+
+Storage note: the landing/state commit protocol (directory listing,
+``batch=<id>`` dirs, overwrite-by-batch-dir) drives state through
+driver-local POSIX calls — it assumes ``landing_dir``/``state_dir``
+live on a locally-mounted filesystem (local disk, NFS). On an object
+store (S3/GCS) or HDFS, rename is not atomic (or not cheap) and
+``os.listdir`` does not apply; commit via a manifest/transaction log
+(Delta/Iceberg-style) with the same protocol shape instead. Same
+caveat as ``rollup_sink.py``.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pii import redact_column
 from .neardup import neardup_filter

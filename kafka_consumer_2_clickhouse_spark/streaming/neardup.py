@@ -35,6 +35,14 @@ band-key equi-join (broadcast when the batch is small vs history,
 shuffle-hash otherwise — AQE's call). Nothing ever compares bodies;
 at 100 TB/day the filter's cost is the signature map over the batch
 plus one key join against the store.
+
+Storage note: the signature-store commit protocol (``os.listdir`` for
+batch discovery, overwrite-by-``batch=<id>``-dir for idempotent
+replay) assumes ``state_dir`` is a locally-mounted filesystem (local
+disk, NFS). On an object store or HDFS, replace the directory listing
+and overwrite-commit with a manifest/transaction log (Delta/Iceberg-
+style); the protocol shape — versioned appends keyed by batch id —
+carries over unchanged. Same caveat as ``rollup_sink.py``.
 """
 
 from __future__ import annotations

@@ -96,9 +96,23 @@ def rollup_maintainer(
         # version, so writing must not touch the committed dir
         new_state.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-        if last is not None:
-            shutil.rmtree(
-                os.path.join(state_dir, f"{_PREFIX}{last}"), ignore_errors=True
-            )
+        # sweep EVERY superseded version and stray tmp, not just the
+        # immediately-preceding id: a crash between rename and cleanup
+        # (or a crashed batch's leftover .tmp) would otherwise leak a
+        # state dir forever — committed_batch takes the max id, so
+        # correctness never depended on this, only disk usage.
+        for d in os.listdir(state_dir):
+            if not d.startswith(_PREFIX):
+                continue
+            if d.endswith(".tmp"):
+                if d != os.path.basename(tmp):
+                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+                continue
+            try:
+                did = int(d[len(_PREFIX):])
+            except ValueError:
+                continue
+            if did < batch_id:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     return maintain

@@ -129,3 +129,75 @@ def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
         assert v == allp[k]
     if allp:  # cell blocking keeps a useful share of true pairs
         assert len(sem) / len(allp) > 0.2, (len(sem), len(allp))
+
+
+def test_kmeans_oracle_green_at_two_k_values(spark, sf_dir):
+    """The (k, iters) parameterization is cross-engine exact at values
+    OTHER than the registered defaults: the Spark Lloyd's run and the
+    unrolled DuckDB CTE twin are generated from the same parameters."""
+    from kafka_consumer_2_clickhouse_spark.operators.clustering import (
+        DIST_SCALE,
+        _kmeans_ctes,
+    )
+    from tests.oracle_utils import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+    for k, iters in ((4, 2), (13, 1)):
+        out = kmeans_assignments(spark, sf_dir, k=k, iters=iters).select(
+            "vec_id",
+            "cluster",
+            (F.col("dsc").cast("double") / F.lit(DIST_SCALE)).alias("dist"),
+        )
+        sql = f"""
+        {_kmeans_ctes(k, iters)}
+        SELECT vec_id, cluster,
+               CAST(dsc AS DOUBLE) / {DIST_SCALE:.1f} AS dist
+        FROM afinal
+        """
+        ok, msg = compare(out, con, sql)
+        assert ok, f"k={k} iters={iters}: {msg}"
+
+
+def test_semantic_dedup_cell_cap_oracle_replay(spark, sf_dir):
+    """An ACTIVE cell cap (smaller than the cells) stays cross-engine
+    exact — the deterministic content-hash membership is replayed by
+    the generated oracle — and caps participation: every surviving
+    pair's endpoints are within the first CAP hash-ranked members of
+    their cell, and the capped pair set is a subset of the uncapped."""
+    from kafka_consumer_2_clickhouse_spark.operators.clustering import (
+        _semantic_pairs_oracle,
+        semantic_dedup_pairs_df,
+    )
+    from tests.oracle_utils import compare, duck_connect
+
+    cap = 20
+    capped = semantic_dedup_pairs_df(spark, sf_dir, cap=cap)
+    con = duck_connect(sf_dir)
+    ok, msg = compare(capped, con, _semantic_pairs_oracle(cap=cap))
+    assert ok, msg
+    capped_pairs = {
+        (r["vec_a"], r["vec_b"]) for r in capped.collect()
+    }
+    full_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dedup_pairs_df(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert capped_pairs <= full_pairs
+    # the cap must bound per-cell participants
+    import hashlib
+
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster").collect()
+    spark.catalog.clearCache()
+    by_cell: dict[int, list[int]] = {}
+    for r in asg:
+        by_cell.setdefault(r["cluster"], []).append(r["vec_id"])
+    allowed = set()
+    for members in by_cell.values():
+        ranked = sorted(
+            members,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )
+        allowed.update(ranked[:cap])
+    for a, b in capped_pairs:
+        assert a in allowed and b in allowed, (a, b)

@@ -232,3 +232,34 @@ def test_heavy_hitters_match_full_groupby(spark, sf_dir):
         .collect()
     )
     assert hh == [(r["tok"], r["count"]) for r in full]
+
+
+def test_repetition_token_cap_bounds_long_docs(spark):
+    """A pathological long document is scored on its first
+    REPETITION_TOKEN_CAP tokens only: the denominators pin to the cap
+    and a repetition burst BEYOND the cap cannot change the flag."""
+    from kafka_consumer_2_clickhouse_spark.operators.curation import (
+        REPETITION_TOKEN_CAP,
+        repetition_relation,
+    )
+
+    cap = REPETITION_TOKEN_CAP
+    # doc 1: unique tokens up to the cap, then a massive repeated tail
+    # — with the cap the dup ratio is ~0 and flagged is False; without
+    # it the tail would dominate and flip the flag.
+    tail = " ".join(["spam"] * cap)
+    uniq = " ".join(f"w{i}" for i in range(cap))
+    df = spark.createDataFrame(
+        [
+            (1, uniq + " " + tail),
+            (2, " ".join(f"w{i}" for i in range(10))),  # short: cap inactive
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_relation(df).collect()}
+    assert rows[1]["dup_token_ratio"] == 0.0
+    assert not rows[1]["flagged"]
+    assert rows[1]["top_token_ratio"] == 1.0 / cap
+    # short doc unaffected by the cap
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_token_ratio"] == 0.1

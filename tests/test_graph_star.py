@@ -118,3 +118,30 @@ def test_star_matches_min_label_on_real_neardup_edges(spark, sf_dir):
     spark.catalog.clearCache()
     assert star == minlabel
     assert len(star) == nodes.count()
+
+
+def test_env_switch_selects_star_path(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_CC_ALGO=star must route the REGISTERED query through
+    the star solver and produce the identical labeling as the default
+    min-label path; an unknown value must fail loudly."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.operators.graph import (
+        near_dup_components,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    default = {
+        (r["doc_id"], r["component_id"])
+        for r in near_dup_components(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_ALGO", "star")
+    star = {
+        (r["doc_id"], r["component_id"])
+        for r in near_dup_components(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert star == default
+    monkeypatch.setenv("SPARK_GRAFT_CC_ALGO", "bogus")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CC_ALGO"):
+        near_dup_components(spark, sf_dir)

@@ -26,6 +26,13 @@ TEXTS = [
     "edge 1234-56-7890 not-ssn 12.34.56.78.90 overlap",
     "UPPER@CASE.COM and (555) 123 4567 unformatted stays",
     "dot.phone 555.123.4567 and dash-ip 1-2-3-4 not ip",
+    # new categories: card, IPv6, MAC, IBAN
+    "pay 4111-1111-1111-1111 or 4111 1111 1111 1111 not 4111111111111111",
+    "host fe80:0:0:0:202:b3ff:fe1e:8329 nic 00:1A:2b:3C:4d:5E done",
+    "wire DE89370400440532013000 and GB29NWBK60161331926819 ok",
+    # interaction edges: MAC is not an IPv6 tail; card groups are not
+    # phones/ssns; iban needs uppercase country+digits
+    "aa:bb:cc:dd:ee:ff vs 1:2:3:4:5:6:7:8 vs de89370400440532013000",
 ]
 
 
@@ -100,6 +107,16 @@ def test_randomized_differential_vs_python_re(spark):
         "999.999.999.999",  # still matches the (deliberately loose) ipv4 shape
         "12.34.56.78.90",  # 5-octet overlap edge
         "1234-56-7890",  # not an ssn
+        "4111-1111-1111-1111",
+        "4111 1111 1111 1111",
+        "4111111111111111",  # bare 16 digits: deliberately NOT a card match
+        "fe80:0:0:0:202:b3ff:fe1e:8329",
+        "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+        "00:1A:2b:3C:4d:5E",
+        "aa:bb:cc:dd:ee:ff:11",  # 7 pairs: leftmost 6 redact as MAC
+        "DE89370400440532013000",
+        "GB29NWBK60161331926819",
+        "de89370400440532013000",  # lowercase: not an iban match
     ]
     texts = []
     for _ in range(200):

@@ -35,7 +35,55 @@ BNLJ_ALLOWED = {
     "corpus_mixture_summary",  # 1-row scale + 1-row total crossJoins
     "doc_unigram_logprob",  # 1-row corpus-token-total crossJoin
     "doc_difficulty_buckets",  # inherits doc_unigram_logprob's 1-row crossJoin
+    "doc_difficulty_buckets_approx",  # same + 1-row cutpoints crossJoin
 }
+
+
+# Ops where an UN-PARTITIONED window (global single-task sort) is the
+# intended shape — each entry must be bounded-input or the documented
+# exact-oracle twin of a registered scale-safe variant.
+GLOBAL_WINDOW_ALLOWED = {
+    # exact ntile over the full corpus: kept as the oracle twin of
+    # doc_difficulty_buckets_approx (percentile_approx cutpoints,
+    # map-side bucketing — THE registered 100 TB path)
+    "doc_difficulty_buckets",
+    # global rank runs over the Misra-Gries candidate union only —
+    # bounded at HH_CAPACITY rows per partition, never the corpus
+    "token_heavy_hitters",
+}
+
+
+def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
+    """A window with no partitionBy moves its ENTIRE input to one task
+    (Spark warns `WindowExec: No Partition Defined`) — correct, but a
+    scale-killer unless the input is provably bounded. Suite-wide gate
+    with an explicit whitelist; any new global window must either be
+    re-shaped or justified here."""
+    from kafka_consumer_2_clickhouse_spark.plans import unpartitioned_windows
+
+    offenders = []
+    for name in sorted(ops.QUERIES):
+        if name in GLOBAL_WINDOW_ALLOWED:
+            continue
+        hits = unpartitioned_windows(ops.QUERIES[name](spark, sf_dir))
+        if hits:
+            offenders.append((name, hits))
+    assert not offenders, f"un-partitioned windows: {offenders}"
+
+
+def test_difficulty_buckets_approx_plan_has_no_window(spark, sf_dir):
+    """The approx variant must carry NO window at all — cutpoints are
+    one mergeable aggregate, bucketing is map-side."""
+    from kafka_consumer_2_clickhouse_spark.plans import unpartitioned_windows
+
+    df = ops.QUERIES["doc_difficulty_buckets_approx"](spark, sf_dir)
+    assert unpartitioned_windows(df) == []
+    p = physical_plan(df)
+    assert "WindowExec" not in p, p
+    # the exact twin keeps its documented global window
+    assert unpartitioned_windows(
+        ops.QUERIES["doc_difficulty_buckets"](spark, sf_dir)
+    ) == ["Window"]
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):

@@ -48,6 +48,86 @@ def test_sketches_within_error_bounds(spark, sf_dir):
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, got, rank)
 
 
+def test_order_value_quartiles_approx_rank_bounds(spark, sf_dir):
+    """order_value_quartiles_approx: n_orders EXACTLY equals the exact
+    variant; each approx quartile is a real data point whose rank is
+    within the sketch guarantee (1/accuracy) + 1/n of the target."""
+    exact = {
+        r["c_mktsegment"]: r
+        for r in ops.QUERIES["order_value_quartiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["c_mktsegment"]: r
+        for r in ops.QUERIES["order_value_quartiles_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    values = {
+        seg: sorted(
+            r["o_totalprice"]
+            for r in joined.filter(F.col("c_mktsegment") == seg)
+            .select("o_totalprice")
+            .collect()
+        )
+        for seg in exact
+    }
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import (
+        QUARTILE_APPROX_ACC,
+    )
+
+    for seg, a in approx.items():
+        e = exact[seg]
+        assert a["n_orders"] == e["n_orders"], seg
+        vals = values[seg]
+        n = len(vals)
+        for got, q in zip((a["p25"], a["p50"], a["p75"]), (0.25, 0.5, 0.75)):
+            assert got in vals or any(
+                abs(got - v) < 1e-9 for v in vals
+            ), (seg, q, got)  # a real data point, not an interpolation
+            rank = sum(1 for v in vals if v <= got) / n
+            assert abs(rank - q) <= 1.0 / QUARTILE_APPROX_ACC + 1.0 / n, (
+                seg,
+                q,
+                got,
+                rank,
+            )
+
+
+def test_difficulty_buckets_approx_agreement(spark, sf_dir):
+    """doc_difficulty_buckets_approx: same doc set, monotone buckets,
+    and disagreement vs the exact ntile confined to the rank-error
+    neighborhood of the three quartile boundaries."""
+    exact = {
+        r["doc_id"]: r["difficulty_bucket"]
+        for r in ops.QUERIES["doc_difficulty_buckets"](spark, sf_dir).collect()
+    }
+    approx_rows = ops.QUERIES["doc_difficulty_buckets_approx"](
+        spark, sf_dir
+    ).collect()
+    approx = {r["doc_id"]: r["difficulty_bucket"] for r in approx_rows}
+    assert set(exact) == set(approx)
+    assert set(approx.values()) <= {1, 2, 3, 4}
+    # bucket order must agree with score order
+    scored = sorted(
+        ((r["avg_neg_logprob"], r["doc_id"]) for r in approx_rows)
+    )
+    buckets_in_score_order = [approx[d] for _, d in scored]
+    assert buckets_in_score_order == sorted(buckets_in_score_order)
+    n = len(exact)
+    mismatches = [d for d in exact if exact[d] != approx[d]]
+    # sketch rank error 1/ACC per boundary; ties + the ntile-vs-cutpoint
+    # convention add at most a handful of docs per boundary. 2% of the
+    # corpus is a generous ceiling at any n.
+    assert len(mismatches) <= max(6, 0.02 * n), (
+        len(mismatches),
+        n,
+    )
+    for d in mismatches:  # off by one bucket at most, never two
+        assert abs(exact[d] - approx[d]) == 1, (d, exact[d], approx[d])
+
+
 def test_profile_approx_matches_exact_within_hll_bounds(spark, sf_dir):
     """events_profile_approx: n_nulls/min/max EXACTLY equal the exact
     profile; n_distinct within HLL++ rsd=2% (3 sigma)."""
