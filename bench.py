@@ -94,6 +94,16 @@ EXTRA = [
     "curated_corpus",
     "doc_unigram_logprob",
     "events_active_users",
+    # round 5
+    "doc_difficulty_buckets_approx",
+    "doc_boilerplate_fraction",
+    "doc_ngram_novelty",
+    "near_dup_source_matrix",
+    "events_session_stats",
+    "customer_rfm_segments",
+    "semantic_dedup_pairs",
+    "corpus_token_budget",
+    "dedup_survivorship_by_source",
 ]
 
 

@@ -463,6 +463,196 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+             AS duration_us
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session behavioral stats (event count, distinct event types,
+    exact-microsecond duration) over the 30-min-gap sessionization —
+    the session-quality table an engagement analysis reads.
+
+    Scale: the same single user_id shuffle serves the session-number
+    window and the final per-session aggregate (map-side combine on an
+    already-partitioned relation); duration is exact µs, the only unit
+    with engine-identical semantics at timestamp resolution.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("bigint").alias("session_no"),
+            "n_events",
+            "n_types",
+            "duration_us",
+        )
+    )
+
+
+#: fixed bucket count for the value histogram
+HIST_BUCKETS = 10
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    )
+    SELECT event_type,
+           CAST(least(floor((value - lo) / (hi - lo) * {HIST_BUCKETS}),
+                      {HIST_BUCKETS - 1}) AS INT) AS bucket,
+           count(*) AS n
+    FROM events CROSS JOIN rng
+    WHERE hi > lo
+    GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type over the global
+    [min, max] range — the profile chart behind every data-QC
+    dashboard, as a two-pass plan.
+
+    Determinism: identical IEEE arithmetic on identical doubles; the
+    bucket expression ``least(floor((v-lo)/(hi-lo)*B), B-1)`` is
+    engine-portable (the max value folds into the last bucket).
+
+    Scale: pass 1 is a 1-row min/max aggregate (map-side combine);
+    pass 2 broadcasts it and buckets map-side, then one grouped
+    aggregate on (type, bucket) — key-space-sized shuffle regardless
+    of corpus size. The classic two-pass histogram; a one-pass
+    fixed-range variant just drops the first aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * HIST_BUCKETS
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        # degenerate-range guard (hi == lo -> 0/0): engines disagree on
+        # 0/0 (NULL vs NaN) — exclude explicitly on BOTH sides, the
+        # same version-independence discipline as events_value_outliers
+        .filter(F.col("hi") > F.col("lo"))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('microsecond', max(o_orderdate),
+                            (SELECT max(o_orderdate) FROM orders))
+                  AS BIGINT) AS recency_us,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_cont(recency_us, 0.5) AS r_cut,
+             quantile_cont(frequency, 0.5) AS f_cut,
+             quantile_cont(monetary, 0.5) AS m_cut
+      FROM per_cust
+    )
+    SELECT c_custkey, recency_us, frequency, monetary,
+           CAST(CASE WHEN recency_us <= r_cut THEN 1 ELSE 0 END AS INT) AS r_score,
+           CAST(CASE WHEN frequency  >  f_cut THEN 1 ELSE 0 END AS INT) AS f_score,
+           CAST(CASE WHEN monetary   >  m_cut THEN 1 ELSE 0 END AS INT) AS m_score
+    FROM per_cust CROSS JOIN cuts
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    median splits — the classic CRM segmentation, engineered for
+    cross-engine exactness: recency is exact µs against the corpus max
+    order date, monetary is a decimal sum, and the three cutpoints are
+    linear-interpolation medians (identical definition on both
+    engines) broadcast as one row.
+
+    Scale: one groupBy(custkey) aggregate (map-side combine), a 1-row
+    global-max broadcast, a 1-row cutpoint aggregate over the
+    customer-sized relation, and a map-side score — no global sort,
+    no per-group percentile at fact-table scale (the median runs over
+    the already-aggregated per-customer relation, not raw orders).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (F.unix_micros(F.first("gmax")) - F.unix_micros(F.max("o_orderdate")))
+            .cast("bigint")
+            .alias("recency_us"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    cuts = per_cust.agg(
+        F.percentile("recency_us", 0.5).alias("r_cut"),
+        F.percentile("frequency", 0.5).alias("f_cut"),
+        F.percentile("monetary", 0.5).alias("m_cut"),
+    )
+    return per_cust.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_us",
+        "frequency",
+        "monetary",
+        (F.col("recency_us") <= F.col("r_cut")).cast("int").alias("r_score"),
+        (F.col("frequency") > F.col("f_cut")).cast("int").alias("f_score"),
+        (F.col("monetary") > F.col("m_cut")).cast("int").alias("m_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation variants
 # --------------------------------------------------------------------------

@@ -229,6 +229,182 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pipeline accounting tables
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_split_sql('doc_id')} AS split, lang,
+             len({X.sql_tokens('text')}) AS n_tokens
+      FROM documents
+    ), g AS (
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY split, lang
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM g
+    )
+    SELECT split, lang, n_docs, n_tokens,
+           n_tokens / tt AS token_share
+    FROM g CROSS JOIN tot
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget accounting per (split, lang): document count, total
+    tokens, and each cell's share of the corpus — the table a training
+    schedule reads to plan epochs/mixture weights against what the
+    corpus actually holds (the counting side of DoReMi-style mixing;
+    `corpus_mixture_sample` is the acting side).
+
+    Scale: token counts are map-side array lengths (no explode), the
+    grouped aggregate is cell-sized, and the share divides by one
+    broadcast scalar — integer sums end-to-end, exact on both engines.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            split_column(F.col("doc_id")).alias("split"),
+            "lang",
+            F.size(X.tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("tt"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("tt")).alias("token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document shingle statistics: boilerplate + novelty
+# --------------------------------------------------------------------------
+
+#: a shingle appearing in >= this many documents counts as boilerplate
+BOILERPLATE_DF_MIN = 3
+BOILERPLATE_SHINGLE_N = 3
+
+
+@query(
+    "doc_boilerplate_fraction",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest(list_distinct(
+               {X.sql_shingles(X.sql_tokens('text'), BOILERPLATE_SHINGLE_N)}))
+               AS sh
+      FROM documents
+    ), df AS (
+      SELECT sh, count(*) AS df FROM s GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df >= {BOILERPLATE_DF_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN df.df >= {BOILERPLATE_DF_MIN} THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS boilerplate_frac
+    FROM s JOIN df USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    3-gram shingles that appear in >= BOILERPLATE_DF_MIN documents
+    corpus-wide — the cross-doc repetition signal (templated headers,
+    navigation chrome, license blurbs) that per-doc repetition scores
+    cannot see. The C4/RefinedWeb recipes drop or trim high-boilerplate
+    docs; this is that score as one query.
+
+    Scale: explode distinct shingles (map-side), ONE shuffle on the
+    shingle key for document frequencies, join back on the same key
+    (no re-shuffle of the already-partitioned relation), then a doc_id
+    grouped aggregate. Shingle df tables are vocabulary-sized; at
+    100 TB this is the same two-shuffle shape as tfidf.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(X.shingles(X.tokens("text"), BOILERPLATE_SHINGLE_N))
+        ).alias("sh"),
+    )
+    df = s.groupBy("sh").agg(F.count("*").alias("df"))
+    boiler = (F.col("df") >= BOILERPLATE_DF_MIN).cast("int")
+    return (
+        s.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            (F.sum(boiler).cast("double") / F.count("*")).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest(list_distinct(
+               {X.sql_shingles(X.sql_tokens('text'), BOILERPLATE_SHINGLE_N)}))
+               AS sh
+      FROM documents
+    ), first_seen AS (
+      SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty_frac
+    FROM s JOIN first_seen f USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in ingestion (doc_id) order: the fraction
+    of a doc's distinct shingles whose FIRST corpus occurrence is this
+    doc — the marginal-contribution curve a dedup/curation pass reads
+    to see when a source stops adding new content (novelty decaying
+    toward 0 means the crawl is re-reading itself).
+
+    Scale: identical two-shuffle shape as the boilerplate score (the
+    first-seen table is min(doc_id) per shingle instead of a count);
+    both could share one scan+shuffle when run together.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(X.shingles(X.tokens("text"), BOILERPLATE_SHINGLE_N))
+        ).alias("sh"),
+    )
+    first_seen = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        s.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Text normalization
 # --------------------------------------------------------------------------
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import textfns as X
 from ..sources.tables import load_table, spread
-from .analytics import query
+from .analytics import ORACLE_SQL, query
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = N_MINHASH / N_BANDS = 2
@@ -625,4 +625,49 @@ def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "cluster_id",
         F.min("doc_id").over(W.partitionBy("fingerprint")).cast("bigint"),
+    )
+
+
+@query(
+    "near_dup_source_matrix",
+    oracle="""
+    WITH lsh AS ({LSH})
+    SELECT least(a.source, b.source) AS source_lo,
+           greatest(a.source, b.source) AS source_hi,
+           count(*) AS n_pairs,
+           max(lsh.jaccard) AS max_jaccard
+    FROM lsh
+      JOIN documents a ON lsh.doc_a = a.doc_id
+      JOIN documents b ON lsh.doc_b = b.doc_id
+    GROUP BY source_lo, source_hi
+    """.replace("{LSH}", ORACLE_SQL["lsh_candidate_pairs"]),
+)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication contamination matrix between sources: for every
+    (unordered) source pair, how many verified LSH near-dup candidate
+    pairs connect them and the strongest overlap observed — the QC
+    table that tells a pipeline owner WHICH feeds re-publish each
+    other's content (off-diagonal mass) vs self-duplicate (diagonal).
+
+    Scale: composes the already-bucketed LSH candidate path; the two
+    doc_id joins recover only the `source` column (narrow) on the
+    landing layout's bucketed key, and the final aggregate is
+    source-pair-sized. max() over doubles is order-insensitive, so the
+    matrix is engine-exact with no decimal detour.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
     )

@@ -241,6 +241,55 @@ def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(docs, "doc_id").select("doc_id", "n_members", "n_chars")
 
 
+def _survivorship_oracle() -> str:
+    return (
+        _components_cte()
+        + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id = c.component_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_in,
+           CAST(sum(CASE WHEN c.doc_id = c.component_id THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN c.doc_id = c.component_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS keep_rate
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+    )
+
+
+@query("dedup_survivorship_by_source", oracle=_survivorship_oracle())
+def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting per source: docs/chars in vs kept after
+    near-dup clustering (keep = the component's min-doc_id canonical) —
+    the survivorship report a pipeline owner reads to see WHICH feed
+    the dedup pass is actually deleting from, next to
+    `near_dup_source_matrix`'s who-duplicates-whom view.
+
+    Scale: one doc_id equi-join of the (already computed) component
+    labels against the bucketed landing layout, then a source-sized
+    aggregate — integer sums, engine-exact.
+    """
+    comp = near_dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = (F.col("doc_id") == F.col("component_id")).cast("int")
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_in"),
+            F.sum(kept * F.col("n_chars")).cast("bigint").alias("chars_kept"),
+            (F.sum(kept).cast("double") / F.count("*")).alias("keep_rate"),
+        )
+    )
+
+
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
 ) -> DataFrame:

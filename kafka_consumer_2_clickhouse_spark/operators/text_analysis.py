@@ -621,7 +621,13 @@ def doc_difficulty_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     are confined to ranks within the sketch's rank-error of the three
     quartile boundaries.
     """
-    lp = doc_unigram_logprob(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # two consumers (cutpoint aggregate + bucketing pass) read the
+    # scored relation: persist so the token-frequency join runs once
+    # (recomputable; caller-owned cleanup, same discipline as the
+    # other multi-consumer relations)
+    lp = doc_unigram_logprob(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cuts = lp.agg(
         F.percentile_approx(
             "avg_neg_logprob", [0.25, 0.5, 0.75], DIFFICULTY_APPROX_ACC

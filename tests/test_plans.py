@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",  # 1-row corpus-token-total crossJoin
     "doc_difficulty_buckets",  # inherits doc_unigram_logprob's 1-row crossJoin
     "doc_difficulty_buckets_approx",  # same + 1-row cutpoints crossJoin
+    "events_value_histogram",  # 1-row min/max range crossJoin
+    "customer_rfm_segments",  # 1-row global-max + 1-row cutpoints crossJoins
+    "corpus_token_budget",  # 1-row corpus-total crossJoin
 }
 
 
