@@ -1,0 +1,118 @@
+"""Invariant tests for the round-5 analytics/accounting operators —
+the oracle gate pins cross-engine equality; these pin the semantics
+themselves (both engines agreeing on a wrong answer would still pass
+the oracle)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_histogram_buckets_bounded_and_complete(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import (
+        HIST_BUCKETS,
+    )
+
+    rows = ops.QUERIES["events_value_histogram"](spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < HIST_BUCKETS for r in rows)
+    total = sum(r["n"] for r in rows)
+    n_events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).count()
+    assert total == n_events  # every non-null value lands in a bucket
+
+
+def test_session_stats_invariants(spark, sf_dir):
+    rows = ops.QUERIES["events_session_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert 1 <= r["n_types"] <= r["n_events"]
+        assert r["duration_us"] >= 0
+        # a 30-min-gap session of n events lasts < n * 30 min
+        assert r["duration_us"] <= (r["n_events"] - 1) * 1800 * 1_000_000
+    # session numbering is dense per user: 1..max
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_no"])
+    for u, nos in by_user.items():
+        assert sorted(nos) == list(range(1, len(nos) + 1)), u
+
+
+def test_rfm_scores_split_on_medians(spark, sf_dir):
+    rows = ops.QUERIES["customer_rfm_segments"](spark, sf_dir).collect()
+    n = len(rows)
+    orders_custs = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert n == orders_custs  # every ordering customer scored once
+    for dim in ("r_score", "f_score", "m_score"):
+        ones = sum(r[dim] for r in rows)
+        assert 0 < ones < n  # a median split is never degenerate
+        # and is at most half on the strict side
+        assert ones <= n - n // 2 + 1, (dim, ones, n)
+
+
+def test_token_budget_shares_sum_to_one(spark, sf_dir):
+    rows = ops.QUERIES["corpus_token_budget"](spark, sf_dir).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_survivorship_consistent_with_keep_docs(spark, sf_dir):
+    surv = ops.QUERIES["dedup_survivorship_by_source"](spark, sf_dir).collect()
+    kept_total = sum(r["n_kept"] for r in surv)
+    keep_docs = ops.QUERIES["dedup_keep_docs"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    assert kept_total == keep_docs
+    for r in surv:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert 0 < r["chars_kept"] <= r["chars_in"]
+        assert abs(r["keep_rate"] - r["n_kept"] / r["n_docs"]) < 1e-12
+
+
+def test_boilerplate_and_novelty_bounds(spark, sf_dir):
+    boiler = {
+        r["doc_id"]: r
+        for r in ops.QUERIES["doc_boilerplate_fraction"](spark, sf_dir).collect()
+    }
+    novel = {
+        r["doc_id"]: r
+        for r in ops.QUERIES["doc_ngram_novelty"](spark, sf_dir).collect()
+    }
+    assert set(boiler) == set(novel)  # same shingled-doc universe
+    for d, r in boiler.items():
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert abs(r["boilerplate_frac"] - r["n_boiler"] / r["n_shingles"]) < 1e-12
+    for d, r in novel.items():
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+    # every shingle's first occurrence is SOME doc: summed novel counts
+    # equal the number of distinct shingles corpus-wide
+    from kafka_consumer_2_clickhouse_spark.functions import textfns as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct_shingles = (
+        docs.select(
+            F.explode(
+                F.array_distinct(X.shingles(X.tokens("text"), 3))
+            ).alias("sh")
+        )
+        .select("sh")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in novel.values()) == n_distinct_shingles
+
+
+def test_source_matrix_counts_match_pair_list(spark, sf_dir):
+    mat = ops.QUERIES["near_dup_source_matrix"](spark, sf_dir).collect()
+    n_pairs_total = sum(r["n_pairs"] for r in mat)
+    pairs = ops.QUERIES["lsh_candidate_pairs"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    assert n_pairs_total == pairs  # every candidate pair lands in one cell
+    for r in mat:
+        assert r["source_lo"] <= r["source_hi"]
+        assert 0.0 <= r["max_jaccard"] <= 1.0
