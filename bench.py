@@ -104,6 +104,7 @@ EXTRA = [
     "semantic_dedup_pairs",
     "corpus_token_budget",
     "dedup_survivorship_by_source",
+    "embedding_hard_negatives",
 ]
 
 

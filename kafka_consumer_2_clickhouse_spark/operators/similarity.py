@@ -853,3 +853,70 @@ def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql, embedding AS qe,
+             {_norm_sql('embedding', 'duck')} AS qn
+      FROM embeddings WHERE vec_id < {N_QUERY}
+    ), c AS (
+      SELECT vec_id AS cand_id, label AS cl, embedding AS ce,
+             {_norm_sql('embedding', 'duck')} AS cn
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, cand_id, cl AS neg_label,
+             {_dot_sql('qe', 'ce', 'duck')} / (qn * cn) AS cosine
+      FROM q JOIN c ON ql <> cl
+    )
+    SELECT query_id, cand_id, neg_label, cosine, rank FROM (
+      SELECT query_id, cand_id, neg_label, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query vector, the TOP_K most-similar candidates with a DIFFERENT
+    ground-truth label — the highest-loss negatives a triplet/InfoNCE
+    batch builder wants (random negatives are trivially easy; the
+    near-boundary ones carry the gradient).
+
+    Scale: identical plan shape to ``embedding_cosine_topk`` — the
+    query side broadcasts, the label-inequality predicate rides the
+    broadcast hash join, scoring is map-side codegen, and the per-query
+    k-cap is a WindowGroupLimit (per-partition partial top-k before the
+    one exchange). Swap in the IVF/PQ candidate paths for the 100 TB
+    shortlist exactly as the topk family documents.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding", "spark")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cl"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_sql("embedding", "spark")).alias("cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("ql") != F.col("cl")).select(
+        "query_id",
+        "cand_id",
+        F.col("cl").alias("neg_label"),
+        (F.expr(_dot_sql("qe", "ce", "spark")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "neg_label", "cosine", "rank")
+    )

@@ -53,3 +53,26 @@ def test_csv_schema_mismatch_yields_nulls_not_crash(spark, tmp_path):
         key=lambda t: (t[0] is None, t),
     )
     assert rows == [(1, 2), (None, 3)]
+
+
+def test_spread_is_noop_on_multi_split_input(spark, tmp_path):
+    """spread() exists because the LOCAL corpus is one row group per
+    table; on a genuinely multi-split scan (the real-cluster case) it
+    must return the input plan UNCHANGED — no repartition shuffle
+    sneaking into every operator at 100 TB."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import spread
+
+    p_many = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(20).write.parquet(p_many)
+    many = spark.read.parquet(p_many)
+    assert spread(many) is many  # identical object: provably no-op
+
+    p_one = str(tmp_path / "one")
+    spark.range(0, 100).coalesce(1).write.parquet(p_one)
+    one = spark.read.parquet(p_one)
+    spread_one = spread(one)
+    assert spread_one is not one
+    assert (
+        spread_one.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "q15_top_supplier",  # 1-row max-revenue crossJoin
     "q17_small_qty_revenue",  # tiny per-part-avg broadcast
     "embedding_cosine_topk",  # all-pairs scoring vs broadcast queries
+    "embedding_hard_negatives",  # same shape: label-inequality vs broadcast queries
     "embedding_near_dup_pairs",  # all-pairs verifier (documented O(n^2))
     "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
     "tfidf_top_terms",  # 1-row corpus-count crossJoin
