@@ -10,6 +10,8 @@ is expected to leave behind:
       stats/drop_reasons/            quality-gate reason histogram
       stats/dup_clusters/            near-dup cluster size histogram
       stats/mixture/                 per-language availability/quota
+      stats/survivorship/            per-source dedup in-vs-kept accounting
+      stats/token_budget/            tokens/docs/share per (split, lang)
 
 Returns a small metrics dict (driver-side scalars only). Every number
 is derived from the same oracle-checked operators the driver gates, so
@@ -32,8 +34,12 @@ def run_curation_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, int]:
     from .operators import release_intermediate_caches
-    from .operators.curation import curated_corpus, doc_quality_filter
-    from .operators.graph import dedup_keep_docs
+    from .operators.curation import (
+        corpus_token_budget,
+        curated_corpus,
+        doc_quality_filter,
+    )
+    from .operators.graph import dedup_keep_docs, dedup_survivorship_by_source
     from .operators.sampling import corpus_mixture_summary
     from .sources.tables import load_table
 
@@ -64,6 +70,14 @@ def run_curation_pipeline(
 
     corpus_mixture_summary(spark, sf_dir).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats", "mixture")
+    )
+
+    dedup_survivorship_by_source(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "survivorship")
+    )
+
+    corpus_token_budget(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "token_budget")
     )
 
     landed: DataFrame = spark.read.parquet(os.path.join(out_dir, "corpus"))

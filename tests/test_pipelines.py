@@ -15,7 +15,14 @@ def test_curation_pipeline_run(spark, sf_dir, tmp_path):
     metrics = run_curation_pipeline(spark, sf_dir, out)
 
     # layout
-    for sub in ("corpus", "stats/drop_reasons", "stats/dup_clusters", "stats/mixture"):
+    for sub in (
+        "corpus",
+        "stats/drop_reasons",
+        "stats/dup_clusters",
+        "stats/mixture",
+        "stats/survivorship",
+        "stats/token_budget",
+    ):
         assert os.path.isdir(os.path.join(out, sub)), sub
     splits = {
         d.split("=")[1]
@@ -38,6 +45,14 @@ def test_curation_pipeline_run(spark, sf_dir, tmp_path):
     # kept docs are PII-free by construction on this corpus: redaction
     # changed nothing, so clean_text joins back to the originals
     assert landed.filter(F.col("clean_text").contains("<EMAIL>")).count() == 0
+
+    # the new accounting tables agree with the corpus-wide facts
+    surv = spark.read.parquet(os.path.join(out, "stats", "survivorship"))
+    assert (
+        surv.agg(F.sum("n_docs")).collect()[0][0] == metrics["docs_in"]
+    )  # every doc is accounted to exactly one source row
+    budget = spark.read.parquet(os.path.join(out, "stats", "token_budget"))
+    assert abs(budget.agg(F.sum("token_share")).collect()[0][0] - 1.0) < 1e-9
 
     # a re-run overwrites cleanly (idempotent operationally)
     metrics2 = run_curation_pipeline(spark, sf_dir, out)
