@@ -105,6 +105,7 @@ EXTRA = [
     "corpus_token_budget",
     "dedup_survivorship_by_source",
     "embedding_hard_negatives",
+    "pack_efficiency_report",
 ]
 
 

@@ -94,6 +94,70 @@ def doc_pack_assignment(
     )
 
 
+@query(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), g AS (
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM t GROUP BY shard
+    )
+    SELECT CAST(shard AS INT) AS shard, n_docs, total_tokens,
+           CAST((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+             AS n_seqs,
+           CAST(total_tokens AS DOUBLE)
+             / (((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN}) * {SEQ_LEN})
+             AS fill_rate,
+           CAST(n_docs AS DOUBLE)
+             / ((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN})
+             AS docs_per_seq
+    FROM g
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing utilization per shard: docs, tokens, packed-sequence
+    count, fill rate (token utilization of the SEQ_LEN-padded stream —
+    only the final partial sequence per shard wastes padding under
+    concat-then-chunk packing), and docs-per-sequence — the QC table a
+    training run reads to confirm the pack step isn't burning
+    throughput on padding and that shards are balanced.
+
+    Scale: pure map (shard + token count fuse into the scan) + one
+    shard-sized grouped aggregate. Consistency with the actual
+    assignment (``doc_pack_assignment``) is arithmetic: under
+    concat-then-chunk, sequences per shard = ceil(total/seq_len)
+    exactly — pinned against the materialized assignment in
+    ``tests/test_new_analytics.py``.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    n_seqs = F.expr(f"(total_tokens + {SEQ_LEN} - 1) div {SEQ_LEN}")
+    return g.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "total_tokens",
+        n_seqs.cast("bigint").alias("n_seqs"),
+        (F.col("total_tokens").cast("double") / (n_seqs * SEQ_LEN)).alias(
+            "fill_rate"
+        ),
+        (F.col("n_docs").cast("double") / n_seqs).alias("docs_per_seq"),
+    )
+
+
 QUANT_DIMS = 64
 
 

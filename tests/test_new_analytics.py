@@ -116,3 +116,37 @@ def test_source_matrix_counts_match_pair_list(spark, sf_dir):
     for r in mat:
         assert r["source_lo"] <= r["source_hi"]
         assert 0.0 <= r["max_jaccard"] <= 1.0
+
+
+def test_pack_efficiency_consistent_with_assignment(spark, sf_dir):
+    """The report's arithmetic sequence count must equal what the
+    materialized assignment implies: the max seq_id used per shard is
+    the (n_seqs-1)-th sequence of that shard UNLESS the shard's last
+    doc ends exactly on a boundary."""
+    rep = {
+        r["shard"]: r
+        for r in ops.QUERIES["pack_efficiency_report"](spark, sf_dir).collect()
+    }
+    asg = ops.QUERIES["doc_pack_assignment"](spark, sf_dir).collect()
+    from kafka_consumer_2_clickhouse_spark.operators.training_prep import (
+        PACK_SHARDS,
+        SEQ_LEN,
+    )
+
+    by_shard: dict[int, list] = {}
+    for r in asg:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(rep) == set(by_shard)
+    for shard, rows in by_shard.items():
+        total = sum(r["n_tokens"] for r in rows)
+        rr = rep[shard]
+        assert rr["n_docs"] == len(rows)
+        assert rr["total_tokens"] == total
+        assert rr["n_seqs"] == (total + SEQ_LEN - 1) // SEQ_LEN
+        assert abs(rr["fill_rate"] - total / (rr["n_seqs"] * SEQ_LEN)) < 1e-12
+        assert 0 < rr["fill_rate"] <= 1.0
+        # the last STARTING seq_id never exceeds the arithmetic bound
+        max_start = max(
+            (r["seq_id"] - shard) // PACK_SHARDS for r in rows
+        )
+        assert max_start <= rr["n_seqs"] - 1
