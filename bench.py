@@ -106,6 +106,7 @@ EXTRA = [
     "dedup_survivorship_by_source",
     "embedding_hard_negatives",
     "pack_efficiency_report",
+    "source_token_entropy",
 ]
 
 

@@ -538,6 +538,68 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+    ), t AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY source
+    ), term AS (
+      SELECT c.source,
+             round(-(CAST(c.c AS DOUBLE) / t.n_tokens)
+                   * ln(CAST(c.c AS DOUBLE) / t.n_tokens), 6) AS h
+      FROM c JOIN t USING (source)
+    )
+    SELECT t.source, t.n_tokens, t.n_distinct,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS ttr,
+           CAST(sum(CAST(term.h AS DECIMAL(27,6))) AS DOUBLE) AS entropy_nats
+    FROM term JOIN t USING (source)
+    GROUP BY t.source, t.n_tokens, t.n_distinct
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: token count, vocabulary size,
+    type-token ratio, and Shannon entropy (nats) of the source's token
+    distribution — the corpus-report metric that separates a diverse
+    feed from a templated one (low entropy = the tokens a few
+    boilerplate strings repeat; diversity-aware mixing recipes weight
+    by exactly this kind of signal).
+
+    Determinism: each entropy term is rounded to 6 decimals BEFORE the
+    exact decimal sum (round-before-aggregate — the
+    ``doc_unigram_logprob`` discipline), so both engines sum identical
+    values in any order.
+
+    Scale: explode + (source, token) partial-aggregated shuffle (the
+    same vocabulary-sized relation as ``token_frequencies``), a tiny
+    per-source totals join (broadcast — source cardinality is small by
+    nature), and a source-sized final aggregate.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = c.join(F.broadcast(t), "source").select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.round(-p * F.log(p), 6).alias("h"),
+    )
+    return term.groupBy("source", "n_tokens", "n_distinct").agg(
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ttr"),
+        F.sum(F.col("h").cast("decimal(27,6)")).cast("double").alias("entropy_nats"),
+    ).select("source", "n_tokens", "n_distinct", "ttr", "entropy_nats")
+
+
+@query(
     "language_id_confusion",
     oracle=f"""
     WITH lg AS ({{LANG_GUESS}})
