@@ -107,6 +107,11 @@ EXTRA = [
     "embedding_hard_negatives",
     "pack_efficiency_report",
     "source_token_entropy",
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "doc_duplicate_spans",
+    "doc_despan_text",
+    "corpus_bigram_merge_candidates",
 ]
 
 

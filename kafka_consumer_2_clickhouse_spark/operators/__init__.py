@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     behavior,
     clustering,
     dedup,
+    embedding_qc,
     graph,
     multimodal,
     pii,

@@ -671,3 +671,200 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# --- duplicated-span (block-level exact-substring) dedup ------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove VERBATIM REPEATED SPANS, not whole near-dup docs —
+# their ExactSubstr pass builds a corpus suffix array. The
+# shuffle-friendly approximation here detects duplication at fixed
+# non-overlapping token-block granularity: a block duplicated anywhere
+# in the corpus is found by one hash groupBy (no suffix array, no
+# cross-doc comparison), at the cost of missing spans that straddle a
+# block boundary. SPAN_BLOCK_TOKENS trades recall (smaller = finer
+# spans found) against the size of the block-key shuffle.
+
+SPAN_BLOCK_TOKENS = 8
+
+
+def _span_blocks_spark():
+    """Full non-overlapping SPAN_BLOCK_TOKENS-token blocks of a doc,
+    as a map-only array expression over ``toks``."""
+    n = SPAN_BLOCK_TOKENS
+    toks = F.col("toks")
+    return F.transform(
+        F.sequence(F.lit(0), (F.floor(F.size(toks) / n) - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)),
+    )
+
+
+def _span_blocks_sql() -> str:
+    n = SPAN_BLOCK_TOKENS
+    return (
+        f"list_transform(range(0, CAST(len(toks) // {n} AS INT)), "
+        f"i -> array_to_string(list_slice(toks, i*{n} + 1, i*{n} + {n}), ' '))"
+    )
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    ), blk AS (
+      SELECT doc_id, generate_subscripts(b, 1) AS block_idx, unnest(b) AS block
+      FROM (SELECT doc_id, {_span_blocks_sql()} AS b FROM t)
+    ), freq AS (
+      SELECT block, count(*) AS c FROM blk GROUP BY block
+    )
+    SELECT blk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(*) FILTER (WHERE freq.c > 1) AS BIGINT) AS dup_blocks,
+           CAST(count(*) FILTER (WHERE freq.c > 1) AS DOUBLE) / count(*)
+             AS dup_fraction
+    FROM blk JOIN freq USING (block)
+    GROUP BY blk.doc_id
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting: how many of the doc's
+    non-overlapping ``SPAN_BLOCK_TOKENS``-token blocks occur (anywhere,
+    any doc, any position) more than once in the corpus — the
+    block-granular ExactSubstr signal (Lee et al. 2022). High
+    ``dup_fraction`` docs are boilerplate/templated even when no whole-
+    doc near-dup fires.
+
+    Docs shorter than one full block contribute no rows (nothing to
+    assess at this granularity) — identical semantics in the oracle.
+
+    Scale: block extraction is map-only; the block-frequency table
+    partial-aggregates map-side before one hash shuffle on the block
+    key; the frequency join re-uses the same key (no extra exchange
+    under AQE) and the per-doc aggregate combines map-side. Same
+    two-shuffle shape as ``doc_boilerplate_fraction``. Hot blocks
+    (mass-repeated boilerplate) skew the join key — AQE skew-join
+    handles it; the frequency side is one row per distinct block.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    blk = (
+        docs.select("doc_id", X.tokens("text").alias("toks"))
+        .select("doc_id", F.posexplode(_span_blocks_spark()).alias("bi", "block"))
+    )
+    freq = blk.groupBy("block").agg(F.count("*").alias("c"))
+    dup = F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        blk.join(freq, "block")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum(dup).cast("bigint").alias("dup_blocks"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "doc_despan_text",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    ), blk AS (
+      SELECT doc_id, generate_subscripts(b, 1) AS block_idx, unnest(b) AS block
+      FROM (SELECT doc_id, {_span_blocks_sql()} AS b FROM t)
+    ), ranked AS (
+      SELECT doc_id, block_idx, block,
+             row_number() OVER (PARTITION BY block
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM blk
+    ), kept AS (
+      SELECT doc_id,
+             string_agg(block, ' ' ORDER BY block_idx) AS body,
+             CAST(count(*) AS BIGINT) AS kept_blocks
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), tails AS (
+      SELECT doc_id,
+             CAST(len(toks) // {SPAN_BLOCK_TOKENS} AS BIGINT) AS total_blocks,
+             COALESCE(array_to_string(
+               list_slice(toks,
+                          CAST(len(toks) // {SPAN_BLOCK_TOKENS} AS INT)
+                            * {SPAN_BLOCK_TOKENS} + 1,
+                          len(toks)), ' '), '') AS tail
+      FROM t
+    )
+    SELECT tails.doc_id,
+           tails.total_blocks,
+           COALESCE(kept.kept_blocks, 0) AS kept_blocks,
+           CASE
+             WHEN COALESCE(kept.body, '') = '' THEN tails.tail
+             WHEN tails.tail = '' THEN kept.body
+             ELSE kept.body || ' ' || tails.tail
+           END AS text_deduped
+    FROM tails LEFT JOIN kept USING (doc_id)
+    """,
+)
+def doc_despan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE side of block-granular ExactSubstr dedup: each doc's
+    text with every duplicated block removed except the globally-first
+    occurrence (ordered by (doc_id, block_idx) — deterministic, so
+    exactly one copy of each repeated span survives corpus-wide).
+    Trailing tokens past the last full block always survive.
+
+    Scale: the only non-map stages are the per-block first-occurrence
+    window — partitioned by block text, never global — and the per-doc
+    reassembly aggregate (collect + array_sort on (idx, text) structs:
+    order restored deterministically without an ordered shuffle).
+    Same block-key shuffle shape as ``doc_duplicate_spans``.
+    """
+    n = SPAN_BLOCK_TOKENS
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", X.tokens("text").alias("toks"))
+    blk = t.select(
+        "doc_id", F.posexplode(_span_blocks_spark()).alias("bi", "block")
+    ).select("doc_id", (F.col("bi") + 1).alias("block_idx"), "block")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("block").orderBy("doc_id", "block_idx")
+    )
+    kept = (
+        blk.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_idx", "block"))),
+                    lambda s: s.block,
+                ),
+                " ",
+            ).alias("body"),
+            F.count("*").cast("bigint").alias("kept_blocks"),
+        )
+    )
+    tails = t.select(
+        "doc_id",
+        F.floor(F.size("toks") / n).cast("bigint").alias("total_blocks"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                (F.floor(F.size("toks") / n) * n + 1).cast("int"),
+                F.size("toks"),
+            ),
+        ).alias("tail"),
+    )
+    return (
+        tails.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_blocks",
+            F.coalesce(F.col("kept_blocks"), F.lit(0).cast("bigint")).alias(
+                "kept_blocks"
+            ),
+            F.when(F.coalesce(F.col("body"), F.lit("")) == "", F.col("tail"))
+            .when(F.col("tail") == "", F.col("body"))
+            .otherwise(F.concat_ws(" ", F.col("body"), F.col("tail")))
+            .alias("text_deduped"),
+        )
+    )

@@ -1,0 +1,185 @@
+"""Embedding-table QC / preprocessing statistics ([EXT], SURVEY §2c).
+
+Two operators a 100 TB embedding pipeline runs before any ANN /
+clustering / quantization stage consumes the vectors:
+
+- ``embedding_dim_stats``  — per-dimension n / mean / min / max /
+  variance: the sanity table that catches dead dimensions (zero
+  variance), un-normalized feeds (mean far from 0), and clipped
+  encoders (hard min/max walls). Also the input scaling int8
+  quantization and whitening both start from.
+- ``embedding_covariance`` — the full DxD second-moment (covariance)
+  matrix: the PCA / whitening prep. Computed WITHOUT any vector
+  self-join: each row emits its flattened outer product as one
+  map-only array expression, and a single groupBy(pos) with map-side
+  partial aggregation reduces the shuffle to D^2 rows per partition —
+  the classic "covariance as an aggregate, not a join" formulation.
+
+Determinism (cross-engine exactness): float32 -> double casts are
+exact; every summed term is rounded to 6 decimals BEFORE an exact
+decimal sum (round-before-aggregate — the ``doc_unigram_logprob``
+discipline), and the closing variance / covariance arithmetic is a
+fixed IEEE-double expression evaluated in the same order by both
+engines.
+
+Scale: both operators are map + partial-aggregated key shuffles whose
+reduced size is bounded by D (64 rows) or D^2 (4096 rows) per
+partition regardless of corpus size; the per-dimension means join in
+``embedding_covariance`` is a broadcast of a D-row relation. Nothing
+here grows with n except the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table, spread
+from .analytics import query
+
+from .similarity import DIM
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(round(v * v, 6) AS DECIMAL(27,6))) AS DOUBLE) AS svv,
+             min(v) AS vmin, max(v) AS vmax
+      FROM d GROUP BY dim
+    )
+    SELECT dim, n, sv / n AS mean, vmin, vmax,
+           (svv - sv * sv / n) / n AS variance
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment/extreme report over the embedding table.
+
+    Scale: ``posexplode`` is map-only fan-out (n x D narrow rows);
+    the groupBy(dim) partial-aggregates map-side, so the exchange
+    carries at most D rows per input partition. One shuffle total.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        F.posexplode("embedding").alias("pos", "v0")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    s = d.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("v"), 6).cast("decimal(27,6)")).cast("double").alias("sv"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("svv"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        "vmin",
+        "vmax",
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")).alias(
+            "variance"
+        ),
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH fl AS (
+      SELECT flatten(list_transform(embedding,
+               x -> list_transform(embedding,
+                 y -> round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)))) AS f
+      FROM embeddings
+    ), px AS (
+      SELECT generate_subscripts(f, 1) AS pos, unnest(f) AS v FROM fl
+    ), sxy AS (
+      SELECT CAST((pos - 1) // {DIM} + 1 AS INT) AS i,
+             CAST((pos - 1) % {DIM} + 1 AS INT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+      FROM px GROUP BY pos
+    ), d AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT dim,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(27,6))) AS DOUBLE) AS s
+      FROM d GROUP BY dim
+    )
+    SELECT i, j, sxy.n,
+           (sxy.sxy - mi.s * mj.s / sxy.n) / sxy.n AS cov
+    FROM sxy JOIN m mi ON sxy.i = mi.dim JOIN m mj ON sxy.j = mj.dim
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DxD covariance matrix of the embedding table (PCA /
+    whitening prep), as an aggregate — no self-join anywhere.
+
+    Each input row emits ``flatten(transform(v, x -> transform(v,
+    y -> round(x*y, 6))))`` — one map-only D^2-element array — then
+    ``posexplode`` + groupBy(pos) partial-aggregates to D^2 rows per
+    partition before the single exchange. Per-dimension sums (a D-row
+    relation) broadcast into the closing ``cov = (Sxy - Sx*Sy/n)/n``
+    expression, which is fixed-order IEEE double arithmetic on values
+    both engines computed identically.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    fl = emb.select(
+        F.flatten(
+            F.transform(
+                v,
+                lambda x: F.transform(
+                    v, lambda y: F.round(x.cast("double") * y.cast("double"), 6)
+                ),
+            )
+        ).alias("f")
+    )
+    sxy = (
+        fl.select(F.posexplode("f").alias("pos", "p"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("p").cast("decimal(27,6)")).cast("double").alias("sxy"),
+        )
+        .select(
+            (F.floor(F.col("pos") / DIM) + 1).cast("int").alias("i"),
+            (F.col("pos") % DIM + 1).cast("int").alias("j"),
+            "n",
+            "sxy",
+        )
+    )
+    d = emb.select(F.posexplode("embedding").alias("pos", "v0")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    m = d.groupBy("dim").agg(
+        F.sum(F.round(F.col("v"), 6).cast("decimal(27,6)")).cast("double").alias("s")
+    )
+    mi = F.broadcast(m.select(F.col("dim").alias("i"), F.col("s").alias("si")))
+    mj = F.broadcast(m.select(F.col("dim").alias("j"), F.col("s").alias("sj")))
+    return (
+        sxy.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                (F.col("sxy") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n")
+            ).alias("cov"),
+        )
+    )

@@ -709,3 +709,49 @@ def doc_difficulty_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         "avg_neg_logprob",
         bucket.cast("int").alias("difficulty_bucket"),
     )
+
+
+BPE_MERGE_TOP_N = 50
+
+
+@query(
+    "corpus_bigram_merge_candidates",
+    oracle=f"""
+    WITH t AS (
+      SELECT {X.sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+      SELECT unnest({X.sql_shingles('toks', 2)}) AS pair FROM t
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_MERGE_TOP_N}
+    """,
+)
+def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} adjacent token pairs by corpus frequency — the candidate
+    table of a BPE tokenizer's FIRST merge iteration (Sennrich et al.
+    2016: each round merges the most frequent adjacent pair). Running
+    it over the raw corpus is how a tokenizer-induction pipeline picks
+    its initial merges and how a QC pass spots templated collocations.
+
+    Determinism: ties broken by pair text — the top-N boundary is
+    unambiguous on both engines.
+
+    Scale: pair extraction is the map-only 2-shingle expression; the
+    pair-count groupBy partial-aggregates map-side (vocabulary^2 is
+    bounded in practice by observed adjacency, and the hot head is
+    exactly what partial aggregation collapses best); the global top-N
+    is TakeOrderedAndProject — per-partition partial top-N, never a
+    global sort or a windowed rank.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        F.explode(X.shingles(X.tokens("text"), 2)).alias("pair")
+    )
+    return (
+        bg.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP_N)
+    )

@@ -1,0 +1,118 @@
+"""Semantic invariants for the embedding-QC and duplicated-span
+operators — the oracle gate pins cross-engine equality; these pin the
+math/semantics themselves against independent numpy / brute-force
+recomputation on the smoke corpus."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def _emb_matrix(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_dim_stats_match_numpy(spark, sf_dir):
+    m = _emb_matrix(spark, sf_dir)
+    out = {r["dim"]: r for r in ops.QUERIES["embedding_dim_stats"](spark, sf_dir).collect()}
+    assert set(out) == set(range(1, m.shape[1] + 1))
+    for dim in (1, m.shape[1] // 2, m.shape[1]):
+        col = m[:, dim - 1]
+        r = out[dim]
+        assert r["n"] == len(col)
+        assert abs(r["mean"] - col.mean()) < 1e-5
+        assert abs(r["variance"] - col.var()) < 1e-5
+        assert r["vmin"] == np.float32(col.min())
+        assert r["vmax"] == np.float32(col.max())
+
+
+def test_covariance_matches_numpy_and_is_symmetric(spark, sf_dir):
+    m = _emb_matrix(spark, sf_dir)
+    rows = ops.QUERIES["embedding_covariance"](spark, sf_dir).collect()
+    d = m.shape[1]
+    assert len(rows) == d * d
+    cov = np.cov(m, rowvar=False, bias=True)
+    got = {}
+    for r in rows:
+        got[(r["i"], r["j"])] = r["cov"]
+        assert r["n"] == m.shape[0]
+    for (i, j), v in got.items():
+        assert abs(v - cov[i - 1, j - 1]) < 1e-5
+        assert abs(v - got[(j, i)]) < 1e-12  # symmetric to rounding noise
+    # diagonal of the covariance == per-dim variance (same discipline)
+    var = {
+        r["dim"]: r["variance"]
+        for r in ops.QUERIES["embedding_dim_stats"](spark, sf_dir).collect()
+    }
+    for i in range(1, d + 1):
+        assert abs(got[(i, i)] - var[i]) < 1e-5
+
+
+def test_duplicate_spans_bounds_and_despan_consistency(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        SPAN_BLOCK_TOKENS,
+    )
+
+    spans = {
+        r["doc_id"]: r
+        for r in ops.QUERIES["doc_duplicate_spans"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for doc_id, r in spans.items():
+        n_toks = len(docs[doc_id].split(" "))
+        assert r["n_blocks"] == n_toks // SPAN_BLOCK_TOKENS
+        assert 0 <= r["dup_blocks"] <= r["n_blocks"]
+        assert abs(r["dup_fraction"] - r["dup_blocks"] / r["n_blocks"]) < 1e-12
+    # docs shorter than one block are absent by contract
+    for doc_id, text in docs.items():
+        if len(text.split(" ")) < SPAN_BLOCK_TOKENS:
+            assert doc_id not in spans
+
+    despan = {
+        r["doc_id"]: r
+        for r in ops.QUERIES["doc_despan_text"](spark, sf_dir).collect()
+    }
+    assert set(despan) == set(docs)  # rewrite covers every doc
+    # corpus-wide: each distinct block survives exactly once across all
+    # rewritten bodies' full blocks; per-doc kept <= total
+    for doc_id, r in despan.items():
+        assert 0 <= r["kept_blocks"] <= r["total_blocks"]
+        toks = docs[doc_id].split(" ")
+        tail = toks[r["total_blocks"] * SPAN_BLOCK_TOKENS:]
+        if tail:  # trailing partial block always survives, verbatim
+            assert r["text_deduped"].endswith(" ".join(tail))
+    # a doc with zero duplicated blocks is rewritten to itself
+    clean = [d for d, r in spans.items() if r["dup_blocks"] == 0]
+    for doc_id in clean:
+        assert despan[doc_id]["text_deduped"] == docs[doc_id]
+
+
+def test_bigram_candidates_counts_exact(spark, sf_dir):
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    c = Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        for a, b in zip(t, t[1:]):
+            c[f"{a} {b}"] += 1
+    rows = ops.QUERIES["corpus_bigram_merge_candidates"](spark, sf_dir).collect()
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        BPE_MERGE_TOP_N,
+    )
+
+    assert len(rows) == min(BPE_MERGE_TOP_N, len(c))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [(r["pair"], r["n"]) for r in rows]
+    assert got == expect
