@@ -112,6 +112,11 @@ EXTRA = [
     "doc_duplicate_spans",
     "doc_despan_text",
     "corpus_bigram_merge_candidates",
+    "media_dedup_exact",
+    "media_modality_summary",
+    "source_quality_report",
+    "split_exact_leakage",
+    "embedding_pca_projection",
 ]
 
 

@@ -689,3 +689,123 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+def _source_report_oracle() -> str:
+    from .analytics import ORACLE_SQL
+
+    return f"""
+    WITH qf AS ({ORACLE_SQL['doc_quality_filter']}),
+         q AS ({ORACLE_SQL['doc_quality_scores']}),
+         p AS ({ORACLE_SQL['doc_pii_scan']}),
+         r AS ({ORACLE_SQL['doc_repetition_scores']})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE qf.keep) AS DOUBLE) / count(*)
+             AS keep_rate,
+           CAST(sum(CAST(round(q.quality_score, 6) AS DECIMAL(27,6)))
+                AS DOUBLE) / count(*) AS avg_quality,
+           CAST(count(*) FILTER (WHERE p.has_pii) AS DOUBLE) / count(*)
+             AS pii_rate,
+           CAST(count(*) FILTER (WHERE r.flagged) AS DOUBLE) / count(*)
+             AS repetitive_rate
+    FROM documents d
+      JOIN qf ON d.doc_id = qf.doc_id
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN p ON d.doc_id = p.doc_id
+      JOIN r ON d.doc_id = r.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("source_quality_report", oracle=_source_report_oracle())
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source scorecard: document count, quality-gate keep
+    rate, mean quality score, PII incidence, repetition incidence —
+    the table a corpus owner reads to decide which FEEDS to
+    renegotiate, re-crawl, or drop (doc-level gates handle individual
+    documents; systematic per-source failure is a sourcing decision).
+
+    Composes the already-checked component operators; the oracle
+    composes their oracle SQL identically, so any component drift
+    fails this hash too. ``avg_quality`` uses round-before-decimal-sum
+    (scores summed in any partition order agree across engines).
+
+    Scale: four doc_id-keyed joins of map-only per-doc relations (the
+    production fusion runs them in ONE scan like ``doc_quality_filter``
+    does; the compositional form here keeps each component's plan
+    testable) followed by a source-sized aggregate. All shuffle keys
+    are doc_id until the tiny final group.
+    """
+    from .pii import doc_pii_scan
+    from .text_analysis import doc_quality_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    qf = doc_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    p = doc_pii_scan(spark, sf_dir).select("doc_id", "has_pii")
+    r = doc_repetition_scores(spark, sf_dir).select("doc_id", "flagged")
+    joined = docs.join(qf, "doc_id").join(q, "doc_id").join(p, "doc_id").join(
+        r, "doc_id"
+    )
+    cnt = F.count("*")
+    rate = lambda c: (F.sum(F.when(c, 1).otherwise(0)).cast("double") / cnt)  # noqa: E731
+    return joined.groupBy("source").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        rate(F.col("keep")).alias("keep_rate"),
+        (
+            F.sum(F.round(F.col("quality_score"), 6).cast("decimal(27,6)"))
+            .cast("double")
+            / cnt
+        ).alias("avg_quality"),
+        rate(F.col("has_pii")).alias("pii_rate"),
+        rate(F.col("flagged")).alias("repetitive_rate"),
+    )
+
+
+@query(
+    "split_exact_leakage",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_split_sql('doc_id')} AS split FROM documents),
+         h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+         per AS (
+           SELECT h.text_hash, s.split FROM h JOIN s USING (doc_id)
+         )
+    SELECT text_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',')
+             AS splits
+    FROM per
+    GROUP BY text_hash
+    HAVING count(DISTINCT split) > 1
+    """,
+)
+def split_exact_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate leakage ACROSS dataset splits: byte-identical
+    texts assigned to more than one of train/val/test — the
+    evaluation-integrity check that catches the classic bug of
+    splitting BEFORE deduplicating (identical docs in train and test
+    inflate eval scores; ``benchmark_decontamination`` finds n-gram
+    overlap, this finds the verbatim case at hash cost).
+
+    Scale: one md5-key groupBy with map-side partial aggregation; the
+    split label rides along (computed map-side from the id hash).
+    Empty result == healthy pipeline.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        F.md5("text").alias("text_hash"),
+        split_column(F.col("doc_id")).alias("split"),
+    )
+    return (
+        per.groupBy("text_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -183,3 +183,64 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+PCA_K = 4  # components returned by embedding_pca_projection
+
+
+@query("embedding_pca_projection")  # no oracle: eigendecomposition is
+# not SQL-expressible; component/eigenvalue agreement with numpy is
+# pinned in tests/test_embedding_qc.py
+def embedding_pca_projection(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> DataFrame:
+    """Top-k principal-component scores for every vector — the
+    dimensionality-reduction / whitening front end (dedup visualizers,
+    OOD detectors, and PQ/IVF preprocessing all consume exactly this).
+
+    Execution shape (the ``kmeans_clusters`` literal-broadcast
+    pattern):
+
+    1. the DxD covariance and D means come from the SAME aggregates
+       ``embedding_covariance`` runs — one pass over the data reduced
+       to D^2 + D rows;
+    2. a BOUNDED driver pull (D^2 rows — fixed by dimensionality, not
+       corpus size) feeds numpy's symmetric eigensolver; eigenvector
+       signs are fixed deterministically (largest-|component| entry
+       made positive);
+    3. the k eigenvectors and means are compiled back into literal
+       projection expressions — a fixed chain of D multiply-adds per
+       component — so the projection itself is MAP-ONLY whole-stage
+       codegen over the full table. No shuffle touches n rows.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = DIM
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+    stats = embedding_dim_stats(spark, sf_dir).select("dim", "mean").collect()
+    mean = np.zeros(d)
+    for r in stats:
+        mean[r["dim"] - 1] = r["mean"]
+    # numpy eigh returns ascending eigenvalues; take the top k
+    vals, vecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in order:
+        v = vecs[:, c]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append(v)
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cols = [F.col("vec_id")]
+    for ci, v in enumerate(comps, start=1):
+        expr = "(" + " + ".join(
+            f"(CAST(element_at(embedding, {j + 1}) AS DOUBLE) - {mean[j]!r})"
+            f" * {v[j]!r}"
+            for j in range(d)
+        ) + ")"
+        cols.append(F.expr(expr).alias(f"pc{ci}"))
+    return emb.select(*cols)

@@ -196,3 +196,120 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("bigint").alias("frame_no"),
         ((F.col("frame_no") - 1) * 1000).cast("bigint").alias("ts_ms"),
     )
+
+
+@query(
+    "media_dedup_exact",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT content_md5,
+           CAST(min(media_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT modality) AS BIGINT) AS n_modalities
+    FROM feats GROUP BY content_md5
+    """,
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup over media payloads: one canonical
+    ``keep_id`` per identical byte content — the media twin of
+    ``dedup_exact_docs``. ``n_modalities`` flags payloads republished
+    under different modality labels (a real crawl pathology: the same
+    bytes served as both 'image' and 'video' thumbnails).
+
+    Scale: the md5 travels (16 bytes), never the payload — the hash is
+    computed inside the Arrow decode pass that already touches the
+    bytes, so dedup adds only a hash-key groupBy with map-side partial
+    aggregation. Payload bytes are never shuffled.
+    """
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.groupBy("content_md5").agg(
+        F.min("media_id").cast("bigint").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("modality").cast("bigint").alias("n_modalities"),
+    )
+
+
+@query(
+    "media_modality_summary",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             source, length(text) AS byte_len, md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT modality, source,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+           CAST(sum(byte_len) AS DOUBLE) / count(*) AS avg_bytes,
+           CAST(count(DISTINCT content_md5) AS BIGINT) AS n_distinct_payloads
+    FROM feats GROUP BY modality, source
+    """,
+)
+def media_modality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-accounting rollup per (modality, source): item count,
+    byte totals, and distinct-payload cardinality — the capacity /
+    dedup-opportunity table a multimodal ingest reports before anyone
+    budgets GPU-decode time.
+
+    Scale: metadata-only aggregate (modality, source, byte_len, md5);
+    partial aggregation collapses map-side to the small
+    modality x source key space. The exact distinct is a two-phase
+    grouping on the same narrow key; payloads never move.
+    """
+    media = media_table(spark, sf_dir)
+    feats = extract_features(media).join(
+        media.select("media_id", F.col("meta.source").alias("source")), "media_id"
+    )
+    return feats.groupBy("modality", "source").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        (F.sum("byte_len").cast("double") / F.count("*")).alias("avg_bytes"),
+        F.countDistinct("content_md5").cast("bigint").alias("n_distinct_payloads"),
+    )
+
+
+@query(
+    "media_aspect_ratio_buckets",
+    oracle="""
+    WITH feats AS (
+      SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             CAST(64 + (length(text) * 7) % 960 AS BIGINT) AS width,
+             CAST(64 + (length(text) * 11) % 540 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT modality,
+           CAST((width * 10) // height AS BIGINT) AS ratio_decile,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(width) AS BIGINT) AS min_width,
+           CAST(max(width) AS BIGINT) AS max_width
+    FROM feats GROUP BY modality, ratio_decile
+    """,
+)
+def media_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio histogram for visual modalities (bucket =
+    floor(10*width/height) — exact integer arithmetic, no float
+    division): the QC table vision-training filters read to drop
+    degenerate crops (extreme ratios) and to size resize pipelines.
+
+    Scale: map-only bucketing on decoded metadata + a tiny
+    modality x bucket aggregate.
+    """
+    feats = extract_features(
+        media_table(spark, sf_dir).filter(F.col("modality") != "audio")
+    )
+    return feats.groupBy(
+        "modality",
+        F.floor(F.col("width") * 10 / F.col("height")).cast("bigint").alias(
+            "ratio_decile"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("width").cast("bigint").alias("max_width"),
+    )

@@ -116,3 +116,40 @@ def test_bigram_candidates_counts_exact(spark, sf_dir):
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
     got = [(r["pair"], r["n"]) for r in rows]
     assert got == expect
+
+
+def test_pca_projection_matches_eigenstructure(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.embedding_qc import PCA_K
+
+    m = _emb_matrix(spark, sf_dir)
+    rows = ops.QUERIES["embedding_pca_projection"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    assert len(rows) == m.shape[0]
+    scores = np.array(
+        [[r[f"pc{i}"] for i in range(1, PCA_K + 1)] for r in rows]
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1][:PCA_K]
+    got_var = scores.var(axis=0)
+    # per-component variance == eigenvalue, descending
+    assert np.allclose(got_var, vals, rtol=1e-3, atol=1e-6)
+    assert all(got_var[i] >= got_var[i + 1] - 1e-9 for i in range(PCA_K - 1))
+    # components are uncorrelated and centered
+    sc_cov = np.cov(scores, rowvar=False, bias=True)
+    off = sc_cov - np.diag(np.diag(sc_cov))
+    assert np.abs(off).max() < 1e-4
+    assert np.abs(scores.mean(axis=0)).max() < 1e-4
+    # the engine's score subspace == numpy's top-k eigenspace (exact
+    # per-vector equality is ill-posed under near-degenerate
+    # eigenvalues, where eigenvectors rotate freely; the SPANNED
+    # subspace is the well-defined object)
+    vals2, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals2)[::-1][:PCA_K]
+    centered = m - m.mean(axis=0)
+    expect = centered @ vecs[:, order]
+    q, res, *_ = np.linalg.lstsq(expect, scores, rcond=None)
+    recon = expect @ q
+    denom = np.linalg.norm(scores)
+    assert np.linalg.norm(recon - scores) / denom < 1e-3
+    # and the change of basis is orthogonal (pure rotation/reflection)
+    assert np.abs(q @ q.T - np.eye(PCA_K)).max() < 1e-3

@@ -150,3 +150,52 @@ def test_pack_efficiency_consistent_with_assignment(spark, sf_dir):
             (r["seq_id"] - shard) // PACK_SHARDS for r in rows
         )
         assert max_start <= rr["n_seqs"] - 1
+
+
+def test_media_dedup_consistent_with_doc_dedup(spark, sf_dir):
+    """media payloads are the doc texts' bytes, so content dedup must
+    agree with dedup_exact_docs group-for-group."""
+    media = {
+        r["content_md5"]: r
+        for r in ops.QUERIES["media_dedup_exact"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["text_hash"]: r
+        for r in ops.QUERIES["dedup_exact_docs"](spark, sf_dir).collect()
+    }
+    assert set(media) == set(docs)
+    for h, r in media.items():
+        assert r["n_copies"] == docs[h]["n_copies"]
+        assert r["keep_id"] == docs[h]["keep_id"]
+        assert 1 <= r["n_modalities"] <= min(3, r["n_copies"])
+
+
+def test_modality_summary_totals(spark, sf_dir):
+    rows = ops.QUERIES["media_modality_summary"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_items"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_distinct_payloads"] <= r["n_items"]
+        assert abs(r["avg_bytes"] - r["total_bytes"] / r["n_items"]) < 1e-9
+
+
+def test_source_quality_report_rates_bounded(spark, sf_dir):
+    rows = ops.QUERIES["source_quality_report"](spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        for c in ("keep_rate", "pii_rate", "repetitive_rate"):
+            assert 0.0 <= r[c] <= 1.0
+        assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+def test_split_leakage_rows_are_real_leaks(spark, sf_dir):
+    rows = ops.QUERIES["split_exact_leakage"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_splits"] >= 2
+        assert r["n_copies"] >= r["n_splits"]
+        parts = r["splits"].split(",")
+        assert len(parts) == r["n_splits"]
+        assert parts == sorted(parts)
+        assert set(parts) <= {"train", "val", "test"}
