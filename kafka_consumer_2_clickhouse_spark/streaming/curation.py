@@ -27,13 +27,12 @@ write is partitioned append. Nothing is driver-side except the commit
 protocol below.
 
 Storage note: the landing/state commit protocol (directory listing,
-``batch=<id>`` dirs, overwrite-by-batch-dir) drives state through
-driver-local POSIX calls — it assumes ``landing_dir``/``state_dir``
-live on a locally-mounted filesystem (local disk, NFS). On an object
-store (S3/GCS) or HDFS, rename is not atomic (or not cheap) and
-``os.listdir`` does not apply; commit via a manifest/transaction log
-(Delta/Iceberg-style) with the same protocol shape instead. Same
-caveat as ``rollup_sink.py``.
+``batch=<id>`` dirs, overwrite-by-batch-dir) routes its directory
+primitives through ``state_store.StateStore`` — local POSIX default,
+``HadoopStateStore`` for HDFS. On an object store (S3/GCS) rename is
+not atomic; commit via a manifest/transaction log (Delta/Iceberg-
+style) with the same protocol shape instead. Same caveat as
+``rollup_sink.py``; details in ``state_store.py``.
 """
 
 from __future__ import annotations
@@ -45,13 +44,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pii import redact_column
 from .neardup import neardup_filter
+from .state_store import DEFAULT_STORE, StateStore
 
 
-def read_landed(spark: SparkSession, landing_dir: str) -> DataFrame | None:
+def read_landed(
+    spark: SparkSession, landing_dir: str, store: StateStore | None = None
+) -> DataFrame | None:
     """All curated-landed documents so far."""
-    if not os.path.isdir(landing_dir) or not any(
-        d.startswith("batch=") for d in os.listdir(landing_dir)
-    ):
+    store = store or DEFAULT_STORE
+    if not any(d.startswith("batch=") for d in store.listdir(landing_dir)):
         return None
     return spark.read.option("basePath", landing_dir).parquet(
         os.path.join(landing_dir, "batch=*")
@@ -59,7 +60,7 @@ def read_landed(spark: SparkSession, landing_dir: str) -> DataFrame | None:
 
 
 def curated_ingest(
-    state_dir: str, landing_dir: str
+    state_dir: str, landing_dir: str, store: StateStore | None = None
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: redact -> near-dup filter -> land."""
 
@@ -67,7 +68,7 @@ def curated_ingest(
         out = os.path.join(landing_dir, f"batch={batch_id}")
         clean_df.write.mode("overwrite").parquet(out)
 
-    inner = neardup_filter(state_dir, land)
+    inner = neardup_filter(state_dir, land, store=store)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         clean = batch_df.withColumn("text", redact_column("text"))

@@ -36,13 +36,13 @@ shuffle-hash otherwise — AQE's call). Nothing ever compares bodies;
 at 100 TB/day the filter's cost is the signature map over the batch
 plus one key join against the store.
 
-Storage note: the signature-store commit protocol (``os.listdir`` for
-batch discovery, overwrite-by-``batch=<id>``-dir for idempotent
-replay) assumes ``state_dir`` is a locally-mounted filesystem (local
-disk, NFS). On an object store or HDFS, replace the directory listing
-and overwrite-commit with a manifest/transaction log (Delta/Iceberg-
-style); the protocol shape — versioned appends keyed by batch id —
-carries over unchanged. Same caveat as ``rollup_sink.py``.
+Storage note: batch discovery goes through
+``state_store.StateStore`` — local POSIX by default,
+``HadoopStateStore`` for HDFS via the identical protocol. On an
+object store (no atomic rename), commit via a manifest/transaction
+log (Delta/Iceberg-style); the protocol shape — versioned appends
+keyed by batch id — carries over unchanged. Same caveat as
+``rollup_sink.py``; details in ``state_store.py``.
 """
 
 from __future__ import annotations
@@ -53,6 +53,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import N_BANDS, N_MINHASH, band_key_columns, signature_relation
+from .state_store import DEFAULT_STORE, StateStore
 
 #: minimum slice-agreement estimate to call a collision a duplicate
 EST_JACCARD_MIN = 0.5
@@ -92,19 +93,19 @@ def _est(a: str, b: str):
 
 
 def read_signature_store(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    store: StateStore | None = None,
 ) -> DataFrame | None:
     """Signature store rows, with the arrival batch as a partition
     column. ``before_batch`` prunes to ``batch < before_batch`` — the
     probe for batch N must exclude N's own (possibly crash-written)
     directory, or a checkpoint replay would see the batch colliding
     with itself and drop every survivor."""
+    store = store or DEFAULT_STORE
     path = os.path.join(state_dir, _KEYS)
-    dirs = (
-        [d for d in os.listdir(path) if d.startswith("batch=")]
-        if os.path.isdir(path)
-        else []
-    )
+    dirs = [d for d in store.listdir(path) if d.startswith("batch=")]
     if before_batch is not None:
         dirs = [d for d in dirs if int(d.split("=", 1)[1]) < before_batch]
     if not dirs:
@@ -118,10 +119,12 @@ def neardup_filter(
     state_dir: str,
     accept: Callable[[DataFrame, int], None],
     est_threshold: float = EST_JACCARD_MIN,
+    store: StateStore | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: near-dup-filter each batch
     against history + itself, hand survivors to ``accept(df, batch_id)``
     (the landing sink), and extend the signature store."""
+    st = store or DEFAULT_STORE
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
@@ -143,7 +146,7 @@ def neardup_filter(
             .distinct()
         )
 
-        hist = read_signature_store(spark, state_dir, before_batch=batch_id)
+        hist = read_signature_store(spark, state_dir, before_batch=batch_id, store=st)
         if hist is not None:
             h = hist.alias("h")
             hist_drops = (

@@ -20,8 +20,11 @@ state table is versioned by the LAST APPLIED batch id
   dir, rename into place, drop superseded versions.
 
 The rename-commit is the same staged-swap discipline as
-``sinks.compact_landing``; on object stores you'd commit via a
-manifest/transaction-log instead, same protocol shape.
+``sinks.compact_landing``. Directory primitives are routed through
+``state_store.StateStore`` — local POSIX by default,
+``HadoopStateStore`` for HDFS (atomic rename) via the same protocol;
+on S3/GCS commit via a manifest/transaction-log instead, same
+protocol shape (see ``state_store.py``).
 
 Scale: each batch's state aggregates map-side to the touched key-space
 before the merge shuffle (KBs per batch for an hourly rollup of a
@@ -35,31 +38,32 @@ only the buckets the batch touched.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.rollup import merge_rollup, rollup_state
+from .state_store import DEFAULT_STORE, StateStore
 
 _PREFIX = "batch="
 
 
-def committed_batch(state_dir: str) -> int | None:
+def committed_batch(state_dir: str, store: StateStore | None = None) -> int | None:
     """Highest committed batch id, or None for no state yet."""
-    if not os.path.isdir(state_dir):
-        return None
+    store = store or DEFAULT_STORE
     ids = [
         int(d[len(_PREFIX):])
-        for d in os.listdir(state_dir)
+        for d in store.listdir(state_dir)
         if d.startswith(_PREFIX) and not d.endswith(".tmp")
     ]
     return max(ids) if ids else None
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def read_state(
+    spark: SparkSession, state_dir: str, store: StateStore | None = None
+) -> DataFrame | None:
     """The committed state table, or None before the first commit."""
-    b = committed_batch(state_dir)
+    b = committed_batch(state_dir, store)
     if b is None:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"{_PREFIX}{b}"))
@@ -71,6 +75,7 @@ def rollup_maintainer(
     keys: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
     bucket: str = "hour",
+    store: StateStore | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function maintaining a rollup state table.
 
@@ -81,38 +86,40 @@ def rollup_maintainer(
     across a checkpoint-recovery restart.
     """
 
+    st = store or DEFAULT_STORE
+
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        last = committed_batch(state_dir)
+        last = committed_batch(state_dir, st)
         if last is not None and batch_id <= last:
             return  # replayed batch: state already contains it
         delta = rollup_state(
             batch_df, time_col=time_col, keys=keys, value_col=value_col, bucket=bucket
         )
-        existing = read_state(batch_df.sparkSession, state_dir)
+        existing = read_state(batch_df.sparkSession, state_dir, st)
         new_state = delta if existing is None else merge_rollup(existing, delta)
         final = os.path.join(state_dir, f"{_PREFIX}{batch_id}")
         tmp = final + ".tmp"
         # materialize BEFORE the swap: new_state lazily reads the old
         # version, so writing must not touch the committed dir
         new_state.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
+        st.rename(tmp, final)
         # sweep EVERY superseded version and stray tmp, not just the
         # immediately-preceding id: a crash between rename and cleanup
         # (or a crashed batch's leftover .tmp) would otherwise leak a
         # state dir forever — committed_batch takes the max id, so
         # correctness never depended on this, only disk usage.
-        for d in os.listdir(state_dir):
+        for d in st.listdir(state_dir):
             if not d.startswith(_PREFIX):
                 continue
             if d.endswith(".tmp"):
                 if d != os.path.basename(tmp):
-                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+                    st.rmtree(os.path.join(state_dir, d))
                 continue
             try:
                 did = int(d[len(_PREFIX):])
             except ValueError:
                 continue
             if did < batch_id:
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+                st.rmtree(os.path.join(state_dir, d))
 
     return maintain

@@ -1,0 +1,103 @@
+"""Pluggable directory-state backend for the streaming commit
+protocols (signature store, curation landing, rollup state).
+
+All three protocols drive state the same way — list ``batch=<id>``
+children, write to a scratch location, commit by rename, sweep
+superseded versions. The four primitives live behind ``StateStore`` so
+the protocol code is storage-agnostic:
+
+- ``LocalStateStore`` (default): driver-local POSIX calls — local
+  disk / NFS. What every test and the sandbox uses.
+- ``HadoopStateStore``: the SAME four primitives through the JVM's
+  ``org.apache.hadoop.fs.FileSystem`` — the API Spark itself uses for
+  every distributed filesystem it can read. Point the protocol at an
+  ``hdfs://`` path and the listing/rename/delete happen on HDFS
+  (where rename IS atomic); ``file:`` paths work too, which is how
+  the tests exercise this backend without a cluster.
+
+Object-store caveat (unchanged by the abstraction): S3/GCS "rename"
+is copy+delete, not atomic — a production deployment on an object
+store should commit via a manifest/transaction log (Delta/Iceberg-
+style). The protocol shape — versioned ``batch=<id>`` appends, max-id
+wins, idempotent replay by overwrite — carries over; only the commit
+primitive changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Protocol
+
+
+class StateStore(Protocol):
+    """The four directory primitives the commit protocols need."""
+
+    def isdir(self, path: str) -> bool: ...
+
+    def listdir(self, path: str) -> list[str]:
+        """Child names of ``path`` ([] if it does not exist)."""
+        ...
+
+    def rename(self, src: str, dst: str) -> None: ...
+
+    def rmtree(self, path: str) -> None: ...
+
+
+class LocalStateStore:
+    """POSIX-backed default (local disk / NFS)."""
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class HadoopStateStore:
+    """The same primitives through ``org.apache.hadoop.fs.FileSystem``
+    (resolved per-path, so one store instance serves ``hdfs://``,
+    ``file:``, or anything else the session's Hadoop conf knows).
+
+    Driver-side only — exactly like the POSIX calls it replaces; the
+    data itself still moves through executors' parquet IO.
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _resolve(self, path: str):
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self._conf), jpath
+
+    def isdir(self, path: str) -> bool:
+        fs, p = self._resolve(path)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        fs, p = self._resolve(path)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, s = self._resolve(src)
+        d = self._jvm.org.apache.hadoop.fs.Path(dst)
+        if not fs.rename(s, d):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rmtree(self, path: str) -> None:
+        fs, p = self._resolve(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+#: module default used when callers pass ``store=None``
+DEFAULT_STORE: StateStore = LocalStateStore()

@@ -1,0 +1,75 @@
+"""StateStore backends: POSIX default and the Hadoop FileSystem
+route, plus the rollup commit protocol running identically on both."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+    HadoopStateStore,
+    LocalStateStore,
+)
+
+
+def _exercise_store(store, base):
+    os.makedirs(os.path.join(base, "batch=1"))
+    os.makedirs(os.path.join(base, "batch=2.tmp"))
+    assert store.isdir(base)
+    assert store.isdir(os.path.join(base, "batch=1"))
+    assert not store.isdir(os.path.join(base, "nope"))
+    assert store.listdir(os.path.join(base, "nope")) == []
+    assert sorted(store.listdir(base)) == ["batch=1", "batch=2.tmp"]
+    store.rename(os.path.join(base, "batch=2.tmp"), os.path.join(base, "batch=2"))
+    assert sorted(store.listdir(base)) == ["batch=1", "batch=2"]
+    store.rmtree(os.path.join(base, "batch=1"))
+    store.rmtree(os.path.join(base, "never-existed"))  # no-op, no raise
+    assert store.listdir(base) == ["batch=2"]
+
+
+def test_local_store_primitives(tmp_path):
+    _exercise_store(LocalStateStore(), str(tmp_path / "s"))
+
+
+def test_hadoop_store_primitives(spark, tmp_path):
+    # file: paths through org.apache.hadoop.fs.FileSystem — the same
+    # code path an hdfs:// URI takes, no cluster needed
+    _exercise_store(HadoopStateStore(spark), str(tmp_path / "s"))
+
+
+def test_rollup_protocol_identical_on_both_backends(spark, tmp_path):
+    from kafka_consumer_2_clickhouse_spark.streaming.rollup_sink import (
+        committed_batch,
+        read_state,
+        rollup_maintainer,
+    )
+
+    batches = [
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(20)],
+        [(i, "a", float(i) * 2) for i in range(20, 30)],
+    ]
+
+    def run(state_dir, store):
+        maintain = rollup_maintainer(state_dir, store=store)
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "event_id long, event_type string, value double"
+            ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:00")))
+            maintain(df, bid)
+        # replay of batch 0 must be a no-op
+        maintain(
+            spark.createDataFrame(
+                batches[0], "event_id long, event_type string, value double"
+            ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:00"))),
+            0,
+        )
+        assert committed_batch(state_dir, store) == len(batches) - 1
+        # superseded versions swept
+        assert store.listdir(state_dir) == [f"batch={len(batches) - 1}"]
+        out = read_state(spark, state_dir, store)
+        return sorted(
+            (tuple(r) for r in out.collect()), key=lambda t: tuple(map(str, t))
+        )
+
+    local = run(str(tmp_path / "local"), LocalStateStore())
+    hadoop = run(str(tmp_path / "hadoop"), HadoopStateStore(spark))
+    assert local == hadoop and local
