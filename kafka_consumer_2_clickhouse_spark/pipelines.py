@@ -12,6 +12,7 @@ is expected to leave behind:
       stats/mixture/                 per-language availability/quota
       stats/survivorship/            per-source dedup in-vs-kept accounting
       stats/token_budget/            tokens/docs/share per (split, lang)
+      stats/source_scorecard/        per-source keep/quality/PII/repetition
 
 Returns a small metrics dict (driver-side scalars only). Every number
 is derived from the same oracle-checked operators the driver gates, so
@@ -38,6 +39,7 @@ def run_curation_pipeline(
         corpus_token_budget,
         curated_corpus,
         doc_quality_filter,
+        source_quality_report,
     )
     from .operators.graph import dedup_keep_docs, dedup_survivorship_by_source
     from .operators.sampling import corpus_mixture_summary
@@ -78,6 +80,10 @@ def run_curation_pipeline(
 
     corpus_token_budget(spark, sf_dir).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats", "token_budget")
+    )
+
+    source_quality_report(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "source_scorecard")
     )
 
     landed: DataFrame = spark.read.parquet(os.path.join(out_dir, "corpus"))

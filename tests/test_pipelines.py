@@ -22,6 +22,7 @@ def test_curation_pipeline_run(spark, sf_dir, tmp_path):
         "stats/mixture",
         "stats/survivorship",
         "stats/token_budget",
+        "stats/source_scorecard",
     ):
         assert os.path.isdir(os.path.join(out, sub)), sub
     splits = {
@@ -53,6 +54,8 @@ def test_curation_pipeline_run(spark, sf_dir, tmp_path):
     )  # every doc is accounted to exactly one source row
     budget = spark.read.parquet(os.path.join(out, "stats", "token_budget"))
     assert abs(budget.agg(F.sum("token_share")).collect()[0][0] - 1.0) < 1e-9
+    card = spark.read.parquet(os.path.join(out, "stats", "source_scorecard"))
+    assert card.agg(F.sum("n_docs")).collect()[0][0] == metrics["docs_in"]
 
     # a re-run overwrites cleanly (idempotent operationally)
     metrics2 = run_curation_pipeline(spark, sf_dir, out)
