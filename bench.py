@@ -117,6 +117,7 @@ EXTRA = [
     "source_quality_report",
     "split_exact_leakage",
     "embedding_pca_projection",
+    "events_type_share_drift",
 ]
 
 

@@ -278,3 +278,82 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("bigint").alias("n_transitions"))
     )
+
+
+@query(
+    "events_type_share_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY day
+    ), s AS (
+      SELECT d.day, d.event_type, CAST(d.n AS BIGINT) AS n,
+             round(CAST(d.n AS DOUBLE) / t.tot, 6) AS share
+      FROM d JOIN t USING (day)
+    ), w AS (
+      SELECT day, event_type, n, share,
+             sum(CAST(share AS DECIMAL(27,6))) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ts_sum,
+             count(*) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ts_n
+      FROM s
+    )
+    SELECT day, event_type, n, share,
+           CASE WHEN ts_n > 0 THEN CAST(ts_sum AS DOUBLE) / ts_n END
+             AS trailing_share,
+           CASE WHEN ts_n > 0
+                THEN share - CAST(ts_sum AS DOUBLE) / ts_n END AS drift
+    FROM w
+    """,
+)
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift monitor: each event type's daily share of
+    traffic vs its trailing-7-day mean share — the streaming-QC table
+    that catches a broken producer (one type's share collapses) or a
+    replay storm (one type spikes) before either poisons downstream
+    counts. First-week rows report NULL drift (no baseline yet).
+
+    Determinism: shares are rounded to 6 decimals, and the trailing
+    mean is an EXACT DECIMAL window sum divided by the frame count —
+    associativity-proof, so engines that evaluate sliding frames in
+    different orders (running fold vs segment tree) still agree
+    bit-for-bit.
+
+    Scale: one (day, type) aggregate (map-side partial), a broadcast
+    day-totals join (days are few), and a window partitioned by
+    event_type over day-grain rows — the window input is
+    days x types, not raw events.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n0"))
+    t = d.groupBy("day").agg(F.sum("n0").cast("bigint").alias("tot"))
+    s = d.join(F.broadcast(t), "day").select(
+        "day",
+        "event_type",
+        F.col("n0").cast("bigint").alias("n"),
+        F.round(F.col("n0").cast("double") / F.col("tot"), 6).alias("share"),
+    )
+    frame = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    ts_sum = F.sum(F.col("share").cast("decimal(27,6)")).over(frame)
+    ts_n = F.count("*").over(frame)
+    trailing = F.when(ts_n > 0, ts_sum.cast("double") / ts_n)
+    return s.select(
+        "day",
+        "event_type",
+        "n",
+        "share",
+        trailing.alias("trailing_share"),
+        F.when(ts_n > 0, F.col("share") - ts_sum.cast("double") / ts_n).alias(
+            "drift"
+        ),
+    )

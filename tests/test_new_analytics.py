@@ -199,3 +199,30 @@ def test_split_leakage_rows_are_real_leaks(spark, sf_dir):
         assert len(parts) == r["n_splits"]
         assert parts == sorted(parts)
         assert set(parts) <= {"train", "val", "test"}
+
+
+def test_type_share_drift_invariants(spark, sf_dir):
+    rows = ops.QUERIES["events_type_share_drift"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_day = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["share"] <= 1.0
+        by_day[r["day"]] += r["share"]
+        if r["trailing_share"] is None:
+            assert r["drift"] is None
+        else:
+            assert 0.0 < r["trailing_share"] <= 1.0
+            assert abs(r["drift"] - (r["share"] - r["trailing_share"])) < 1e-9
+    # shares sum to ~1 per day (rounding to 6 decimals per term)
+    for day, s in by_day.items():
+        assert abs(s - 1.0) < 1e-4, (day, s)
+    # earliest day per type has no baseline
+    first = {}
+    for r in rows:
+        if r["event_type"] not in first or r["day"] < first[r["event_type"]]:
+            first[r["event_type"]] = r["day"]
+    for r in rows:
+        if r["day"] == first[r["event_type"]]:
+            assert r["trailing_share"] is None
