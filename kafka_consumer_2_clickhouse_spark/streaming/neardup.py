@@ -173,3 +173,37 @@ def neardup_filter(
         rows.unpersist()
 
     return process
+
+
+def expire_signature_batches(
+    state_dir: str, before_batch: int, store: StateStore | None = None
+) -> int:
+    """Retention GC for the signature store: drop ``batch=<id>``
+    partitions with ``id < before_batch``; returns how many were
+    removed.
+
+    Production near-dup-at-ingest dedups against a bounded horizon
+    (e.g. "nothing older than the current crawl snapshot re-publishes
+    content we'd still drop"), so the store must not grow with total
+    history. Safe concurrently with the filter: ``read_signature_store``
+    just lists fewer directories, and batch ids only ever move forward,
+    so an expired batch can never be replayed into the probe window
+    (``before_batch`` for batch N is always ``<= N``).
+
+    Driver-side directory ops only, routed through the same
+    ``StateStore`` seam as the commit protocol.
+    """
+    st = store or DEFAULT_STORE
+    path = os.path.join(state_dir, _KEYS)
+    removed = 0
+    for d in st.listdir(path):
+        if not d.startswith("batch="):
+            continue
+        try:
+            bid = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < before_batch:
+            st.rmtree(os.path.join(path, d))
+            removed += 1
+    return removed

@@ -104,3 +104,41 @@ def test_exact_duplicate_across_batches_dropped(spark, tmp_path):
     f(_docs(spark, [(1, BASE)]), 0)
     f(_docs(spark, [(9, BASE)]), 1)  # byte-identical late duplicate
     assert sink.landed[1] == []
+
+
+def test_signature_store_retention_gc(spark, tmp_path):
+    from kafka_consumer_2_clickhouse_spark.streaming.neardup import (
+        expire_signature_batches,
+        neardup_filter,
+        read_signature_store,
+    )
+
+    state = str(tmp_path / "state")
+    accepted = []
+
+    def accept(df, bid):
+        accepted.append((bid, sorted(r["doc_id"] for r in df.collect())))
+
+    proc = neardup_filter(state, accept)
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(bid * 10 + i, f"unique doc {bid} {i} " * 5) for i in range(3)],
+            "doc_id long, text string",
+        )
+        proc(df, bid)
+
+    assert read_signature_store(spark, state).select("batch").distinct().count() == 3
+    removed = expire_signature_batches(state, before_batch=2)
+    assert removed == 2
+    left = read_signature_store(spark, state)
+    assert [r["batch"] for r in left.select("batch").distinct().collect()] == [2]
+    # the filter keeps working against the truncated horizon, and a
+    # doc near-dup of an EXPIRED batch is (by design) no longer dropped
+    df = spark.createDataFrame(
+        [(99, "unique doc 0 0 " * 5), (100, "totally new content here")],
+        "doc_id long, text string",
+    )
+    proc(df, 3)
+    assert accepted[-1] == (3, [99, 100])
+    # idempotent / no-op second run
+    assert expire_signature_batches(state, before_batch=2) == 0
