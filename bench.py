@@ -118,6 +118,8 @@ EXTRA = [
     "split_exact_leakage",
     "embedding_pca_projection",
     "events_type_share_drift",
+    "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 

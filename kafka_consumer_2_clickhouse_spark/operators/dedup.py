@@ -868,3 +868,160 @@ def doc_despan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text_deduped"),
         )
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) -----
+#
+# The MOSS algorithm: hash every k-gram, slide a window of W hashes,
+# keep each window's MINIMUM hash. Guarantees: any shared run of
+# W + k - 1 tokens yields at least one shared fingerprint (local,
+# position-independent — catches copied PASSAGES that whole-doc
+# minhash dilutes away and that reordering hides from block hashing),
+# while keeping only ~2/(W+1) of all k-gram hashes.
+
+WINNOW_NGRAM = 3
+WINNOW_WINDOW = 4
+#: pairs must share at least this many fingerprints to be reported
+WINNOW_MIN_SHARED = 2
+#: fingerprints present in more docs than this are boilerplate — they
+#: would fan the fingerprint join out quadratically (same role as
+#: NGRAM_BLOCK_CAP); excluded deterministically, oracle-replayed
+WINNOW_DF_CAP = 50
+
+
+def _winnow_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprints) — sorted distinct winnowed fingerprints,
+    map-only.
+
+    Staged through separate selects (the ``signature_relation``
+    pattern): the k-gram md5 array materializes as a column BEFORE the
+    window-min transform references it four times — CollapseProject
+    won't inline a non-cheap expression into multiple consumers, so
+    each shingle is hashed exactly once (inlined, the lambda would
+    re-hash the whole doc per window element: O(n^2) md5 calls)."""
+    w = WINNOW_WINDOW
+    hashes = F.transform(
+        X.shingles(X.tokens("text"), WINNOW_NGRAM), lambda s: F.md5(s)
+    )
+    h = docs.select("doc_id", hashes.alias("h"))
+    hc = F.col("h")
+    wins = F.when(
+        F.size(hc) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hc) - w + 1),
+            lambda i: F.least(*[F.element_at(hc, i + k) for k in range(w)]),
+        ),
+    ).otherwise(F.array(F.array_min(hc)))
+    staged = h.select("doc_id", wins.alias("wins"))
+    return staged.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.col("wins"))).alias("fingerprints"),
+    )
+
+
+def _winnow_sql() -> str:
+    w = WINNOW_WINDOW
+    h = (
+        f"list_transform({X.sql_shingles(X.sql_tokens('text'), WINNOW_NGRAM)},"
+        " s -> md5(s))"
+    )
+    least = ", ".join(f"h[i+{k}]" for k in range(w))
+    return f"""
+      (SELECT list_sort(list_distinct(
+         CASE WHEN len(h) >= {w}
+              THEN list_transform(range(1, len(h) - {w} + 2),
+                                  i -> least({least}))
+              ELSE [list_sort(h)[1]] END))
+       FROM (SELECT {h} AS h))
+    """
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           fps AS fingerprints
+    FROM (SELECT doc_id, {_winnow_sql()} AS fps FROM documents)
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint set (sorted for
+    determinism). Pure map — the same one-pass array-expression shape
+    as the minhash/simhash signatures; nothing shuffles.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _winnow_relation(docs).select(
+        "doc_id",
+        F.size("fingerprints").cast("bigint").alias("n_fingerprints"),
+        "fingerprints",
+    )
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, unnest({_winnow_sql().strip()}) AS fp FROM documents
+    ), freq AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+    ), rel AS (
+      SELECT DISTINCT doc_id, fp FROM fps JOIN freq USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rel a JOIN rel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WINNOW_MIN_SHARED winnowed
+    fingerprints — the MOSS overlap detector: finds copied PASSAGES
+    between otherwise-different documents (the case whole-doc minhash
+    dilutes below threshold and block hashing misses under
+    reordering).
+
+    Scale: fingerprint extraction is map-only; the document-frequency
+    filter collapses map-side to distinct fingerprints; the pair join
+    is an equi-join on the fingerprint key whose fan-out is hard-capped
+    by WINNOW_DF_CAP (a fingerprint in d docs contributes C(d,2) <=
+    CAP^2/2 pairs — boilerplate beyond the cap is excluded, same
+    contract as NGRAM_BLOCK_CAP, replayed in the oracle).
+    """
+    from pyspark import StorageLevel
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # persist BEFORE the explode: Generate-side optimization would
+    # otherwise re-inline the staged hash array into the window-min
+    # lambda (4 refs x per-window re-evaluation = O(n^2) md5 per doc —
+    # observed as a >100x blowup); the InMemoryRelation is a barrier no
+    # rewrite crosses. Recomputable; caller-owned cleanup
+    # (release_intermediate_caches), same contract as the LSH persists.
+    fprel = _winnow_relation(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = (
+        fprel.select("doc_id", F.explode("fingerprints").alias("fp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("fp")
+    )
+    rel = fps.join(freq, "fp", "left_semi")
+    a, b = rel.alias("a"), rel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
