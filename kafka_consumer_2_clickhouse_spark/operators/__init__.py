@@ -27,7 +27,8 @@ ORACLE_SQL = analytics.ORACLE_SQL
 
 def release_intermediate_caches(spark) -> None:
     """Drop the recomputable persisted relations some operators leave
-    behind (LSH signature/band tables, SRP key tables, the final
+    behind (LSH signature/band tables, SRP key tables, winnowing
+    fingerprint relations, SemDeDup capped cells, the final
     connected-components labels).
 
     Those persists exist so one invocation computes its expensive
