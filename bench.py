@@ -120,6 +120,7 @@ EXTRA = [
     "events_type_share_drift",
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "embedding_centroid_distances",
 ]
 
 

@@ -244,3 +244,73 @@ def embedding_pca_projection(
         ) + ")"
         cols.append(F.expr(expr).alias(f"pc{ci}"))
     return emb.select(*cols)
+
+
+def _mean_sums_sql(engine: str) -> str:
+    """One aggregate row: per-dimension decimal sums s1..sD + count
+    (round-before-decimal-sum discipline), generated identically for
+    both engines."""
+
+    def idx(i: int) -> str:
+        if engine == "spark":
+            return f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    sums = ", ".join(
+        f"CAST(sum(CAST(round({idx(i)}, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+        f" AS s{i}"
+        for i in range(DIM)
+    )
+    return f"SELECT {sums}, CAST(count(*) AS BIGINT) AS n FROM embeddings"
+
+
+def _centroid_dist_sql(engine: str) -> str:
+    """Fixed-order squared-distance chain to the corpus mean — IEEE
+    double ops in a pinned evaluation order, bit-identical across
+    engines (the ``_dot_sql`` discipline)."""
+
+    def idx(i: int) -> str:
+        if engine == "spark":
+            return f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    return "(" + " + ".join(
+        f"(({idx(i)} - s{i} / n) * ({idx(i)} - s{i} / n))" for i in range(DIM)
+    ) + ")"
+
+
+@query(
+    "embedding_centroid_distances",
+    oracle=f"""
+    WITH m AS ({_mean_sums_sql('duck')})
+    SELECT e.vec_id, e.label,
+           sqrt({_centroid_dist_sql('duck')}) AS centroid_dist
+    FROM embeddings e CROSS JOIN m
+    """,
+)
+def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance of every vector to the corpus centroid — the
+    outlier/OOD signal embedding-based curation prunes on (far-from-
+    centroid examples are mislabeled, off-distribution, or encoder
+    failures; the same score feeds importance-sampling recipes).
+
+    Scale: the centroid is ONE aggregate row (D decimal sums + count,
+    map-side partial) broadcast into a map-only fixed-order distance
+    chain — no shuffle ever carries vectors. The closing sqrt/chain is
+    IEEE double arithmetic in a pinned order, so both engines emit
+    bit-identical distances.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    m = emb.selectExpr(*[
+        f"CAST(sum(CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f", 6) AS DECIMAL(27,6))) AS DOUBLE) AS s{i}"
+        for i in range(DIM)
+    ] + ["CAST(count(*) AS BIGINT) AS n"])
+    return (
+        emb.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(F.expr(_centroid_dist_sql("spark"))).alias("centroid_dist"),
+        )
+    )

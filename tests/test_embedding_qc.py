@@ -153,3 +153,13 @@ def test_pca_projection_matches_eigenstructure(spark, sf_dir):
     assert np.linalg.norm(recon - scores) / denom < 1e-3
     # and the change of basis is orthogonal (pure rotation/reflection)
     assert np.abs(q @ q.T - np.eye(PCA_K)).max() < 1e-3
+
+
+def test_centroid_distances_match_numpy(spark, sf_dir):
+    m = _emb_matrix(spark, sf_dir)
+    rows = ops.QUERIES["embedding_centroid_distances"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    assert len(rows) == m.shape[0]
+    expect = np.linalg.norm(m - m.mean(axis=0), axis=1)
+    got = np.array([r["centroid_dist"] for r in rows])
+    assert np.abs(got - expect).max() < 1e-5

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "events_value_histogram",  # 1-row min/max range crossJoin
     "customer_rfm_segments",  # 1-row global-max + 1-row cutpoints crossJoins
     "corpus_token_budget",  # 1-row corpus-total crossJoin
+    "embedding_centroid_distances",  # 1-row centroid-sums crossJoin
 }
 
 
