@@ -810,11 +810,14 @@ def doc_despan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one copy of each repeated span survives corpus-wide).
     Trailing tokens past the last full block always survive.
 
-    Scale: the only non-map stages are the per-block first-occurrence
-    window — partitioned by block text, never global — and the per-doc
-    reassembly aggregate (collect + array_sort on (idx, text) structs:
-    order restored deterministically without an ordered shuffle).
-    Same block-key shuffle shape as ``doc_duplicate_spans``.
+    Scale: the per-block first-occurrence is ``min(struct(doc_id,
+    block_idx))`` — an aggregate that partial-combines map-side, so a
+    boilerplate block repeated in millions of docs costs one row per
+    input partition instead of a skewed single-partition sort (the
+    row_number-over-block window it replaces; the oracle keeps that
+    formulation — identical semantics, deterministic). The per-doc
+    reassembly aggregate restores order via array_sort on (idx, text)
+    structs — no ordered shuffle anywhere.
     """
     n = SPAN_BLOCK_TOKENS
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -822,14 +825,14 @@ def doc_despan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = t.select(
         "doc_id", F.posexplode(_span_blocks_spark()).alias("bi", "block")
     ).select("doc_id", (F.col("bi") + 1).alias("block_idx"), "block")
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("block").orderBy("doc_id", "block_idx")
-    )
     kept = (
-        blk.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
+        blk.groupBy("block")
+        .agg(F.min(F.struct("doc_id", "block_idx")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.block_idx").alias("block_idx"),
+            "block",
+        )
         .groupBy("doc_id")
         .agg(
             F.array_join(
