@@ -187,3 +187,45 @@ def test_winnowing_guarantee_and_overlap(spark, sf_dir):
     # on the reported pairs against the python reference
     for (a, b), n in list(got.items())[:10]:
         assert len(winnow(docs[a]) & winnow(docs[b])) >= n
+
+
+def test_winnowing_randomized_differential(spark):
+    """Seeded-random differential vs the Python reference (the PII
+    randomized-differential precedent): random docs over a tiny
+    alphabet (forcing heavy window ties), lengths straddling every
+    edge — below k, between k and w+k-1, and beyond."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        WINNOW_NGRAM,
+        WINNOW_WINDOW,
+        _winnow_relation,
+    )
+
+    k, w = WINNOW_NGRAM, WINNOW_WINDOW
+    rng = random.Random(1234)
+    rows = []
+    for i in range(200):
+        n = rng.choice([k, k + 1, w + k - 2, w + k - 1, w + k, 20, 60])
+        toks = [rng.choice("ab") + str(rng.randrange(4)) for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+
+    def ref(toks):
+        hs = [
+            hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+            for j in range(len(toks) - k + 1)
+        ]
+        if len(hs) < w:
+            return sorted({min(hs)})
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in _winnow_relation(df).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text.split(" ")), (doc_id, text)
