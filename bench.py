@@ -121,6 +121,7 @@ EXTRA = [
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "embedding_centroid_distances",
+    "curation_funnel",
 ]
 
 

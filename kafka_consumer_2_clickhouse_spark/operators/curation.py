@@ -809,3 +809,65 @@ def split_exact_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def _funnel_oracle() -> str:
+    from .graph import _keep_docs_oracle
+
+    return f"""
+    WITH k AS ({_keep_docs_oracle()}),
+         qf AS ({_qf_oracle()}),
+         tot AS (SELECT count(*) AS n FROM documents),
+         dk AS (SELECT count(*) AS n FROM k),
+         qk AS (SELECT count(*) AS n
+                FROM k JOIN qf ON k.doc_id = qf.doc_id AND qf.keep)
+    SELECT stage_idx, stage, n_docs,
+           CAST(n_docs AS DOUBLE) / (SELECT n FROM tot) AS share_of_ingest
+    FROM (
+      SELECT 1 AS stage_idx, 'ingested' AS stage,
+             CAST((SELECT n FROM tot) AS BIGINT) AS n_docs
+      UNION ALL
+      SELECT 2, 'after_near_dup', CAST((SELECT n FROM dk) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'after_quality_gate', CAST((SELECT n FROM qk) AS BIGINT)
+    ) t
+    """
+
+
+@query("curation_funnel", oracle=_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-table pipeline story: document counts at each curation
+    stage — ingested -> near-dup survivors -> quality-gate survivors
+    (= the ``curated_corpus`` row count) — with each stage's share of
+    ingest. The first number a pipeline owner reads after a run, and
+    the one that makes a silent over-drop (bad threshold, broken gate)
+    visible as a cliff.
+
+    Composes the already-checked stage operators; the oracle composes
+    their oracle SQL, so a drift in ANY stage fails this hash too.
+
+    Scale: each stage is a count over a doc_id relation (the stages'
+    own plans); the final table is 3 rows.
+    """
+    from .graph import dedup_keep_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    keep = dedup_keep_docs(spark, sf_dir).select("doc_id")
+    dk = keep.count()
+    gate = doc_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    qk = keep.join(gate, "doc_id").count()
+    rows = [
+        (1, "ingested", total),
+        (2, "after_near_dup", dk),
+        (3, "after_quality_gate", qk),
+    ]
+    out = spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs bigint"
+    )
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.lit(total)).alias("share_of_ingest"),
+    )

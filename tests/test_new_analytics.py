@@ -226,3 +226,20 @@ def test_type_share_drift_invariants(spark, sf_dir):
     for r in rows:
         if r["day"] == first[r["event_type"]]:
             assert r["trailing_share"] is None
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        ops.QUERIES["curation_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "ingested",
+        "after_near_dup",
+        "after_quality_gate",
+    ]
+    ns = [r["n_docs"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] > 0
+    assert rows[0]["share_of_ingest"] == 1.0
+    # the funnel's terminal count IS the curated corpus
+    assert ns[2] == ops.QUERIES["curated_corpus"](spark, sf_dir).count()
