@@ -122,6 +122,7 @@ EXTRA = [
     "winnowing_overlap_pairs",
     "embedding_centroid_distances",
     "curation_funnel",
+    "ivfpq_cosine_topk",
 ]
 
 

@@ -694,12 +694,19 @@ def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int =
         dtype=np.float64,
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    dim = sample.shape[1]
+    return _lloyd_subspaces(sample, m, k, np.random.RandomState(seed))
+
+
+def _lloyd_subspaces(mat, m: int, k: int, rng):
+    """Per-subspace Lloyd's over an in-memory matrix — shared by the
+    raw-vector PQ codebooks and the IVFADC residual codebooks."""
+    import numpy as np
+
+    dim = mat.shape[1]
     sub = dim // m
-    rng = np.random.RandomState(seed)
     books = np.zeros((m, k, sub))
     for mi in range(m):
-        block = sample[:, mi * sub : (mi + 1) * sub]
+        block = mat[:, mi * sub : (mi + 1) * sub]
         cents = block[rng.choice(len(block), k, replace=False)]
         for _ in range(10):
             d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -919,4 +926,161 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "neg_label", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC) — coarse cells + residual product quantization
+# --------------------------------------------------------------------------
+
+
+@query("ivfpq_cosine_topk")  # no oracle: approximate by construction;
+# recall vs the exact operator + run-to-run determinism pinned in
+# tests/test_similarity.py
+def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (Jégou et al., TPAMI 2011 §IV): coarse cells prune
+    WHICH vectors are scanned, residual PQ codes compress WHAT is
+    scanned — the layout behind every billion-vector production index
+    (faiss ``IVFx,PQy``).
+
+    Encoding (one Arrow map pass): normalize, assign the nearest coarse
+    centroid, PQ-encode the RESIDUAL ``x - c_cell`` against codebooks
+    trained on sample residuals. Scoring decomposes exactly:
+    ``q . x ~= q . c_cell + sum_m LUT[q, m, code_m]`` — one (n_q x C)
+    cell-dot matrix plus the standard per-query LUT, both tiny and
+    broadcast.
+
+    Query path: probe N_PROBE of N_CELLS (the scan filter), ADC-score
+    only probed-cell codes (never the float vectors), shortlist, then
+    exact re-rank of just the shortlist via a broadcast semi-join —
+    the ``pq_cosine_topk`` tail. At 100 TB: build-once would persist
+    (cell, codes) partitioned by cell exactly like ``build_ivf_index``,
+    making the probe a partition-pruned scan of in-memory-sized codes.
+    """
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = _train_centroids(raw)  # (C, D) unit rows, seed-pinned
+
+    # residual codebooks from the same bounded-sample protocol
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in raw.select("embedding")
+            .sample(fraction=1.0, seed=13)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rassign = (sample @ cents.T).argmax(axis=1)
+    books = _lloyd_subspaces(
+        sample - cents[rassign], PQ_M, PQ_K, np.random.RandomState(13)
+    )
+    bc_enc = spark.sparkContext.broadcast((cents, books))
+
+    def encode(batches):
+        import numpy as np
+
+        cts, bks = bc_enc.value
+        m, _, sub = bks.shape
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cell = (cm @ cts.T).argmax(axis=1)
+            resid = cm - cts[cell]
+            codes = np.zeros((len(cm), m), dtype=np.int32)
+            for mi in range(m):
+                block = resid[:, mi * sub : (mi + 1) * sub]
+                d2 = (
+                    -2.0 * block @ bks[mi].T
+                    + (bks[mi] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pdf[["vec_id"]].assign(
+                cell=cell.astype("int32"), codes=list(codes)
+            )
+
+    encoded = spread(raw).select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, cell int, codes array<int>"
+    )
+
+    qrows = (
+        raw.filter(F.col("vec_id") < N_QUERY).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    cell_dot = qmat @ cents.T  # (n_q, C)
+    probe = {
+        int(q): set(cell_dot[i].argsort()[-N_PROBE:].tolist())
+        for i, q in enumerate(qids)
+    }
+    probed_cells = sorted(set().union(*probe.values())) if probe else []
+    m, k, sub = books.shape
+    lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
+    bc_q = spark.sparkContext.broadcast((qids, lut, cell_dot, probe))
+    shortlist_n = PQ_SHORTLIST
+
+    def adc(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, lut_v, cd_v, probe_v = bc_q.value
+        m_v = lut_v.shape[1]
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy()
+            cd = np.vstack(pdf["codes"].to_numpy())
+            resid_sims = lut_v[:, np.arange(m_v)[None, :], cd].sum(axis=2)
+            for qi, qid in enumerate(ids):
+                in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                mask = in_probe & (cand_ids != qid)
+                if not mask.any():
+                    continue
+                c_ids = cand_ids[mask]
+                c_sims = resid_sims[qi][mask] + cd_v[qi][cell[mask]]
+                kk = min(shortlist_n, len(c_ids))
+                part = np.lexsort((c_ids, -c_sims))[:kk]
+                yield pd.DataFrame({"query_id": qid, "cand_id": c_ids[part]})
+
+    local = encoded.filter(F.col("cell").isin(probed_cells)).mapInPandas(
+        adc, schema="query_id long, cand_id long"
+    )
+    shortlist = local.dropDuplicates(["query_id", "cand_id"])
+
+    bc_exact = spark.sparkContext.broadcast((qids, qmat))
+    top_k = TOP_K
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm = bc_exact.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": (qrow * cm).sum(axis=1),
+                }
+            )
+
+    rescored = (
+        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .mapInPandas(rerank, schema="query_id long, cand_id long, cosine double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", "rank")
     )

@@ -144,3 +144,39 @@ def test_pq_codes_compact_and_deterministic(spark, sf_dir):
     for codes in c1.values():
         assert len(codes) == similarity.PQ_M
         assert all(0 <= c < similarity.PQ_K for c in codes)
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVFADC (cells + residual PQ + exact re-rank): recall@5 vs the
+    exact operator must clear the IVF bound (re-ranking is exact, so
+    quality is gated by cell probing + shortlist coverage), the
+    contract schema must match the other ANN paths, and two
+    invocations must agree exactly (seed-pinned quantizers)."""
+    exact = {}
+    for r in similarity.embedding_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+    out1 = similarity.ivfpq_cosine_topk(spark, sf_dir).collect()
+    got = {}
+    for r in out1:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        assert 1 <= r["rank"] <= similarity.TOP_K
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, f"IVFPQ recall@5 too low: {recall:.2f}"
+    # exact re-rank: every reported cosine equals the true cosine of
+    # that (query, cand) pair from the exact operator when present
+    exact_cos = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in similarity.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in out1:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+    out2 = similarity.ivfpq_cosine_topk(spark, sf_dir).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(((key(r), r["cand_id"]) for r in out1)) == sorted(
+        ((key(r), r["cand_id"]) for r in out2)
+    )
