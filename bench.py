@@ -123,6 +123,11 @@ EXTRA = [
     "embedding_centroid_distances",
     "curation_funnel",
     "ivfpq_cosine_topk",
+    "copurchase_pagerank",
+    "events_anomaly_mad",
+    "doc_gopher_quality",
+    "token_oov_rate",
+    "events_session_paths",
 ]
 
 

@@ -357,3 +357,104 @@ def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift"
         ),
     )
+
+
+#: path prefix length and report size for session path mining
+SESSION_PATH_LEN = 5
+SESSION_PATH_TOP = 20
+
+
+@query(
+    "events_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_no,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{SESSION_PATH_LEN}],
+               '>') AS path
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {SESSION_PATH_TOP}
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP} session journeys: the ordered first-{LEN} event-type
+    path of every 30-min-gap session, counted across sessions — the
+    sequence-mining report ("view>view>click>purchase…") behind
+    funnel-discovery and UX flow analysis.
+
+    Determinism: the path order is (ts, event_id) — event_id is unique,
+    so every session serializes identically on both engines; the top-N
+    boundary is tie-broken by path text.
+
+    Scale: the SAME single user_id shuffle computes the session-number
+    window and the per-session path aggregate (collect over an
+    already-clustered relation; paths are truncated to {LEN} types so
+    state per session is bounded). The path popularity count partial-
+    aggregates map-side on a key space that is at most |types|^{LEN}
+    but in practice follows the heavy head; the final top-N is
+    TakeOrderedAndProject, never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    SESSION_PATH_LEN,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(SESSION_PATH_TOP)
+    )
+
+
+events_session_paths.__doc__ = (
+    events_session_paths.__doc__
+    .replace("{TOP}", str(SESSION_PATH_TOP))
+    .replace("{LEN}", str(SESSION_PATH_LEN))
+)

@@ -1028,3 +1028,118 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+def _mh_match_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(N_MINHASH)
+    )
+
+
+@query(
+    "minhash_jaccard_estimates",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), SHINGLE_N)} AS sh
+      FROM documents
+    ), digs AS (
+      SELECT doc_id, sh, {_digests_sql()} FROM shingled
+    ), sigs AS (
+      SELECT doc_id, sh, {_slices_sql()} FROM digs
+    ), banded AS (
+      SELECT *, {_bands_sql()} FROM sigs
+    ), pairs AS (
+      {" UNION ".join(f'''
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id''' for b in range(N_BANDS))}
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(({_mh_match_sql()}) AS DOUBLE) / {N_MINHASH} AS est_jaccard,
+           round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                 / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                    - len(list_distinct(list_intersect(a.sh, b.sh)))), 6)
+             AS exact_jaccard,
+           round(abs(CAST(({_mh_match_sql()}) AS DOUBLE) / {N_MINHASH}
+                     - round(CAST(len(list_distinct(list_intersect(a.sh, b.sh)))
+                                  AS DOUBLE)
+                             / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                                - len(list_distinct(list_intersect(a.sh, b.sh)))),
+                             6)), 6) AS abs_err
+    FROM pairs p
+      JOIN banded a ON a.doc_id = p.doc_a
+      JOIN banded b ON b.doc_id = p.doc_b
+    """,
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy accounting for the MinHash pipeline: for every
+    LSH candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching components / {K}) next to the exact shingle Jaccard and
+    the absolute error — the report that justifies (or indicts) the
+    signature width before a 100 TB dedup run trusts it.
+
+    Determinism: the estimate is a ratio of integer match counts over
+    md5-derived slices — bit-identical across engines — and the exact
+    side reuses the verified-Jaccard expression, rounded to 6 decimals.
+
+    Scale: identical shape to :func:`lsh_candidate_pairs` (band-bucket
+    equi-join on the persisted signature relation; signatures travel as
+    {K} fixed 8-char slices, never the shingle arrays, until the exact
+    verify joins bodies for the surviving candidates only). The extra
+    cost over the candidate query is K integer compares per pair —
+    free at any scale.
+    """
+    from pyspark import StorageLevel
+
+    sigs = _signature_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    band_cols = band_key_columns()
+    banded = sigs.select("*", *band_cols)
+    keys = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    inter = F.size(
+        F.array_distinct(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    na = F.size(F.array_distinct(F.col("sa.shingles")))
+    nb = F.size(F.array_distinct(F.col("sb.shingles")))
+    exact = F.round(inter.cast("double") / (na + nb - inter), 6)
+    est = matches.cast("double") / N_MINHASH
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+minhash_jaccard_estimates.__doc__ = minhash_jaccard_estimates.__doc__.replace(
+    "{K}", str(N_MINHASH)
+)

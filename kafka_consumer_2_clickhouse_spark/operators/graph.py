@@ -400,3 +400,162 @@ def connected_components_star(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph (fixed-iteration, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: minimum co-purchase support for an edge (lower than the pair-mining
+#: report's threshold: centrality wants the long tail of the graph)
+PAGERANK_MIN_SUPPORT = 2
+#: fixed-point scale: ranks are bigint multiples of 1/PAGERANK_SCALE.
+#: Total mass is ~PAGERANK_SCALE, so 85 * sum(contrib) stays far below
+#: the int64 range.
+PAGERANK_SCALE = 10**12
+#: fixed iteration count — unrolled identically in the SQL oracle
+PAGERANK_ITERS = 3
+
+_PR_EDGES_CTE = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= {PAGERANK_MIN_SUPPORT}
+    ), edges AS (
+      SELECT pa AS u, pb AS v FROM pairs
+      UNION ALL
+      SELECT pb AS u, pa AS v FROM pairs
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+    ), r0 AS (
+      SELECT deg.u AS node, CAST({PAGERANK_SCALE} // n AS BIGINT) AS r
+      FROM deg CROSS JOIN nn
+    )"""
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    return f""", {cur} AS (
+      SELECT e.v AS node,
+             CAST((15 * {PAGERANK_SCALE}) // (100 * nn.n)
+                  + (85 * sum(r.r // deg.d)) // 100 AS BIGINT) AS r
+      FROM edges e
+      JOIN {prev} r ON e.u = r.node
+      JOIN deg ON deg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v, nn.n
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    body = _PR_EDGES_CTE
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        body += _pr_iter_cte(prev, f"it{i}")
+        prev = f"it{i}"
+    return (
+        body
+        + f"""
+    SELECT node AS part_id, r AS rank_scaled,
+           CAST(r AS DOUBLE) / {PAGERANK_SCALE} AS rank
+    FROM {prev}
+    ORDER BY r DESC, node ASC
+    LIMIT 50
+    """
+    )
+
+
+@query("copurchase_pagerank", oracle=_pagerank_oracle())
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by PageRank centrality over the co-purchase graph
+    (damping 0.85, {ITERS} fixed iterations) — "hub products" whose
+    basket adjacency makes them anchors of the catalog, the classic
+    graph-propagation workload on a DataFrame engine.
+
+    Determinism (the oracle hash-matches): ranks live in INTEGER
+    fixed-point — bigint multiples of 1/PAGERANK_SCALE — and every
+    update is integer floor division ((15*S)//(100*n) teleport +
+    (85*sum(r//d))//100), so both engines compute bit-identical
+    ranks regardless of float summation order; iterations are unrolled
+    as CTEs in the oracle. DuckDB widens the sum to int128 — harmless,
+    the Spark-side values are bounded well inside int64 (total mass ~S,
+    so 85*sum <= 85*S ~ 8.5e13).
+
+    Scale: the canonical iterative shuffle workload. Per iteration:
+    one equi-join of the edge relation against the rank relation on
+    the source node + one groupBy(dst) sum with map-side combine —
+    edge/degree relations are persisted once and reused across
+    iterations (at 1000 executors, pre-partitioning edges and ranks on
+    the node key makes every iteration's join co-located; AQE handles
+    hub-node skew). The 1-row node-count scalar is a broadcast cross
+    join, the final top-50 is TakeOrderedAndProject (per-partition
+    partial top-k, no global sort). Fixed iteration count keeps the
+    plan finite; for convergence-driven runs, compose with the
+    ``_truncate`` lineage checkpoint exactly as the CC fixpoint does.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= PAGERANK_MIN_SUPPORT)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    rank = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("u").alias("node"),
+        F.expr(f"CAST({PAGERANK_SCALE} div n AS BIGINT)").alias("r"),
+        "n",
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("r div d").alias("c"),
+                "n",
+            )
+        )
+        rank = contrib.groupBy("node", "n").agg(F.sum("c").alias("s")).select(
+            "node",
+            F.expr(
+                f"CAST((15 * {PAGERANK_SCALE}) div (100 * n)"
+                f" + (85 * s) div 100 AS BIGINT)"
+            ).alias("r"),
+            "n",
+        )
+    return (
+        rank.select(
+            F.col("node").alias("part_id"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r").cast("double") / PAGERANK_SCALE).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("part_id"))
+        .limit(50)
+    )
+
+
+copurchase_pagerank.__doc__ = copurchase_pagerank.__doc__.replace(
+    "{ITERS}", str(PAGERANK_ITERS)
+)

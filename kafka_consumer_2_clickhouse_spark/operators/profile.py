@@ -178,3 +178,73 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(quantile_cont(value, 0.50) AS DOUBLE) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type,
+             CAST(quantile_cont(abs(e.value - m.med), 0.50) AS DOUBLE) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN dev d USING (event_type)
+    WHERE d.mad > 0
+      AND abs(round(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation
+    (Iglewicz-Hoaglin modified z-score, |0.6745*(x-med)/MAD| > 3.5).
+
+    The robust twin of :func:`events_value_outliers`: the z-score pass
+    is itself poisoned by the outliers it hunts (mean/stdev have a 0%
+    breakdown point), while median/MAD tolerate up to 50% corruption —
+    this is the screen that still works when a bad producer floods a
+    type with garbage values.
+
+    Determinism: both engines compute the same exact interpolated
+    median (Spark ``percentile`` == DuckDB ``quantile_cont``, proven
+    cross-engine by ``order_value_quartiles``); the deviation and the
+    published score are per-row IEEE ops on identical inputs, rounded
+    to 6 decimals, and zero-MAD types (>=50% constant values) are
+    excluded with an explicit guard on BOTH sides (0/0 is NULL vs NaN
+    across engines).
+
+    Scale: two grouped aggregates over the event_type key space (the
+    second pass re-scans rather than materializing deviations — scans
+    are cheap, shuffles are not), then the per-type stats broadcast
+    back so the score + filter run map-side inside the scan. The exact
+    per-group percentile is the documented small-key-space choice; at
+    an extreme key count swap ``percentile_approx`` exactly as
+    ``order_value_quartiles_approx`` does.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+        .filter(F.col("mad") > 0)
+    )
+    score = F.round(
+        0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .select("event_id", "event_type", "value", score.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+    )

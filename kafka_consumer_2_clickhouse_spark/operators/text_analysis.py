@@ -755,3 +755,188 @@ def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_MERGE_TOP_N)
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) —
+# the rule-based document filter battery used (with C4/Dolma tweaks)
+# by most public pretraining corpora.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRACTION = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "doc_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {X.sql_tokens('text')} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_word_len,
+             round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                   / greatest(len(toks), 1), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / greatest(len(toks), 1), 6) AS alpha_fraction,
+             CAST({X.stopword_filter_sql('toks', ('the', 'a', 'of', 'and', 'to', 'in'))}
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_fraction,
+           n_stopwords,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS pass_word_count,
+           mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+             AS pass_word_len,
+           symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS pass_symbols,
+           alpha_fraction >= {GOPHER_MIN_ALPHA_FRACTION} AS pass_alpha,
+           n_stopwords >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                    AND {GOPHER_MAX_MEAN_WORD_LEN})
+             AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+             AND alpha_fraction >= {GOPHER_MIN_ALPHA_FRACTION}
+             AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM m
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality battery (Rae et al. 2021, Table A1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (hash marks + ellipses), alphabetic-word fraction, and minimum
+    stopword count — each published as its own boolean next to the
+    metric so a corpus report can attribute every rejection to a rule,
+    plus the conjunctive ``keep``.
+
+    Complements :func:`doc_quality_scores` (soft 0-1 score) with the
+    hard rule battery the Gopher/MassiveText and Dolma pipelines
+    actually gate on.
+
+    Determinism: all metrics are integer counts or 6-decimal-rounded
+    ratios of integer counts — bit-identical across engines.
+
+    Scale: pure map-only array/string expressions inside one codegen
+    span over the scan; zero shuffles, and a consumer filtering on
+    ``keep`` pushes a cheap boolean predicate down to the scan. The
+    rule metrics are single-pass over each token array (no explode).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "text", X.tokens("text").alias("toks"))
+    n_words = F.size("toks").cast("bigint")
+    denom = F.greatest(F.size("toks"), F.lit(1))
+    mwl = F.round(
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t_: F.length(t_)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / denom,
+        6,
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = F.round((n_hash.cast("double") + n_ellipsis) / denom, 6)
+    alpha = F.round(
+        F.size(F.filter(F.col("toks"), lambda t_: t_.rlike("[a-z]")))
+        .cast("double")
+        / denom,
+        6,
+    )
+    n_stop = X.stopword_count(F.col("toks"), _QUALITY_STOPWORDS).cast("bigint")
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha.alias("alpha_fraction"),
+        n_stop.alias("n_stopwords"),
+    )
+    pass_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    pass_wl = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    pass_sym = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    pass_alpha = F.col("alpha_fraction") >= GOPHER_MIN_ALPHA_FRACTION
+    pass_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "*",
+        pass_wc.alias("pass_word_count"),
+        pass_wl.alias("pass_word_len"),
+        pass_sym.alias("pass_symbols"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_wl & pass_sym & pass_alpha & pass_stop).alias("keep"),
+    )
+
+
+#: induced-vocabulary size for the OOV coverage report
+OOV_VOCAB_SIZE = 32
+
+
+@query(
+    "token_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM tok GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT {OOV_VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus-induced
+    top-{V} token vocabulary — the coverage report a tokenizer-design
+    pass reads: how much of each document a fixed vocabulary explains
+    (the complement of the UNK rate a trained tokenizer would emit).
+
+    Determinism: the vocabulary boundary is tie-broken by token text;
+    counts are exact integers, the rate a 6-decimal-rounded ratio.
+
+    Scale: the vocabulary is a token-count aggregate (map-side combine
+    collapses the Zipf head) followed by TakeOrderedAndProject top-{V}
+    — bounded output, no global sort — and then BROADCASTS into the
+    membership probe, so the per-doc pass is explode + broadcast-hash
+    left join + one doc_id-keyed count: a single fact-table shuffle.
+    At 100 TB the vocabulary relation stays vocabulary-sized (<< the
+    corpus), exactly the asymmetry broadcast joins exist for.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(oov).cast("double") / F.count("*"), 6
+        ).alias("oov_rate"),
+    )
+
+
+token_oov_rate.__doc__ = token_oov_rate.__doc__.replace(
+    "{V}", str(OOV_VOCAB_SIZE)
+)

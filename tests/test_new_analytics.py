@@ -243,3 +243,167 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
     assert rows[0]["share_of_ingest"] == 1.0
     # the funnel's terminal count IS the curated corpus
     assert ns[2] == ops.QUERIES["curated_corpus"](spark, sf_dir).count()
+
+
+def test_anomaly_mad_matches_numpy_reference(spark, sf_dir):
+    """Recompute the modified z-scores in numpy on the same rows: the
+    flagged set and scores must agree (oracle equality alone could bless
+    a shared mistranslation of the statistic)."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    expected = {}
+    for _t, rows in by_type.items():
+        vals = np.array([v for _, v in rows])
+        med = float(np.percentile(vals, 50, method="linear"))
+        mad = float(np.percentile(np.abs(vals - med), 50, method="linear"))
+        if mad <= 0:
+            continue
+        for eid, v in rows:
+            z = round(0.6745 * (v - med) / mad, 6)
+            if abs(z) > 3.5:
+                expected[eid] = z
+    got = {
+        r["event_id"]: r["robust_z"]
+        for r in ops.QUERIES["events_anomaly_mad"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert abs(got[eid] - z) < 1e-9, (eid, got[eid], z)
+
+
+def test_gopher_rules_consistent_and_python_checked(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRACTION,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        _QUALITY_STOPWORDS,
+    )
+
+    rows = ops.QUERIES["doc_gopher_quality"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = docs[r["doc_id"]].split(" ")
+        assert r["n_words"] == len(toks)
+        assert abs(
+            r["mean_word_len"]
+            - round(sum(len(t) for t in toks) / max(len(toks), 1), 6)
+        ) < 1e-9
+        assert r["n_stopwords"] == sum(t in _QUALITY_STOPWORDS for t in toks)
+        assert r["pass_word_count"] == (
+            GOPHER_MIN_WORDS <= r["n_words"] <= GOPHER_MAX_WORDS
+        )
+        assert r["pass_word_len"] == (
+            GOPHER_MIN_MEAN_WORD_LEN
+            <= r["mean_word_len"]
+            <= GOPHER_MAX_MEAN_WORD_LEN
+        )
+        assert r["pass_symbols"] == (r["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        assert r["pass_alpha"] == (
+            r["alpha_fraction"] >= GOPHER_MIN_ALPHA_FRACTION
+        )
+        assert r["pass_stopwords"] == (r["n_stopwords"] >= GOPHER_MIN_STOPWORDS)
+        assert r["keep"] == (
+            r["pass_word_count"]
+            and r["pass_word_len"]
+            and r["pass_symbols"]
+            and r["pass_alpha"]
+            and r["pass_stopwords"]
+        )
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    """Replay the integer fixed-point iteration in pure Python over the
+    same edge set; the top-50 table must match exactly."""
+    from kafka_consumer_2_clickhouse_spark.operators.graph import (
+        PAGERANK_ITERS,
+        PAGERANK_MIN_SUPPORT,
+        PAGERANK_SCALE,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    support = {}
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] = support.get((ps[i], ps[j]), 0) + 1
+    adj = {}
+    for (a, b), s in support.items():
+        if s >= PAGERANK_MIN_SUPPORT:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    n = len(adj)
+    if n == 0:
+        return
+    rank = {u: PAGERANK_SCALE // n for u in adj}
+    for _ in range(PAGERANK_ITERS):
+        incoming = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] += c
+        rank = {
+            v: (15 * PAGERANK_SCALE) // (100 * n) + (85 * s) // 100
+            for v, s in incoming.items()
+        }
+    expected = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["part_id"], r["rank_scaled"])
+        for r in ops.QUERIES["copurchase_pagerank"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_oov_rate_bounds_and_totals(spark, sf_dir):
+    rows = ops.QUERIES["token_oov_rate"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    total_toks = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["n_tokens"] for r in rows) == total_toks
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+
+
+def test_session_paths_consistent_with_sessionization(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        SESSION_PATH_LEN,
+        SESSION_PATH_TOP,
+    )
+
+    paths = ops.QUERIES["events_session_paths"](spark, sf_dir).collect()
+    assert 0 < len(paths) <= SESSION_PATH_TOP
+    n_sessions = ops.QUERIES["events_sessionized"](spark, sf_dir).count()
+    assert sum(r["n_sessions"] for r in paths) <= n_sessions
+    counts = [r["n_sessions"] for r in paths]
+    assert counts == sorted(counts, reverse=True)
+    types = {
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    }
+    for r in paths:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= SESSION_PATH_LEN
+        assert set(steps) <= types

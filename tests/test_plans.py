@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "customer_rfm_segments",  # 1-row global-max + 1-row cutpoints crossJoins
     "corpus_token_budget",  # 1-row corpus-total crossJoin
     "embedding_centroid_distances",  # 1-row centroid-sums crossJoin
+    "copurchase_pagerank",  # 1-row node-count crossJoin (teleport term)
 }
 
 
