@@ -128,6 +128,10 @@ EXTRA = [
     "doc_gopher_quality",
     "token_oov_rate",
     "events_session_paths",
+    "minhash_jaccard_estimates",
+    "events_lateness_profile",
+    "customer_revenue_deciles",
+    "orders_monthly_growth",
 ]
 
 

@@ -1136,3 +1136,137 @@ def order_value_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "customer_revenue_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_cont(revenue,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM rev
+    ), bucketed AS (
+      SELECT r.o_custkey, r.revenue,
+             1 + CAST(len(list_filter(cuts.c, x -> r.revenue > x)) AS BIGINT)
+               AS decile
+      FROM rev r CROSS JOIN cuts
+    ), tot AS (
+      SELECT CAST(sum(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS t
+      FROM rev
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) / tot.t, 6)
+             AS revenue_share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY decile, tot.t
+    """,
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value concentration (the Pareto table): customers
+    bucketed into revenue deciles by exact cutpoints, with each
+    decile's headcount, revenue, and share of total — "the top decile
+    is X% of revenue" in one relation.
+
+    Determinism: per-customer revenue is an exact decimal sum published
+    as double; cutpoints are the same interpolated percentiles on both
+    engines; bucket membership counts strict cutpoint exceedances (no
+    ntile, no rank); shares round to 6 decimals.
+
+    Scale: the scale-safe quantile-bucketing pattern
+    (``doc_difficulty_buckets_approx``'s shape, exact flavor): ONE
+    customer-keyed aggregate, a 9-value cutpoint row + a 1-row total —
+    both broadcast — and map-side bucket assignment. No global window
+    anywhere; at extreme customer counts the cutpoint aggregate swaps
+    to ``percentile_approx`` with identical downstream shape.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    cuts = rev.agg(
+        F.percentile(
+            "revenue", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("c")
+    )
+    tot = rev.agg(dsum("revenue").alias("t"))
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "revenue",
+        (
+            1
+            + F.size(F.filter(F.col("c"), lambda x: F.col("revenue") > x))
+        ).cast("bigint").alias("decile"),
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dsum("revenue").alias("revenue"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "orders_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue, n_orders,
+           CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS growth
+    FROM m
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: per-month exact revenue, order
+    count, and growth rate vs the previous month — the KPI time series
+    every revenue dashboard opens with.
+
+    Determinism: monthly revenue is an exact decimal sum; the growth
+    ratio divides identical doubles, rounded to 6 decimals; months are
+    unique so the lag order is total.
+
+    Scale: the fact-table aggregate is month-keyed (map-side combine
+    collapses everything before the shuffle); the lag window then runs
+    over the MONTH-GRAIN relation only — dozens-to-hundreds of rows
+    regardless of corpus size, the documented bounded-input exception
+    to the no-global-window rule (whitelisted like token_heavy_hitters'
+    candidate rank).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_ts")
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = W.orderBy("month_ts")
+    return m.select(
+        F.col("month_ts").cast("date").alias("month"),
+        "revenue",
+        "n_orders",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ).alias("growth"),
+    )

@@ -337,3 +337,66 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@query(
+    "events_lateness_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', ts,
+                    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+               AS late_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           round(CAST(quantile_cont(late_us, 0.50) AS DOUBLE) / 1e6, 6)
+             AS p50_late_s,
+           round(CAST(quantile_cont(late_us, 0.95) AS DOUBLE) / 1e6, 6)
+             AS p95_late_s,
+           round(CAST(max(late_us) AS DOUBLE) / 1e6, 6) AS max_late_s
+    FROM arr GROUP BY event_type
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: how late each event arrives behind the
+    per-key high-water mark (arrival order = event_id, the ingest
+    sequence; key = user_id, the stream's partition key), aggregated to
+    per-type p50/p95/max lateness — THE report that tells a streaming
+    deployment what ``withWatermark`` delay actually fits the data
+    instead of guessing (events later than the chosen delay are the
+    ones a watermark would drop; see streaming/windows.py).
+
+    Determinism: lateness is an exact microsecond difference of
+    timestamps under a total per-key order (event_id unique); the
+    percentiles interpolate over integers identically on both engines.
+
+    Scale: one user_id-partitioned running-max window (the natural
+    stream partitioning — never a global order-by) + one event_type
+    aggregate. The exact percentile is per-type over a bounded key
+    space; the 100 TB swap is ``percentile_approx`` exactly as
+    ``order_value_quartiles_approx``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late_us = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("bigint")
+    arr = ev.select("event_type", late_us.alias("late_us"))
+    return arr.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(F.percentile("late_us", F.lit(0.5)) / 1e6, 6).alias("p50_late_s"),
+        F.round(F.percentile("late_us", F.lit(0.95)) / 1e6, 6).alias("p95_late_s"),
+        F.round(F.max("late_us").cast("double") / 1e6, 6).alias("max_late_s"),
+    )

@@ -407,3 +407,57 @@ def test_session_paths_consistent_with_sessionization(spark, sf_dir):
         steps = r["path"].split(">")
         assert 1 <= len(steps) <= SESSION_PATH_LEN
         assert set(steps) <= types
+
+
+def test_minhash_estimates_cover_candidates_and_bound_error(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import N_MINHASH
+
+    est = ops.QUERIES["minhash_jaccard_estimates"](spark, sf_dir).collect()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in ops.QUERIES["lsh_candidate_pairs"](spark, sf_dir).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in est} == cand
+    for r in est:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        # estimate is a multiple of 1/K
+        assert abs(r["est_jaccard"] * N_MINHASH - round(r["est_jaccard"] * N_MINHASH)) < 1e-9
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 6)) < 1e-9
+
+
+def test_lateness_profile_invariants(spark, sf_dir):
+    rows = ops.QUERIES["events_lateness_profile"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert 0 <= r["p50_late_s"] <= r["p95_late_s"] <= r["max_late_s"]
+
+
+def test_revenue_deciles_partition_customers(spark, sf_dir):
+    rows = ops.QUERIES["customer_revenue_deciles"](spark, sf_dir).collect()
+    assert {r["decile"] for r in rows} <= set(range(1, 11))
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # deciles are roughly balanced (exact cutpoints => within 2x)
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) <= 2 * min(sizes) + 1
+
+
+def test_monthly_growth_math(spark, sf_dir):
+    rows = sorted(
+        ops.QUERIES["orders_monthly_growth"](spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["prev_revenue"] is None and rows[0]["growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_revenue"] == prev["revenue"]
+        assert abs(
+            cur["growth"]
+            - round((cur["revenue"] - prev["revenue"]) / prev["revenue"], 6)
+        ) < 1e-9

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "corpus_token_budget",  # 1-row corpus-total crossJoin
     "embedding_centroid_distances",  # 1-row centroid-sums crossJoin
     "copurchase_pagerank",  # 1-row node-count crossJoin (teleport term)
+    "customer_revenue_deciles",  # 1-row cutpoints + 1-row total crossJoins
 }
 
 
@@ -56,6 +57,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # global rank runs over the Misra-Gries candidate union only —
     # bounded at HH_CAPACITY rows per partition, never the corpus
     "token_heavy_hitters",
+    # lag over the MONTH-GRAIN aggregate only — bounded by calendar
+    # months in the data, never fact-table rows
+    "orders_monthly_growth",
 }
 
 
