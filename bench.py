@@ -132,6 +132,10 @@ EXTRA = [
     "events_lateness_profile",
     "customer_revenue_deciles",
     "orders_monthly_growth",
+    "split_neardup_leakage",
+    "doc_bigram_logprob",
+    "embedding_norm_outliers",
+    "corpus_zipf_fit",
 ]
 
 

@@ -1143,3 +1143,51 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 minhash_jaccard_estimates.__doc__ = minhash_jaccard_estimates.__doc__.replace(
     "{K}", str(N_MINHASH)
 )
+
+
+#: minimum verified Jaccard for a cross-split pair to count as leakage
+#: (matches the component-building threshold in operators/graph.py)
+SPLIT_LEAK_JACCARD_MIN = 0.5
+
+from .sampling import _split_sql as _sampling_split_sql  # noqa: E402
+from .sampling import split_column as _sampling_split_column  # noqa: E402
+
+
+@query(
+    "split_neardup_leakage",
+    oracle="""
+    WITH lsh AS ({LSH})
+    SELECT doc_a, doc_b, jaccard,
+           {SPLIT_A} AS split_a,
+           {SPLIT_B} AS split_b
+    FROM lsh
+    WHERE jaccard >= {MIN_J}
+      AND {SPLIT_A} <> {SPLIT_B}
+    """.replace("{LSH}", ORACLE_SQL["lsh_candidate_pairs"])
+    .replace("{SPLIT_A}", _sampling_split_sql("doc_a"))
+    .replace("{SPLIT_B}", _sampling_split_sql("doc_b"))
+    .replace("{MIN_J}", str(SPLIT_LEAK_JACCARD_MIN)),
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate pairs that span train/val/test splits — the
+    eval-integrity check :func:`~..sampling.split_exact_leakage` can't
+    do: byte-identical leaks are the easy case; a near-dup of a
+    training doc sitting in the test split inflates eval just as
+    surely. Random (hash-based) splitting guarantees such pairs exist
+    in any corpus with near-dups — this is the table that quantifies
+    the damage and names the pairs to quarantine.
+
+    Scale: composes the bucketed LSH candidate path (never all-pairs);
+    the split labels derive map-side from the doc_id content hash —
+    zero additional joins or shuffles on top of the candidate query.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= SPLIT_LEAK_JACCARD_MIN
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        _sampling_split_column(F.col("doc_a")).alias("split_a"),
+        _sampling_split_column(F.col("doc_b")).alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))

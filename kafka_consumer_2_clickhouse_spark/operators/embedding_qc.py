@@ -314,3 +314,86 @@ def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.expr(_centroid_dist_sql("spark"))).alias("centroid_dist"),
         )
     )
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             round(sqrt(CAST(sum(CAST(round(v * v, 6) AS DECIMAL(27,6)))
+                             AS DOUBLE)), 6) AS l2_norm
+      FROM d GROUP BY vec_id
+    ), med AS (
+      SELECT CAST(quantile_cont(l2_norm, 0.50) AS DOUBLE) AS med FROM norms
+    ), mad AS (
+      SELECT CAST(quantile_cont(abs(n.l2_norm - med.med), 0.50) AS DOUBLE)
+               AS mad
+      FROM norms n CROSS JOIN med
+    )
+    SELECT n.vec_id, n.l2_norm,
+           round(0.6745 * (n.l2_norm - med.med) / mad.mad, 6) AS robust_z,
+           abs(round(0.6745 * (n.l2_norm - med.med) / mad.mad, 6)) > 3.5
+             AS is_outlier
+    FROM norms n CROSS JOIN med CROSS JOIN mad
+    WHERE mad.mad > 0
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm with a robust (median/MAD) outlier flag — the
+    QC gate before any cosine stage: a zero or extreme norm means a
+    broken encoder batch or an un-normalized feed, and it poisons
+    cosine similarity silently (the dot product rescales, the neighbor
+    lists reshuffle). Runs BEFORE normalization by design — after it,
+    every norm is 1 and the signal is gone.
+
+    Determinism: norm² is an exact decimal sum of 6-decimal-rounded
+    squares (the ``embedding_dim_stats`` discipline); sqrt of identical
+    doubles is correctly-rounded IEEE; the median/MAD pair interpolates
+    over the ROUNDED norms identically on both engines, with the
+    zero-MAD guard (an exactly-normalized table) excluded on both
+    sides rather than relying on 0/0 semantics.
+
+    Scale: one vec_id-keyed aggregate over the exploded values
+    (partial aggregation collapses each vector's terms before the
+    shuffle), then a 1-row median and a 1-row MAD broadcast back so
+    the flag evaluates map-side. The exact global percentile is the
+    documented oracle-exact choice; the 100 TB swap is
+    ``percentile_approx`` exactly as ``order_value_quartiles_approx``.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        "vec_id", F.explode("embedding").alias("v0")
+    ).select("vec_id", F.col("v0").cast("double").alias("v"))
+    norms = d.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("v") * F.col("v"), 6).cast("decimal(27,6)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("l2_norm")
+    )
+    med = norms.agg(F.percentile("l2_norm", F.lit(0.5)).alias("med"))
+    with_med = norms.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(
+            F.abs(F.col("l2_norm") - F.col("med")), F.lit(0.5)
+        ).alias("mad")
+    ).filter(F.col("mad") > 0)
+    z = F.round(
+        0.6745 * (F.col("l2_norm") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            "l2_norm",
+            z.alias("robust_z"),
+            (F.abs(z) > 3.5).alias("is_outlier"),
+        )
+    )

@@ -6,7 +6,7 @@ expressions except the corpus-level frequency table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import textfns as X
 from ..sources.tables import load_table, spread
@@ -939,4 +939,184 @@ def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 token_oov_rate.__doc__ = token_oov_rate.__doc__.replace(
     "{V}", str(OOV_VOCAB_SIZE)
+)
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest({X.sql_shingles('toks', 2)}) AS bigram
+      FROM t
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), c1 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), c2 AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+    ), v AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM c1
+    ), term AS (
+      SELECT bg.doc_id,
+             round(-ln((CAST(c2.c AS DOUBLE) + 1)
+                       / (c1.c + v.v)), 6) AS nl
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.tok = string_split(bg.bigram, ' ')[1]
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(nl AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS avg_neg_logprob2
+    FROM term GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under a Laplace-
+    smoothed corpus BIGRAM model, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) —
+    one order up from :func:`doc_unigram_logprob`: the unigram filter
+    scores word CHOICE, this scores word ORDER, so shuffled/templated
+    word salad that fools a unigram LM stands out (the CCNet-style
+    fluency axis at the first order where "fluency" exists).
+
+    Determinism: every ``ln`` term is rounded to 6 decimals BEFORE the
+    exact decimal sum (round-before-aggregate), counts and V are exact
+    integers, and the smoothed ratio divides identical doubles.
+
+    Scale: bigram and unigram count tables collapse map-side to
+    (observed-adjacency, vocabulary) sizes; the probe is two equi-joins
+    keyed on bigram and first-token plus a broadcast 1-row V — the
+    tfidf/unigram-logprob shuffle shape, one order higher. With a
+    min-count-pruned model both tables broadcast and the probe goes
+    map-only.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", X.tokens("text").alias("toks"))
+    bg = t.select(
+        "doc_id", F.explode(X.shingles(F.col("toks"), 2)).alias("bigram")
+    )
+    uni = t.select(F.explode("toks").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = bg.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c2"))
+    v = c1.agg(F.count("*").cast("bigint").alias("v"))
+    term = (
+        bg.join(c2, "bigram")
+        .join(
+            c1,
+            F.col("tok") == F.split(F.col("bigram"), " ").getItem(0),
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c2").cast("double") + 1) / (F.col("c1") + F.col("v"))
+                ),
+                6,
+            ).alias("nl"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.col("nl").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("avg_neg_logprob2"),
+    )
+
+
+#: head size for the Zipf log-log fit (the law holds in the head;
+#: the tail bends and would bias the slope)
+ZIPF_TOP_N = 64
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS r, c
+      FROM tf ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP_N}
+    ), pts AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+             round(ln(CAST(c AS DOUBLE)), 6) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token frequency head: OLS slope of
+    ln(freq) vs ln(rank) for the top-{N} tokens — natural corpora sit
+    near slope -1; a synthetic, templated, or deduplicated-to-death
+    corpus drifts off it, making this the one-row "does the corpus
+    still look like language" health metric (Zipf 1949; used as a
+    corpus-QC diagnostic throughout the C4/Pile literature).
+
+    Determinism: ln terms and their products are rounded to 6 decimals
+    BEFORE exact decimal sums (round-before-aggregate); the closing
+    slope/intercept arithmetic evaluates identically on identical
+    doubles; the rank order is tie-broken by token text.
+
+    Scale: the frequency table collapses map-side (vocab-sized); the
+    head is TakeOrderedAndProject top-{N}; the rank window and the fit
+    run over that BOUNDED {N}-row relation only — the
+    token_heavy_hitters bounded-window pattern, never a corpus-wide
+    sort.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(ZIPF_TOP_N)
+    )
+    w = W.orderBy(F.desc("c"), F.asc("tok"))
+    pts = tf.select(F.row_number().over(w).alias("r"), "c").select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+corpus_zipf_fit.__doc__ = corpus_zipf_fit.__doc__.replace(
+    "{N}", str(ZIPF_TOP_N)
 )

@@ -1,0 +1,129 @@
+"""Streaming anomaly gate: per-key robust z-flagging with running
+moment state ([EXT] — the streaming twin of the batch
+``events_anomaly_mad`` / ``events_value_outliers`` QC pair).
+
+A live ingest pipeline wants the corrupt-measurement screen ON THE
+STREAM, before bad values land in rollups: each micro-batch's values
+are judged against the moments accumulated from every PRIOR batch
+(never against themselves — a flood of identical garbage must not
+normalize itself into acceptance), then folded into the state.
+
+Exact medians don't stream (they need history); the streaming
+estimator is the classic running z-score over (n, Σx, Σx²) state —
+three doubles per key, mergeable, bounded. The batch MAD operator is
+the offline auditor for the same stream; this is the online gate.
+
+Scale: ``applyInPandasWithState`` shuffles each micro-batch once on
+the key (the same partitioning every stateful op here uses); state is
+O(keys) x 3 numbers regardless of throughput. Arrow-batched pandas,
+never row-at-a-time Python.
+
+Replay semantics: flags depend on batch BOUNDARIES (an event is judged
+by the state as of its batch start), so a checkpointed restart that
+replays the same batches yields the same flags — pinned by the
+restart test — but a re-ingest with different batching may flag a
+different prefix. That is inherent to any online detector; the batch
+operators are the deterministic ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("ss", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+#: minimum prior observations before the gate may flag anything —
+#: early-stream moments are too noisy to accuse anyone with
+MIN_PRIOR_N = 30
+
+
+def _make_flagger(z_threshold: float, min_prior_n: int):
+    def _flag(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            vals = pdf["value"].astype(float)
+            # judge against PRIOR state only
+            if n > 1:
+                var = (ss - s * s / n) / (n - 1)
+                if n >= min_prior_n and var > 0:
+                    mean = s / n
+                    std = math.sqrt(var)
+                    z = (vals - mean) / std
+                    hits = pdf[abs(z) > z_threshold]
+                    if len(hits):
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "key": key[0],
+                                    "event_id": hits["event_id"].astype("int64"),
+                                    "value": hits["value"].astype(float),
+                                    "zscore": z[abs(z) > z_threshold].round(6),
+                                }
+                            )
+                        )
+            # fold the batch in afterwards
+            n += int(len(vals))
+            s += float(vals.sum())
+            ss += float((vals * vals).sum())
+        state.update((n, s, ss))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return _flag
+
+
+def anomaly_flags(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+    min_prior_n: int = MIN_PRIOR_N,
+) -> DataFrame:
+    """Per-key streaming z-score gate over running (n, Σx, Σx²) state.
+
+    Input must be a streaming DataFrame with ``key_col``, a numeric
+    ``value_col`` and a long ``id_col``. Output mode must be
+    ``update``; rows are emitted only for flagged events.
+    """
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key",
+        f"cast({id_col} as long) as event_id",
+        f"cast({value_col} as double) as value",
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_flagger(z_threshold, min_prior_n),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

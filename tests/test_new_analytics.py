@@ -461,3 +461,125 @@ def test_monthly_growth_math(spark, sf_dir):
             cur["growth"]
             - round((cur["revenue"] - prev["revenue"]) / prev["revenue"], 6)
         ) < 1e-9
+
+
+def test_split_neardup_leakage_consistency(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        SPLIT_LEAK_JACCARD_MIN,
+    )
+
+    leaks = ops.QUERIES["split_neardup_leakage"](spark, sf_dir).collect()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in ops.QUERIES["doc_split_assignment"](spark, sf_dir).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ops.QUERIES["lsh_candidate_pairs"](spark, sf_dir).collect()
+    }
+    for r in leaks:
+        assert (r["doc_a"], r["doc_b"]) in cand
+        assert r["jaccard"] >= SPLIT_LEAK_JACCARD_MIN
+        assert r["split_a"] == splits[r["doc_a"]]
+        assert r["split_b"] == splits[r["doc_b"]]
+        assert r["split_a"] != r["split_b"]
+    # completeness: every strong cross-split candidate pair is reported
+    want = {
+        p
+        for p, j in cand.items()
+        if j >= SPLIT_LEAK_JACCARD_MIN and splits[p[0]] != splits[p[1]]
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in leaks} == want
+
+
+def test_bigram_logprob_matches_python_reference(spark, sf_dir):
+    import math
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    c1, c2 = {}, {}
+    for toks in docs.values():
+        for t in toks:
+            c1[t] = c1.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(c1)
+    expected = {}
+    for doc_id, toks in docs.items():
+        terms = [
+            round(-math.log((c2[(a, b)] + 1) / (c1[a] + v)), 6)
+            for a, b in zip(toks, toks[1:])
+        ]
+        if terms:
+            expected[doc_id] = (len(terms), sum(terms) / len(terms))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob2"])
+        for r in ops.QUERIES["doc_bigram_logprob"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (n, avg) in expected.items():
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - avg) < 1e-9
+
+
+def test_norm_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    norms = {
+        r["vec_id"]: round(
+            float(
+                np.sqrt(
+                    sum(round(float(x) * float(x), 6) for x in r["embedding"])
+                )
+            ),
+            6,
+        )
+        for r in emb
+    }
+    vals = np.array(list(norms.values()))
+    med = float(np.percentile(vals, 50, method="linear"))
+    mad = float(np.percentile(np.abs(vals - med), 50, method="linear"))
+    rows = ops.QUERIES["embedding_norm_outliers"](spark, sf_dir).collect()
+    if mad <= 0:
+        assert rows == []
+        return
+    assert len(rows) == len(norms)
+    for r in rows:
+        assert abs(r["l2_norm"] - norms[r["vec_id"]]) < 1e-9
+        z = round(0.6745 * (norms[r["vec_id"]] - med) / mad, 6)
+        assert abs(r["robust_z"] - z) < 1e-9
+        assert r["is_outlier"] == (abs(z) > 3.5)
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_dir):
+    import math
+
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        ZIPF_TOP_N,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    tf = {}
+    for r in docs:
+        for t in r["text"].split(" "):
+            tf[t] = tf.get(t, 0) + 1
+    head = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_N]
+    pts = [
+        (round(math.log(r + 1), 6), round(math.log(c), 6))
+        for r, (_, c) in enumerate(head)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(round(x * y, 6) for x, y in pts)
+    sxx = sum(round(x * x, 6) for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = ops.QUERIES["corpus_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row["n_ranks"] == n
+    assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-6
+    assert abs(row["intercept"] - round((sy - slope * sx) / n, 6)) < 1e-6
+    # a word-frequency corpus should have a clearly negative slope
+    assert row["zipf_slope"] < -0.1

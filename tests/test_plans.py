@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "embedding_centroid_distances",  # 1-row centroid-sums crossJoin
     "copurchase_pagerank",  # 1-row node-count crossJoin (teleport term)
     "customer_revenue_deciles",  # 1-row cutpoints + 1-row total crossJoins
+    "doc_bigram_logprob",  # 1-row vocabulary-size crossJoin
+    "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
 }
 
 
@@ -60,6 +62,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # lag over the MONTH-GRAIN aggregate only — bounded by calendar
     # months in the data, never fact-table rows
     "orders_monthly_growth",
+    # rank window over the ZIPF_TOP_N-row head only (TakeOrdered
+    # bounds it before the window), never the vocabulary
+    "corpus_zipf_fit",
 }
 
 
