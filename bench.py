@@ -136,6 +136,7 @@ EXTRA = [
     "doc_bigram_logprob",
     "embedding_norm_outliers",
     "corpus_zipf_fit",
+    "events_conversion_funnel",
 ]
 
 

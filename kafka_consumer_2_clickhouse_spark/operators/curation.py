@@ -71,7 +71,15 @@ def repetition_relation(docs: DataFrame) -> DataFrame:
     """(doc_id, metrics...) repetition scores for a documents relation
     — the shared expression chain behind ``doc_repetition_scores``,
     testable on synthetic (long-doc) fixtures."""
-    base = docs.select(
+    # Domain guard: g2 non-empty ⟺ ≥2 tokens ⟺ the text contains a
+    # space (cap ≥ 2 never changes that). Filtering on the CHEAP
+    # equivalent predicate matters: a `size(shingles(...)) > 0` filter
+    # gets pushed below spread()'s exchange and evaluates its
+    # interpreted higher-order lambdas single-task on the un-spread
+    # scan (measured 3.6 s vs 0.3 s at sf0.1); `text LIKE '% %'` is a
+    # scan-pushable string predicate with the identical row set (the
+    # oracle keeps the declarative len(g2) > 0 form).
+    base = docs.filter(F.col("text").contains(" ")).select(
         "doc_id",
         F.slice(X.tokens("text"), 1, REPETITION_TOKEN_CAP).alias("toks"),
     ).withColumn("g2", X.shingles(F.col("toks"), 2))
@@ -80,7 +88,7 @@ def repetition_relation(docs: DataFrame) -> DataFrame:
     dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
     top1 = _top_count(F.col("toks")).cast("double") / n
     top2 = _top_count(F.col("g2")).cast("double") / n2
-    return base.filter(n2 > 0).select(
+    return base.select(
         "doc_id",
         dup.alias("dup_token_ratio"),
         top1.alias("top_token_ratio"),
@@ -726,29 +734,74 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     renegotiate, re-crawl, or drop (doc-level gates handle individual
     documents; systematic per-source failure is a sourcing decision).
 
-    Composes the already-checked component operators; the oracle
-    composes their oracle SQL identically, so any component drift
-    fails this hash too. ``avg_quality`` uses round-before-decimal-sum
+    The oracle composes the component operators' oracle SQL, so any
+    drift between this fused form and the registered components fails
+    the hash gate. ``avg_quality`` uses round-before-decimal-sum
     (scores summed in any partition order agree across engines).
 
-    Scale: four doc_id-keyed joins of map-only per-doc relations (the
-    production fusion runs them in ONE scan like ``doc_quality_filter``
-    does; the compositional form here keeps each component's plan
-    testable) followed by a source-sized aggregate. All shuffle keys
-    are doc_id until the tiny final group.
+    Scale: all four signals are recomputed INLINE over ONE scan (the
+    ``doc_quality_filter`` fusion discipline — measured 5.1 s -> ~1 s
+    at sf0.1 vs the earlier four-join composition): map-only per-doc
+    expressions, then a single source-sized aggregate. No doc_id
+    shuffle at all; the only exchange carries |sources| rows.
     """
-    from .pii import doc_pii_scan
-    from .text_analysis import doc_quality_scores
+    from .pii import redact_column
+    from .text_analysis import _QUALITY_STOPWORDS
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source"
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        X.tokens("text").alias("toks"),
+    ).withColumn("g2", X.shingles(F.col("toks"), 2)).withColumn(
+        "toks_c", F.slice(F.col("toks"), 1, REPETITION_TOKEN_CAP)
+    ).withColumn("g2_c", X.shingles(F.col("toks_c"), 2))
+    # doc_quality_scores' exact published score
+    n_toks = F.greatest(F.size("toks"), F.lit(1))
+    punct = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
     )
-    qf = doc_quality_filter(spark, sf_dir).select("doc_id", "keep")
-    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    p = doc_pii_scan(spark, sf_dir).select("doc_id", "has_pii")
-    r = doc_repetition_scores(spark, sf_dir).select("doc_id", "flagged")
-    joined = docs.join(qf, "doc_id").join(q, "doc_id").join(p, "doc_id").join(
-        r, "doc_id"
+    stop = (
+        X.stopword_count(F.col("toks"), _QUALITY_STOPWORDS).cast("double")
+        / n_toks
+    )
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_toks
+    score = F.round(
+        0.25 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(punct / 0.3, F.lit(1.0)))
+        + 0.25 * F.least(stop / 0.1, F.lit(1.0))
+        + 0.25 * ttr,
+        6,
+    )
+    # doc_quality_filter's exact keep (uncapped repetition, as there)
+    n = F.size("toks")
+    n2 = F.size("g2")
+    dup = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n
+    top2 = _top_count(F.col("g2")).cast("double") / n2
+    rep_gate = (dup > 0.5) | (top2 > 0.18)
+    keep = (
+        (score >= QF_MIN_QUALITY)
+        & ~rep_gate
+        & F.col("lang").isin(*QF_LANGS)
+        & (F.col("n_chars") >= QF_MIN_CHARS)
+    )
+    # doc_repetition_scores' exact capped flag (and its g2>0 domain —
+    # the component composition inner-joined on it)
+    nc = F.size("toks_c")
+    n2c = F.size("g2_c")
+    dup_c = 1.0 - F.size(F.array_distinct("toks_c")).cast("double") / nc
+    top2_c = _top_count(F.col("g2_c")).cast("double") / n2c
+    flagged = (dup_c > 0.5) | (top2_c > 0.18)
+    has_pii = redact_column("text") != F.col("text")
+    # n2c > 0 ⟺ text contains a space — the cheap scan-pushable form
+    # (see repetition_relation: the size(shingles) form would evaluate
+    # below spread()'s exchange, single-task)
+    joined = base.filter(F.col("text").contains(" ")).select(
+        "source",
+        keep.alias("keep"),
+        score.alias("quality_score"),
+        has_pii.alias("has_pii"),
+        flagged.alias("flagged"),
     )
     cnt = F.count("*")
     rate = lambda c: (F.sum(F.when(c, 1).otherwise(0)).cast("double") / cnt)  # noqa: E731

@@ -583,3 +583,46 @@ def test_zipf_fit_matches_python_ols(spark, sf_dir):
     assert abs(row["intercept"] - round((sy - slope * sx) / n, 6)) < 1e-6
     # a word-frequency corpus should have a clearly negative slope
     assert row["zipf_slope"] < -0.1
+
+
+def test_conversion_funnel_monotone_and_python_checked(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        FUNNEL_CLICK_WINDOW_S,
+        FUNNEL_PURCHASE_WINDOW_S,
+    )
+
+    rows = {
+        r["label"]: r["n_users"]
+        for r in ops.QUERIES["events_conversion_funnel"](spark, sf_dir).collect()
+    }
+    assert rows["view"] >= rows["click_1h"] >= rows["purchase_24h"] >= 0
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["event_type"], r["ts"]))
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        views = [t for k, t in evs if k == "view"]
+        if not views:
+            continue
+        n_v += 1
+        v0 = min(views)
+        clicks = [
+            t for k, t in evs
+            if k == "click" and t > v0
+            and (t - v0).total_seconds() <= FUNNEL_CLICK_WINDOW_S
+        ]
+        if not clicks:
+            continue
+        n_c += 1
+        c0 = min(clicks)
+        buys = [
+            t for k, t in evs
+            if k == "purchase" and t > c0
+            and (t - c0).total_seconds() <= FUNNEL_PURCHASE_WINDOW_S
+        ]
+        if buys:
+            n_p += 1
+    assert (rows["view"], rows["click_1h"], rows["purchase_24h"]) == (n_v, n_c, n_p)
