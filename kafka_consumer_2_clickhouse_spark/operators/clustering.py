@@ -129,7 +129,15 @@ def kmeans_assignments(
     cross-engine exact (pinned at two K values in
     ``tests/test_clustering.py``).
     """
-    vecs = spread(_v(load_table(spark, sf_dir, "embeddings")))
+    from pyspark import StorageLevel
+
+    # one scan feeds init + every Lloyd iteration + the final assign
+    # (iters+2 full corpus scans otherwise — at 100 TB, THE cost).
+    # Recomputable persist: lineage survives executor loss; cleanup is
+    # caller-owned (release_intermediate_caches), like the LSH tables.
+    vecs = spread(_v(load_table(spark, sf_dir, "embeddings"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     init = vecs.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
     centroids = {i: list(r["v"]) for i, r in enumerate(init)}
     for _ in range(iters):
@@ -399,29 +407,46 @@ def semantic_dedup_pairs_df(
     capped = (
         asg.withColumn("rk", rk).filter(F.col("rk") <= cap).drop("rk")
     )
-    # both self-join sides read this relation: persist so the Lloyd's
-    # run + norm chain execute once (recomputable; caller-owned cleanup)
+    # both pair-join sides and both verify sides read this relation:
+    # persist so the Lloyd's run + norm chain execute once
+    # (recomputable; caller-owned cleanup)
     sided = (
         capped.join(emb, "vec_id")
         .withColumn("nn", F.expr(_norm_sql("embedding", "spark")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, b = sided.alias("a"), sided.alias("b")
-    cos = F.expr(_dot_sql("a.embedding", "b.embedding", "spark")) / (
-        F.col("a.nn") * F.col("b.nn")
+    # Two-phase verify to break CLUSTER-KEY SKEW: the pair join keys on
+    # cluster — K distinct keys, so with K=8 at most 8 tasks would own
+    # ALL the quadratic cosine work (observed straggler tails). Phase 1
+    # generates candidate ID pairs (narrow rows) on the skewed key;
+    # phase 2 re-joins the vector payloads on vec_id — an evenly-hashed
+    # key — so the O(cell^2) cosine CPU spreads across the cluster.
+    ids = sided.select("vec_id", "cluster")
+    ia, ib = ids.alias("ia"), ids.alias("ib")
+    pair_ids = ia.join(
+        ib,
+        (F.col("ia.cluster") == F.col("ib.cluster"))
+        & (F.col("ia.vec_id") < F.col("ib.vec_id")),
+    ).select(
+        F.col("ia.vec_id").alias("vec_a"),
+        F.col("ib.vec_id").alias("vec_b"),
+        F.col("ia.cluster").alias("cluster"),
     )
+    va = sided.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    vb = sided.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = F.expr(_dot_sql("ea", "eb", "spark")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster").alias("cluster"),
-            cos.alias("cosine"),
-        )
+        pair_ids.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMANTIC_DUP_COS)
     )
 
