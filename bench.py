@@ -137,6 +137,8 @@ EXTRA = [
     "embedding_norm_outliers",
     "corpus_zipf_fit",
     "events_conversion_funnel",
+    "mixture_epoch_plan",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -559,3 +559,52 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 copurchase_pagerank.__doc__ = copurchase_pagerank.__doc__.replace(
     "{ITERS}", str(PAGERANK_ITERS)
 )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_components_cte()
+    + """
+    , sizes AS (
+      SELECT component_id, count(*) AS n_members
+      FROM comp GROUP BY component_id
+    )
+    SELECT CAST(floor(ln(n_members) / ln(2)) AS INT) AS size_bucket,
+           CAST(power(2, floor(ln(n_members) / ln(2))) AS BIGINT)
+             AS bucket_min_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1, 2
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of near-dup cluster sizes — the shape report that
+    distinguishes a healthy corpus (mass at singletons, thin tail) from
+    boilerplate flooding (a fat 2^k tail) or a dedup bug (one giant
+    component swallowing the corpus); standard triage output of every
+    large-scale dedup run.
+
+    Determinism: bucket = floor(log2(n)) over INTEGER sizes; the
+    ln-ratio is exact enough that the floor boundary (n a power of 2)
+    is hit identically on both engines for any realistic cluster size
+    (IEEE ln(2^k)/ln(2) rounds to exactly k for k < 2^52 scale).
+
+    Scale: component sizes are one component_id-keyed count over the CC
+    labels (map-side combined); the histogram is a bucket-keyed
+    aggregate over the (already tiny) per-component relation.
+    """
+    comp = near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("n_members")
+    )
+    bucket = F.floor(F.log("n_members") / F.log(F.lit(2.0))).cast("int")
+    return (
+        sizes.groupBy(
+            bucket.alias("size_bucket"),
+            F.pow(F.lit(2.0), bucket).cast("bigint").alias("bucket_min_size"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_members").cast("bigint").alias("n_docs"),
+        )
+    )

@@ -343,3 +343,66 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quota").cast("double") / F.col("n_avail")).alias("keep_frac"),
         (F.col("quota").cast("double") / F.col("t")).alias("achieved_share"),
     )
+
+
+#: training-run token budget for the epoch plan — at sf0.01 roughly 10x
+#: the corpus, so some languages need multiple epochs (the interesting
+#: regime: >1 epoch means repetition, Muennighoff et al. 2023 territory)
+TRAIN_BUDGET_TOKENS = 200_000
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), p AS (
+      SELECT * FROM (VALUES {', '.join(
+          f"('{k}', CAST({v} AS DOUBLE))" for k, v in MIXTURE_TARGET.items()
+      )}) AS t(lang, p_l)
+    )
+    SELECT t.lang, t.n_tokens AS n_tokens_avail, p.p_l AS target_share,
+           CAST(floor({TRAIN_BUDGET_TOKENS} * p.p_l) AS BIGINT)
+             AS tokens_needed,
+           round(floor({TRAIN_BUDGET_TOKENS} * p.p_l) / t.n_tokens, 6)
+             AS epochs,
+           floor({TRAIN_BUDGET_TOKENS} * p.p_l) / t.n_tokens > 1.0
+             AS repeated
+    FROM t JOIN p USING (lang)
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-schedule planning table: for a target token budget
+    and mixture weights, how many tokens each language must contribute
+    and how many EPOCHS over its available data that implies — the
+    repeated-data accounting (epochs > 1 -> repetition, the regime
+    Muennighoff et al. 2023 quantify diminishing returns for) a run
+    plan is signed off against.
+
+    Scale: one lang-keyed token-count aggregate (map-side combine) and
+    a broadcast VALUES join of the weight table; |langs| rows out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_TARGET.items() for x in kv]
+    )
+    t = (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+                "n_tokens_avail"
+            )
+        )
+        .withColumn("target_share", tgt[F.col("lang")])
+        .filter(F.col("target_share").isNotNull())
+    )
+    needed = F.floor(TRAIN_BUDGET_TOKENS * F.col("target_share"))
+    return t.select(
+        "lang",
+        "n_tokens_avail",
+        "target_share",
+        needed.cast("bigint").alias("tokens_needed"),
+        F.round(needed / F.col("n_tokens_avail"), 6).alias("epochs"),
+        (needed / F.col("n_tokens_avail") > 1.0).alias("repeated"),
+    )

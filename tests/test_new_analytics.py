@@ -626,3 +626,32 @@ def test_conversion_funnel_monotone_and_python_checked(spark, sf_dir):
         if buys:
             n_p += 1
     assert (rows["view"], rows["click_1h"], rows["purchase_24h"]) == (n_v, n_c, n_p)
+
+
+def test_epoch_plan_math(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.sampling import (
+        MIXTURE_TARGET,
+        TRAIN_BUDGET_TOKENS,
+    )
+
+    rows = ops.QUERIES["mixture_epoch_plan"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} <= set(MIXTURE_TARGET)
+    for r in rows:
+        import math
+
+        needed = math.floor(TRAIN_BUDGET_TOKENS * MIXTURE_TARGET[r["lang"]])
+        assert r["tokens_needed"] == needed
+        assert abs(r["epochs"] - round(needed / r["n_tokens_avail"], 6)) < 1e-9
+        assert r["repeated"] == (needed / r["n_tokens_avail"] > 1.0)
+
+
+def test_cluster_histogram_accounts_all_docs(spark, sf_dir):
+    rows = ops.QUERIES["dedup_cluster_size_histogram"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_min_size"] == 2 ** r["size_bucket"]
+        assert r["n_clusters"] >= 1
+    # singleton bucket exists and dominates on this corpus
+    by_bucket = {r["size_bucket"]: r for r in rows}
+    assert 0 in by_bucket
