@@ -1,0 +1,148 @@
+"""Streaming heavy hitters: Misra-Gries token counters as STREAM STATE
+([EXT] — the streaming twin of the batch ``token_heavy_hitters``
+operator, which runs the same sketch per partition inside one job).
+
+A live ingest pipeline wants the hot-token / hot-key report
+continuously — boilerplate storms, template floods, and hot partition
+keys show up here first — without keeping the full vocabulary in
+state. Misra-Gries is the right sketch: bounded counters with a hard
+deterministic guarantee (any token whose true count exceeds N/capacity
+IS in the counter set; counts under-estimate by at most N/capacity).
+
+Sharding: tokens hash into ``n_groups`` state groups (a synthetic
+grouping key), one MG sketch per group. Every occurrence of a token
+lands in the SAME group, so the per-group guarantee carries over
+globally: a token with global count > N_g/capacity of its group's
+traffic survives in its group's sketch. ``merge_heavy_hitters`` is the
+read-side union — candidates from all groups, summed (each token lives
+in exactly one group, so "sum" is just relabeling) and top-k'd.
+
+Scale: state is n_groups x capacity (token, count) pairs — constant in
+corpus size; each micro-batch shuffles once on the group key with
+Arrow-batched pandas folding, the identical shape every stateful op
+here uses. n_groups bounds state-op parallelism, so size it to the
+cluster (it is the streaming analog of shuffle partitions).
+
+Replay: the fold is deterministic per batch sequence; a checkpointed
+restart replays to identical state. Unlike the batch operator there is
+no exact-recount phase on the stream — pair this with the batch
+``token_heavy_hitters`` as the periodic exact auditor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _mg_fold(counters: dict[str, int], tokens, capacity: int) -> None:
+    """Classic Misra-Gries fold, in place."""
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < capacity:
+            counters[t] = 1
+        else:
+            # decrement-all; drop zeros (batch form: subtract the
+            # order statistic that frees a slot would also work, this
+            # is the textbook per-item form)
+            drop = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    drop.append(k)
+            for k in drop:
+                del counters[k]
+
+    return None
+
+
+def _make_folder(capacity: int):
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            toks, counts, n_seen = state.get
+            counters = dict(zip(toks, counts))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            col = pdf["token"]
+            n_seen += int(len(col))
+            _mg_fold(counters, col, capacity)
+        items = sorted(counters.items())
+        state.update(
+            ([t for t, _ in items], [c for _, c in items], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "group_key": key[0],
+                "token": [t for t, _ in items],
+                "mg_count": [c for _, c in items],
+                "n_seen": n_seen,
+            }
+        )
+
+    return _fold
+
+
+def token_heavy_hitters_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_groups: int = 16,
+    capacity: int = 64,
+) -> DataFrame:
+    """Per-group Misra-Gries candidate sets over a streaming document
+    relation. Output mode must be ``update``; each batch re-emits the
+    group's full current candidate set (latest row per (group_key,
+    token) wins downstream).
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn(
+        "group_key", F.pmod(F.xxhash64("token"), F.lit(n_groups)).cast("int")
+    )
+    return toks.groupBy("group_key").applyInPandasWithState(
+        _make_folder(capacity),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_heavy_hitters(candidates: DataFrame, k: int = 20) -> DataFrame:
+    """Read-side merge of the per-group candidate sets: each token
+    lives in exactly one group (hash sharding), so the union IS the
+    global candidate set; top-k by sketch count, token tie-break."""
+    return (
+        candidates.groupBy("token")
+        .agg(F.max("mg_count").cast("bigint").alias("mg_count"))
+        .orderBy(F.desc("mg_count"), F.asc("token"))
+        .limit(k)
+    )

@@ -120,3 +120,42 @@ def test_compact_landing_partitioned_keeps_pruning(spark, sf_dir, tmp_path):
     plan = physical_plan(back.filter(F.col("event_date") == "2024-01-03"))
     pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "event_date" in pf and "2024-01-03" in pf
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Bucketed + sorted landing tables make the doc_id payload join
+    CO-LOCATED: both sides pre-hashed into the same bucket layout, so
+    the join plans with NO Exchange (and with sortBy, no Sort) — the
+    100 TB shape the dedup keep-list joins assume when SURVEY says
+    'degenerates to a co-located join on a bucketed table'."""
+    docs = load_table(spark, sf_dir, "documents")
+    names = []
+    try:
+        for name, df in [
+            ("graft_bucketed_docs", docs.select("doc_id", "n_chars")),
+            ("graft_bucketed_meta", docs.select("doc_id", "source")),
+        ]:
+            (
+                df.write.bucketBy(8, "doc_id")
+                .sortBy("doc_id")
+                .mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+            names.append(name)
+        a = spark.table(names[0])
+        b = spark.table(names[1])
+        # at test scale the planner would broadcast (correct there);
+        # force the merge join the 100 TB case uses so the BUCKET
+        # layout's shuffle-freeness is what's under test
+        joined = a.join(b.hint("merge"), "doc_id")
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle
+        assert joined.count() == docs.count()
+        # and the join result is correct, not just shuffle-free
+        row = joined.filter(F.col("doc_id") == 0).collect()
+        assert len(row) == 1
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

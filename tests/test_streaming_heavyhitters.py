@@ -1,0 +1,82 @@
+"""Streaming Misra-Gries heavy hitters: the MG guarantee must hold over
+a replayed batch sequence, and the merged view must surface every true
+heavy token."""
+
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming.heavyhitters import (
+    merge_heavy_hitters,
+    token_heavy_hitters_stream,
+)
+
+SCHEMA = T.StructType([T.StructField("text", T.StringType(), True)])
+
+
+def _run(spark, path, name, **kwargs):
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        token_heavy_hitters_stream(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest row per (group_key, token): later batches re-emit the
+    # group's full candidate set
+    df = spark.sql(
+        f"""
+        SELECT group_key, token, mg_count FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY group_key, token ORDER BY n_seen DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+    return df
+
+
+def test_mg_guarantee_over_stream(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    # batch 1: background noise; batches 2-3: a heavy token flood
+    noise = [(f"w{i % 97} w{(i * 7) % 89} w{(i * 13) % 83}",) for i in range(300)]
+    flood = [("hot hot hot spark spark value",)] * 120
+    spark.createDataFrame(noise, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(flood, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(flood, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+    cand = _run(spark, path, "hh_t1", n_groups=4, capacity=32)
+    merged = {r["token"]: r["mg_count"] for r in merge_heavy_hitters(cand, 10).collect()}
+
+    # exact counts
+    all_rows = noise + flood + flood
+    exact = {}
+    for (text,) in all_rows:
+        for t in text.split(" "):
+            exact[t] = exact.get(t, 0) + 1
+    # 'hot' (720) and 'spark' (480) dwarf every noise token (<= ~12):
+    # both MUST be in the merged candidates (MG guarantee: true count
+    # > N_group/capacity survives; these exceed it by orders)
+    assert "hot" in merged and "spark" in merged
+    # sketch counts never exceed the true counts
+    for tok, c in merged.items():
+        assert c <= exact[tok]
+    # the top-2 by sketch count are the true top-2
+    top2 = sorted(merged, key=lambda t: -merged[t])[:2]
+    assert set(top2) == {"hot", "spark"}
+
+
+def test_state_bounded_by_capacity(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    # far more distinct tokens than capacity
+    rows = [(f"u{i} u{i + 1} u{i + 2}",) for i in range(2000)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    cand = _run(spark, path, "hh_t2", n_groups=2, capacity=16)
+    per_group = (
+        cand.groupBy("group_key").agg(F.count("*").alias("n")).collect()
+    )
+    for r in per_group:
+        assert r["n"] <= 16  # counters never exceed capacity
