@@ -139,6 +139,9 @@ EXTRA = [
     "events_conversion_funnel",
     "mixture_epoch_plan",
     "dedup_cluster_size_histogram",
+    "supplier_delay_profile",
+    "part_return_rates",
+    "supplier_rank_report",
 ]
 
 

@@ -1270,3 +1270,165 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("growth"),
     )
+
+
+@query(
+    "supplier_delay_profile",
+    oracle="""
+    WITH d AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_suppkey AS s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(quantile_cont(delay_days, 0.50) AS DOUBLE) AS p50_delay_days,
+           CAST(quantile_cont(delay_days, 0.95) AS DOUBLE) AS p95_delay_days,
+           CAST(max(delay_days) AS BIGINT) AS max_delay_days
+    FROM d GROUP BY l_suppkey
+    """,
+)
+def supplier_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment-latency profile: p50/p95/max days from
+    order placement to line shipment — the SLA scorecard procurement
+    reads before renegotiating, and the latency analog of
+    ``events_lateness_profile`` on the order-fulfillment side.
+
+    Determinism: delay is an exact integer day difference; the
+    percentiles interpolate over integers identically on both engines.
+
+    Scale: ONE orderkey equi-join (lineitem's natural key — broadcast
+    is wrong here, orders is a fact table) then a supplier-keyed
+    aggregate. Exact per-key percentiles sort within each supplier's
+    shipments only; the extreme-cardinality swap is
+    ``percentile_approx``, exactly as ``order_value_quartiles_approx``.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return d.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_shipments"),
+        F.percentile("delay_days", F.lit(0.5)).alias("p50_delay_days"),
+        F.percentile("delay_days", F.lit(0.95)).alias("p95_delay_days"),
+        F.max("delay_days").cast("bigint").alias("max_delay_days"),
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+
+
+PART_RETURN_MIN_SHIPMENTS = 5
+
+
+@query(
+    "part_return_rates",
+    oracle=f"""
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS return_rate
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= {PART_RETURN_MIN_SHIPMENTS}
+    """,
+)
+def part_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part return incidence (minimum-volume floor so one-off
+    returns don't dominate the ranking) — the product-quality triage
+    table behind "which SKUs keep coming back".
+
+    Scale: one part-keyed conditional aggregate, map-side combined;
+    the HAVING floor needs total counts so it stays above the
+    aggregate, but the aggregate itself collapses everything before
+    the one shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    returned = F.sum(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shipments"),
+            returned.alias("n_returned"),
+        )
+        .filter(F.col("n_shipments") >= PART_RETURN_MIN_SHIPMENTS)
+        .select(
+            "l_partkey",
+            "n_shipments",
+            "n_returned",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_shipments"), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+@query(
+    "supplier_rank_report",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT s_nationkey, l_suppkey AS s_suppkey, revenue,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(first_value(l_suppkey) OVER w AS BIGINT) AS top_supplier,
+           CAST(nth_value(l_suppkey, 2) OVER (PARTITION BY s_nationkey
+                  ORDER BY revenue DESC, l_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS runner_up
+    FROM rev
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY revenue DESC, l_suppkey)
+    """,
+)
+def supplier_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier league table exercising the full ranking
+    window family — rank, dense_rank, percent_rank, cume_dist,
+    first_value and nth_value(2) (the runner-up) — over exact decimal
+    revenue.
+
+    Determinism: the window order is (revenue DESC, suppkey), a total
+    order because suppkey is unique; revenue is an exact decimal sum;
+    the two real-valued ranks round to 6 decimals.
+
+    Scale: the revenue aggregate shuffles on the (nation, supplier)
+    key with map-side combine; the ranking windows all share ONE
+    nation-partitioned sort — Spark evaluates the whole family in a
+    single WindowExec over that partitioning (nth_value's unbounded
+    frame included), never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("l_suppkey")
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return rev.select(
+        "s_nationkey",
+        F.col("l_suppkey").alias("s_suppkey"),
+        "revenue",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("l_suppkey").over(w).cast("bigint").alias("top_supplier"),
+        F.nth_value("l_suppkey", 2).over(wf).cast("bigint").alias("runner_up"),
+    )

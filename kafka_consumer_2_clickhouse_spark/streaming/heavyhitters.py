@@ -57,23 +57,23 @@ OUTPUT_SCHEMA = T.StructType(
 
 
 def _mg_fold(counters: dict[str, int], tokens, capacity: int) -> None:
-    """Classic Misra-Gries fold, in place."""
-    for t in tokens:
-        if t in counters:
-            counters[t] += 1
-        elif len(counters) < capacity:
-            counters[t] = 1
-        else:
-            # decrement-all; drop zeros (batch form: subtract the
-            # order statistic that frees a slot would also work, this
-            # is the textbook per-item form)
-            drop = []
-            for k in counters:
-                counters[k] -= 1
-                if counters[k] == 0:
-                    drop.append(k)
-            for k in drop:
-                del counters[k]
+    """Mergeable Misra-Gries batch fold (Agarwal et al. 2013), in
+    place: merge the batch's value_counts, then subtract the order
+    statistic that leaves <= capacity positive counters. Same
+    guarantee as the per-item form (counts under-estimate by at most
+    the subtracted mass, true heavy items survive), but vectorized —
+    one pandas value_counts per Arrow batch instead of a Python loop
+    per token. Identical to the batch ``token_heavy_hitters`` fold, so
+    stream and auditor agree on semantics.
+    """
+    for tok, c in tokens.value_counts().items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) > capacity:
+        d = sorted(counters.values(), reverse=True)[capacity]
+        for k in [k for k, c in counters.items() if c - d <= 0]:
+            del counters[k]
+        for k in counters:
+            counters[k] -= d
 
     return None
 

@@ -655,3 +655,46 @@ def test_cluster_histogram_accounts_all_docs(spark, sf_dir):
     # singleton bucket exists and dominates on this corpus
     by_bucket = {r["size_bucket"]: r for r in rows}
     assert 0 in by_bucket
+
+
+def test_supplier_delay_profile_invariants(spark, sf_dir):
+    rows = ops.QUERIES["supplier_delay_profile"](spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_shipments"] for r in rows) == li
+    for r in rows:
+        assert r["p50_delay_days"] <= r["p95_delay_days"] <= r["max_delay_days"]
+
+
+def test_part_return_rates_math(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import (
+        PART_RETURN_MIN_SHIPMENTS,
+    )
+
+    rows = ops.QUERIES["part_return_rates"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_shipments"] >= PART_RETURN_MIN_SHIPMENTS
+        assert 0 <= r["n_returned"] <= r["n_shipments"]
+        assert abs(
+            r["return_rate"] - round(r["n_returned"] / r["n_shipments"], 6)
+        ) < 1e-9
+
+
+def test_supplier_rank_report_window_family(spark, sf_dir):
+    rows = ops.QUERIES["supplier_rank_report"](spark, sf_dir).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["s_nationkey"], []).append(r)
+    for grp in by_nation.values():
+        grp.sort(key=lambda r: (-r["revenue"], r["s_suppkey"]))
+        n = len(grp)
+        for i, r in enumerate(grp):
+            assert r["rnk"] == i + 1  # total order -> rank == row pos
+            assert r["dense_rnk"] <= r["rnk"]
+            if n > 1:
+                assert abs(r["pct_rank"] - round(i / (n - 1), 6)) < 1e-9
+            assert abs(r["cume"] - round((i + 1) / n, 6)) < 1e-9
+            assert r["top_supplier"] == grp[0]["s_suppkey"]
+            if n >= 2:
+                assert r["runner_up"] == grp[1]["s_suppkey"]
