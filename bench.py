@@ -142,6 +142,7 @@ EXTRA = [
     "supplier_delay_profile",
     "part_return_rates",
     "supplier_rank_report",
+    "incremental_neardup_pairs",
 ]
 
 

@@ -1191,3 +1191,178 @@ def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sampling_split_column(F.col("doc_a")).alias("split_a"),
         _sampling_split_column(F.col("doc_b")).alias("split_b"),
     ).filter(F.col("split_a") != F.col("split_b"))
+
+
+# --- incremental dedup against a persisted signature index ---------------
+#
+# The daily-ingest workflow at 100 TB: yesterday's corpus is already
+# signed (minhash signatures + band keys persisted at landing time);
+# today's batch must be deduped AGAINST it without re-hashing a single
+# old document. The index stores (doc_id, band_id, key) plus the
+# signature columns — bytes per doc, not the text — and the candidate
+# probe is the same band-bucket equi-join the batch operator uses.
+# Verification re-reads shingles only for the handful of candidate
+# docs (a doc_id semi-join on the bucketed landing layout).
+
+
+def build_signature_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> str:
+    """Persist the banded signature index for a corpus relation.
+
+    Layout: ``keys/`` — the EXPLODED (band_id, key, doc_id) relation
+    (what the probe equi-joins against). Rebuild is incremental in
+    production: append today's batch's keys (the streaming signature
+    store in ``streaming/neardup.py`` is the continuous form of the
+    same idea; this is the batch-index form).
+    """
+    import os
+
+    sigs = signature_relation(docs)
+    band_cols = band_key_columns()
+    keys = sigs.select("doc_id", *band_cols)
+    exploded = keys.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+    exploded.write.mode("overwrite").parquet(os.path.join(index_dir, "keys"))
+    return index_dir
+
+
+@query(
+    "incremental_neardup_pairs",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, {SPLIT} AS split, {SH} AS sh FROM documents
+    ), digs AS (
+      SELECT doc_id, split, sh, {DIGS} FROM shingled
+    ), sigs AS (
+      SELECT doc_id, split, sh, {SLICES} FROM digs
+    ), banded AS (
+      SELECT *, {BANDS} FROM sigs
+    ), pairs AS (
+      %%UNIONS%%
+    )
+    SELECT p.new_doc, p.corpus_doc,
+           CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+           / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+              - len(list_distinct(list_intersect(a.sh, b.sh)))) AS jaccard
+    FROM pairs p
+      JOIN banded a ON a.doc_id = p.new_doc
+      JOIN banded b ON b.doc_id = p.corpus_doc
+    """.replace("{SPLIT}", _sampling_split_sql("doc_id"))
+    .replace("{SH}", X.sql_shingles(X.sql_tokens("text"), SHINGLE_N))
+    .replace("{DIGS}", _digests_sql())
+    .replace("{SLICES}", _slices_sql())
+    .replace("{BANDS}", _bands_sql())
+    .replace("%%UNIONS%%", " UNION ".join(
+        f"""
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+      FROM banded a JOIN banded b
+        ON a.band{b} = b.band{b} AND a.split = 'test' AND b.split <> 'test'"""
+        for b in range(N_BANDS)
+    )),
+)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup candidate pairs between the NEW
+    batch (the hash-split 'test' 10% stands in for today's ingest) and
+    the ALREADY-INDEXED corpus (the other 90%), with verified Jaccard —
+    without recomputing a single corpus signature when a prebuilt index
+    exists.
+
+    ``SPARK_GRAFT_DEDUP_INDEX=<dir>``: probe the persisted index
+    written by :func:`build_signature_index` (corpus side reads
+    (doc_id, band_id, key) rows — bytes per doc, no text, no hashing).
+    Default: derive both sides inline (same result, pinned in tests).
+
+    Scale: new-batch signatures are map-only over the (small) batch;
+    the probe is a band-key equi-join of batch keys against the index —
+    shuffle bounded by batch size x bands, NEVER corpus size; verify
+    recomputes shingles only for candidate corpus docs via a doc_id
+    semi-join on the bucketed landing layout. This is the daily-crawl
+    dedup loop: index once, probe forever.
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    from .sampling import split_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("split", split_column(F.col("doc_id")))
+    new_docs = labeled.filter(F.col("split") == "test")
+    corpus_docs = labeled.filter(F.col("split") != "test")
+
+    new_sigs = signature_relation(new_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    band_cols = band_key_columns()
+
+    def keyed(sigs: DataFrame) -> DataFrame:
+        return sigs.select("doc_id", *band_cols).select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")
+                    )
+                    for b in range(N_BANDS)
+                ])
+            ).alias("bk"),
+        ).select("doc_id", "bk.band_id", "bk.key")
+
+    new_keys = keyed(new_sigs)
+    index_dir = os.environ.get("SPARK_GRAFT_DEDUP_INDEX")
+    if index_dir:
+        keys_path = os.path.join(index_dir, "keys")
+        if not os.path.isdir(keys_path):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_DEDUP_INDEX={index_dir!r} has no keys/ dir — "
+                "run build_signature_index first"
+            )
+        corpus_keys = spark.read.parquet(keys_path)
+    else:
+        corpus_keys = keyed(signature_relation(corpus_docs))
+
+    a, b = new_keys.alias("a"), corpus_keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    # verify: shingles for the NEW side come from the persisted batch
+    # signatures; the corpus side recomputes shingles ONLY for
+    # candidate docs (semi-join first, then the map-only shingle pass)
+    sa = new_sigs.select("doc_id", "shingles")
+    cand_corpus = corpus_docs.join(
+        pairs.select(F.col("corpus_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    sb = cand_corpus.select(
+        "doc_id", X.shingles(X.tokens("text"), SHINGLE_N).alias("shingles")
+    )
+    inter = F.size(
+        F.array_distinct(
+            F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+        )
+    )
+    na = F.size(F.array_distinct(F.col("sa.shingles")))
+    nb = F.size(F.array_distinct(F.col("sb.shingles")))
+    return (
+        pairs.join(sa.alias("sa"), F.col("sa.doc_id") == F.col("new_doc"))
+        .join(sb.alias("sb"), F.col("sb.doc_id") == F.col("corpus_doc"))
+        .select(
+            "new_doc",
+            "corpus_doc",
+            (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
+        )
+    )

@@ -229,3 +229,49 @@ def test_winnowing_randomized_differential(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == ref(text.split(" ")), (doc_id, text)
+
+
+def test_incremental_index_path_equals_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_DEDUP_INDEX probe of a persisted signature index
+    must return exactly the inline result (same candidates, same
+    verified Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        build_signature_index,
+    )
+    from kafka_consumer_2_clickhouse_spark.operators.sampling import (
+        split_column,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_INDEX", raising=False)
+    inline = sorted(
+        tuple(r)
+        for r in ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir).collect()
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.withColumn("split", split_column(F.col("doc_id"))).filter(
+        F.col("split") != "test"
+    )
+    idx = str(tmp_path / "sig_index")
+    build_signature_index(spark, corpus, idx)
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_INDEX", idx)
+    indexed = sorted(
+        tuple(r)
+        for r in ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir).collect()
+    )
+    assert indexed == inline
+    assert inline  # non-trivial at this sf: the corpus has near-dups
+
+
+def test_incremental_index_missing_dir_fails_fast(spark, sf_dir, tmp_path, monkeypatch):
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_INDEX", str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError, match="keys/"):
+        ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir)
