@@ -1060,6 +1060,7 @@ ZIPF_TOP_N = 64
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              AS intercept
     FROM s
+    WHERE n * sxx - sx * sx > 0
     """,
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,6 +1108,13 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    # degenerate-variance guard (vocabulary < 2 -> x has no spread):
+    # 0/0 is NULL vs NaN across engines, so exclude explicitly on BOTH
+    # sides — same bit-identical predicate, same discipline as
+    # events_value_outliers
+    s = s.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
     )
     return s.select(
         F.col("n").alias("n_ranks"),

@@ -163,3 +163,23 @@ def test_centroid_distances_match_numpy(spark, sf_dir):
     expect = np.linalg.norm(m - m.mean(axis=0), axis=1)
     got = np.array([r["centroid_dist"] for r in rows])
     assert np.abs(got - expect).max() < 1e-5
+
+
+def test_triangular_index_inversion_exhaustive():
+    """The pos -> (i, j) arithmetic in embedding_covariance must be an
+    exact bijection over all D(D+1)/2 flat-triangle positions."""
+    import math
+
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import DIM
+
+    want = [
+        (i, j) for i in range(1, DIM + 1) for j in range(i, DIM + 1)
+    ]
+    got = []
+    for pos in range(DIM * (DIM + 1) // 2):
+        r = math.floor(
+            ((2 * DIM + 1) - math.sqrt((2 * DIM + 1) ** 2 - 8 * pos)) / 2
+        )
+        c_r = r * DIM - (r * (r - 1)) / 2
+        got.append((r + 1, int(r + 1 + (pos - c_r))))
+    assert got == want
