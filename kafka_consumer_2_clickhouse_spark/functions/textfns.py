@@ -36,9 +36,21 @@ def sql_tokens(text_expr: str = "text") -> str:
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (map-only, no explode)."""
+    """Word n-gram shingles as an array column (map-only, no explode).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array. The guard
+    is load-bearing: ``sequence(0, -1)`` counts DOWN in Spark (start >
+    stop infers step -1), so the unguarded form crashes element_at
+    under ANSI mode on any short document — found by the hypothesis
+    differential in tests/test_textfns_properties.py. DuckDB's
+    ``range`` returns empty for stop <= start, so the SQL twin was
+    already correct.
+    """
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
+        F.when(
+            F.size(tokens_col) >= n,
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(
             " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
         ),

@@ -690,11 +690,20 @@ SPAN_BLOCK_TOKENS = 8
 
 def _span_blocks_spark():
     """Full non-overlapping SPAN_BLOCK_TOKENS-token blocks of a doc,
-    as a map-only array expression over ``toks``."""
+    as a map-only array expression over ``toks``.
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array — without
+    the guard, ``sequence(0, -1)`` counts DOWN and the i = -1 element
+    emits a bogus from-the-end slice block that DuckDB's ``range``
+    (empty for stop <= start) never produces.
+    """
     n = SPAN_BLOCK_TOKENS
     toks = F.col("toks")
     return F.transform(
-        F.sequence(F.lit(0), (F.floor(F.size(toks) / n) - 1).cast("int")),
+        F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(0), (F.floor(F.size(toks) / n) - 1).cast("int")),
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)),
     )
 

@@ -1,0 +1,99 @@
+"""Differential property tests for functions/textfns.py: the Spark
+expression builders must agree with a pure-Python reference on
+arbitrary token material (the oracle only proves Spark == DuckDB; this
+proves both == the definition)."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.functions import textfns as X
+
+TOKEN = st.text(alphabet="abcxyz0", min_size=1, max_size=5)
+DOC = st.lists(TOKEN, min_size=1, max_size=12).map(lambda ts: " ".join(ts))
+
+
+def _py_shingles(tokens: list[str], n: int) -> list[str]:
+    return [" ".join(tokens[i : i + n]) for i in range(max(len(tokens) - n + 1, 0))]
+
+
+def _py_minhash_slice(shingles: list[str], seed: int, slot: int) -> str | None:
+    digests = [hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in shingles]
+    slices = [h[8 * slot : 8 * slot + 8] for h in digests]
+    return min(slices) if slices else None
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+def test_shingles_and_minhash_match_python(spark, docs):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id int, text string")
+    toks = X.tokens("text")
+    sh = X.shingles(toks, 3)
+    digs = X.minhash_digests(sh, seed=1)
+    out = df.select(
+        "doc_id",
+        "text",
+        sh.alias("sh"),
+        X.minhash_slice(digs, 0).alias("mh0"),
+        X.minhash_slice(digs, 3).alias("mh3"),
+    ).collect()
+    for r in out:
+        tokens = r["text"].split(" ")
+        want_sh = _py_shingles(tokens, 3)
+        assert list(r["sh"]) == want_sh, (tokens, list(r["sh"]), want_sh)
+        assert r["mh0"] == _py_minhash_slice(want_sh, 1, 0)
+        assert r["mh3"] == _py_minhash_slice(want_sh, 1, 3)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+def test_stopword_count_matches_python(spark, docs):
+    words = ("a", "ab", "xyz")
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id int, text string")
+    out = df.select(
+        "doc_id",
+        "text",
+        X.stopword_count(X.tokens("text"), words).alias("c"),
+    ).collect()
+    for r in out:
+        assert r["c"] == sum(t in words for t in r["text"].split(" "))
+
+
+def test_short_docs_yield_empty_blocks_and_signatures(spark):
+    """1-2 token docs must flow through the dedup expression chain as
+    empties, not crashes or bogus blocks (the sequence(0,-1) hazard)."""
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        _span_blocks_spark,
+        signature_relation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    sig = signature_relation(df).collect()
+    by_id = {r["doc_id"]: r for r in sig}
+    assert list(by_id[1]["shingles"]) == []
+    assert list(by_id[2]["shingles"]) == []
+    assert len(by_id[3]["shingles"]) == 7  # 9 tokens, 3-shingles
+    # minhash of an empty shingle set is NULL on both engines
+    assert by_id[1]["mh0"] is None
+
+    blocks = (
+        df.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .select("doc_id", _span_blocks_spark().alias("blocks"))
+        .collect()
+    )
+    bb = {r["doc_id"]: list(r["blocks"]) for r in blocks}
+    assert bb[1] == [] and bb[2] == []
+    assert len(bb[3]) == 1  # 9 tokens -> one full 8-token block
