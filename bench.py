@@ -143,6 +143,8 @@ EXTRA = [
     "part_return_rates",
     "supplier_rank_report",
     "incremental_neardup_pairs",
+    "dedup_keep_best_docs",
+    "token_pmi_pairs",
 ]
 
 

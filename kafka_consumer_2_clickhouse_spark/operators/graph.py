@@ -608,3 +608,74 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_members").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def _keep_best_oracle() -> str:
+    # function-level import: graph loads before text_analysis in the
+    # package __init__, so force its query registration first
+    from . import text_analysis  # noqa: F401
+    from .analytics import ORACLE_SQL as _OS
+
+    return (
+        _components_cte()
+        + """
+    , q AS ({QSCORES})
+    , ranked AS (
+      SELECT c.doc_id, c.component_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality_score DESC, c.doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY c.component_id) AS n_members
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, component_id, CAST(n_members AS BIGINT) AS n_members,
+           quality_score
+    FROM ranked WHERE rk = 1
+    """.replace(
+            "{QSCORES}",
+            "SELECT doc_id, quality_score FROM ("
+            + _OS["doc_quality_scores"]
+            + ") qs",
+        )
+    )
+
+
+@query("dedup_keep_best_docs", oracle=_keep_best_oracle())
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component, keep
+    the member with the HIGHEST quality score (tie-broken by doc_id) —
+    what production dedup actually does, vs :func:`dedup_keep_docs`'
+    positional min-id canonical (the two agree only when quality is
+    uniform within a cluster). The quality-ordered choice means a
+    boilerplate-laden early crawl of a page never shadows its cleaner
+    re-crawl.
+
+    Scale: the component labels join the map-only quality relation on
+    doc_id (the bucketed landing key), then one per-component
+    row_number window — partitioned by component_id, never global;
+    cluster sizes ride the same window partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    from .text_analysis import doc_quality_scores
+
+    comp = near_dup_components(spark, sf_dir)
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    joined = comp.join(q, "doc_id")
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "component_id",
+            "quality_score",
+            F.row_number().over(w).alias("rk"),
+            F.count("*")
+            .over(W.partitionBy("component_id"))
+            .cast("bigint")
+            .alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "component_id", "n_members", "quality_score")
+    )

@@ -1128,3 +1128,99 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_zipf_fit.__doc__ = corpus_zipf_fit.__doc__.replace(
     "{N}", str(ZIPF_TOP_N)
 )
+
+
+#: collocation mining bounds: minimum bigram count (PMI of rare pairs
+#: is noise) and report size
+PMI_MIN_COUNT = 20
+PMI_TOP_N = 30
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT {X.sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+      SELECT unnest({X.sql_shingles('toks', 2)}) AS pair FROM t
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), c1 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), nt AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1
+    ), c2 AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY pair
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    ), nb AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM bg
+    )
+    SELECT c2.pair, c2.c AS n_pair,
+           a.c AS n_first, b.c AS n_second,
+           round(ln((CAST(c2.c AS DOUBLE) / nb.n)
+                    / ((a.c / nt.n) * (b.c / nt.n))), 6) AS pmi
+    FROM c2
+    JOIN c1 a ON a.tok = string_split(c2.pair, ' ')[1]
+    JOIN c1 b ON b.tok = string_split(c2.pair, ' ')[2]
+    CROSS JOIN nt CROSS JOIN nb
+    ORDER BY pmi DESC, c2.pair ASC
+    LIMIT {PMI_TOP_N}
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} collocations by pointwise mutual information,
+    PMI(a,b) = ln(p(ab) / (p(a)p(b))) over adjacent token pairs with a
+    minimum-count floor — the collocation/multi-word-expression miner
+    (Church & Hanks 1990) a tokenizer-design or phrase-detection pass
+    reads; the frequency-ranked `corpus_bigram_merge_candidates` finds
+    COMMON pairs, this finds pairs that co-occur far beyond chance.
+
+    Determinism: counts are exact integers; the single ln term is
+    rounded to 6 decimals and the top-N boundary tie-breaks on pair
+    text (round-before-rank, the tfidf discipline).
+
+    Scale: bigram and unigram count tables collapse map-side; the
+    count floor prunes the pair table BEFORE its two first/second-token
+    joins; the two 1-row totals broadcast; final top-N is
+    TakeOrderedAndProject. Same shuffle shape as the bigram LM.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(X.tokens("text").alias("toks"))
+    bg = t.select(F.explode(X.shingles(F.col("toks"), 2)).alias("pair"))
+    uni = t.select(F.explode("toks").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    nt = c1.agg(F.sum("c").cast("double").alias("n_tok"))
+    c2 = (
+        bg.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    nb = bg.agg(F.count("*").cast("double").alias("n_bg"))
+    a = c1.select(F.col("tok").alias("ta"), F.col("c").alias("n_first"))
+    b = c1.select(F.col("tok").alias("tb"), F.col("c").alias("n_second"))
+    joined = (
+        c2.join(a, F.col("ta") == F.split(F.col("pair"), " ").getItem(0))
+        .join(b, F.col("tb") == F.split(F.col("pair"), " ").getItem(1))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("n_bg"))
+            / (
+                (F.col("n_first") / F.col("n_tok"))
+                * (F.col("n_second") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("pair", "n_pair", "n_first", "n_second", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(PMI_TOP_N)
+    )
+
+
+token_pmi_pairs.__doc__ = token_pmi_pairs.__doc__.replace(
+    "{N}", str(PMI_TOP_N)
+)

@@ -698,3 +698,65 @@ def test_supplier_rank_report_window_family(spark, sf_dir):
             assert r["top_supplier"] == grp[0]["s_suppkey"]
             if n >= 2:
                 assert r["runner_up"] == grp[1]["s_suppkey"]
+
+
+def test_keep_best_agrees_with_components_and_quality(spark, sf_dir):
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in ops.QUERIES["near_dup_components"](spark, sf_dir).collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in ops.QUERIES["doc_quality_scores"](spark, sf_dir).collect()
+    }
+    best = ops.QUERIES["dedup_keep_best_docs"](spark, sf_dir).collect()
+    # one keeper per component, and it's the argmax by (score, -doc_id)
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    assert len(best) == len(by_comp)
+    for r in best:
+        members = by_comp[r["component_id"]]
+        assert r["n_members"] == len(members)
+        want = min(members, key=lambda d: (-q[d], d))
+        assert r["doc_id"] == want
+        assert abs(r["quality_score"] - q[want]) < 1e-9
+
+
+def test_pmi_pairs_python_checked(spark, sf_dir):
+    import math
+
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        PMI_MIN_COUNT,
+        PMI_TOP_N,
+    )
+
+    docs = [
+        r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    c1, c2, n_bg = {}, {}, 0
+    for toks in docs:
+        for t in toks:
+            c1[t] = c1.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            n_bg += 1
+    n_tok = sum(c1.values())
+    scored = []
+    for (a, b), c in c2.items():
+        if c < PMI_MIN_COUNT:
+            continue
+        pmi = round(
+            math.log((c / n_bg) / ((c1[a] / n_tok) * (c1[b] / n_tok))), 6
+        )
+        scored.append((f"{a} {b}", c, c1[a], c1[b], pmi))
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    want = scored[:PMI_TOP_N]
+    got = [
+        (r["pair"], r["n_pair"], r["n_first"], r["n_second"], r["pmi"])
+        for r in ops.QUERIES["token_pmi_pairs"](spark, sf_dir).collect()
+    ]
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[4] - w[4]) < 1e-9

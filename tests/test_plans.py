@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "customer_revenue_deciles",  # 1-row cutpoints + 1-row total crossJoins
     "doc_bigram_logprob",  # 1-row vocabulary-size crossJoin
     "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
+    "token_pmi_pairs",  # 1-row token-total + 1-row bigram-total crossJoins
 }
 
 
