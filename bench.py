@@ -145,6 +145,7 @@ EXTRA = [
     "incremental_neardup_pairs",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
+    "events_burst_minutes",
 ]
 
 

@@ -400,3 +400,94 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("late_us", F.lit(0.95)) / 1e6, 6).alias("p95_late_s"),
         F.round(F.max("late_us").cast("double") / 1e6, 6).alias("max_late_s"),
     )
+
+
+#: burst detection: a minute is a burst when its event count exceeds
+#: BURST_FACTOR x the trailing BURST_BASELINE_MIN-minute mean (exact
+#: decimal mean over the minute-grain relation)
+BURST_BASELINE_MIN = 60
+BURST_FACTOR = 3.0
+BURST_MIN_BASELINE_MINUTES = 10
+
+
+@query(
+    "events_burst_minutes",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, minute, n,
+             CAST(sum(n) OVER tw AS BIGINT) AS base_n,
+             CAST(count(*) OVER tw AS BIGINT) AS base_minutes
+      FROM m
+      WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+                    RANGE BETWEEN INTERVAL {BURST_BASELINE_MIN} MINUTES
+                          PRECEDING AND INTERVAL 1 MINUTE PRECEDING)
+    )
+    SELECT event_type, minute, n,
+           round(CAST(base_n AS DOUBLE) / base_minutes, 6) AS baseline_mean,
+           round(n / (CAST(base_n AS DOUBLE) / base_minutes), 6) AS burst_ratio
+    FROM w
+    WHERE base_minutes >= {BURST_MIN_BASELINE_MINUTES}
+      AND n > {BURST_FACTOR} * (CAST(base_n AS DOUBLE) / base_minutes)
+    """,
+)
+def events_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-grain burst detector: minutes where a type's event count
+    exceeds {F}x its trailing {W}-minute mean (with a minimum-history
+    guard so the first minutes can't divide by thin air) — the
+    replay-storm / hot-partition monitor at the resolution operators
+    page on, complementing the day-grain ``events_type_share_drift``.
+
+    Determinism: counts are exact integers; the trailing mean is a
+    ratio of integer window sums over a total-ordered minute grain
+    (minutes are unique per type), rounded to 6 decimals; the burst
+    predicate compares the same doubles on both engines.
+
+    Scale: the fact table collapses to the (type, minute) grain FIRST
+    (map-side combine), so the RANGE window runs over minute-grain
+    rows — days x 1440 per type, never raw events — partitioned by
+    event_type, never global. This is the hierarchical-rollup window
+    pattern: aggregate to the report grain, window over the rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    # RANGE frame over seconds: trailing window excluding the current
+    # minute — [minute - W min, minute - 1 min]
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("minute"))
+        .rangeBetween(-BURST_BASELINE_MIN * 60, -60)
+    )
+    w = m.select(
+        "event_type",
+        "minute",
+        "n",
+        F.sum("n").over(tw).cast("bigint").alias("base_n"),
+        F.count("*").over(tw).cast("bigint").alias("base_minutes"),
+    )
+    mean = F.col("base_n").cast("double") / F.col("base_minutes")
+    return (
+        w.filter(
+            (F.col("base_minutes") >= BURST_MIN_BASELINE_MINUTES)
+            & (F.col("n") > BURST_FACTOR * mean)
+        )
+        .select(
+            "event_type",
+            "minute",
+            "n",
+            F.round(mean, 6).alias("baseline_mean"),
+            F.round(F.col("n") / mean, 6).alias("burst_ratio"),
+        )
+    )
+
+
+events_burst_minutes.__doc__ = (
+    events_burst_minutes.__doc__
+    .replace("{F}", str(BURST_FACTOR))
+    .replace("{W}", str(BURST_BASELINE_MIN))
+)

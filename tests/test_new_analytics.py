@@ -779,3 +779,41 @@ def test_survey_2d_lists_every_registered_query():
     assert m, "2d count header not found"
     assert int(m.group(1)) == len(ops.QUERIES)
     assert int(m.group(2)) == len(ops.ORACLE_SQL)
+
+
+def test_burst_minutes_python_checked(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.temporal import (
+        BURST_BASELINE_MIN,
+        BURST_FACTOR,
+        BURST_MIN_BASELINE_MINUTES,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    per_min = {}
+    for r in ev:
+        key = (r["event_type"], r["ts"].replace(second=0, microsecond=0))
+        per_min[key] = per_min.get(key, 0) + 1
+    expected = {}
+    by_type = {}
+    for (t, m), n in per_min.items():
+        by_type.setdefault(t, []).append((m, n))
+    for t, rows in by_type.items():
+        rows.sort()
+        for m, n in rows:
+            base = [
+                nn
+                for (mm, nn) in rows
+                if 0 < (m - mm).total_seconds() <= BURST_BASELINE_MIN * 60
+            ]
+            if len(base) >= BURST_MIN_BASELINE_MINUTES:
+                mean = sum(base) / len(base)
+                if n > BURST_FACTOR * mean:
+                    expected[(t, m)] = (n, round(mean, 6))
+    got = {
+        (r["event_type"], r["minute"]): (r["n"], r["baseline_mean"])
+        for r in ops.QUERIES["events_burst_minutes"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, mean) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - mean) < 1e-9
