@@ -146,6 +146,7 @@ EXTRA = [
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",
+    "corpus_datacard",
 ]
 
 

@@ -955,3 +955,89 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.lit(total)).alias("share_of_ingest"),
     )
+
+
+def _datacard_oracle() -> str:
+    from .graph import _keep_docs_oracle
+    from .pii import _sql_redact
+
+    return f"""
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN {_sql_redact('text')} <> text
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+      FROM documents
+    ), kept AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM ({_keep_docs_oracle()}) k
+    ), gated AS (
+      SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM ({_qf_oracle()}) q
+    )
+    SELECT tot.n_docs, tot.n_tokens, tot.n_sources, tot.n_langs,
+           round(1.0 - CAST(kept.n AS DOUBLE) / tot.n_docs, 6)
+             AS near_dup_rate,
+           round(CAST(gated.n AS DOUBLE) / tot.n_docs, 6)
+             AS quality_keep_rate,
+           round(CAST(tot.n_pii AS DOUBLE) / tot.n_docs, 6) AS pii_rate
+    FROM tot CROSS JOIN kept CROSS JOIN gated
+    """
+
+
+@query("corpus_datacard", oracle=_datacard_oracle())
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card: corpus size (docs/tokens), diversity
+    (sources/languages), near-dup rate, quality keep rate, and PII
+    incidence — the headline table a dataset release publishes
+    (HuggingFace dataset-card / Datasheets-for-Datasets style) and the
+    sign-off summary every training run links back to.
+
+    Composes the checked component operators; the oracle composes
+    their SQL, so drift in any component fails this hash too.
+
+    Scale: the totals are ONE scan with map-side-combined aggregates
+    (the PII flag evaluates in the same codegen pass); the near-dup
+    rate rides the LSH+CC chain's count; the gate rate is the map-only
+    quality relation's count. Three bounded counts crossJoin-broadcast
+    into one row.
+    """
+    from .graph import dedup_keep_docs
+    from .pii import redact_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tot = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(
+            F.when(redact_column("text") != F.col("text"), 1).otherwise(0)
+        ).cast("bigint").alias("n_pii"),
+    )
+    kept = dedup_keep_docs(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+    gated = doc_quality_filter(spark, sf_dir).agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_gate")
+    )
+    return (
+        tot.crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(gated))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            F.round(
+                1.0 - F.col("n_kept").cast("double") / F.col("n_docs"), 6
+            ).alias("near_dup_rate"),
+            F.round(
+                F.col("n_gate").cast("double") / F.col("n_docs"), 6
+            ).alias("quality_keep_rate"),
+            F.round(
+                F.col("n_pii").cast("double") / F.col("n_docs"), 6
+            ).alias("pii_rate"),
+        )
+    )

@@ -817,3 +817,16 @@ def test_burst_minutes_python_checked(spark, sf_dir):
     for k, (n, mean) in expected.items():
         assert got[k][0] == n
         assert abs(got[k][1] - mean) < 1e-9
+
+
+def test_datacard_consistent_with_components(spark, sf_dir):
+    card = ops.QUERIES["corpus_datacard"](spark, sf_dir).collect()
+    assert len(card) == 1
+    r = card[0]
+    docs = load_table(spark, sf_dir, "documents")
+    assert r["n_docs"] == docs.count()
+    n_kept = ops.QUERIES["dedup_keep_docs"](spark, sf_dir).count()
+    assert abs(r["near_dup_rate"] - round(1 - n_kept / r["n_docs"], 6)) < 1e-9
+    assert 0.0 <= r["quality_keep_rate"] <= 1.0
+    assert 0.0 <= r["pii_rate"] <= 1.0
+    assert r["n_sources"] >= 1 and r["n_langs"] >= 1
