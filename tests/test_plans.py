@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "doc_bigram_logprob",  # 1-row vocabulary-size crossJoin
     "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
     "token_pmi_pairs",  # 1-row token-total + 1-row bigram-total crossJoins
+    "corpus_datacard",  # 1-row kept-count + 1-row gate-count crossJoins
 }
 
 
