@@ -1,0 +1,109 @@
+"""Randomized SQL differential: GENERATED filter/group/aggregate
+queries run through the Spark DataFrame API and DuckDB and compared
+exactly — the sqllogictest idea applied to the engine-portability
+discipline (decimal sums, integer counts). Hand-written queries prove
+the operators; this proves the discipline generalizes to query shapes
+nobody hand-picked."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+from tests.oracle_utils import compare, duck_connect
+
+# (table, group col, numeric measure col, filter col) combinations —
+# the cross product is the generated battery
+CASES = list(
+    itertools.product(
+        [
+            ("lineitem", "l_returnflag", "l_extendedprice", "l_quantity"),
+            ("lineitem", "l_linestatus", "l_discount", "l_extendedprice"),
+            ("orders", "o_orderstatus", "o_totalprice", "o_custkey"),
+            ("orders", "o_orderpriority", "o_totalprice", "o_totalprice"),
+            ("events", "event_type", "value", "user_id"),
+        ],
+        [("<", 0.25), (">=", 0.5), ("<=", 0.75)],  # (op, filter quantile)
+    )
+)
+
+
+def _battery(spark, con, sf_dir, table, g, m, f_col, op, q):
+    # data-derived filter constant: the q-quantile of the filter column
+    # (so every generated query filters a non-trivial row subset)
+    cut = con.sql(
+        f"SELECT quantile_cont({f_col}, {q}) FROM {table}"
+    ).fetchone()[0]
+    cut = float(cut)
+    df = load_table(spark, sf_dir, table)
+    spark_ops = {"<": df[f_col] < cut, ">=": df[f_col] >= cut, "<=": df[f_col] <= cut}
+    out = (
+        df.filter(spark_ops[op])
+        .groupBy(g)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(m).cast("decimal(27,6)")).cast("double").alias("s"),
+            F.min(m).alias("mn"),
+            F.max(m).alias("mx"),
+        )
+    )
+    sql = f"""
+        SELECT {g}, count(*) AS n,
+               CAST(sum(CAST({m} AS DECIMAL(27,6))) AS DOUBLE) AS s,
+               min({m}) AS mn, max({m}) AS mx
+        FROM {table} WHERE {f_col} {op} {cut!r}
+        GROUP BY {g}
+    """
+    return compare(out, con, sql)
+
+
+def test_generated_filter_group_agg_battery(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    failures = []
+    for (table, g, m, f_col), (op, q) in CASES:
+        ok, msg = _battery(spark, con, sf_dir, table, g, m, f_col, op, q)
+        if not ok:
+            failures.append((table, g, m, f_col, op, q, msg))
+    assert not failures, failures
+
+
+def test_generated_join_agg_battery(spark, sf_dir):
+    """Same idea over a fact-fact join template: lineitem x orders with
+    a date-quantile filter, grouped by an order dimension."""
+    con = duck_connect(sf_dir)
+    failures = []
+    for g, q in itertools.product(
+        ["o_orderstatus", "o_orderpriority"], [0.25, 0.5, 0.75]
+    ):
+        cut = con.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM orders"
+        ).fetchone()[0]
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_totalprice") >= float(cut))
+            .groupBy(g)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(27,6)"
+                    )
+                )
+                .cast("double")
+                .alias("rev"),
+            )
+        )
+        sql = f"""
+            SELECT {g}, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_totalprice >= {float(cut)!r}
+            GROUP BY {g}
+        """
+        ok, msg = compare(out, con, sql)
+        if not ok:
+            failures.append((g, q, msg))
+    assert not failures, failures
