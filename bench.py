@@ -147,6 +147,7 @@ EXTRA = [
     "token_pmi_pairs",
     "events_burst_minutes",
     "corpus_datacard",
+    "nation_revenue_yoy",
 ]
 
 

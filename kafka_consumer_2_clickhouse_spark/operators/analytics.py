@@ -1432,3 +1432,72 @@ def supplier_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("l_suppkey").over(w).cast("bigint").alias("top_supplier"),
         F.nth_value("l_suppkey", 2).over(wf).cast("bigint").alias("runner_up"),
     )
+
+
+@query(
+    "nation_revenue_yoy",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS INT) AS year,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT n_name, year, revenue,
+           CAST(lag(revenue) OVER w AS DOUBLE) AS prev_revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS yoy_growth
+    FROM r
+    WINDOW w AS (PARTITION BY n_name ORDER BY year)
+    """,
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation year-over-year revenue trend — the geographic KPI
+    matrix next to :func:`orders_monthly_growth`'s global series:
+    which markets grew, per year, with the customer-nation star join
+    resolved.
+
+    Determinism: yearly revenue is an exact decimal sum; years are
+    unique within a nation so the lag order is total; growth rounds to
+    6 decimals (first year NULL on both engines).
+
+    Scale: the fact join shuffles lineitem on orderkey once (orders is
+    a fact table — no broadcast), customer/nation broadcast; the
+    aggregate collapses to |nations| x |years| rows map-side, and the
+    lag window partitions by nation over that tiny grain — never a
+    global window, never raw rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("year")
+    return r.select(
+        "n_name",
+        "year",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ).alias("yoy_growth"),
+    )

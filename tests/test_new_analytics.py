@@ -830,3 +830,19 @@ def test_datacard_consistent_with_components(spark, sf_dir):
     assert 0.0 <= r["quality_keep_rate"] <= 1.0
     assert 0.0 <= r["pii_rate"] <= 1.0
     assert r["n_sources"] >= 1 and r["n_langs"] >= 1
+
+
+def test_nation_yoy_math(spark, sf_dir):
+    rows = ops.QUERIES["nation_revenue_yoy"](spark, sf_dir).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    for grp in by_nation.values():
+        grp.sort(key=lambda r: r["year"])
+        assert grp[0]["prev_revenue"] is None and grp[0]["yoy_growth"] is None
+        for prev, cur in zip(grp, grp[1:]):
+            assert cur["prev_revenue"] == prev["revenue"]
+            assert abs(
+                cur["yoy_growth"]
+                - round((cur["revenue"] - prev["revenue"]) / prev["revenue"], 6)
+            ) < 1e-9
