@@ -35,10 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(ops.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ``SPARK_GRAFT_SCALE_MODE=approx`` (default ``exact``) swaps the
+    few exact queries whose plans are small-scale-only for their
+    scale-safe sketch twins under the same names — see
+    ``operators.SCALE_MODE_SWAPS``.
+    """
+    return ops.active_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each queries() entry."""
-    return dict(ops.ORACLE_SQL)
+    """DuckDB-runnable ANSI SQL twin for each queries() entry (under
+    ``approx`` scale mode the swapped sketch queries drop to the
+    driver's rows-only gate; everything else keeps its hash gate)."""
+    return ops.active_oracle_sql()

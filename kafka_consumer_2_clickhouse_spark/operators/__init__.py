@@ -24,6 +24,60 @@ from . import curation  # noqa: F401, E402
 QUERIES = analytics.QUERIES
 ORACLE_SQL = analytics.ORACLE_SQL
 
+#: 100 TB-mode swaps: registered exact query -> its scale-safe twin.
+#: The exact forms stay the correctness oracles (their global-window /
+#: exact-percentile plans are whitelisted small-scale shapes); the
+#: twins are the plans a 100 TB run wants (mergeable sketches, no
+#: global window). ``near_dup_components`` is swapped at the ALGORITHM
+#: level instead (min-label -> O(log n) star rounds) because both
+#: satisfy the identical contract and oracle — see
+#: :func:`graph.near_dup_components`.
+SCALE_MODE_SWAPS: dict[str, str] = {
+    "doc_difficulty_buckets": "doc_difficulty_buckets_approx",
+    "events_profile": "events_profile_approx",
+    "order_value_quartiles": "order_value_quartiles_approx",
+}
+
+
+def scale_mode() -> str:
+    """``SPARK_GRAFT_SCALE_MODE``: ``exact`` (default) or ``approx``."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "exact")
+    if mode not in ("exact", "approx"):
+        raise ValueError(
+            f"SPARK_GRAFT_SCALE_MODE={mode!r}: expected 'exact' or 'approx'"
+        )
+    return mode
+
+
+def active_queries() -> dict:
+    """The registered query surface under the current scale mode.
+
+    ``approx`` serves each swapped name's scale-safe twin UNDER THE
+    EXACT NAME, so a pipeline configured with query names runs
+    unchanged when the flag flips — the same pattern as the
+    ``SPARK_GRAFT_CC_ALGO`` / ``SPARK_GRAFT_DEDUP_INDEX`` switches.
+    """
+    out = dict(QUERIES)
+    if scale_mode() == "approx":
+        for exact_name, approx_name in SCALE_MODE_SWAPS.items():
+            out[exact_name] = QUERIES[approx_name]
+    return out
+
+
+def active_oracle_sql() -> dict:
+    """Oracle SQL under the current scale mode: swapped names drop
+    their exact oracles (the sketch twins are rows-only by design, the
+    driver's weaker gate); everything else — including
+    ``near_dup_components``, whose star algorithm satisfies the SAME
+    oracle — keeps its hash gate."""
+    out = dict(ORACLE_SQL)
+    if scale_mode() == "approx":
+        for exact_name in SCALE_MODE_SWAPS:
+            out.pop(exact_name, None)
+    return out
+
 
 def release_intermediate_caches(spark) -> None:
     """Drop the recomputable persisted relations some operators leave

@@ -34,7 +34,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import broadcast_if_small, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -151,7 +151,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -231,9 +231,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            broadcast_if_small(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -307,7 +307,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -423,7 +423,7 @@ def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -469,7 +469,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -782,7 +782,7 @@ def suppliers_of_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
-    big_suppliers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    big_suppliers = li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
     return (
         s.join(big_suppliers, s.s_suppkey == big_suppliers.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
@@ -1091,7 +1091,7 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.percentile("o_totalprice", 0.25).alias("p25"),
@@ -1127,7 +1127,7 @@ def order_value_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.percentile_approx("o_totalprice", 0.25, QUARTILE_APPROX_ACC).alias("p25"),
@@ -1413,7 +1413,7 @@ def supplier_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -1480,7 +1480,7 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     r = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(broadcast_if_small(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("year"))
         .agg(

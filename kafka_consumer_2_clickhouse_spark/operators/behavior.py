@@ -370,7 +370,7 @@ SESSION_PATH_TOP = 20
     WITH flagged AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -476,14 +476,16 @@ FUNNEL_PURCHASE_WINDOW_S = 86400
       FROM events e JOIN v USING (user_id)
       WHERE e.event_type = 'click'
         AND e.ts > v.v_ts
-        AND date_diff('second', v.v_ts, e.ts) <= {FUNNEL_CLICK_WINDOW_S}
+        AND date_diff('microsecond', v.v_ts, e.ts)
+            <= {FUNNEL_CLICK_WINDOW_S * 1000000}
       GROUP BY e.user_id
     ), p AS (
       SELECT e.user_id, min(e.ts) AS p_ts
       FROM events e JOIN c USING (user_id)
       WHERE e.event_type = 'purchase'
         AND e.ts > c.c_ts
-        AND date_diff('second', c.c_ts, e.ts) <= {FUNNEL_PURCHASE_WINDOW_S}
+        AND date_diff('microsecond', c.c_ts, e.ts)
+            <= {FUNNEL_PURCHASE_WINDOW_S * 1000000}
       GROUP BY e.user_id
     )
     SELECT * FROM (

@@ -897,7 +897,12 @@ WINNOW_WINDOW = 4
 WINNOW_MIN_SHARED = 2
 #: fingerprints present in more docs than this are boilerplate — they
 #: would fan the fingerprint join out quadratically (same role as
-#: NGRAM_BLOCK_CAP); excluded deterministically, oracle-replayed
+#: NGRAM_BLOCK_CAP); excluded deterministically, oracle-replayed.
+#: A REAL parameter of :func:`winnowing_overlap_pairs` (the oracle
+#: generator takes the same value; pinned at two non-default caps in
+#: ``tests/test_dedup_pairs.py``). Scale contract: the cap bounds any
+#: fingerprint's pair fan-out at C(cap,2); raise it with cluster
+#: capacity, never with corpus size.
 WINNOW_DF_CAP = 50
 
 
@@ -970,14 +975,15 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "winnowing_overlap_pairs",
-    oracle=f"""
+def _winnow_pairs_oracle(
+    df_cap: int = WINNOW_DF_CAP, min_shared: int = WINNOW_MIN_SHARED
+) -> str:
+    return f"""
     WITH fps AS (
       SELECT doc_id, unnest({_winnow_sql().strip()}) AS fp FROM documents
     ), freq AS (
       SELECT fp FROM fps GROUP BY fp
-      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {df_cap}
     ), rel AS (
       SELECT DISTINCT doc_id, fp FROM fps JOIN freq USING (fp)
     )
@@ -985,10 +991,17 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_shared
     FROM rel a JOIN rel b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
-    HAVING count(*) >= {WINNOW_MIN_SHARED}
-    """,
-)
-def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HAVING count(*) >= {min_shared}
+    """
+
+
+@query("winnowing_overlap_pairs", oracle=_winnow_pairs_oracle())
+def winnowing_overlap_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
     """Document pairs sharing >= WINNOW_MIN_SHARED winnowed
     fingerprints — the MOSS overlap detector: finds copied PASSAGES
     between otherwise-different documents (the case whole-doc minhash
@@ -1020,7 +1033,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("fp")
     )
     rel = fps.join(freq, "fp", "left_semi")
@@ -1035,7 +1048,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
@@ -1222,6 +1235,13 @@ def build_signature_index(spark: SparkSession, docs: DataFrame, index_dir: str) 
     production: append today's batch's keys (the streaming signature
     store in ``streaming/neardup.py`` is the continuous form of the
     same idea; this is the batch-index form).
+
+    Exclusion contract: the index MAY contain the probe batch's own
+    docs (e.g. an index built over the full corpus). The probe path in
+    :func:`incremental_neardup_pairs` anti-joins the index against the
+    new batch's doc_ids before the band join, so self-pairs and
+    batch-internal pairs never surface regardless of how the index was
+    built; callers do not need to pre-filter.
     """
     import os
 
@@ -1330,7 +1350,14 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"SPARK_GRAFT_DEDUP_INDEX={index_dir!r} has no keys/ dir — "
                 "run build_signature_index first"
             )
-        corpus_keys = spark.read.parquet(keys_path)
+        # The index may have been built over the FULL corpus (including
+        # today's batch) — enforce the exclusion contract here: drop any
+        # index row belonging to a new-batch doc so self-pairs and
+        # batch-internal pairs never reach the band join. The anti-join
+        # probe side is the (small) batch id set, so AQE broadcasts it.
+        corpus_keys = spark.read.parquet(keys_path).join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        )
     else:
         corpus_keys = keyed(signature_relation(corpus_docs))
 
@@ -1345,6 +1372,9 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("new_doc"),
             F.col("b.doc_id").alias("corpus_doc"),
         )
+        # belt-and-braces with the index anti-join above: a self-pair can
+        # never classify as a near-dup of itself
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
         .distinct()
     )
     # verify: shingles for the NEW side come from the persisted batch

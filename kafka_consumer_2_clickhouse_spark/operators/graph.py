@@ -183,7 +183,13 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= COMPONENT_JACCARD_MIN)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    algo = os.environ.get("SPARK_GRAFT_CC_ALGO", "label")
+    # SPARK_GRAFT_SCALE_MODE=approx flips the DEFAULT to the O(log n)
+    # star solver (same contract, same oracle); an explicit
+    # SPARK_GRAFT_CC_ALGO always wins
+    from . import scale_mode
+
+    default_algo = "star" if scale_mode() == "approx" else "label"
+    algo = os.environ.get("SPARK_GRAFT_CC_ALGO", default_algo)
     if algo == "star":
         out = connected_components_star(docs, edges)
     elif algo == "label":

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import textfns as X
-from ..sources.tables import load_table, spread
+from ..sources.tables import broadcast_if_small, load_table, spread
 from .analytics import ORACLE_SQL, query
 
 # tiny per-language stopword inventories for the n-gram/stopword
@@ -342,7 +342,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(ntok, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
+        .join(broadcast_if_small(dfreq), "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -394,51 +394,67 @@ def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Heavy hitters: bounded-memory candidates + exact recount
 # --------------------------------------------------------------------------
 
+#: registered-query defaults; both are REAL parameters of
+#: :func:`token_heavy_hitters` (the oracle generator unrolls from the
+#: same values — pinned at two non-default (k, capacity) pairs in
+#: ``tests/test_text_analysis_params.py``). Scale contract: capacity
+#: sizes per-partition sketch memory (choose C >> k so the k-th Zipf
+#: frequency clears n/(C+1)); k only bounds the published head.
 HH_K = 50  # published top-k
 HH_CAPACITY = 256  # Misra-Gries counters per partition
 
 
-def _mg_candidates(batches):
+def _make_mg_candidates(capacity: int):
     """Weighted Misra-Gries per partition (bounded memory).
 
-    Folds each Arrow batch's value_counts into <= HH_CAPACITY counters;
-    overflow subtracts the order-statistic d that leaves HH_CAPACITY
-    survivors (the generalized MG decrement). Guarantee: every token
-    with partition count > n_partition/(HH_CAPACITY+1) survives, so the
-    union over partitions is a SUPERSET of every token with global
-    count > n/(HH_CAPACITY+1) (pigeonhole across partitions).
+    Folds each Arrow batch's value_counts into <= ``capacity``
+    counters; overflow subtracts the order-statistic d that leaves
+    ``capacity`` survivors (the generalized MG decrement). Guarantee:
+    every token with partition count > n_partition/(capacity+1)
+    survives, so the union over partitions is a SUPERSET of every token
+    with global count > n/(capacity+1) (pigeonhole across partitions).
     """
-    import numpy as np
-    import pandas as pd
 
-    counters: dict[str, int] = {}
-    for pdf in batches:
-        for tok, cnt in pdf["tok"].value_counts().items():
-            counters[tok] = counters.get(tok, 0) + int(cnt)
-        if len(counters) > HH_CAPACITY:
-            vals = np.array(list(counters.values()))
-            # smallest d such that #(vals > d) <= HH_CAPACITY
-            d = int(np.partition(vals, len(vals) - HH_CAPACITY - 1)[
-                len(vals) - HH_CAPACITY - 1
-            ])
-            counters = {t: c - d for t, c in counters.items() if c > d}
-    yield pd.DataFrame({"tok": list(counters.keys())})
+    def _mg_candidates(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                vals = np.array(list(counters.values()))
+                # smallest d such that #(vals > d) <= capacity
+                d = int(np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ])
+                counters = {t: c - d for t, c in counters.items() if c > d}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    return _mg_candidates
 
 
-@query(
-    "token_heavy_hitters",
-    oracle=f"""
+def _hh_oracle(k: int) -> str:
+    return f"""
     SELECT tok, n FROM (
       SELECT tok, count(*) AS n,
              row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok
-    ) t WHERE rk <= {HH_K}
+    ) t WHERE rk <= {k}
     ORDER BY n DESC, tok
-    """,
-)
-def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-``HH_K`` tokens via Misra-Gries candidates + exact
+    """
+
+
+@query("token_heavy_hitters", oracle=_hh_oracle(HH_K))
+def token_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HH_K,
+    capacity: int = HH_CAPACITY,
+) -> DataFrame:
+    """Exact top-``k`` tokens via Misra-Gries candidates + exact
     recount — the bounded-memory alternative to ``token_frequencies``'
     full groupBy.
 
@@ -452,14 +468,15 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan's broadcast semi-join.
 
     Result is provably the exact top-k whenever the k-th frequency
-    exceeds n/(HH_CAPACITY+1) — amply true for natural-language token
-    distributions (Zipf) at any corpus size with k=50, C=256. The
+    exceeds n/(capacity+1) — amply true for natural-language token
+    distributions (Zipf) at any corpus size with the k=50, C=256
+    defaults. The
     exact-recount phase is what makes an approximate-sketch pattern
     oracle-checkable.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
-    cands = toks.mapInPandas(_mg_candidates, "tok string").distinct()
+    cands = toks.mapInPandas(_make_mg_candidates(capacity), "tok string").distinct()
     counted = (
         toks.join(F.broadcast(cands), "tok")
         .groupBy("tok")
@@ -470,7 +487,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
     return (
         counted.withColumn("rk", rk)
-        .filter(F.col("rk") <= HH_K)
+        .filter(F.col("rk") <= k)
         .select("tok", "n")
         .orderBy(F.desc("n"), F.asc("tok"))
     )
@@ -877,18 +894,23 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: induced-vocabulary size for the OOV coverage report
+#: induced-vocabulary size for the OOV coverage report — a REAL
+#: parameter of :func:`token_oov_rate` (the oracle generator takes the
+#: same value; pinned at two non-default sizes in
+#: ``tests/test_text_analysis_params.py``). The registered default is
+#: test-scale; a production tokenizer-design run passes 32k/50k/100k —
+#: the plan shape (TakeOrdered vocab -> broadcast membership probe) is
+#: unchanged, the broadcast stays vocabulary-sized.
 OOV_VOCAB_SIZE = 32
 
 
-@query(
-    "token_oov_rate",
-    oracle=f"""
+def _oov_oracle(vocab_size: int) -> str:
+    return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), vocab AS (
       SELECT tok FROM tok GROUP BY tok
-      ORDER BY count(*) DESC, tok ASC LIMIT {OOV_VOCAB_SIZE}
+      ORDER BY count(*) DESC, tok ASC LIMIT {vocab_size}
     )
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
@@ -898,9 +920,13 @@ OOV_VOCAB_SIZE = 32
                  / count(*), 6) AS oov_rate
     FROM tok t LEFT JOIN vocab v USING (tok)
     GROUP BY t.doc_id
-    """,
-)
-def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@query("token_oov_rate", oracle=_oov_oracle(OOV_VOCAB_SIZE))
+def token_oov_rate(
+    spark: SparkSession, sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE
+) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus-induced
     top-{V} token vocabulary — the coverage report a tokenizer-design
     pass reads: how much of each document a fixed vocabulary explains
@@ -923,7 +949,7 @@ def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("tok")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(OOV_VOCAB_SIZE)
+        .limit(vocab_size)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     joined = tok.join(F.broadcast(vocab), "tok", "left")

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import broadcast_if_small, load_table
 from .analytics import dsum, query
 
 
@@ -89,7 +89,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg((dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_cost"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(broadcast_if_small(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
@@ -97,7 +97,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cost.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(broadcast_if_small(part), F.col("l_partkey") == part.p_partkey)
         .select("s_name", "n_name", "p_partkey", "p_type", "unit_cost")
         .orderBy("p_partkey", "s_name")
     )
@@ -149,8 +149,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(
@@ -225,9 +225,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     volume = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
@@ -293,8 +293,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -342,7 +342,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     pv = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("value_dec"))
@@ -487,7 +487,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multiply in decimal BEFORE the single cast to double, mirroring the
     # oracle's operation order (decimal 100.00 * decimal sum, one cast);
     # rounding twice (cast then IEEE *100.0) can differ by 1 ulp.
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey).agg(
         (
             (F.lit(100).cast("decimal(5,2)") * F.sum(promo)).cast("double")
             / F.sum(vol).cast("double")
@@ -538,7 +538,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue_dec") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(broadcast_if_small(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -586,9 +586,9 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_supp),
+            broadcast_if_small(bad_supp),
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -637,9 +637,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey")
+            broadcast_if_small(per_part_avg), li.l_partkey == F.col("avg_partkey")
         )
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -692,9 +692,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li2 = _t(spark, sf_dir, "lineitem")
     return (
         orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+            broadcast_if_small(big), orders.o_orderkey == big.l_orderkey, "left_semi"
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(li2, orders.o_orderkey == li2.l_orderkey)
         .groupBy(
             "c_name",
@@ -738,7 +738,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -800,7 +800,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
     )
     heavy = (
-        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        li.join(broadcast_if_small(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
         .filter(F.col("q") > 100)
@@ -809,7 +809,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(broadcast_if_small(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -898,7 +898,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, last_suppliers.l_orderkey == orders.o_orderkey, "left_semi"
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("the_suppkey") == supp.s_suppkey)
+        waiting.join(broadcast_if_small(supp), F.col("the_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("s_name")

@@ -158,6 +158,45 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint for SF-SCALING dimension relations
+    (customer / supplier / part projections, vocab-sized aggregates).
+
+    An unconditional ``F.broadcast`` on a table that grows with the
+    corpus is a scale bug: at bench scale it is the right plan, but at
+    1000x it overrides AQE's size check and OOMs the driver instead of
+    degrading to a shuffle join. This helper asks Catalyst for its own
+    ``sizeInBytes`` estimate of the (pruned, filtered) subtree and
+    hints broadcast only when the estimate fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` — i.e. it makes explicit
+    exactly the plan Catalyst would statically pick, and otherwise
+    stays silent so the join degrades to shuffle (AQE may still convert
+    at runtime from ACTUAL sizes). Threshold ``-1`` (auto-broadcast
+    disabled) and any estimation failure also mean "no hint".
+
+    Fixed-cardinality relations (nation=25, region=5, 1-row scalars)
+    keep their plain ``F.broadcast`` at call sites — those are
+    broadcast-sized at every SF by construction.
+    """
+    spark = df.sparkSession
+    try:
+        if threshold is None:
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            threshold = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    str(raw)
+                )
+            )
+        if threshold <= 0:
+            return df
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    return F.broadcast(df) if est <= threshold else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every corpus table as a temp view; returns the DataFrames."""
     out = {}

@@ -68,32 +68,44 @@ def _make_flagger(z_threshold: float, min_prior_n: int):
         import pandas as pd
 
         n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        # Arrow may deliver the micro-batch as several chunks; judging
+        # chunk-by-chunk while folding along the way would score later
+        # chunks against state that already includes earlier chunks of
+        # the SAME batch (and make flags depend on
+        # spark.sql.execution.arrow.maxRecordsPerBatch). Concatenate
+        # first: score EVERYTHING against the entering (n, s, ss), then
+        # fold the whole batch in once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"event_id": [], "value": []})
+        )
+        vals = batch["value"].astype(float)
         out = []
-        for pdf in pdfs:
-            vals = pdf["value"].astype(float)
-            # judge against PRIOR state only
-            if n > 1:
-                var = (ss - s * s / n) / (n - 1)
-                if n >= min_prior_n and var > 0:
-                    mean = s / n
-                    std = math.sqrt(var)
-                    z = (vals - mean) / std
-                    hits = pdf[abs(z) > z_threshold]
-                    if len(hits):
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "key": key[0],
-                                    "event_id": hits["event_id"].astype("int64"),
-                                    "value": hits["value"].astype(float),
-                                    "zscore": z[abs(z) > z_threshold].round(6),
-                                }
-                            )
+        # judge against PRIOR state only
+        if n > 1 and len(vals):
+            var = (ss - s * s / n) / (n - 1)
+            if n >= min_prior_n and var > 0:
+                mean = s / n
+                std = math.sqrt(var)
+                z = (vals - mean) / std
+                hits = batch[abs(z) > z_threshold]
+                if len(hits):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "key": key[0],
+                                "event_id": hits["event_id"].astype("int64"),
+                                "value": hits["value"].astype(float),
+                                "zscore": z[abs(z) > z_threshold].round(6),
+                            }
                         )
-            # fold the batch in afterwards
-            n += int(len(vals))
-            s += float(vals.sum())
-            ss += float((vals * vals).sum())
+                    )
+        # fold the whole batch in afterwards, once
+        n += int(len(vals))
+        s += float(vals.sum())
+        ss += float((vals * vals).sum())
         state.update((n, s, ss))
         if out:
             yield pd.concat(out, ignore_index=True)

@@ -138,10 +138,33 @@ def token_heavy_hitters_stream(
 
 def merge_heavy_hitters(candidates: DataFrame, k: int = 20) -> DataFrame:
     """Read-side merge of the per-group candidate sets: each token
-    lives in exactly one group (hash sharding), so the union IS the
-    global candidate set; top-k by sketch count, token tie-break."""
+    lives in exactly one group (hash sharding), so the union of the
+    groups' LATEST snapshots is the global candidate set; top-k by
+    sketch count, token tie-break.
+
+    Accepts either the latest-state snapshot OR the raw accumulated
+    update-mode output (every batch re-emits the group's full set).
+    Misra-Gries counts are non-monotonic (decremented on eviction), so
+    a naive max over history would return stale peaks; instead the
+    per-group batch sequence is recovered from ``n_seen`` — it strictly
+    increases every time a group folds a batch — and only each group's
+    max-``n_seen`` snapshot participates. Evicted tokens correctly
+    vanish. ``dropDuplicates`` makes replayed batches idempotent.
+
+    Scale: one window over the (n_groups x capacity)-bounded candidate
+    relation — state-sized, never corpus-sized.
+    """
+    from pyspark.sql import Window as W
+
+    latest = (
+        candidates.withColumn(
+            "_max_seen", F.max("n_seen").over(W.partitionBy("group_key"))
+        )
+        .filter(F.col("n_seen") == F.col("_max_seen"))
+        .dropDuplicates(["group_key", "token"])
+    )
     return (
-        candidates.groupBy("token")
+        latest.groupBy("token")
         .agg(F.max("mg_count").cast("bigint").alias("mg_count"))
         .orderBy(F.desc("mg_count"), F.asc("token"))
         .limit(k)

@@ -15,12 +15,18 @@ the protocol code is storage-agnostic:
   (where rename IS atomic); ``file:`` paths work too, which is how
   the tests exercise this backend without a cluster.
 
-Object-store caveat (unchanged by the abstraction): S3/GCS "rename"
-is copy+delete, not atomic — a production deployment on an object
-store should commit via a manifest/transaction log (Delta/Iceberg-
-style). The protocol shape — versioned ``batch=<id>`` appends, max-id
-wins, idempotent replay by overwrite — carries over; only the commit
-primitive changes.
+Object-store caveat: S3/GCS "rename" is copy+delete, not atomic.
+``ManifestStateStore`` is the object-store-safe variant behind the
+SAME four-primitive seam: data still lands under the final name, but
+the COMMIT POINT moves from the rename to a tiny marker file in a
+``_commits/`` sidecar directory — one small-object PUT, which every
+object store performs atomically. ``listdir`` of a manifest-managed
+directory reports only marker-backed (committed) children, so a crash
+mid-copy leaves invisible garbage, never a visible half-written state
+version; readers "take the max marker" exactly as before (the
+protocols already pick the max ``batch=<id>``). The protocol shape —
+versioned ``batch=<id>`` appends, max-id wins, idempotent replay by
+overwrite — is identical across all three backends.
 """
 
 from __future__ import annotations
@@ -97,6 +103,97 @@ class HadoopStateStore:
         fs, p = self._resolve(path)
         if fs.exists(p):
             fs.delete(p, True)
+
+
+#: sidecar directory holding commit markers (one empty file per
+#: committed child name) in a manifest-managed directory
+_COMMITS = "_commits"
+
+
+class ManifestStateStore:
+    """Object-store-safe commit variant: marker-file commits behind the
+    same four primitives.
+
+    Wraps a base :class:`StateStore` for the bulk directory ops; the
+    three small-file marker ops (`_touch`/`_remove`/`_marker_exists`)
+    default to POSIX and are the ONLY thing an S3/GCS deployment
+    overrides (PUT / DELETE / HEAD — each atomic on every object
+    store). The base store's ``rename`` may be non-atomic (object-store
+    copy+delete): safety never depends on it, because visibility is
+    governed by the marker, written strictly AFTER the data is fully in
+    place.
+
+    Semantics per primitive:
+
+    - ``rename(src, dst)``: uncommit any stale ``dst`` marker, clear
+      leftover ``dst`` data, move ``src`` -> ``dst`` via the base store
+      (crash here leaves ``dst`` UNCOMMITTED and invisible), then touch
+      ``_commits/<name(dst)>`` — the atomic commit point.
+    - ``listdir(dir)``: once a directory is manifest-managed (has a
+      ``_commits/`` sidecar), non-``.tmp`` children WITHOUT a marker
+      are in-flight or crash garbage and are hidden; ``.tmp`` children
+      stay visible so the protocols' sweep loops can GC them. A
+      directory with no sidecar behaves exactly like the base store
+      (protocols that commit by overwrite-a-versioned-dir, e.g. the
+      signature store, keep their documented semantics).
+    - ``rmtree(path)``: remove the marker FIRST (atomic uncommit), then
+      the data — a crash mid-delete leaves invisible garbage, never a
+      visible half-deleted state version.
+    - ``isdir``: base passthrough.
+
+    A replayed batch whose previous attempt crashed after the data copy
+    but before the marker simply overwrites the invisible leftover and
+    commits — the same idempotent-replay contract the rename backends
+    have, now crash-safe without atomic rename.
+    """
+
+    def __init__(self, base: StateStore | None = None):
+        self._base = base or LocalStateStore()
+
+    # -- small-file marker ops: override these three for S3/GCS ------
+    def _touch(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w"):
+            pass
+
+    def _remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def _marker_exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    # ----------------------------------------------------------------
+    def _marker(self, path: str) -> str:
+        parent, name = os.path.split(path.rstrip("/"))
+        return os.path.join(parent, _COMMITS, name)
+
+    def isdir(self, path: str) -> bool:
+        return self._base.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        names = [n for n in self._base.listdir(path) if n != _COMMITS]
+        if not self._base.isdir(os.path.join(path, _COMMITS)):
+            return names
+        return [
+            n
+            for n in names
+            if n.endswith(".tmp")
+            or self._marker_exists(os.path.join(path, _COMMITS, n))
+        ]
+
+    def rename(self, src: str, dst: str) -> None:
+        marker = self._marker(dst)
+        self._remove(marker)  # uncommit any stale version of dst
+        self._base.rmtree(dst)  # clear invisible leftover data
+        self._base.rename(src, dst)
+        self._touch(marker)  # THE commit point
+
+    def rmtree(self, path: str) -> None:
+        self._remove(self._marker(path))  # uncommit first
+        self._base.rmtree(path)
 
 
 #: module default used when callers pass ``store=None``

@@ -231,6 +231,43 @@ def test_winnowing_randomized_differential(spark):
         assert got[doc_id] == ref(text.split(" ")), (doc_id, text)
 
 
+def test_winnow_pairs_oracle_green_at_two_caps(spark, sf_dir):
+    """(df_cap, min_shared) are real parameters: the Spark plan and the
+    DuckDB oracle generator take the same values, so any cap choice
+    stays cross-engine exact — and a TIGHTER cap reports a subset of
+    the looser cap's pairs (boilerplate exclusion is monotone)."""
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
+        _winnow_pairs_oracle,
+        winnowing_overlap_pairs,
+    )
+    from tests.oracle_utils import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+    results = {}
+    for df_cap, min_shared in ((3, 1), (10, 3)):
+        assert (df_cap, min_shared) != (WINNOW_DF_CAP, WINNOW_MIN_SHARED)
+        out = winnowing_overlap_pairs(
+            spark, sf_dir, df_cap=df_cap, min_shared=min_shared
+        )
+        ok, msg = compare(out, con, _winnow_pairs_oracle(df_cap, min_shared))
+        assert ok, f"df_cap={df_cap} min_shared={min_shared}: {msg}"
+        results[(df_cap, min_shared)] = {
+            (r["doc_a"], r["doc_b"]) for r in out.collect()
+        }
+        spark.catalog.clearCache()
+    # same min_shared, tighter cap -> subset of pairs
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_overlap_pairs(
+            spark, sf_dir, df_cap=10, min_shared=1
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert results[(3, 1)] <= loose
+
+
 def test_incremental_index_path_equals_inline(spark, sf_dir, tmp_path, monkeypatch):
     """SPARK_GRAFT_DEDUP_INDEX probe of a persisted signature index
     must return exactly the inline result (same candidates, same
@@ -265,6 +302,35 @@ def test_incremental_index_path_equals_inline(spark, sf_dir, tmp_path, monkeypat
     )
     assert indexed == inline
     assert inline  # non-trivial at this sf: the corpus has near-dups
+
+
+def test_incremental_index_full_corpus_excludes_probe_batch(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Exclusion contract: an index built over the FULL corpus (probe
+    batch included — the natural 'index everything' reading) must still
+    return exactly the inline result: no self-pairs, no test-test
+    pairs. The probe path anti-joins the batch's doc_ids out of the
+    index before the band join."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        build_signature_index,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_INDEX", raising=False)
+    inline = sorted(
+        tuple(r)
+        for r in ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir).collect()
+    )
+    assert inline
+
+    idx = str(tmp_path / "sig_index_full")
+    build_signature_index(spark, load_table(spark, sf_dir, "documents"), idx)
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_INDEX", idx)
+    indexed_rows = ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir).collect()
+    assert all(r["new_doc"] != r["corpus_doc"] for r in indexed_rows)
+    assert sorted(tuple(r) for r in indexed_rows) == inline
 
 
 def test_incremental_index_missing_dir_fails_fast(spark, sf_dir, tmp_path, monkeypatch):

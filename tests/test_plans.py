@@ -213,6 +213,32 @@ def test_tfidf_dimension_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_broadcast_if_small_gates_on_size_estimate(spark, sf_dir):
+    """The SF-scaling dimension hint helper: hints broadcast only when
+    Catalyst's own size estimate fits under the threshold; over it (or
+    with auto-broadcast disabled) it must return the input unhinted so
+    the join degrades to a shuffle instead of OOMing the driver."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import (
+        broadcast_if_small,
+        load_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # small at this sf under the default 10MB threshold -> hinted
+    hinted = orders.join(
+        broadcast_if_small(cust), orders.o_custkey == cust.c_custkey
+    )
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+
+    # a 1-byte threshold models the 1000x corpus: no hint — the exact
+    # object back, nothing force-broadcast
+    assert broadcast_if_small(cust, threshold=1) is cust
+    # auto-broadcast disabled (-1): honor it, never hint
+    assert broadcast_if_small(cust, threshold=-1) is cust
+
+
 def test_pack_assignment_windows_per_shard(spark, sf_dir):
     """Sequence packing must partition its running-sum window by shard
     (parallel ordered scans) — a global window would single-task the

@@ -1,0 +1,98 @@
+"""SPARK_GRAFT_SCALE_MODE=approx: the 100 TB-mode registry switch.
+
+The swapped twins' accuracy is pinned elsewhere (percentile_approx
+bounds in test_new_analytics, HLL profile in test_profile, star-CC
+path equality in test_graph_star); here we pin the SWITCH itself:
+same query surface, scale-safe callables under the exact names,
+oracles correctly weakened, and the whole registry still builds and
+the swapped queries still run end-to-end under the flag.
+"""
+
+import pytest
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+
+
+def test_default_mode_is_exact_and_identical(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    assert ops.scale_mode() == "exact"
+    assert ops.active_queries() == dict(ops.QUERIES)
+    assert ops.active_oracle_sql() == dict(ops.ORACLE_SQL)
+
+
+def test_bad_mode_fails_fast(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "turbo")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SCALE_MODE"):
+        ops.scale_mode()
+
+
+def test_approx_mode_swaps_and_weakens_oracles(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    q = ops.active_queries()
+    o = ops.active_oracle_sql()
+    # identical surface: same names, nothing appears or disappears
+    assert set(q) == set(ops.QUERIES)
+    for exact_name, approx_name in ops.SCALE_MODE_SWAPS.items():
+        # the exact NAME now serves the approx CALLABLE...
+        assert q[exact_name] is ops.QUERIES[approx_name]
+        # ...and its exact-value oracle is dropped (rows-only gate)
+        assert exact_name not in o
+        assert exact_name in ops.ORACLE_SQL  # default mode still has it
+    # non-swapped queries keep callable and oracle
+    assert q["q1_pricing_summary"] is ops.QUERIES["q1_pricing_summary"]
+    assert o["q1_pricing_summary"] == ops.ORACLE_SQL["q1_pricing_summary"]
+    # CC keeps its oracle: the star algorithm satisfies the same one
+    assert o["near_dup_components"] == ops.ORACLE_SQL["near_dup_components"]
+
+
+def test_whole_registry_builds_and_swaps_run_under_flag(
+    spark, sf_dir, monkeypatch
+):
+    """Every registered query must still BUILD (plan-construction
+    catches bad registrations) and every swapped query must RUN
+    end-to-end under the flag, producing rows with the approx twin's
+    schema."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    q = ops.active_queries()
+    for name, fn in q.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        spark.catalog.clearCache()
+    for exact_name, approx_name in ops.SCALE_MODE_SWAPS.items():
+        out = q[exact_name](spark, sf_dir)
+        assert out.count() > 0, exact_name
+        want = ops.QUERIES[approx_name](spark, sf_dir).columns
+        assert out.columns == want, exact_name
+
+
+def test_cc_under_flag_equals_default(spark, sf_dir, monkeypatch):
+    """near_dup_components under approx mode routes to the star solver
+    and must return EXACTLY the default-mode labels (the identical-
+    contract pin, now exercised through the flag)."""
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    base = sorted(
+        tuple(r)
+        for r in ops.QUERIES["near_dup_components"](spark, sf_dir).collect()
+    )
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    flagged = sorted(
+        tuple(r)
+        for r in ops.active_queries()["near_dup_components"](
+            spark, sf_dir
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert base == flagged and base
+    # explicit CC_ALGO wins over the mode default
+    monkeypatch.setenv("SPARK_GRAFT_CC_ALGO", "label")
+    relabeled = sorted(
+        tuple(r)
+        for r in ops.active_queries()["near_dup_components"](
+            spark, sf_dir
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert relabeled == base

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
     HadoopStateStore,
     LocalStateStore,
+    ManifestStateStore,
 )
 
 
@@ -72,4 +73,39 @@ def test_rollup_protocol_identical_on_both_backends(spark, tmp_path):
 
     local = run(str(tmp_path / "local"), LocalStateStore())
     hadoop = run(str(tmp_path / "hadoop"), HadoopStateStore(spark))
-    assert local == hadoop and local
+    manifest = run(str(tmp_path / "manifest"), ManifestStateStore())
+    assert local == hadoop == manifest and local
+
+
+def test_manifest_store_marker_is_the_commit_point(tmp_path):
+    """Data in place WITHOUT a marker (= crash between copy and commit)
+    must be invisible; the marker write makes it appear; rmtree
+    uncommits before deleting."""
+    base = str(tmp_path / "s")
+    store = ManifestStateStore()
+    os.makedirs(os.path.join(base, "batch=1.tmp"))
+    store.rename(os.path.join(base, "batch=1.tmp"), os.path.join(base, "batch=1"))
+    assert store.listdir(base) == ["batch=1"]
+
+    # simulate a crash: batch=2's data landed but the marker never wrote
+    os.makedirs(os.path.join(base, "batch=2"))
+    assert store.listdir(base) == ["batch=1"]  # invisible garbage
+    # a stray tmp stays visible so the protocols' sweep loops can GC it
+    os.makedirs(os.path.join(base, "batch=3.tmp"))
+    assert sorted(store.listdir(base)) == ["batch=1", "batch=3.tmp"]
+
+    # replay of batch 2 overwrites the leftover and commits atomically
+    os.makedirs(os.path.join(base, "batch=2.tmp"))
+    with open(os.path.join(base, "batch=2.tmp", "data"), "w") as f:
+        f.write("x")
+    store.rename(os.path.join(base, "batch=2.tmp"), os.path.join(base, "batch=2"))
+    assert sorted(store.listdir(base)) == ["batch=1", "batch=2", "batch=3.tmp"]
+    assert os.path.exists(os.path.join(base, "batch=2", "data"))
+
+    store.rmtree(os.path.join(base, "batch=1"))
+    assert sorted(store.listdir(base)) == ["batch=2", "batch=3.tmp"]
+    # the sidecar never leaks into listings and unmanaged dirs pass through
+    assert "_commits" not in store.listdir(base)
+    other = str(tmp_path / "unmanaged")
+    os.makedirs(os.path.join(other, "batch=7"))
+    assert store.listdir(other) == ["batch=7"]

@@ -29,7 +29,7 @@ def _run(spark, path, name, **kwargs):
     # group's full candidate set
     df = spark.sql(
         f"""
-        SELECT group_key, token, mg_count FROM (
+        SELECT group_key, token, mg_count, n_seen FROM (
           SELECT *, row_number() OVER (
             PARTITION BY group_key, token ORDER BY n_seen DESC) AS rn
           FROM {name}
@@ -80,3 +80,34 @@ def test_state_bounded_by_capacity(spark, tmp_path):
     )
     for r in per_group:
         assert r["n"] <= 16  # counters never exceed capacity
+
+
+def test_merge_over_raw_update_history_ignores_stale_peaks(spark):
+    """merge_heavy_hitters over the RAW accumulated update-mode output:
+    MG counts are non-monotonic (decremented on eviction), so a stale
+    historical peak must NOT win over the group's latest snapshot, and
+    a token evicted in the latest snapshot must vanish."""
+    rows = [
+        # group 0, batch 1 (n_seen=10): 'a' peaked at 9, 'b' at 4
+        (0, "a", 9, 10),
+        (0, "b", 4, 10),
+        # group 0, batch 2 (n_seen=25): eviction decremented 'a' to 3,
+        # 'b' was evicted entirely, 'c' entered at 7
+        (0, "a", 3, 25),
+        (0, "c", 7, 25),
+        # group 1, single batch (n_seen=8)
+        (1, "d", 5, 8),
+    ]
+    cand = spark.createDataFrame(
+        rows, "group_key int, token string, mg_count long, n_seen long"
+    )
+    merged = {r["token"]: r["mg_count"] for r in merge_heavy_hitters(cand, 10).collect()}
+    assert merged == {"a": 3, "c": 7, "d": 5}  # not {'a': 9, 'b': 4, ...}
+
+    # idempotent under replay: duplicating the latest batch changes nothing
+    replayed = cand.unionAll(cand.filter(F.col("n_seen") == 25))
+    merged2 = {
+        r["token"]: r["mg_count"]
+        for r in merge_heavy_hitters(replayed, 10).collect()
+    }
+    assert merged2 == merged

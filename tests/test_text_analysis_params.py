@@ -1,0 +1,52 @@
+"""Parameterization pins for the text-analysis scale knobs: the
+registered defaults are test-scale; these tests prove the (parameter,
+oracle-generator) pairs stay cross-engine exact at non-default values —
+the same contract ``KMEANS_K`` carries in ``test_clustering.py``."""
+
+from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+    HH_CAPACITY,
+    HH_K,
+    OOV_VOCAB_SIZE,
+    _hh_oracle,
+    _oov_oracle,
+    token_heavy_hitters,
+    token_oov_rate,
+)
+from tests.oracle_utils import compare, duck_connect
+
+
+def test_heavy_hitters_oracle_green_at_two_params(spark, sf_dir):
+    """(k, capacity) are real parameters: the exact-recount phase makes
+    the sketch oracle-checkable at ANY k whose true frequency clears
+    the n/(capacity+1) survival bound."""
+    con = duck_connect(sf_dir)
+    for k, capacity in ((10, 64), (25, 128)):
+        assert (k, capacity) != (HH_K, HH_CAPACITY)
+        out = token_heavy_hitters(spark, sf_dir, k=k, capacity=capacity)
+        ok, msg = compare(out, con, _hh_oracle(k))
+        assert ok, f"k={k} capacity={capacity}: {msg}"
+
+
+def test_oov_rate_oracle_green_at_two_vocab_sizes(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    for v in (8, 128):
+        assert v != OOV_VOCAB_SIZE
+        out = token_oov_rate(spark, sf_dir, vocab_size=v)
+        ok, msg = compare(out, con, _oov_oracle(v))
+        assert ok, f"vocab_size={v}: {msg}"
+
+
+def test_oov_rate_monotone_in_vocab_size(spark, sf_dir):
+    """A larger vocabulary can only explain more: per-doc n_oov is
+    non-increasing as vocab_size grows (pure algorithmic sanity,
+    independent of the oracle)."""
+    small = {
+        r["doc_id"]: r["n_oov"]
+        for r in token_oov_rate(spark, sf_dir, vocab_size=8).collect()
+    }
+    big = {
+        r["doc_id"]: r["n_oov"]
+        for r in token_oov_rate(spark, sf_dir, vocab_size=128).collect()
+    }
+    assert set(small) == set(big)
+    assert all(big[d] <= small[d] for d in small)
