@@ -94,6 +94,11 @@ def release_intermediate_caches(spark) -> None:
     releasing accumulate block-manager memory — bench.py clears between
     queries for exactly this reason. All levels are MEMORY_AND_DISK
     with intact lineage, so releasing is always safe (recompute, never
-    data loss).
+    data loss). Also drops the component-labels memo
+    (``graph._COMPONENTS_MEMO``): its cached DataFrames are backed by
+    the persists being cleared, and a memo surviving the clear would
+    hand every later composite an UNPERSISTED relation they would each
+    silently recompute.
     """
+    graph._COMPONENTS_MEMO.clear()
     spark.catalog.clearCache()

@@ -1,0 +1,65 @@
+"""Per-session memo of the LSH->CC component-labels chain: the shared
+prefix of every curation composite is computed once per session and
+reused; ``release_intermediate_caches`` drops it with the persists."""
+
+import time
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators import graph
+
+
+def test_second_call_reuses_chain_and_cleanup_releases(
+    spark, sf_dir, monkeypatch
+):
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    assert not graph._COMPONENTS_MEMO
+
+    t0 = time.monotonic()
+    first = graph.near_dup_components(spark, sf_dir)
+    rows_cold = sorted(tuple(r) for r in first.collect())
+    cold = time.monotonic() - t0
+    assert len(graph._COMPONENTS_MEMO) == 1
+
+    t0 = time.monotonic()
+    second = graph.near_dup_components(spark, sf_dir)
+    rows_warm = sorted(tuple(r) for r in second.collect())
+    warm = time.monotonic() - t0
+    # identical relation object (the persisted fixpoint output) and
+    # identical rows; the warm path skips the signature->band->fixpoint
+    # chain entirely, so it must be far cheaper than the cold run
+    assert second is first
+    assert rows_warm == rows_cold and rows_cold
+    assert warm < cold / 2, (cold, warm)
+
+    # a different solver is a different memo entry, not a stale hit
+    monkeypatch.setenv("SPARK_GRAFT_CC_ALGO", "star")
+    starred = graph.near_dup_components(spark, sf_dir)
+    assert starred is not first
+    assert len(graph._COMPONENTS_MEMO) == 2
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+
+    # cleanup drops the memo with the persists; the next call is fresh
+    ops.release_intermediate_caches(spark)
+    assert not graph._COMPONENTS_MEMO
+    fresh = graph.near_dup_components(spark, sf_dir)
+    assert fresh is not first
+    assert sorted(tuple(r) for r in fresh.collect()) == rows_cold
+    ops.release_intermediate_caches(spark)
+
+
+def test_composites_share_one_chain(spark, sf_dir, monkeypatch):
+    """Two different composites in one session must hit the same memo
+    entry — the chain is computed once, not once per composite."""
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    ops.QUERIES["dedup_keep_docs"](spark, sf_dir).collect()
+    assert len(graph._COMPONENTS_MEMO) == 1
+    memoed = next(iter(graph._COMPONENTS_MEMO.values()))
+
+    ops.QUERIES["dedup_survivorship_by_source"](spark, sf_dir).collect()
+    assert len(graph._COMPONENTS_MEMO) == 1
+    assert next(iter(graph._COMPONENTS_MEMO.values())) is memoed
+    ops.release_intermediate_caches(spark)
