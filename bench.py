@@ -143,6 +143,11 @@ EXTRA = [
     "part_return_rates",
     "supplier_rank_report",
     "incremental_neardup_pairs",
+    # round 6
+    "copurchase_lift_rules",
+    "token_coverage_curve",
+    "dedup_threshold_sensitivity",
+    "semantic_dedup_keep_docs",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",

@@ -241,6 +241,124 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_lift_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), part_cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM items GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM items
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+    ), rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM pairs
+      UNION ALL
+      SELECT part_b, part_a, n_pair FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.n_pair,
+           ca.n_part AS n_ante, cb.n_part AS n_cons,
+           round(CAST(r.n_pair AS DOUBLE) / ca.n_part, 6) AS confidence,
+           round(CAST(r.n_pair * t.n_total AS DOUBLE)
+                 / CAST(ca.n_part * cb.n_part AS DOUBLE), 6) AS lift
+    FROM rules r
+      JOIN part_cnt ca ON ca.l_partkey = r.antecedent
+      JOIN part_cnt cb ON cb.l_partkey = r.consequent
+      CROSS JOIN tot t
+    """,
+)
+def copurchase_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: both directed
+    rules A->B per supported pair with exact support counts,
+    confidence = P(B|A), and lift = P(A,B)/(P(A)P(B)) — the
+    FP-growth-style rule stage on top of
+    :func:`part_copurchase_pairs`'s candidate mining.
+
+    Determinism: every statistic is an exact bigint count; confidence
+    and lift are each ONE double division over bigint products
+    (n_pair*n_total and n_ante*n_cons stay far under int64), rounded
+    to 6 — engine-identical IEEE.
+
+    Scale: the pair join is the same basket-bounded order-key
+    self-join as the pair miner; the per-part counts relation is
+    part-table sized (size-gated broadcast) and the order total a
+    1-row broadcast scalar. Nothing re-reads lineitem after the first
+    distinct pass.
+    """
+    from ..sources.tables import broadcast_if_small
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_cnt = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_part")
+    )
+    tot = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_total")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= COPURCHASE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_pair",
+        )
+    )
+    ca = broadcast_if_small(
+        part_cnt.select(
+            F.col("l_partkey").alias("antecedent"),
+            F.col("n_part").alias("n_ante"),
+        )
+    )
+    cb = broadcast_if_small(
+        part_cnt.select(
+            F.col("l_partkey").alias("consequent"),
+            F.col("n_part").alias("n_cons"),
+        )
+    )
+    return (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            "n_ante",
+            "n_cons",
+            F.round(F.col("n_pair").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair") * F.col("n_total")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
     "events_type_transitions",
     oracle="""
     WITH seq AS (

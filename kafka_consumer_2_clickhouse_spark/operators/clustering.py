@@ -476,3 +476,74 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing ever compares across cells.
     """
     return semantic_dedup_pairs_df(spark, sf_dir)
+
+
+def _semantic_keep_oracle() -> str:
+    """Recursive-CTE twin of the SemDeDup keep-list: components over
+    the semantic pair edges (same pattern as graph._components_cte),
+    canonical = min vec_id per component."""
+    # CTE names are sem_-prefixed: the embedded pair oracle's own WITH
+    # chain defines `e`, and an outer CTE of the same name makes the
+    # nested scopes ambiguous to DuckDB's binder
+    return f"""
+    WITH RECURSIVE sem AS (
+      SELECT vec_a, vec_b FROM ({_semantic_pairs_oracle()}) q
+    ), sem_edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM sem
+      UNION ALL
+      SELECT vec_b AS s, vec_a AS d FROM sem
+    ), sem_reach(src, node) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, g.d FROM sem_reach r JOIN sem_edges g ON r.node = g.s
+    ), sem_comp AS (
+      SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS component_id
+      FROM sem_reach GROUP BY src
+    ), sem_sizes AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM sem_comp GROUP BY component_id
+    )
+    SELECT c.vec_id, emb.label, s.n_members
+    FROM sem_comp c
+      JOIN sem_sizes s USING (component_id)
+      JOIN embeddings emb USING (vec_id)
+    WHERE c.vec_id = c.component_id
+    """
+
+
+@query("semantic_dedup_keep_docs", oracle=_semantic_keep_oracle())
+def semantic_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end OUTPUT: the kept embedding rows. Semantic
+    near-dup pairs (:func:`semantic_dedup_pairs`) become clusters via
+    connected components, and one canonical vector per cluster
+    survives (the min vec_id — the component label), with its cluster
+    size — the semantic twin of ``graph.dedup_keep_docs``'s
+    text-near-dup keep-list. Vectors in no pair pass through as
+    singletons, so this IS the semantically deduplicated dataset.
+
+    Scale: the pair relation is cell-capped (SemDeDup's bound); the
+    component fixpoint is the same one-shuffle-per-round min-label
+    loop the text path uses (dup graphs are shallow); sizes aggregate
+    once on component_id and the final payload join keys on vec_id.
+    """
+    from .graph import connected_components
+
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    edges = semantic_dedup_pairs_df(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(nodes, edges).select(
+        F.col("id").alias("vec_id"), "component_id"
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    kept = (
+        comp.filter(F.col("vec_id") == F.col("component_id"))
+        .join(sizes, "component_id")
+        .select("vec_id", "n_members")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return kept.join(emb, "vec_id").select("vec_id", "label", "n_members")

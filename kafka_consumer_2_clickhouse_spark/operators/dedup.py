@@ -1052,6 +1052,94 @@ def winnowing_overlap_pairs(
     )
 
 
+#: Jaccard thresholds probed by the dedup sensitivity report
+DEDUP_SENSITIVITY_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SENS_LIST = ", ".join(str(t) for t in DEDUP_SENSITIVITY_THRESHOLDS)
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH lshp AS (
+      SELECT * FROM ({{LSH}}) q
+    ), th AS (
+      SELECT unnest([{_SENS_LIST}]) AS threshold
+    ), f AS (
+      SELECT t.threshold, p.doc_a, p.doc_b
+      FROM lshp p JOIN th t ON p.jaccard >= t.threshold
+    ), np AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM f GROUP BY threshold
+    ), nd AS (
+      SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_affected
+      FROM (SELECT threshold, doc_a AS doc FROM f
+            UNION ALL SELECT threshold, doc_b FROM f)
+      GROUP BY threshold
+    ), ng AS (
+      SELECT threshold, CAST(count(DISTINCT doc_b) AS BIGINT)
+               AS n_dropped_greedy
+      FROM f GROUP BY threshold
+    )
+    SELECT np.threshold, np.n_pairs, nd.n_docs_affected, ng.n_dropped_greedy
+    FROM np JOIN nd USING (threshold) JOIN ng USING (threshold)
+    ORDER BY threshold
+    """,  # {LSH} is substituted with the lsh_candidate_pairs oracle below
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning report: at each candidate Jaccard threshold, how
+    many verified LSH pairs survive, how many documents they touch,
+    and the greedy keep-min drop count (every pair's larger doc_id —
+    the upper bound on removals before clustering merges overlaps).
+    This is the sweep a pipeline owner runs BEFORE committing to a
+    cut: thresholds with rows are exactly those with >= 1 surviving
+    pair (inner composition, identical on both engines).
+
+    Determinism: jaccard is the repo's exact shingle ratio (identical
+    arithmetic both engines), so >= comparisons agree bit-for-bit;
+    all outputs are exact bigint counts.
+
+    Scale: ONE pass over the verified pair relation (the expensive
+    LSH chain runs once); the threshold fan-out is a Generate over a
+    5-literal array (rows x 5, no join), and every aggregate is keyed
+    on <= 5 thresholds — collapses map-side to a handful of rows.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    fanned = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_SENSITIVITY_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    np_ = fanned.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        fanned.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc").cast("bigint").alias("n_docs_affected"))
+    )
+    ng = fanned.groupBy("threshold").agg(
+        F.count_distinct("doc_b").cast("bigint").alias("n_dropped_greedy")
+    )
+    return (
+        np_.join(nd, "threshold")
+        .join(ng, "threshold")
+        .orderBy("threshold")
+    )
+
+
+ORACLE_SQL["dedup_threshold_sensitivity"] = ORACLE_SQL[
+    "dedup_threshold_sensitivity"
+].replace("{LSH}", ORACLE_SQL["lsh_candidate_pairs"])
+
+
 def _mh_match_sql() -> str:
     return " + ".join(
         f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"

@@ -894,6 +894,98 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vocabulary sizes probed by the coverage curve (token-occurrence
+#: coverage of the top-V induced vocabulary at each V)
+COVERAGE_VOCAB_SIZES = (8, 16, 32, 64, 128)
+
+_COV_MAX = max(COVERAGE_VOCAB_SIZES)
+_COV_LIST = ", ".join(str(v) for v in COVERAGE_VOCAB_SIZES)
+
+
+@query(
+    "token_coverage_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_occurrences FROM counts
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+      FROM counts ORDER BY n DESC, tok ASC LIMIT {_COV_MAX}
+    ), fanned AS (
+      SELECT v.vocab_size, r.n
+      FROM ranked r JOIN (SELECT unnest([{_COV_LIST}]) AS vocab_size) v
+        ON r.rk <= v.vocab_size
+    )
+    SELECT f.vocab_size, CAST(sum(f.n) AS BIGINT) AS covered_occurrences,
+           t.total_occurrences,
+           round(CAST(sum(f.n) AS DOUBLE) / t.total_occurrences, 6)
+             AS coverage
+    FROM fanned f CROSS JOIN tot t
+    GROUP BY f.vocab_size, t.total_occurrences
+    ORDER BY f.vocab_size
+    """,
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-V induced vocabulary explains, at each probe
+    size V — the tokenizer-design chart (where the Zipf head flattens
+    is where growing the vocab stops paying for itself), the
+    corpus-level complement of :func:`token_oov_rate`'s per-document
+    view.
+
+    Determinism: the vocabulary boundary at every V is tie-broken by
+    token text; counts are exact bigints, the rate one 6-rounded
+    division.
+
+    Scale: token counts collapse map-side (the Zipf head partial-
+    aggregates to almost nothing); the candidate head is
+    TakeOrderedAndProject top-{_COV_MAX} — bounded output, no global
+    sort — and everything after (rank window, V fan-out, the coverage
+    aggregate) runs on <= {_COV_MAX} rows; the corpus total is a 1-row
+    broadcast scalar. The global row_number window is over the
+    LIMIT-{_COV_MAX} relation only (whitelisted in tests/test_plans.py).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total_occurrences"))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(_COV_MAX)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
+    )
+    fanned = ranked.select(
+        "n",
+        "rk",
+        F.explode(
+            F.array(*[F.lit(v) for v in COVERAGE_VOCAB_SIZES])
+        ).alias("vocab_size"),
+    ).filter(F.col("rk") <= F.col("vocab_size"))
+    return (
+        fanned.groupBy("vocab_size")
+        .agg(F.sum("n").cast("bigint").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("covered_occurrences").cast("double")
+                / F.col("total_occurrences"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+token_coverage_curve.__doc__ = token_coverage_curve.__doc__.replace(
+    "{_COV_MAX}", str(_COV_MAX)
+)
+
+
 #: induced-vocabulary size for the OOV coverage report — a REAL
 #: parameter of :func:`token_oov_rate` (the oracle generator takes the
 #: same value; pinned at two non-default sizes in

@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
     "token_pmi_pairs",  # 1-row token-total + 1-row bigram-total crossJoins
     "corpus_datacard",  # 1-row kept-count + 1-row gate-count crossJoins
+    "copurchase_lift_rules",  # 1-row order-total crossJoin (lift denominator)
+    "token_coverage_curve",  # 1-row corpus-total crossJoin
 }
 
 
@@ -67,6 +69,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # rank window over the ZIPF_TOP_N-row head only (TakeOrdered
     # bounds it before the window), never the vocabulary
     "corpus_zipf_fit",
+    # rank window over the LIMIT-128 vocabulary head only (TakeOrdered
+    # bounds it before the window), never the vocabulary
+    "token_coverage_curve",
 }
 
 

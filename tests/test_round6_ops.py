@@ -1,0 +1,103 @@
+"""Round-6 operators: algorithmic invariants beyond the oracle hash
+(which pins cross-engine equality, not that both engines compute the
+intended statistic)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_copurchase_lift_rules_accounting(spark, sf_dir):
+    rules = ops.QUERIES["copurchase_lift_rules"](spark, sf_dir).collect()
+    pairs = ops.QUERIES["part_copurchase_pairs"](spark, sf_dir).collect()
+    # every supported pair yields exactly its two directed rules
+    assert len(rules) == 2 * len(pairs) and rules
+    directed = {(r["antecedent"], r["consequent"]) for r in rules}
+    for p in pairs:
+        assert (p["part_a"], p["part_b"]) in directed
+        assert (p["part_b"], p["part_a"]) in directed
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_total = items.select("l_orderkey").distinct().count()
+    part_cnt = {
+        r["l_partkey"]: r["n"]
+        for r in items.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rules:
+        assert r["n_ante"] == part_cnt[r["antecedent"]]
+        assert r["n_cons"] == part_cnt[r["consequent"]]
+        assert 0 < r["n_pair"] <= min(r["n_ante"], r["n_cons"])
+        assert 0 < r["confidence"] <= 1
+        # lift = confidence / P(consequent), up to the two roundings
+        expect = (r["n_pair"] * n_total) / (r["n_ante"] * r["n_cons"])
+        assert abs(r["lift"] - expect) < 1e-6
+
+
+def test_token_coverage_curve_monotone(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        COVERAGE_VOCAB_SIZES,
+    )
+
+    rows = {
+        r["vocab_size"]: r
+        for r in ops.QUERIES["token_coverage_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(COVERAGE_VOCAB_SIZES)
+    totals = {r["total_occurrences"] for r in rows.values()}
+    assert len(totals) == 1
+    total = totals.pop()
+    prev = 0
+    for v in sorted(rows):
+        r = rows[v]
+        assert prev <= r["covered_occurrences"] <= total
+        assert 0 < r["coverage"] <= 1
+        prev = r["covered_occurrences"]
+    # the exact total must equal the corpus token-occurrence count
+    n_toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert total == n_toks
+
+
+def test_dedup_threshold_sensitivity_monotone(spark, sf_dir):
+    rows = {
+        r["threshold"]: r
+        for r in ops.QUERIES["dedup_threshold_sensitivity"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert rows  # the corpus has >= one pair above the lowest cut
+    ths = sorted(rows)
+    for a, b in zip(ths, ths[1:]):
+        assert rows[a]["n_pairs"] >= rows[b]["n_pairs"]
+        assert rows[a]["n_docs_affected"] >= rows[b]["n_docs_affected"]
+        assert rows[a]["n_dropped_greedy"] >= rows[b]["n_dropped_greedy"]
+    for r in rows.values():
+        assert r["n_dropped_greedy"] < r["n_docs_affected"] <= 2 * r["n_pairs"]
+    # the lowest cut is the component-edge threshold: its pair count
+    # equals the verified LSH pairs above it
+    lsh = ops.QUERIES["lsh_candidate_pairs"](spark, sf_dir)
+    n_low = lsh.filter(F.col("jaccard") >= min(ths)).count()
+    spark.catalog.clearCache()
+    assert rows[min(ths)]["n_pairs"] == n_low
+
+
+def test_semantic_keep_docs_partition_accounting(spark, sf_dir):
+    kept = ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    # the kept canonicals' member counts partition the whole table
+    assert sum(r["n_members"] for r in kept) == n_vecs
+    assert all(r["n_members"] >= 1 for r in kept)
+    # at least one real merge happened at this sf (pairs exist)
+    n_pairs = ops.QUERIES["semantic_dedup_pairs"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    if n_pairs:
+        assert len(kept) < n_vecs
+        assert max(r["n_members"] for r in kept) > 1
