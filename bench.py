@@ -148,6 +148,7 @@ EXTRA = [
     "token_coverage_curve",
     "dedup_threshold_sensitivity",
     "semantic_dedup_keep_docs",
+    "orders_fulfillment_lag",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",

@@ -915,6 +915,114 @@ def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+#: fulfillment-lag bucket boundaries in exact microseconds (1 day =
+#: 86_400_000_000 us) — comparisons only, no division, so floor-vs-
+#: truncate integer-division semantics can never diverge across engines
+FULFILL_BUCKETS_US = (7 * 86400000000, 30 * 86400000000, 90 * 86400000000)
+
+
+@query(
+    "orders_fulfillment_lag",
+    oracle=f"""
+    WITH lag AS (
+      SELECT o.o_orderkey,
+             date_diff('microsecond', o.o_orderdate, s.last_ship) AS lag_us
+      FROM orders o
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey) s
+        ON s.l_orderkey = o.o_orderkey
+    ), b AS (
+      SELECT CASE WHEN lag_us < 0 THEN 0
+                  WHEN lag_us < {FULFILL_BUCKETS_US[0]} THEN 1
+                  WHEN lag_us < {FULFILL_BUCKETS_US[1]} THEN 2
+                  WHEN lag_us < {FULFILL_BUCKETS_US[2]} THEN 3
+                  ELSE 4 END AS bucket_ord,
+             CASE WHEN lag_us < 0 THEN 'ship_before_order'
+                  WHEN lag_us < {FULFILL_BUCKETS_US[0]} THEN '0-6d'
+                  WHEN lag_us < {FULFILL_BUCKETS_US[1]} THEN '7-29d'
+                  WHEN lag_us < {FULFILL_BUCKETS_US[2]} THEN '30-89d'
+                  ELSE '90d+' END AS bucket,
+             lag_us
+      FROM lag
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM lag
+    )
+    SELECT b.bucket_ord, b.bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / t.n_total, 6) AS share,
+           round(CAST(sum(CAST(b.lag_us AS DECIMAL(27,0))) AS DOUBLE)
+                 / count(*) / 86400000000.0, 6) AS avg_lag_days
+    FROM b CROSS JOIN tot t
+    GROUP BY b.bucket_ord, b.bucket, t.n_total
+    ORDER BY b.bucket_ord
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency distribution: per order the exact
+    microsecond lag from order date to its LAST line shipment, bucketed
+    into operations bands — with ship-before-order rows surfaced as an
+    explicit data-quality bucket instead of being silently folded in
+    (the synthetic corpus has them; production feeds do too).
+
+    Determinism: bucket boundaries are exact-microsecond COMPARISONS
+    (never integer division, whose floor-vs-truncate semantics differ
+    across engines on negative lags); the share is one rounded
+    division, the mean a decimal-exact sum divided in a fixed op
+    order.
+
+    Scale: lineitem collapses to per-order max map-side before the
+    one fact shuffle on the order key; orders join on the same key
+    (AQE exchange reuse); the bucket aggregate is 5 groups, the total
+    a 1-row broadcast scalar.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    lag = o.join(last, o.o_orderkey == last.l_orderkey).select(
+        (
+            F.unix_micros(F.col("last_ship")) - F.unix_micros(F.col("o_orderdate"))
+        ).alias("lag_us")
+    )
+    b0, b1, b2 = FULFILL_BUCKETS_US
+    lw = F.col("lag_us")
+    bucket_ord = (
+        F.when(lw < 0, 0)
+        .when(lw < b0, 1)
+        .when(lw < b1, 2)
+        .when(lw < b2, 3)
+        .otherwise(4)
+    )
+    bucket = (
+        F.when(lw < 0, "ship_before_order")
+        .when(lw < b0, "0-6d")
+        .when(lw < b1, "7-29d")
+        .when(lw < b2, "30-89d")
+        .otherwise("90d+")
+    )
+    tot = lag.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        lag.select(
+            bucket_ord.alias("bucket_ord"), bucket.alias("bucket"), "lag_us"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("bucket_ord", "bucket", "n_total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.count("*").cast("double") / F.first("n_total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum(F.col("lag_us").cast("decimal(27,0)")).cast("double")
+                / F.count("*")
+                / 86400000000.0,
+                6,
+            ).alias("avg_lag_days"),
+        )
+        .select("bucket_ord", "bucket", "n_orders", "share", "avg_lag_days")
+        .orderBy("bucket_ord")
+    )
+
+
 @query(
     "orders_date_features",
     oracle="""

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "corpus_datacard",  # 1-row kept-count + 1-row gate-count crossJoins
     "copurchase_lift_rules",  # 1-row order-total crossJoin (lift denominator)
     "token_coverage_curve",  # 1-row corpus-total crossJoin
+    "orders_fulfillment_lag",  # 1-row order-total crossJoin
 }
 
 

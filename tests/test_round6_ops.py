@@ -88,6 +88,35 @@ def test_dedup_threshold_sensitivity_monotone(spark, sf_dir):
     assert rows[min(ths)]["n_pairs"] == n_low
 
 
+def test_fulfillment_lag_partitions_orders(spark, sf_dir):
+    rows = ops.QUERIES["orders_fulfillment_lag"](spark, sf_dir).collect()
+    # buckets partition every order that has lineitems
+    li_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == li_orders
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+    by = {r["bucket"]: r for r in rows}
+    # the synthetic corpus HAS ship-before-order rows — they must be
+    # surfaced, not folded into the 0-6d band — and their mean is
+    # negative while every non-anomalous band's is within its bounds
+    assert by["ship_before_order"]["n_orders"] > 0
+    assert by["ship_before_order"]["avg_lag_days"] < 0
+    bounds = {"0-6d": (0, 7), "7-29d": (7, 30), "30-89d": (30, 90)}
+    for name, (lo, hi) in bounds.items():
+        if name in by:
+            assert lo <= by[name]["avg_lag_days"] < hi, name
+    if "90d+" in by:
+        assert by["90d+"]["avg_lag_days"] >= 90
+    # ordinals sort the report deterministically
+    assert [r["bucket_ord"] for r in rows] == sorted(
+        r["bucket_ord"] for r in rows
+    )
+
+
 def test_semantic_keep_docs_partition_accounting(spark, sf_dir):
     kept = ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
     spark.catalog.clearCache()
