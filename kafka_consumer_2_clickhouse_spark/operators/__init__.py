@@ -101,4 +101,5 @@ def release_intermediate_caches(spark) -> None:
     silently recompute.
     """
     graph._COMPONENTS_MEMO.clear()
+    clustering._ASSIGN_MEMO.clear()
     spark.catalog.clearCache()

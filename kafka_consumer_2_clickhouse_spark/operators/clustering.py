@@ -52,6 +52,35 @@ KMEANS_DIM = 64
 KMEANS_ITERS = 3  # centroid updates; output assignment uses the final set
 DIST_SCALE = 1_000_000_000.0  # 1e-9 distance resolution, exact in bigint
 
+#: per-session memo of full Lloyd's runs, keyed by (spark app, corpus
+#: dir, k, iters, embeddings-file stamp) — the kmeans family
+#: (`kmeans_clusters`, `kmeans_cluster_profile`,
+#: `cluster_balanced_sample`) and the SemDeDup family
+#: (`semantic_dedup_pairs`, `semantic_dedup_keep_docs`) all consume
+#: the SAME assignment relation; without the memo each standalone run
+#: re-pays the iters-round collect loop. Same contract as
+#: ``graph._COMPONENTS_MEMO``: cleared by
+#: ``operators.release_intermediate_caches``.
+_ASSIGN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _assign_memo_key(spark: SparkSession, sf_dir: str, k: int, iters: int):
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # non-local path: app-lifetime memo, no staleness probe
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        k,
+        iters,
+        stamp,
+    )
+
 
 def _v(df: DataFrame) -> DataFrame:
     """Embedding as double array (float->double widening is exact)."""
@@ -131,6 +160,11 @@ def kmeans_assignments(
     """
     from pyspark import StorageLevel
 
+    memo_key = _assign_memo_key(spark, sf_dir, k, iters)
+    cached = _ASSIGN_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+
     # one scan feeds init + every Lloyd iteration + the final assign
     # (iters+2 full corpus scans otherwise — at 100 TB, THE cost).
     # Recomputable persist: lineage survives executor loss; cleanup is
@@ -142,7 +176,9 @@ def kmeans_assignments(
     centroids = {i: list(r["v"]) for i, r in enumerate(init)}
     for _ in range(iters):
         centroids = _update(_assign(vecs, centroids))
-    return _assign(vecs, centroids)
+    result = _assign(vecs, centroids)
+    _ASSIGN_MEMO[memo_key] = result
+    return result
 
 
 # ---------------------------------------------------------------------------

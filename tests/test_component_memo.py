@@ -49,6 +49,39 @@ def test_second_call_reuses_chain_and_cleanup_releases(
     ops.release_intermediate_caches(spark)
 
 
+def test_kmeans_family_shares_one_lloyds_run(spark, sf_dir, monkeypatch):
+    """The kmeans/SemDeDup family reuses one memoized assignment
+    relation per (k, iters); non-default parameters are separate
+    entries; cleanup drops it."""
+    from kafka_consumer_2_clickhouse_spark.operators import clustering
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    assert not clustering._ASSIGN_MEMO
+
+    first = clustering.kmeans_assignments(spark, sf_dir)
+    rows_cold = sorted(
+        (r["vec_id"], r["cluster"]) for r in first.collect()
+    )
+    assert len(clustering._ASSIGN_MEMO) == 1
+    second = clustering.kmeans_assignments(spark, sf_dir)
+    assert second is first
+    # a different K is a different run, not a stale hit
+    other = clustering.kmeans_assignments(spark, sf_dir, k=4, iters=1)
+    assert other is not first
+    assert len(clustering._ASSIGN_MEMO) == 2
+    # registered consumers ride the same memo entry
+    ops.QUERIES["kmeans_clusters"](spark, sf_dir).collect()
+    assert len(clustering._ASSIGN_MEMO) == 2
+
+    ops.release_intermediate_caches(spark)
+    assert not clustering._ASSIGN_MEMO
+    fresh = clustering.kmeans_assignments(spark, sf_dir)
+    assert fresh is not first
+    assert sorted((r["vec_id"], r["cluster"]) for r in fresh.collect()) == rows_cold
+    ops.release_intermediate_caches(spark)
+
+
 def test_composites_share_one_chain(spark, sf_dir, monkeypatch):
     """Two different composites in one session must hit the same memo
     entry — the chain is computed once, not once per composite."""
