@@ -61,7 +61,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DIGESTS = -(-N_MINHASH // X.MINHASH_SLICES_PER_DIGEST)
 
 
-def signature_relation(docs: DataFrame) -> DataFrame:
+def signature_relation(docs: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, shingles, mh0..mh{K-1}) — map-only.
 
     Hash-once-slice-4-ways: each shingle is md5'd ``N_DIGESTS`` times
@@ -74,7 +74,15 @@ def signature_relation(docs: DataFrame) -> DataFrame:
     the streaming ingest filter (``streaming/neardup.py``) share one
     signature definition — signatures written by either side collide
     correctly with the other's.
+
+    ``n_minhash`` is a REAL parameter (production LSH runs 128+
+    components; the registered default is test-scale): digests scale as
+    ceil(n/4), everything else is generated from n. The oracle
+    generators take the same value — pinned at two non-default widths
+    in ``tests/test_dedup_pairs.py``.
     """
+    spd = X.MINHASH_SLICES_PER_DIGEST
+    n_digests = -(-n_minhash // spd)
     toks = X.tokens("text")
     sh = X.shingles(toks, SHINGLE_N)
     base = docs.select(F.col("doc_id"), sh.alias("shingles"))
@@ -83,28 +91,33 @@ def signature_relation(docs: DataFrame) -> DataFrame:
         "shingles",
         *[
             X.minhash_digests(F.col("shingles"), d).alias(f"d{d}")
-            for d in range(N_DIGESTS)
+            for d in range(n_digests)
         ],
     )
-    spd = X.MINHASH_SLICES_PER_DIGEST
     return digs.select(
         "doc_id",
         "shingles",
         *[
             X.minhash_slice(F.col(f"d{j // spd}"), j % spd).alias(f"mh{j}")
-            for j in range(N_MINHASH)
+            for j in range(n_minhash)
         ],
     )
 
 
-def band_key_columns() -> list:
+def band_key_columns(
+    n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+) -> list:
     """Band-key expressions over the mh* signature columns (md5 of the
     band's concatenated slices) — shared by the batch LSH join and the
-    streaming signature store so keys are comparable across both."""
-    r = N_MINHASH // N_BANDS
+    streaming signature store so keys are comparable across both.
+    ``n_bands`` must divide ``n_minhash`` (rows-per-band = n/b sets
+    the S-curve's collision threshold ~ (1/b)^(b/n))."""
+    if n_minhash % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_minhash={n_minhash}")
+    r = n_minhash // n_bands
     return [
         F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
 
 
@@ -112,17 +125,18 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signature_relation(spread(load_table(spark, sf_dir, "documents")))
 
 
-def _digests_sql() -> str:
+def _digests_sql(n_minhash: int = N_MINHASH) -> str:
+    n_digests = -(-n_minhash // X.MINHASH_SLICES_PER_DIGEST)
     return ",\n           ".join(
-        f"{X.sql_minhash_digests('sh', d)} AS d{d}" for d in range(N_DIGESTS)
+        f"{X.sql_minhash_digests('sh', d)} AS d{d}" for d in range(n_digests)
     )
 
 
-def _slices_sql() -> str:
+def _slices_sql(n_minhash: int = N_MINHASH) -> str:
     spd = X.MINHASH_SLICES_PER_DIGEST
     return ",\n           ".join(
         f"{X.sql_minhash_slice(f'd{j // spd}', j % spd)} AS mh{j}"
-        for j in range(N_MINHASH)
+        for j in range(n_minhash)
     )
 
 
@@ -146,33 +160,41 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signature_df(spark, sf_dir).drop("shingles")
 
 
-def _bands_sql() -> str:
+def _bands_sql(n_minhash: int = N_MINHASH, n_bands: int = N_BANDS) -> str:
     """Band keys from the signature CTE: md5 of the band's minhashes."""
     parts = []
-    for b in range(N_BANDS):
-        r = N_MINHASH // N_BANDS
+    r = n_minhash // n_bands
+    for b in range(n_bands):
         concat = " || ".join(f"mh{b * r + k}" for k in range(r))
         parts.append(f"md5({concat}) AS band{b}")
     return ",\n           ".join(parts)
 
 
-@query(
-    "lsh_candidate_pairs",
-    oracle=f"""
+def _lsh_pairs_oracle(
+    n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs_df`, generated from
+    the same (n_minhash, n_bands) — pinned at two non-default widths in
+    ``tests/test_dedup_pairs.py``."""
+    unions = " UNION ".join(
+        f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(n_bands)
+    )
+    return f"""
     WITH shingled AS (
       SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), SHINGLE_N)} AS sh
       FROM documents
     ), digs AS (
-      SELECT doc_id, sh, {_digests_sql()} FROM shingled
+      SELECT doc_id, sh, {_digests_sql(n_minhash)} FROM shingled
     ), sigs AS (
-      SELECT doc_id, sh, {_slices_sql()} FROM digs
+      SELECT doc_id, sh, {_slices_sql(n_minhash)} FROM digs
     ), banded AS (
-      SELECT doc_id, sh, {_bands_sql()} FROM sigs
+      SELECT doc_id, sh, {_bands_sql(n_minhash, n_bands)} FROM sigs
     ), pairs AS (
-      {" UNION ".join(f'''
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
-        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id''' for b in range(N_BANDS))}
+      {unions}
     )
     SELECT p.doc_a, p.doc_b,
            CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
@@ -181,22 +203,25 @@ def _bands_sql() -> str:
     FROM pairs p
       JOIN banded a ON a.doc_id = p.doc_a
       JOIN banded b ON b.doc_id = p.doc_b
-    """,
-)
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates with verified shingle Jaccard.
-
-    Pipeline: signatures (map-only) -> band keys -> explode to
-    (band_id, key, doc) -> self-join per bucket -> distinct pairs ->
-    verify with exact Jaccard on shingle sets.
-
-    Scale: the exploded band relation is tiny (docs x 4 rows of hash +
-    id); the verify step re-joins the shingle arrays only for surviving
-    candidate pairs — at 100 TB that's the difference between shuffling
-    all bodies (never) and shuffling a few MB of candidates.
     """
-    sigs = _signature_df(spark, sf_dir)
-    band_cols = band_key_columns()
+
+
+def lsh_candidate_pairs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Parameterized LSH candidate finder (see
+    :func:`lsh_candidate_pairs`). Signature width and band count are
+    the PRODUCTION tuning surface — width sets estimator variance,
+    rows-per-band (n/b) sets the S-curve collision threshold — so
+    neither may be hard-wired; the registered defaults are test-scale
+    (production: 128+ components, 16+ bands)."""
+    sigs = signature_relation(
+        spread(load_table(spark, sf_dir, "documents")), n_minhash
+    )
+    band_cols = band_key_columns(n_minhash, n_bands)
     # Materialize the signature relation once: four consumers below
     # (both self-join sides + both verify sides) would otherwise each
     # recompute the shingle+8xmd5 pipeline from the scan (observed: 4
@@ -218,7 +243,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
-                for b in range(N_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band_id", "bk.key")
@@ -251,6 +276,24 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
         )
     )
+
+
+@query("lsh_candidate_pairs", oracle=_lsh_pairs_oracle())
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with verified shingle Jaccard.
+
+    Pipeline: signatures (map-only) -> band keys -> explode to
+    (band_id, key, doc) -> self-join per bucket -> distinct pairs ->
+    verify with exact Jaccard on shingle sets.
+
+    Scale: the exploded band relation is tiny (docs x n_bands rows of
+    hash + id); the verify step re-joins the shingle arrays only for
+    surviving candidate pairs — at 100 TB that's the difference between
+    shuffling all bodies (never) and shuffling a few MB of candidates.
+    Signature width / band count are real parameters
+    (:func:`lsh_candidate_pairs_df`).
+    """
+    return lsh_candidate_pairs_df(spark, sf_dir)
 
 
 NGRAM_N = 2

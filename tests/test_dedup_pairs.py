@@ -231,6 +231,47 @@ def test_winnowing_randomized_differential(spark):
         assert got[doc_id] == ref(text.split(" ")), (doc_id, text)
 
 
+def test_lsh_pairs_oracle_green_at_two_widths(spark, sf_dir):
+    """(n_minhash, n_bands) are real parameters: signature generation,
+    band keys, the band self-join, AND the DuckDB oracle all unroll
+    from the same values — production LSH runs 128+ components, the
+    registered 8/4 is test-scale. Also pins the divisibility guard and
+    the S-curve direction (more bands at fixed width -> lower collision
+    threshold -> a SUPERSET of candidate pairs)."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        _lsh_pairs_oracle,
+        band_key_columns,
+        lsh_candidate_pairs_df,
+    )
+    from tests.oracle_utils import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+    pair_sets = {}
+    for n_minhash, n_bands in ((12, 6), (16, 2)):
+        assert (n_minhash, n_bands) != (N_MINHASH, N_BANDS)
+        out = lsh_candidate_pairs_df(spark, sf_dir, n_minhash, n_bands)
+        ok, msg = compare(out, con, _lsh_pairs_oracle(n_minhash, n_bands))
+        assert ok, f"n_minhash={n_minhash} n_bands={n_bands}: {msg}"
+        pair_sets[(n_minhash, n_bands)] = {
+            (r["doc_a"], r["doc_b"]) for r in out.collect()
+        }
+        spark.catalog.clearCache()
+    # S-curve: at width 16, 8 bands (2 rows/band) collide much more
+    # easily than 2 bands (8 rows/band) — the candidate set can only grow
+    wide = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_df(spark, sf_dir, 16, 8).collect()
+    }
+    spark.catalog.clearCache()
+    assert pair_sets[(16, 2)] <= wide
+    with pytest.raises(ValueError, match="must divide"):
+        band_key_columns(12, 5)
+
+
 def test_winnow_pairs_oracle_green_at_two_caps(spark, sf_dir):
     """(df_cap, min_shared) are real parameters: the Spark plan and the
     DuckDB oracle generator take the same values, so any cap choice
