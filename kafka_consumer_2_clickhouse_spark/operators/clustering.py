@@ -562,13 +562,20 @@ def semantic_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop the text path uses (dup graphs are shallow); sizes aggregate
     once on component_id and the final payload join keys on vec_id.
     """
-    from .graph import connected_components
+    from .graph import _truncate, connected_components
 
     nodes = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id")
     )
-    edges = semantic_dedup_pairs_df(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    # truncate the edge lineage before the fixpoint: the pair plan
+    # embeds the whole Lloyd's-run + two-phase-verify tree, and the CC
+    # loop's symmetrize union would re-embed it twice per round's
+    # analysis — checkpoint once, iterate over a leaf (the same policy
+    # the star solver applies to its own rounds)
+    edges = _truncate(
+        semantic_dedup_pairs_df(spark, sf_dir).select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
     )
     comp = connected_components(nodes, edges).select(
         F.col("id").alias("vec_id"), "component_id"

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # local mode runs driver + all 32 executor threads in ONE JVM;
+        # Spark's 1g default heap is sized for a driver-only process and
+        # OOMs under 32 concurrent shuffle/codegen/cache consumers (first
+        # seen: the SemDeDup CC chain at sf0.1). Startup-only conf: takes
+        # effect when THIS process launches the JVM (the normal local
+        # path); under spark-submit the submit-time setting wins.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     if clickhouse_jdbc:
         from .sinks import CLICKHOUSE_JDBC_PACKAGE
