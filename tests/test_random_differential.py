@@ -107,3 +107,99 @@ def test_generated_join_agg_battery(spark, sf_dir):
         if not ok:
             failures.append((g, q, msg))
     assert not failures, failures
+
+
+# (table, partition col, order col + unique tie-break, measure) for the
+# generated WINDOW battery — ranking family + lag + framed decimal sums
+WINDOW_CASES = [
+    ("lineitem", "l_returnflag", ("l_shipdate", "l_orderkey", "l_linenumber"), "l_extendedprice"),
+    ("lineitem", "l_linestatus", ("l_extendedprice", "l_orderkey", "l_linenumber"), "l_quantity"),
+    ("orders", "o_orderstatus", ("o_orderdate", "o_orderkey"), "o_totalprice"),
+    ("orders", "o_orderpriority", ("o_totalprice", "o_orderkey"), "o_totalprice"),
+    ("events", "event_type", ("ts", "event_id"), "value"),
+]
+
+
+def test_generated_window_battery(spark, sf_dir):
+    """Window-function templates the hand-written suite doesn't
+    enumerate: row_number/rank/dense_rank, lag, and a ROWS-framed
+    running decimal sum — every ordering carries a unique tie-break, so
+    both engines serialize identically."""
+    from pyspark.sql import Window as W
+
+    con = duck_connect(sf_dir)
+    failures = []
+    for table, p, order_cols, m in WINDOW_CASES:
+        df = load_table(spark, sf_dir, table)
+        w = W.partitionBy(p).orderBy(*[F.asc(c) for c in order_cols])
+        frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        out = df.select(
+            *order_cols,
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.lag(m).over(w).alias("prev_m"),
+            F.sum(F.col(m).cast("decimal(27,6)"))
+            .over(frame)
+            .cast("double")
+            .alias("running"),
+        )
+        ob = ", ".join(order_cols)
+        sql = f"""
+            SELECT {ob},
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(rank() OVER w AS BIGINT) AS rk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drk,
+                   lag({m}) OVER w AS prev_m,
+                   CAST(sum(CAST({m} AS DECIMAL(27,6))) OVER (
+                     PARTITION BY {p} ORDER BY {ob}
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+            FROM {table}
+            WINDOW w AS (PARTITION BY {p} ORDER BY {ob})
+        """
+        ok, msg = compare(out, con, sql)
+        if not ok:
+            failures.append((table, p, msg))
+    assert not failures, failures
+
+
+def test_generated_semi_anti_battery(spark, sf_dir):
+    """Semi/anti-join templates against a data-derived key subset:
+    lineitem rows whose order is (not) in the top-price quantile."""
+    con = duck_connect(sf_dir)
+    failures = []
+    for jt, q in itertools.product(["semi", "anti"], [0.5, 0.9]):
+        cut = float(
+            con.sql(
+                f"SELECT quantile_cont(o_totalprice, {q}) FROM orders"
+            ).fetchone()[0]
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") >= cut)
+            .select("o_orderkey")
+        )
+        out = (
+            li.join(keys, li.l_orderkey == keys.o_orderkey, f"left_{jt}")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+        pred = "IN" if jt == "semi" else "NOT IN"
+        sql = f"""
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty
+            FROM lineitem
+            WHERE l_orderkey {pred} (
+              SELECT o_orderkey FROM orders WHERE o_totalprice >= {cut!r})
+            GROUP BY l_returnflag
+        """
+        ok, msg = compare(out, con, sql)
+        if not ok:
+            failures.append((jt, q, msg))
+    assert not failures, failures
