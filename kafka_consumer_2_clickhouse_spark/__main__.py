@@ -1,0 +1,114 @@
+"""Command-line entry point: ``python -m kafka_consumer_2_clickhouse_spark``.
+
+The operational surface a pipeline owner drives without writing
+PySpark — mirroring how the reference ships a single binary with
+flag-driven behavior (``cmd/kafka-consumer/main.go``), re-expressed as
+subcommands over the library:
+
+    list-queries [--grep PAT]        registered query inventory
+    run-query NAME [--sf-dir DIR]    run one registered query
+              [--limit N] [--out P]  (prints a sample or writes parquet)
+    curate SF_DIR OUT_DIR            full batch curation pipeline
+    compact PATH [--target-mb N]     small-file compaction of a landing dir
+
+Every subcommand honors the engine's env switches
+(``SPARK_GRAFT_SCALE_MODE``, ``SPARK_GRAFT_CC_ALGO``,
+``SPARK_GRAFT_DEDUP_INDEX``, ``SPARK_GRAFT_DRIVER_MEM``) because they
+are read inside the library, not here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m kafka_consumer_2_clickhouse_spark",
+        description=__doc__.splitlines()[0],
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lq = sub.add_parser("list-queries", help="registered query inventory")
+    lq.add_argument("--grep", default=None, help="substring filter")
+
+    rq = sub.add_parser("run-query", help="run one registered query")
+    rq.add_argument("name")
+    rq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    rq.add_argument("--limit", type=int, default=20, help="rows to print")
+    rq.add_argument("--out", default=None, help="write full result as parquet")
+
+    cu = sub.add_parser("curate", help="run the batch curation pipeline")
+    cu.add_argument("sf_dir")
+    cu.add_argument("out_dir")
+
+    co = sub.add_parser("compact", help="compact a parquet landing dir")
+    co.add_argument("path")
+    co.add_argument("--target-mb", type=int, default=128)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from . import operators as ops
+
+    if args.cmd == "list-queries":
+        names = sorted(ops.active_queries())
+        if args.grep:
+            names = [n for n in names if args.grep in n]
+        oracles = ops.active_oracle_sql()
+        for n in names:
+            gate = "oracle" if n in oracles else "rows-only"
+            print(f"{n:40s} {gate}")
+        print(f"-- {len(names)} queries ({ops.scale_mode()} mode)")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "run-query":
+        queries = ops.active_queries()
+        if args.name not in queries:
+            close = [n for n in sorted(queries) if args.name in n]
+            print(
+                f"unknown query {args.name!r}"
+                + (f"; did you mean one of {close}?" if close else ""),
+                file=sys.stderr,
+            )
+            return 2
+        df = queries[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        ops.release_intermediate_caches(spark)
+        return 0
+
+    if args.cmd == "curate":
+        from .pipelines import run_curation_pipeline
+
+        metrics = run_curation_pipeline(spark, args.sf_dir, args.out_dir)
+        print(json.dumps(metrics, sort_keys=True))
+        return 0
+
+    if args.cmd == "compact":
+        from .sinks import compact_landing
+
+        stats = compact_landing(
+            spark, args.path, target_file_bytes=args.target_mb << 20
+        )
+        print(json.dumps(stats, sort_keys=True))
+        return 0
+
+    raise AssertionError(f"unhandled command {args.cmd}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,62 @@
+"""CLI entry point (``python -m kafka_consumer_2_clickhouse_spark``):
+the flag-driven operational surface mirroring the reference's single
+binary. Driven in-process via main(argv) — get_spark's getOrCreate
+reuses the test session, so no second JVM spins up."""
+
+import json
+
+from kafka_consumer_2_clickhouse_spark.__main__ import main
+
+
+def test_list_queries(capsys):
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "oracle" in out
+    assert "ann_cosine_topk" in out and "rows-only" in out
+    assert "(exact mode)" in out
+
+
+def test_list_queries_grep_and_scale_mode(capsys, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    assert main(["list-queries", "--grep", "difficulty"]) == 0
+    out = capsys.readouterr().out
+    # under approx mode the swapped exact name drops to rows-only
+    line = next(l for l in out.splitlines() if l.startswith("doc_difficulty_buckets "))
+    assert "rows-only" in line
+    assert "(approx mode)" in out
+
+
+def test_run_query_prints_sample(spark, sf_dir, capsys):
+    assert main(["run-query", "q1_pricing_summary", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "sum_qty" in out
+
+
+def test_run_query_writes_parquet(spark, sf_dir, tmp_path, capsys):
+    dest = str(tmp_path / "q6_out")
+    assert main(
+        ["run-query", "q6_forecast_revenue", "--sf-dir", sf_dir, "--out", dest]
+    ) == 0
+    got = spark.read.parquet(dest).collect()
+    want = __import__(
+        "kafka_consumer_2_clickhouse_spark.operators", fromlist=["QUERIES"]
+    ).QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    assert got == want
+
+
+def test_run_query_unknown_suggests(capsys):
+    assert main(["run-query", "difficulty"]) == 2
+    err = capsys.readouterr().err
+    assert "doc_difficulty_buckets" in err
+
+
+def test_compact_roundtrip(spark, sf_dir, tmp_path, capsys):
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dest = str(tmp_path / "landing")
+    for _ in range(4):  # accrete small files like a streaming sink
+        src.coalesce(1).write.mode("append").parquet(dest)
+    rows_before = spark.read.parquet(dest).count()
+    assert main(["compact", dest, "--target-mb", "64"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_before"] == stats["rows_after"] == rows_before
+    assert stats["files_after"] < stats["files_before"]
