@@ -7,7 +7,8 @@ subcommands over the library:
 
     list-queries [--grep PAT]        registered query inventory
     run-query NAME [--sf-dir DIR]    run one registered query
-              [--limit N] [--out P]  (prints a sample or writes parquet)
+              [--limit N] [--out P]  (prints a sample or writes parquet;
+              [--explain]             --explain prints the physical plan)
     curate SF_DIR OUT_DIR            full batch curation pipeline
     compact PATH [--target-mb N]     small-file compaction of a landing dir
 
@@ -41,6 +42,11 @@ def _build_parser() -> argparse.ArgumentParser:
     rq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     rq.add_argument("--limit", type=int, default=20, help="rows to print")
     rq.add_argument("--out", default=None, help="write full result as parquet")
+    rq.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of running",
+    )
 
     cu = sub.add_parser("curate", help="run the batch curation pipeline")
     cu.add_argument("sf_dir")
@@ -83,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         df = queries[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+            ops.release_intermediate_caches(spark)
+            return 0
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -61,7 +61,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DIGESTS = -(-N_MINHASH // X.MINHASH_SLICES_PER_DIGEST)
 
 
-def signature_relation(docs: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
+def signature_relation(
+    docs: DataFrame, n_minhash: int = N_MINHASH, shingle_n: int = SHINGLE_N
+) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, shingles, mh0..mh{K-1}) — map-only.
 
     Hash-once-slice-4-ways: each shingle is md5'd ``N_DIGESTS`` times
@@ -75,16 +77,17 @@ def signature_relation(docs: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame
     signature definition — signatures written by either side collide
     correctly with the other's.
 
-    ``n_minhash`` is a REAL parameter (production LSH runs 128+
-    components; the registered default is test-scale): digests scale as
-    ceil(n/4), everything else is generated from n. The oracle
-    generators take the same value — pinned at two non-default widths
-    in ``tests/test_dedup_pairs.py``.
+    ``n_minhash`` and ``shingle_n`` are REAL parameters (production
+    LSH runs 128+ components over 5-13-gram shingles; the registered
+    defaults are test-scale): digests scale as ceil(n/4), everything
+    else is generated from the values. The oracle generators take the
+    same values — pinned at non-default settings in
+    ``tests/test_dedup_pairs.py``.
     """
     spd = X.MINHASH_SLICES_PER_DIGEST
     n_digests = -(-n_minhash // spd)
     toks = X.tokens("text")
-    sh = X.shingles(toks, SHINGLE_N)
+    sh = X.shingles(toks, shingle_n)
     base = docs.select(F.col("doc_id"), sh.alias("shingles"))
     digs = base.select(
         "doc_id",
@@ -171,11 +174,13 @@ def _bands_sql(n_minhash: int = N_MINHASH, n_bands: int = N_BANDS) -> str:
 
 
 def _lsh_pairs_oracle(
-    n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
 ) -> str:
     """DuckDB twin of :func:`lsh_candidate_pairs_df`, generated from
-    the same (n_minhash, n_bands) — pinned at two non-default widths in
-    ``tests/test_dedup_pairs.py``."""
+    the same (n_minhash, n_bands, shingle_n) — pinned at non-default
+    settings in ``tests/test_dedup_pairs.py``."""
     unions = " UNION ".join(
         f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -185,7 +190,7 @@ def _lsh_pairs_oracle(
     )
     return f"""
     WITH shingled AS (
-      SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), SHINGLE_N)} AS sh
+      SELECT doc_id, {X.sql_shingles(X.sql_tokens('text'), shingle_n)} AS sh
       FROM documents
     ), digs AS (
       SELECT doc_id, sh, {_digests_sql(n_minhash)} FROM shingled
@@ -211,6 +216,7 @@ def lsh_candidate_pairs_df(
     sf_dir: str,
     n_minhash: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
 ) -> DataFrame:
     """Parameterized LSH candidate finder (see
     :func:`lsh_candidate_pairs`). Signature width and band count are
@@ -219,7 +225,7 @@ def lsh_candidate_pairs_df(
     neither may be hard-wired; the registered defaults are test-scale
     (production: 128+ components, 16+ bands)."""
     sigs = signature_relation(
-        spread(load_table(spark, sf_dir, "documents")), n_minhash
+        spread(load_table(spark, sf_dir, "documents")), n_minhash, shingle_n
     )
     band_cols = band_key_columns(n_minhash, n_bands)
     # Materialize the signature relation once: four consumers below

@@ -44,6 +44,14 @@ def test_run_query_writes_parquet(spark, sf_dir, tmp_path, capsys):
     assert got == want
 
 
+def test_run_query_explain(spark, sf_dir, capsys):
+    assert main(
+        ["run-query", "q6_forecast_revenue", "--sf-dir", sf_dir, "--explain"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+
 def test_run_query_unknown_suggests(capsys):
     assert main(["run-query", "difficulty"]) == 2
     err = capsys.readouterr().err

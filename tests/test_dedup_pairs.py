@@ -270,6 +270,12 @@ def test_lsh_pairs_oracle_green_at_two_widths(spark, sf_dir):
     assert pair_sets[(16, 2)] <= wide
     with pytest.raises(ValueError, match="must divide"):
         band_key_columns(12, 5)
+    # shingle size is the third tuning axis: a non-default n-gram stays
+    # cross-engine exact through the same generated oracle
+    out5 = lsh_candidate_pairs_df(spark, sf_dir, shingle_n=5)
+    ok, msg = compare(out5, con, _lsh_pairs_oracle(shingle_n=5))
+    assert ok, f"shingle_n=5: {msg}"
+    spark.catalog.clearCache()
 
 
 def test_winnow_pairs_oracle_green_at_two_caps(spark, sf_dir):
