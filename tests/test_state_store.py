@@ -77,6 +77,79 @@ def test_rollup_protocol_identical_on_both_backends(spark, tmp_path):
     assert local == hadoop == manifest and local
 
 
+def test_manifest_protocol_survives_crash_before_marker(spark, tmp_path):
+    """End-to-end crash sim through the rollup maintainer: the process
+    dies AFTER the state data reaches its final name but BEFORE the
+    commit marker is written. On restart the batch replays (it never
+    committed), overwrites the invisible leftover, and the final state
+    equals a never-crashed run's."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.streaming.rollup_sink import (
+        committed_batch,
+        read_state,
+        rollup_maintainer,
+    )
+    from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+        ManifestStateStore,
+    )
+
+    class CrashBeforeMarker(ManifestStateStore):
+        """Dies exactly once: at batch 1's commit-marker write."""
+
+        def __init__(self):
+            super().__init__()
+            self.armed = True
+
+        def _touch(self, path):
+            import os
+
+            if self.armed and os.path.basename(path) == "batch=1":
+                self.armed = False
+                raise RuntimeError("simulated crash before commit marker")
+            super()._touch(path)
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:00")))
+
+    b0 = [(i, "a" if i % 2 else "b", float(i)) for i in range(20)]
+    b1 = [(i, "a", float(i) * 2) for i in range(20, 30)]
+
+    # clean reference run
+    ref_dir = str(tmp_path / "ref")
+    ref_store = ManifestStateStore()
+    maintain_ref = rollup_maintainer(ref_dir, store=ref_store)
+    maintain_ref(batch_df(b0), 0)
+    maintain_ref(batch_df(b1), 1)
+    want = sorted(
+        (tuple(r) for r in read_state(spark, ref_dir, ref_store).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+
+    # crashing run: batch 0 commits, batch 1 dies at the marker write
+    dirt = str(tmp_path / "crash")
+    store = CrashBeforeMarker()
+    maintain = rollup_maintainer(dirt, store=store)
+    maintain(batch_df(b0), 0)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintain(batch_df(b1), 1)
+    # the half-committed batch=1 is INVISIBLE: readers still see batch 0
+    assert committed_batch(dirt, store) == 0
+
+    # restart: checkpoint replays batch 1 (it never committed)
+    maintain(batch_df(b1), 1)
+    assert committed_batch(dirt, store) == 1
+    got = sorted(
+        (tuple(r) for r in read_state(spark, dirt, store).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got == want and got
+
+
 def test_manifest_store_marker_is_the_commit_point(tmp_path):
     """Data in place WITHOUT a marker (= crash between copy and commit)
     must be invisible; the marker write makes it appear; rmtree
