@@ -149,6 +149,7 @@ EXTRA = [
     "dedup_threshold_sensitivity",
     "semantic_dedup_keep_docs",
     "orders_fulfillment_lag",
+    "events_user_churn",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",

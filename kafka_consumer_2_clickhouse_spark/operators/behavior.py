@@ -358,6 +358,64 @@ def copurchase_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a user whose last activity is older than this (exact microseconds,
+#: 14 days) relative to the corpus timeline end is labeled churned
+CHURN_WINDOW_US = 14 * 86400000000
+
+
+@query(
+    "events_user_churn",
+    oracle=f"""
+    WITH tl AS (
+      SELECT max(ts) AS end_ts FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events, u.first_ts, u.last_ts,
+           CAST(date_diff('microsecond', u.last_ts, t.end_ts) AS BIGINT)
+             AS recency_us,
+           date_diff('microsecond', u.last_ts, t.end_ts)
+             > {CHURN_WINDOW_US} AS churned
+    FROM u CROSS JOIN tl t
+    """,
+)
+def events_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn labels: exact-microsecond recency against the
+    corpus timeline end, with a 14-day inactivity cut — the label table
+    a retention model trains on and the complement of
+    :func:`user_retention_cohorts`' cohort view (that says WHEN users
+    drop; this says WHO is dropped right now).
+
+    Determinism: recency is exact integer microseconds; the churn cut
+    is a comparison against a constant (never date arithmetic whose
+    boundary-counting semantics differ across engines).
+
+    Scale: one user_id-keyed aggregate (map-side combine collapses
+    each user's events before the shuffle) + a 1-row timeline-end
+    broadcast scalar. The label join-key is the same user_id every
+    behavioral relation shuffles on.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tl = ev.agg(F.max("ts").alias("end_ts"))
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    recency = F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("last_ts"))
+    return u.crossJoin(F.broadcast(tl)).select(
+        "user_id",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        recency.cast("bigint").alias("recency_us"),
+        (recency > CHURN_WINDOW_US).alias("churned"),
+    )
+
+
 @query(
     "events_type_transitions",
     oracle="""

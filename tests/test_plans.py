@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "copurchase_lift_rules",  # 1-row order-total crossJoin (lift denominator)
     "token_coverage_curve",  # 1-row corpus-total crossJoin
     "orders_fulfillment_lag",  # 1-row order-total crossJoin
+    "events_user_churn",  # 1-row timeline-end crossJoin
 }
 
 

@@ -117,6 +117,24 @@ def test_fulfillment_lag_partitions_orders(spark, sf_dir):
     )
 
 
+def test_user_churn_label_consistency(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        CHURN_WINDOW_US,
+    )
+
+    rows = ops.QUERIES["events_user_churn"](spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    # label is exactly the recency comparison; recency is non-negative
+    # and zero for whoever produced the timeline-end event
+    assert all(r["churned"] == (r["recency_us"] > CHURN_WINDOW_US) for r in rows)
+    assert all(r["recency_us"] >= 0 for r in rows)
+    assert min(r["recency_us"] for r in rows) == 0
+    assert all(r["first_ts"] <= r["last_ts"] for r in rows)
+
+
 def test_semantic_keep_docs_partition_accounting(spark, sf_dir):
     kept = ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
     spark.catalog.clearCache()
