@@ -336,23 +336,47 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 4
+TRAIN_SAMPLE_N = 2048
+
+
+def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
+    """Uniform, engine-deterministic training sample: rank every row by
+    ``md5(vec_id || ':' || seed)`` and take the first ``n``.
+
+    Sampling contract: the draw depends ONLY on (vec_id, seed) — never
+    on scan order, file layout, or partition count — so codebooks are
+    reproducible across runs AND unbiased across shards. A plain
+    ``.limit(n)`` head is the 100 TB trap this replaces: it reads the
+    first rows of one parquet file, training the quantizer on a single
+    shard's distribution. ``orderBy().limit(n)`` compiles to TakeOrdered
+    (per-partition top-n + driver merge), so the cost is one scan and an
+    n-row pull — no global sort materialization.
+
+    Returns a float64 (n, D) matrix of RAW (un-normalized) vectors.
+    """
+    import numpy as np
+
+    rows = (
+        raw.select(
+            "embedding",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))
+            ).alias("_hk"),
+        )
+        .orderBy("_hk")
+        .limit(n)
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
 
 
 def _train_centroids(raw: DataFrame, n_cells: int = N_CELLS, seed: int = 7):
     """Spherical k-means coarse quantizer from a bounded driver-side
-    sample (deterministic seed — same centroids on every call)."""
+    sample (content-hash uniform draw, deterministic seed — same
+    centroids on every call; see ``_hash_sample_matrix``)."""
     import numpy as np
 
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in raw.select("embedding")
-            .sample(fraction=1.0, seed=seed)
-            .limit(2048)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _hash_sample_matrix(raw, seed=seed)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), n_cells, replace=False)]
@@ -674,8 +698,9 @@ PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
 
 def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = 11):
     """Per-subspace k-means codebooks from a bounded driver-side sample
-    (same contract as the IVF coarse quantizer: deterministic seed,
-    <=2048-row pull, Lloyd on the sample only).
+    (same contract as the IVF coarse quantizer: content-hash uniform
+    draw, deterministic seed, <=2048-row pull, Lloyd on the sample only
+    — see ``_hash_sample_matrix``).
 
     Returns ``(m, k, sub_dim)`` ndarray of centroids over NORMALIZED
     vectors — PQ for cosine quantizes the unit sphere, so the ADC dot
@@ -683,16 +708,7 @@ def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int =
     """
     import numpy as np
 
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in raw.select("embedding")
-            .sample(fraction=1.0, seed=seed)
-            .limit(2048)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _hash_sample_matrix(raw, seed=seed)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     return _lloyd_subspaces(sample, m, k, np.random.RandomState(seed))
 
@@ -963,16 +979,8 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_centroids(raw)  # (C, D) unit rows, seed-pinned
 
     # residual codebooks from the same bounded-sample protocol
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in raw.select("embedding")
-            .sample(fraction=1.0, seed=13)
-            .limit(2048)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    # (content-hash uniform draw — see _hash_sample_matrix)
+    sample = _hash_sample_matrix(raw, seed=13)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     rassign = (sample @ cents.T).argmax(axis=1)
     books = _lloyd_subspaces(

@@ -180,3 +180,23 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     assert sorted(((key(r), r["cand_id"]) for r in out1)) == sorted(
         ((key(r), r["cand_id"]) for r in out2)
     )
+
+
+def test_hash_sample_partition_invariant(spark, sf_dir):
+    """The quantizer training sample depends only on (vec_id, seed) —
+    NOT on scan order or partitioning. A scan-order `.limit(n)` head
+    would fail this under repartition; the content-hash draw must not.
+    """
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    a = similarity._hash_sample_matrix(raw, n=256, seed=7)
+    b = similarity._hash_sample_matrix(
+        raw.repartition(17, "vec_id"), n=256, seed=7
+    )
+    assert np.array_equal(a, b)
+    # different seeds draw genuinely different samples
+    c = similarity._hash_sample_matrix(raw, n=256, seed=13)
+    assert not np.array_equal(a, c)
