@@ -102,4 +102,5 @@ def release_intermediate_caches(spark) -> None:
     """
     graph._COMPONENTS_MEMO.clear()
     clustering._ASSIGN_MEMO.clear()
+    clustering._PAIRS_MEMO.clear()
     spark.catalog.clearCache()

@@ -1,0 +1,73 @@
+"""Session-scoped DataFrame memos with persistence liveness checks.
+
+The operator modules memoize expensive shared relations per session
+(the LSH->CC component labels, the Lloyd's-run assignments, the
+SemDeDup verified pair relation). A plain dict memo has a hazard: the
+cached DataFrame may be a lazy plan over persisted dependencies, and
+any code path that calls ``spark.catalog.clearCache()`` or
+``unpersist()`` directly (a common idiom — bench.py and the tests both
+do it) leaves the memo holding a DataFrame whose backing persists are
+gone. Every later composite then silently recomputes the whole chain
+on EVERY action — worse than no memo, because callers believe the
+relation is shared.
+
+:class:`SessionMemo` closes that hole: each entry records the
+persisted DataFrames it depends on, and ``get()`` re-checks their
+``storageLevel`` on every hit — if any dependency has been unpersisted
+out from under the memo, the entry is dropped and the caller falls
+through to recompute + re-persist. Entries whose result is
+checkpoint-truncated (a leaf, immune to ``clearCache``) register no
+dependencies and always hit.
+
+The dict-like surface (``len``, ``bool``, ``values``, ``clear``) is
+kept so tests can introspect memo state directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _live(df: DataFrame) -> bool:
+    """True while ``df`` is still marked persisted (memory or disk)."""
+    try:
+        lvl = df.storageLevel
+    except Exception:  # session torn down: treat as evicted
+        return False
+    return bool(lvl.useMemory or lvl.useDisk)
+
+
+class SessionMemo:
+    """``key -> (result, persisted deps)`` with eviction-aware ``get``."""
+
+    def __init__(self) -> None:
+        self._entries: dict[tuple, tuple[DataFrame, tuple[DataFrame, ...]]] = {}
+
+    def get(self, key: tuple) -> DataFrame | None:
+        entry = self._entries.get(key)
+        if entry is None:
+            return None
+        result, deps = entry
+        if any(not _live(d) for d in deps):
+            # backing persist gone (clearCache()/unpersist() happened):
+            # drop the stale entry so the caller recomputes+re-persists
+            self._entries.pop(key, None)
+            return None
+        return result
+
+    def put(
+        self, key: tuple, result: DataFrame, deps: tuple[DataFrame, ...] = ()
+    ) -> None:
+        self._entries[key] = (result, tuple(deps))
+
+    def values(self):
+        return [result for result, _ in self._entries.values()]
+
+    def clear(self) -> None:
+        self._entries.clear()
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __bool__(self) -> bool:
+        return bool(self._entries)

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table, spread
+from ._memo import SessionMemo
 from .analytics import query
 
 # Defaults for the REGISTERED queries (fixed so the oracle CTEs and
@@ -60,8 +61,11 @@ DIST_SCALE = 1_000_000_000.0  # 1e-9 distance resolution, exact in bigint
 #: the SAME assignment relation; without the memo each standalone run
 #: re-pays the iters-round collect loop. Same contract as
 #: ``graph._COMPONENTS_MEMO``: cleared by
-#: ``operators.release_intermediate_caches``.
-_ASSIGN_MEMO: dict[tuple, DataFrame] = {}
+#: ``operators.release_intermediate_caches``. The cached relation is a
+#: lazy plan over the persisted ``vecs`` scan, so the entry registers
+#: ``vecs`` as a liveness dep — a direct ``clearCache()`` evicts the
+#: memo entry instead of leaving a silently-recomputing plan behind.
+_ASSIGN_MEMO = SessionMemo()
 
 
 def _assign_memo_key(spark: SparkSession, sf_dir: str, k: int, iters: int):
@@ -177,7 +181,7 @@ def kmeans_assignments(
     for _ in range(iters):
         centroids = _update(_assign(vecs, centroids))
     result = _assign(vecs, centroids)
-    _ASSIGN_MEMO[memo_key] = result
+    _ASSIGN_MEMO.put(memo_key, result, deps=(vecs,))
     return result
 
 
@@ -415,6 +419,18 @@ def _semantic_pairs_oracle(
     """
 
 
+#: per-session memo of the VERIFIED semantic pair relation, keyed like
+#: ``_ASSIGN_MEMO`` plus the cell cap. ``semantic_dedup_pairs`` and
+#: ``semantic_dedup_keep_docs`` both consume this relation; without the
+#: memo the keep-list re-pays the full Lloyd's run + capped quadratic
+#: verify that the pair query just computed (measured 3x the
+#: next-slowest composite). The cached relation is checkpoint-truncated
+#: (a leaf — same policy as ``graph._COMPONENTS_MEMO``), so reuse
+#: survives ``clearCache`` and no liveness deps are registered.
+#: Cleared by ``operators.release_intermediate_caches``.
+_PAIRS_MEMO = SessionMemo()
+
+
 def semantic_dedup_pairs_df(
     spark: SparkSession,
     sf_dir: str,
@@ -424,11 +440,25 @@ def semantic_dedup_pairs_df(
 ) -> DataFrame:
     """Parameterized SemDeDup pair finder (see
     :func:`semantic_dedup_pairs`); oracle twin generated by
-    :func:`_semantic_pairs_oracle` from the same (k, iters, cap)."""
+    :func:`_semantic_pairs_oracle` from the same (k, iters, cap).
+
+    The returned relation is materialized once per session per
+    (k, iters, cap) — eagerly checkpoint-truncated so (a) the verify's
+    quadratic work runs exactly once however many composites consume
+    the pairs, and (b) downstream plans (the CC fixpoint in
+    :func:`semantic_dedup_keep_docs`) compose on a leaf instead of
+    re-embedding the Lloyd's-run + two-phase-verify tree.
+    """
     from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
+    from .graph import _truncate
     from .similarity import _dot_sql, _norm_sql
+
+    memo_key = _assign_memo_key(spark, sf_dir, k, iters) + (cap,)
+    cached = _PAIRS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
 
     asg = kmeans_assignments(spark, sf_dir, k, iters).select("vec_id", "cluster")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -479,12 +509,19 @@ def semantic_dedup_pairs_df(
         F.col("nn").alias("nb"),
     )
     cos = F.expr(_dot_sql("ea", "eb", "spark")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         pair_ids.join(va, "vec_a")
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMANTIC_DUP_COS)
     )
+    # materialize + truncate: the verify ran, the pair relation is now
+    # a leaf, and `sided`'s job is done — release it here rather than
+    # leaking it to release_intermediate_caches
+    result = _truncate(out)
+    sided.unpersist()
+    _PAIRS_MEMO.put(memo_key, result)
+    return result
 
 
 @query("semantic_dedup_pairs", oracle=_semantic_pairs_oracle())
@@ -562,20 +599,18 @@ def semantic_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop the text path uses (dup graphs are shallow); sizes aggregate
     once on component_id and the final payload join keys on vec_id.
     """
-    from .graph import _truncate, connected_components
+    from .graph import connected_components
 
     nodes = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id")
     )
-    # truncate the edge lineage before the fixpoint: the pair plan
-    # embeds the whole Lloyd's-run + two-phase-verify tree, and the CC
-    # loop's symmetrize union would re-embed it twice per round's
-    # analysis — checkpoint once, iterate over a leaf (the same policy
-    # the star solver applies to its own rounds)
-    edges = _truncate(
-        semantic_dedup_pairs_df(spark, sf_dir).select(
-            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-        )
+    # the pair relation arrives checkpoint-truncated (and session-
+    # memoized) from semantic_dedup_pairs_df, so the CC fixpoint
+    # iterates over a leaf — and when semantic_dedup_pairs ran earlier
+    # in the session, the Lloyd's run + quadratic verify are NOT
+    # re-derived here: this query costs ~the CC fixpoint alone
+    edges = semantic_dedup_pairs_df(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     comp = connected_components(nodes, edges).select(
         F.col("id").alias("vec_id"), "component_id"

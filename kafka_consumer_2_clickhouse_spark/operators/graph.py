@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
 from .analytics import ORACLE_SQL, query
+from ._memo import SessionMemo
 from .dedup import lsh_candidate_pairs
 
 #: minimum verified Jaccard for a pair to become an edge
@@ -39,10 +40,12 @@ COMPONENT_JACCARD_MIN = 0.5
 #: SAME labels; without the memo each standalone run re-pays the
 #: signature -> band-join -> fixpoint chain (~4-6 s at sf0.01, the
 #: dominant composite cost). The cached DataFrame is the fixpoint
-#: loop's persisted/truncated output, so reuse is a cache read, not a
-#: recompute. Cleared by ``operators.release_intermediate_caches`` —
-#: the same caller-owned contract as the persists themselves.
-_COMPONENTS_MEMO: dict[tuple, DataFrame] = {}
+#: loop's checkpoint-truncated output — a leaf immune to
+#: ``clearCache`` — so reuse is a cache read, not a recompute, and the
+#: entry registers no persisted deps with the SessionMemo liveness
+#: check. Cleared by ``operators.release_intermediate_caches`` — the
+#: same caller-owned contract as the persists themselves.
+_COMPONENTS_MEMO = SessionMemo()
 
 
 def _components_memo_key(spark: SparkSession, sf_dir: str, algo: str):
@@ -232,7 +235,8 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SPARK_GRAFT_CC_ALGO={algo!r}: expected 'label' or 'star'"
         )
     result = out.select(F.col("id").alias("doc_id"), "component_id")
-    _COMPONENTS_MEMO[memo_key] = result
+    # checkpoint-truncated leaf: no persisted deps to track
+    _COMPONENTS_MEMO.put(memo_key, result)
     return result
 
 

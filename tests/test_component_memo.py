@@ -96,3 +96,67 @@ def test_composites_share_one_chain(spark, sf_dir, monkeypatch):
     assert len(graph._COMPONENTS_MEMO) == 1
     assert next(iter(graph._COMPONENTS_MEMO.values())) is memoed
     ops.release_intermediate_caches(spark)
+
+
+def test_semantic_chain_shared_and_keepdocs_rides_it(spark, sf_dir, monkeypatch):
+    """semantic_dedup_keep_docs must reuse the verified pair relation
+    that semantic_dedup_pairs just computed (the checkpoint-truncated
+    _PAIRS_MEMO entry) instead of re-deriving the Lloyd's run + capped
+    quadratic verify — the warm pair call must be near-free."""
+    from kafka_consumer_2_clickhouse_spark.operators import clustering
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    assert not clustering._PAIRS_MEMO
+
+    t0 = time.monotonic()
+    first = clustering.semantic_dedup_pairs(spark, sf_dir)
+    rows_cold = sorted(tuple(r) for r in first.collect())
+    cold = time.monotonic() - t0
+    assert len(clustering._PAIRS_MEMO) == 1
+
+    t0 = time.monotonic()
+    second = clustering.semantic_dedup_pairs(spark, sf_dir)
+    rows_warm = sorted(tuple(r) for r in second.collect())
+    warm = time.monotonic() - t0
+    assert second is first
+    assert rows_warm == rows_cold
+    assert warm < cold / 2, (cold, warm)
+
+    # the keep-list consumes the SAME memo entry (no second verify)
+    memoed = next(iter(clustering._PAIRS_MEMO.values()))
+    ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
+    assert len(clustering._PAIRS_MEMO) == 1
+    assert next(iter(clustering._PAIRS_MEMO.values())) is memoed
+
+    # the memoized pair relation is a LEAF: clearCache must not evict
+    # it (checkpoint-backed), so composites stay warm across bench's
+    # per-pass clearCache
+    spark.catalog.clearCache()
+    assert clustering._PAIRS_MEMO.get(
+        next(iter(clustering._PAIRS_MEMO._entries))
+    ) is memoed
+
+    ops.release_intermediate_caches(spark)
+    assert not clustering._PAIRS_MEMO
+
+
+def test_assign_memo_evicts_on_direct_clearcache(spark, sf_dir, monkeypatch):
+    """A direct spark.catalog.clearCache() (not going through
+    release_intermediate_caches) unpersists the vecs scan backing the
+    Lloyd's-assignment memo; the next call must detect the dead persist
+    and recompute+re-persist instead of returning a silently-
+    recomputing plan."""
+    from kafka_consumer_2_clickhouse_spark.operators import clustering
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    first = clustering.kmeans_assignments(spark, sf_dir)
+    rows = sorted((r["vec_id"], r["cluster"]) for r in first.collect())
+    assert len(clustering._ASSIGN_MEMO) == 1
+
+    spark.catalog.clearCache()  # kills the backing persist only
+    fresh = clustering.kmeans_assignments(spark, sf_dir)
+    assert fresh is not first  # stale entry evicted, not served
+    assert sorted((r["vec_id"], r["cluster"]) for r in fresh.collect()) == rows
+    ops.release_intermediate_caches(spark)
