@@ -14,6 +14,13 @@ Execution is forced with the noop sink (full computation, no driver
 collect). A warm-up pass touches each table once so timings reflect
 steady-state I/O (page cache + parquet footers), matching how a
 long-lived cluster behaves.
+
+The final JSON also carries an ``env`` fingerprint — 1/5/15-min
+loadavg sampled before and after the run, CPU count, and the number of
+OTHER live PySpark/java processes on the box — so a round-over-round
+timing shift can be attributed (or not) to a noisy host from the
+artifact alone, instead of costing a round of re-runs (round 5 lost a
+full round-trip to an unattributable uniform +25%).
 """
 
 from __future__ import annotations
@@ -158,11 +165,41 @@ EXTRA = [
 ]
 
 
+def _env_fingerprint() -> dict:
+    """Host-noise attribution data (see module docstring): loadavg,
+    CPU count, and a count of OTHER live JVM/PySpark processes (a
+    concurrent Spark run is the classic uniform-slowdown culprit)."""
+    fp: dict = {"cpus": os.cpu_count()}
+    try:
+        fp["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        fp["loadavg"] = None
+    me = os.getpid()
+    others = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+            except OSError:
+                continue
+            if ("pyspark" in cmd or "spark-submit" in cmd
+                    or ("java" in cmd and "spark" in cmd.lower())):
+                others += 1
+    except OSError:
+        others = -1  # /proc unavailable: unknown, not zero
+    fp["other_spark_procs"] = others
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    env_start = _env_fingerprint()
     spark = get_spark(app_name="bench")
     for t in TABLE_NAMES:  # warm-up: page cache + footers
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
@@ -211,11 +248,13 @@ def main() -> None:
             extra_runs[name].append(round(time.time() - t0, 3))
     extra = {name: min(ts) for name, ts in extra_runs.items()}
 
+    env = {"start": env_start, "end": _env_fingerprint()}
     detail = {
         "bench_detail": True,
         "runs": runs,
         "extra_queries": extra,
         "extra_runs": extra_runs,
+        "env": env,
     }
     print(json.dumps(detail))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -231,6 +270,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": env,
             }
         )
     )
