@@ -22,9 +22,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
+#: run-query's corpus dir when --sf-dir is omitted: the
+#: SPARK_GRAFT_SF_DIR env var (the same switch bench.py honors), with
+#: this sandbox path as a last resort — resolved at RUN time (see
+#: ``_resolve_sf_dir``) so the env var is honored however the module
+#: was imported. A missing dir fails fast with a clear message instead
+#: of a confusing mid-plan parquet-not-found error.
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _resolve_sf_dir(arg: str | None) -> str:
+    sf_dir = arg or os.environ.get("SPARK_GRAFT_SF_DIR") or DEFAULT_SF_DIR
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(
+            f"corpus dir {sf_dir!r} does not exist — pass --sf-dir or set "
+            "SPARK_GRAFT_SF_DIR to a directory of <table>.parquet files"
+        )
+    return sf_dir
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -39,7 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rq = sub.add_parser("run-query", help="run one registered query")
     rq.add_argument("name")
-    rq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    rq.add_argument(
+        "--sf-dir",
+        default=None,
+        help="corpus dir (default: $SPARK_GRAFT_SF_DIR, then "
+        f"{DEFAULT_SF_DIR})",
+    )
     rq.add_argument("--limit", type=int, default=20, help="rows to print")
     rq.add_argument("--out", default=None, help="write full result as parquet")
     rq.add_argument(
@@ -74,10 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"-- {len(names)} queries ({ops.scale_mode()} mode)")
         return 0
 
-    from .session import get_spark
-
-    spark = get_spark(app_name=f"cli-{args.cmd}")
-
+    # validate cheap inputs BEFORE paying the ~15 s Spark startup
     if args.cmd == "run-query":
         queries = ops.active_queries()
         if args.name not in queries:
@@ -88,7 +107,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        df = queries[args.name](spark, args.sf_dir)
+        sf_dir = _resolve_sf_dir(args.sf_dir)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "run-query":
+        df = queries[args.name](spark, sf_dir)
         if args.explain:
             df.explain("formatted")
             ops.release_intermediate_caches(spark)

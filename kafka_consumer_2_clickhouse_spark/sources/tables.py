@@ -158,7 +158,28 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame:
+def _auto_broadcast_threshold(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (JVM parse —
+    the value may be a size string like '10MB')."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    return int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            str(raw)
+        )
+    )
+
+
+def _catalyst_size_estimate(df: DataFrame) -> int:
+    """Catalyst's own ``sizeInBytes`` estimate of the optimized subtree
+    (one analyze/optimize pass; JVM internals — raises under Connect)."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+
+
+def broadcast_if_small(
+    df: DataFrame, threshold: int | None = None, assume_small: bool = False
+) -> DataFrame:
     """Size-gated broadcast hint for SF-SCALING dimension relations
     (customer / supplier / part projections, vocab-sized aggregates).
 
@@ -176,25 +197,55 @@ def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame
 
     Fixed-cardinality relations (nation=25, region=5, 1-row scalars)
     keep their plain ``F.broadcast`` at call sites — those are
-    broadcast-sized at every SF by construction.
+    broadcast-sized at every SF by construction. For derived relations
+    whose ROW COUNT is bounded by construction but whose Catalyst
+    stats may be unavailable (Spark Connect has no ``_jdf``;
+    stats-poor aggregate subtrees), pass ``assume_small=True``: when
+    estimation FAILS the hint is then kept rather than dropped (a
+    size estimate that succeeds and exceeds the threshold still wins).
+
+    Estimation uses JVM internals (``spark._jvm``,
+    ``_jdf.queryExecution()``) and costs one analyze/optimize pass of
+    the subtree — cheap for the dimension projections this is meant
+    for; do not call it in a loop over large plans. Failures are
+    narrow-caught and LOGGED (once per call) so a silently-degraded
+    join is visible in driver logs instead of only in the plan.
     """
-    spark = df.sparkSession
+    import logging
+
+    log = logging.getLogger(__name__)
+    try:
+        from py4j.protocol import Py4JError
+    except ImportError:  # Spark Connect: no py4j at all
+        Py4JError = ()  # type: ignore[assignment]
     try:
         if threshold is None:
-            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            threshold = int(
-                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                    str(raw)
-                )
-            )
+            threshold = _auto_broadcast_threshold(df.sparkSession)
         if threshold <= 0:
             return df
-        est = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est = _catalyst_size_estimate(df)
+    except (Py4JError, AttributeError, ValueError, TypeError) as exc:
+        # _jvm/_jdf missing (Connect) or stats unreadable — NOT a blanket
+        # except: a real analysis error in the plan should still raise
+        if assume_small:
+            log.info(
+                "broadcast_if_small: size estimate unavailable (%s); "
+                "keeping hint (assume_small for a bounded relation)", exc
+            )
+            return F.broadcast(df)
+        log.warning(
+            "broadcast_if_small: size estimate unavailable (%s); "
+            "dropping broadcast hint — join degrades to shuffle "
+            "(AQE may still convert at runtime)", exc
         )
-    except Exception:
         return df
-    return F.broadcast(df) if est <= threshold else df
+    if est <= threshold:
+        return F.broadcast(df)
+    log.debug(
+        "broadcast_if_small: estimate %d B > threshold %d B; no hint",
+        est, threshold,
+    )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -153,16 +153,25 @@ def merge_heavy_hitters(candidates: DataFrame, k: int = 20) -> DataFrame:
 
     Scale: one window over the (n_groups x capacity)-bounded candidate
     relation — state-sized, never corpus-sized.
+    A candidate relation WITHOUT ``n_seen`` (the documented 3-column
+    ``(group_key, token, mg_count)`` shape — a projection, or a
+    single-snapshot export) can't be sequenced; it falls back to the
+    plain groupBy-max merge, which is exact for one snapshot per group
+    and a stale-peak-prone upper bound over accumulated history (the
+    reason ``n_seen`` exists — see above).
     """
     from pyspark.sql import Window as W
 
-    latest = (
-        candidates.withColumn(
-            "_max_seen", F.max("n_seen").over(W.partitionBy("group_key"))
+    if "n_seen" not in candidates.columns:
+        latest = candidates.dropDuplicates(["group_key", "token"])
+    else:
+        latest = (
+            candidates.withColumn(
+                "_max_seen", F.max("n_seen").over(W.partitionBy("group_key"))
+            )
+            .filter(F.col("n_seen") == F.col("_max_seen"))
+            .dropDuplicates(["group_key", "token"])
         )
-        .filter(F.col("n_seen") == F.col("_max_seen"))
-        .dropDuplicates(["group_key", "token"])
-    )
     return (
         latest.groupBy("token")
         .agg(F.max("mg_count").cast("bigint").alias("mg_count"))

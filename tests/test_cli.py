@@ -68,3 +68,19 @@ def test_compact_roundtrip(spark, sf_dir, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_before"] == stats["rows_after"] == rows_before
     assert stats["files_after"] < stats["files_before"]
+
+
+def test_run_query_sf_dir_env_and_fail_fast(capsys, monkeypatch, sf_dir):
+    """--sf-dir omitted: $SPARK_GRAFT_SF_DIR wins; a missing dir fails
+    fast with a clear message BEFORE Spark starts."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.__main__ import _resolve_sf_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert _resolve_sf_dir(None) == sf_dir
+    # explicit flag beats the env var
+    assert _resolve_sf_dir(sf_dir) == sf_dir
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/nonexistent/corpus")
+    with pytest.raises(SystemExit, match="SPARK_GRAFT_SF_DIR"):
+        _resolve_sf_dir(None)

@@ -246,6 +246,42 @@ def test_broadcast_if_small_gates_on_size_estimate(spark, sf_dir):
     assert broadcast_if_small(cust, threshold=-1) is cust
 
 
+def test_broadcast_if_small_assume_small_on_estimate_failure(
+    spark, sf_dir, monkeypatch, caplog
+):
+    """When the size estimate is UNAVAILABLE (Spark Connect, stats-poor
+    subtree) the default drops the hint WITH a warning log; a caller
+    that declares the relation bounded (assume_small) keeps it. A
+    successful over-threshold estimate always wins over assume_small."""
+    import logging
+
+    from kafka_consumer_2_clickhouse_spark.sources import tables
+
+    cust = tables.load_table(spark, sf_dir, "customer")
+
+    def boom(df):
+        raise AttributeError("no queryExecution (connect-like)")
+
+    monkeypatch.setattr(tables, "_catalyst_size_estimate", boom)
+    with caplog.at_level(logging.WARNING,
+                         logger="kafka_consumer_2_clickhouse_spark.sources.tables"):
+        # default: dropped (the exact input back), not raised — and logged
+        assert tables.broadcast_if_small(cust) is cust
+    assert any("dropping broadcast hint" in r.getMessage()
+               for r in caplog.records)
+
+    # assume_small keeps the hint on failure: the result is a HINTED
+    # DataFrame (ResolvedHint in the analyzed plan), not the input
+    hinted = tables.broadcast_if_small(cust, assume_small=True)
+    assert hinted is not cust
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+
+    # ...but a SUCCESSFUL over-threshold estimate still wins
+    monkeypatch.undo()
+    assert tables.broadcast_if_small(cust, threshold=1,
+                                     assume_small=True) is cust
+
+
 def test_pack_assignment_windows_per_shard(spark, sf_dir):
     """Sequence packing must partition its running-sum window by shard
     (parallel ordered scans) — a global window would single-task the

@@ -111,3 +111,20 @@ def test_merge_over_raw_update_history_ignores_stale_peaks(spark):
         for r in merge_heavy_hitters(replayed, 10).collect()
     }
     assert merged2 == merged
+
+
+def test_merge_accepts_three_column_snapshot(spark):
+    """The documented 3-column (group_key, token, mg_count) candidate
+    shape — no n_seen — must merge via the groupBy-max fallback, not
+    fail with an unresolved-column error."""
+    from kafka_consumer_2_clickhouse_spark.streaming.heavyhitters import (
+        merge_heavy_hitters,
+    )
+
+    snap = spark.createDataFrame(
+        [(0, "a", 5), (0, "b", 3), (1, "c", 9), (1, "a", 1)],
+        "group_key int, token string, mg_count long",
+    )
+    rows = [(r["token"], r["mg_count"])
+            for r in merge_heavy_hitters(snap, k=2).collect()]
+    assert rows == [("c", 9), ("a", 5)]
