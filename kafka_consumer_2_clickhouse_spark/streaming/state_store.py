@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from typing import Protocol
 
 
@@ -145,6 +146,28 @@ class ManifestStateStore:
     but before the marker simply overwrites the invisible leftover and
     commits — the same idempotent-replay contract the rename backends
     have, now crash-safe without atomic rename.
+
+    **Known window — prior version lost until replay**: ``rename`` must
+    uncommit and clear the previously committed ``dst`` BEFORE the
+    (possibly slow, non-atomic) base move, because two committed
+    payloads under one name is exactly the ambiguity the marker exists
+    to prevent. A crash inside that window leaves NO committed version
+    of ``dst``: readers see the directory without that child (never a
+    half-written one) until the batch replays and re-commits. Every
+    protocol here tolerates that — versioned ``batch=<id>`` children
+    are append-only (the overwritten name is the SAME batch being
+    replayed), and the engine replays uncommitted batches from the
+    checkpoint on restart. Do not use this store for a
+    non-replayable overwrite-in-place protocol.
+
+    **Garbage accumulation + GC**: ``listdir`` permanently hides
+    markerless non-``.tmp`` children, so crash garbage (a copy that
+    died before its marker) is invisible to the sweep loops and — on a
+    real object store — accumulates unboundedly. :meth:`gc` reclaims
+    it: markerless non-``.tmp`` children older than a grace period
+    (default 24 h — generously past any plausible in-flight copy) are
+    deleted. Run it from the maintenance cadence that already sweeps
+    superseded versions.
     """
 
     def __init__(self, base: StateStore | None = None):
@@ -164,6 +187,12 @@ class ManifestStateStore:
 
     def _marker_exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def _mtime(self, path: str) -> float:
+        """Last-modified time of a child (epoch seconds); used only by
+        :meth:`gc` to age crash garbage. Override alongside the marker
+        trio for S3/GCS (object LastModified)."""
+        return os.path.getmtime(path)
 
     # ----------------------------------------------------------------
     def _marker(self, path: str) -> str:
@@ -194,6 +223,37 @@ class ManifestStateStore:
     def rmtree(self, path: str) -> None:
         self._remove(self._marker(path))  # uncommit first
         self._base.rmtree(path)
+
+    def gc(self, path: str, grace_seconds: float = 86_400.0) -> list[str]:
+        """Reclaim hidden crash garbage under a manifest-managed dir.
+
+        Deletes non-``.tmp`` children with NO commit marker whose
+        last-modified time is older than ``grace_seconds`` — those are
+        copies that died before their marker and can never become
+        visible (``rename`` always clears its target first, so no
+        in-flight commit depends on them beyond the grace period).
+        ``.tmp`` children are left for the protocols' own sweep loops;
+        an unreadable mtime means "possibly in flight" and is skipped.
+        Returns the deleted child names (for the caller's metrics).
+        """
+        commits = os.path.join(path, _COMMITS)
+        if not self._base.isdir(commits):
+            return []  # not manifest-managed: nothing can be hidden
+        swept: list[str] = []
+        for n in self._base.listdir(path):
+            if n == _COMMITS or n.endswith(".tmp"):
+                continue
+            if self._marker_exists(os.path.join(commits, n)):
+                continue
+            child = os.path.join(path, n)
+            try:
+                age_ok = self._mtime(child) <= time.time() - grace_seconds
+            except OSError:
+                continue  # can't age it: assume in flight
+            if age_ok:
+                self._base.rmtree(child)
+                swept.append(n)
+        return swept
 
 
 #: module default used when callers pass ``store=None``

@@ -182,3 +182,58 @@ def test_manifest_store_marker_is_the_commit_point(tmp_path):
     other = str(tmp_path / "unmanaged")
     os.makedirs(os.path.join(other, "batch=7"))
     assert store.listdir(other) == ["batch=7"]
+
+
+def test_manifest_gc_sweeps_aged_hidden_garbage(tmp_path):
+    """Crash garbage (markerless non-.tmp child) is invisible to
+    listdir forever; gc() reclaims it once past the grace period, and
+    leaves committed children, young garbage, and .tmp scratch alone."""
+    import os
+    import time as _time
+
+    from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+        ManifestStateStore,
+    )
+
+    store = ManifestStateStore()
+    root = tmp_path / "state"
+
+    def mk(name, payload=b"x"):
+        d = root / name
+        d.mkdir(parents=True)
+        (d / "part").write_bytes(payload)
+        return str(d)
+
+    # committed child (normal commit path)
+    src = mk("batch=1.tmp")
+    store.rename(src, str(root / "batch=1"))
+    # crash garbage: data landed, marker never written
+    mk("batch=2")
+    # scratch the protocols own
+    mk("batch=3.tmp")
+
+    assert sorted(store.listdir(str(root))) == ["batch=1", "batch=3.tmp"]
+
+    # young garbage survives the sweep
+    assert store.gc(str(root), grace_seconds=3600) == []
+    # age it past the grace period
+    old = _time.time() - 7200
+    os.utime(str(root / "batch=2"), (old, old))
+    assert store.gc(str(root), grace_seconds=3600) == ["batch=2"]
+    assert not (root / "batch=2").exists()
+    # committed + .tmp untouched; listing unchanged
+    assert sorted(store.listdir(str(root))) == ["batch=1", "batch=3.tmp"]
+    # idempotent
+    assert store.gc(str(root), grace_seconds=3600) == []
+
+
+def test_manifest_gc_noop_on_unmanaged_dir(tmp_path):
+    from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+        ManifestStateStore,
+    )
+
+    store = ManifestStateStore()
+    d = tmp_path / "plain" / "batch=1"
+    d.mkdir(parents=True)
+    assert store.gc(str(tmp_path / "plain"), grace_seconds=0) == []
+    assert d.exists()
