@@ -770,45 +770,38 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     )
 
 
-@query("pq_cosine_topk")  # no oracle: quantized shortlist is
-# engine-specific; recall vs the exact operator is pinned in
-# tests/test_similarity.py
-def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC shortlist + exact re-rank (Jégou et al., "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
-    IVFADC-with-re-ranking production shape).
-
-    Scale shape: codebooks train once on a bounded sample; encoding is
-    one map-only Arrow pass (DIM float32 = 256 B -> PQ_M 5-bit codes
-    = 10 B, a ~25x shrink that lets the cluster keep the whole
-    corpus's codes in memory). Each query precomputes an (m x k) LUT
-    of subspace dot products, so scoring a candidate during the scan
-    is m table lookups + adds over its CODES — float vectors are
-    never touched. The ADC pass emits only a per-query SHORTLIST
-    (top ``PQ_SHORTLIST`` by approximate score); the exact re-rank
-    then reads JUST those ~n_q x R true vectors via a broadcast
-    semi-join and rescores them exactly — at 100 TB the full-precision
-    data is touched for a few thousand rows, not the corpus.
-    """
+def _query_matrix(queries: DataFrame):
+    """Bounded driver pull of the query side: (ids, normalized matrix).
+    ``queries`` must already be filtered to the small query set."""
     import numpy as np
 
-    raw = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(raw)
-    codes = pq_encode(spread(raw), books)
-
-    qrows = (
-        raw.filter(F.col("vec_id") < N_QUERY)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    qrows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qmat
+
+
+def _pq_adc_rerank(
+    spark: SparkSession,
+    vectors: DataFrame,
+    codes: DataFrame,
+    books,
+    qids,
+    qmat,
+    top_k: int = TOP_K,
+    shortlist_n: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """The PQ query tail shared by the inline and persisted-index
+    paths: per-query LUT -> ADC shortlist over the codes relation ->
+    exact re-rank of only the shortlisted rows from ``vectors`` (the
+    full-precision relation, touched via a broadcast hash join)."""
+    import numpy as np
+
     m, k, sub = books.shape
     # LUT[q, m, k]: dot of the query's m-th subvector with centroid k
     lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
     bc = spark.sparkContext.broadcast((qids, lut))
-    shortlist_n = PQ_SHORTLIST
 
     def adc(batches):
         import numpy as np
@@ -833,13 +826,14 @@ def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"query_id": qid, "cand_id": c_ids[part]}
                 )
 
-    local = codes.mapInPandas(adc, schema="query_id long, cand_id long")
+    local = codes.select("vec_id", "codes").mapInPandas(
+        adc, schema="query_id long, cand_id long"
+    )
     # global shortlist: the per-partition ADC top-R lists reduce to at
     # most R x n_partitions tiny rows; dedup then re-rank exactly
     shortlist = local.dropDuplicates(["query_id", "cand_id"])
 
     bc_q = spark.sparkContext.broadcast((qids, qmat))
-    top_k = TOP_K
 
     def rerank(batches):
         import numpy as np
@@ -865,7 +859,7 @@ def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings scan stays shuffle-free — a broadcast hash join
     # fetches exactly the shortlisted vectors
     rescored = (
-        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        vectors.select(F.col("vec_id").alias("cand_id"), "embedding")
         .join(F.broadcast(shortlist), "cand_id")
         .mapInPandas(rerank, schema="query_id long, cand_id long, cosine double")
     )
@@ -876,6 +870,130 @@ def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> str:
+    """Build and PERSIST a PQ index — the production layout: train
+    once, encode once, probe forever.
+
+    Layout under ``index_dir``:
+    - ``codes/...parquet``      (vec_id, codes array<int>) — the whole
+      corpus compressed to m small ints per row.
+    - ``codebooks/...parquet``  (m, k, centroid array<double>) — the
+      per-subspace quantizer, m*k tiny rows.
+
+    At 100 TB this factors BOTH expensive steps (codebook training and
+    the full-corpus encode pass) out of the query path: a search reads
+    the m*k-row codebooks to the driver, ADC-scans the codes relation
+    (in-memory-sized after the ~25x shrink), and touches float vectors
+    only for the shortlist. Codebooks train on the content-hash
+    uniform sample (:func:`_hash_sample_matrix`), so the persisted
+    index is deterministic AND unbiased across shards.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(raw, m, k)
+    pq_encode(spread(raw), books).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    spark.createDataFrame(
+        [
+            (mi, ki, [float(x) for x in books[mi, ki]])
+            for mi in range(books.shape[0])
+            for ki in range(books.shape[1])
+        ],
+        "m int, k int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    return index_dir
+
+
+def _load_pq_codebooks(spark: SparkSession, index_dir: str):
+    """Driver-side read of the (m*k)-row codebook relation back into
+    the (m, k, sub) ndarray ``_lloyd_subspaces`` produced."""
+    import os
+
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+    m = max(r["m"] for r in rows) + 1
+    k = max(r["k"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.zeros((m, k, sub))
+    for r in rows:
+        books[r["m"], r["k"]] = r["centroid"]
+    return books
+
+
+def pq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe a persisted PQ index (:func:`build_pq_index` layout):
+    no training, no encoding — read codebooks (m*k rows) to the
+    driver, ADC-scan the codes relation, re-rank the shortlist exactly
+    against ``vectors`` (the full-precision relation)."""
+    import os
+
+    books = _load_pq_codebooks(spark, index_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    qids, qmat = _query_matrix(queries)
+    return _pq_adc_rerank(spark, vectors, codes, books, qids, qmat, top_k)
+
+
+@query("pq_cosine_topk")  # no oracle: quantized shortlist is
+# engine-specific; recall vs the exact operator is pinned in
+# tests/test_similarity.py
+def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    ADC-with-re-ranking production shape).
+
+    Scale shape: codebooks train once on a bounded content-hash
+    sample; encoding is one map-only Arrow pass (DIM float32 = 256 B
+    -> PQ_M 5-bit codes = 10 B, a ~25x shrink that lets the cluster
+    keep the whole corpus's codes in memory). Each query precomputes
+    an (m x k) LUT of subspace dot products, so scoring a candidate
+    during the scan is m table lookups + adds over its CODES — float
+    vectors are never touched. The ADC pass emits only a per-query
+    SHORTLIST (top ``PQ_SHORTLIST`` by approximate score); the exact
+    re-rank then reads JUST those ~n_q x R true vectors via a
+    broadcast hash join and rescores them exactly — at 100 TB the
+    full-precision data is touched for a few thousand rows, not the
+    corpus.
+
+    ``SPARK_GRAFT_PQ_INDEX=<dir>``: probe a PREBUILT index
+    (:func:`build_pq_index` layout) via :func:`pq_search` instead of
+    re-training + re-encoding inline — train once, probe forever.
+    Equality of the two paths is pinned in ``tests/test_similarity.py``.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.environ.get("SPARK_GRAFT_PQ_INDEX")
+    if index_dir:
+        if not os.path.isdir(os.path.join(index_dir, "codes")):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_PQ_INDEX={index_dir!r} has no codes/ dir — "
+                "build it with build_pq_index()"
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERY)
+        return pq_search(spark, index_dir, queries, raw)
+    books = train_pq_codebooks(raw)
+    codes = pq_encode(spread(raw), books)
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    return _pq_adc_rerank(spark, raw, codes, books, qids, qmat)
 
 
 @query(
@@ -950,42 +1068,12 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("ivfpq_cosine_topk")  # no oracle: approximate by construction;
-# recall vs the exact operator + run-to-run determinism pinned in
-# tests/test_similarity.py
-def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC proper (Jégou et al., TPAMI 2011 §IV): coarse cells prune
-    WHICH vectors are scanned, residual PQ codes compress WHAT is
-    scanned — the layout behind every billion-vector production index
-    (faiss ``IVFx,PQy``).
-
-    Encoding (one Arrow map pass): normalize, assign the nearest coarse
-    centroid, PQ-encode the RESIDUAL ``x - c_cell`` against codebooks
-    trained on sample residuals. Scoring decomposes exactly:
-    ``q . x ~= q . c_cell + sum_m LUT[q, m, code_m]`` — one (n_q x C)
-    cell-dot matrix plus the standard per-query LUT, both tiny and
-    broadcast.
-
-    Query path: probe N_PROBE of N_CELLS (the scan filter), ADC-score
-    only probed-cell codes (never the float vectors), shortlist, then
-    exact re-rank of just the shortlist via a broadcast semi-join —
-    the ``pq_cosine_topk`` tail. At 100 TB: build-once would persist
-    (cell, codes) partitioned by cell exactly like ``build_ivf_index``,
-    making the probe a partition-pruned scan of in-memory-sized codes.
-    """
-    import numpy as np
-
-    raw = load_table(spark, sf_dir, "embeddings")
-    cents = _train_centroids(raw)  # (C, D) unit rows, seed-pinned
-
-    # residual codebooks from the same bounded-sample protocol
-    # (content-hash uniform draw — see _hash_sample_matrix)
-    sample = _hash_sample_matrix(raw, seed=13)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rassign = (sample @ cents.T).argmax(axis=1)
-    books = _lloyd_subspaces(
-        sample - cents[rassign], PQ_M, PQ_K, np.random.RandomState(13)
-    )
+def _ivfpq_encode(emb: DataFrame, cents, books) -> DataFrame:
+    """One Arrow map pass: normalize, assign the nearest coarse
+    centroid, PQ-encode the RESIDUAL ``x - c_cell`` against the
+    residual codebooks. Shared by the inline query and
+    :func:`build_ivfpq_index`."""
+    spark = emb.sparkSession
     bc_enc = spark.sparkContext.broadcast((cents, books))
 
     def encode(batches):
@@ -1010,26 +1098,53 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cell=cell.astype("int32"), codes=list(codes)
             )
 
-    encoded = spread(raw).select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         encode, schema="vec_id long, cell int, codes array<int>"
     )
 
-    qrows = (
-        raw.filter(F.col("vec_id") < N_QUERY).select("vec_id", "embedding").collect()
+
+def _train_residual_codebooks(raw: DataFrame, cents, seed: int = 13):
+    """Residual PQ codebooks from the bounded content-hash sample
+    (see ``_hash_sample_matrix``): quantize ``x - c_cell`` so the ADC
+    decomposition ``q.x ~= q.c_cell + sum_m LUT[q,m,code_m]`` holds."""
+    import numpy as np
+
+    sample = _hash_sample_matrix(raw, seed=seed)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rassign = (sample @ cents.T).argmax(axis=1)
+    return _lloyd_subspaces(
+        sample - cents[rassign], PQ_M, PQ_K, np.random.RandomState(seed)
     )
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+
+def _ivfpq_adc_rerank(
+    spark: SparkSession,
+    vectors: DataFrame,
+    encoded: DataFrame,
+    cents,
+    books,
+    qids,
+    qmat,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+    shortlist_n: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """The IVFADC query tail shared by the inline and persisted-index
+    paths: probe N_PROBE cells (a scan filter — partition pruning when
+    ``encoded`` is the cell-partitioned index scan), ADC-score only
+    probed-cell codes, exact re-rank of the shortlist from
+    ``vectors``."""
+    import numpy as np
+
     cell_dot = qmat @ cents.T  # (n_q, C)
     probe = {
-        int(q): set(cell_dot[i].argsort()[-N_PROBE:].tolist())
+        int(q): set(cell_dot[i].argsort()[-n_probe:].tolist())
         for i, q in enumerate(qids)
     }
     probed_cells = sorted(set().union(*probe.values())) if probe else []
     m, k, sub = books.shape
     lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
     bc_q = spark.sparkContext.broadcast((qids, lut, cell_dot, probe))
-    shortlist_n = PQ_SHORTLIST
 
     def adc(batches):
         import numpy as np
@@ -1053,13 +1168,14 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 part = np.lexsort((c_ids, -c_sims))[:kk]
                 yield pd.DataFrame({"query_id": qid, "cand_id": c_ids[part]})
 
-    local = encoded.filter(F.col("cell").isin(probed_cells)).mapInPandas(
-        adc, schema="query_id long, cand_id long"
+    local = (
+        encoded.filter(F.col("cell").isin(probed_cells))
+        .select("vec_id", "cell", "codes")
+        .mapInPandas(adc, schema="query_id long, cand_id long")
     )
     shortlist = local.dropDuplicates(["query_id", "cand_id"])
 
     bc_exact = spark.sparkContext.broadcast((qids, qmat))
-    top_k = TOP_K
 
     def rerank(batches):
         import numpy as np
@@ -1082,7 +1198,7 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     rescored = (
-        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        vectors.select(F.col("vec_id").alias("cand_id"), "embedding")
         .join(F.broadcast(shortlist), "cand_id")
         .mapInPandas(rerank, schema="query_id long, cand_id long, cosine double")
     )
@@ -1092,3 +1208,126 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+) -> str:
+    """Build and PERSIST an IVFADC index — faiss ``IVFx,PQy``'s layout
+    on parquet: coarse cells prune WHICH rows are scanned, residual PQ
+    codes compress WHAT is scanned.
+
+    Layout under ``index_dir``:
+    - ``codes/cell=<i>/...parquet``  (vec_id, codes), partitioned by
+      coarse cell — a probe is directory-level partition pruning over
+      ~25x-compressed rows: the double win.
+    - ``centroids/``   the coarse quantizer (cell, centroid).
+    - ``codebooks/``   the residual PQ codebooks (m, k, centroid).
+
+    Both quantizers train on the content-hash uniform sample
+    (:func:`_hash_sample_matrix`) — deterministic per seed, unbiased
+    across shards — then one Arrow map pass encodes the corpus.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = _train_centroids(raw, n_cells)
+    books = _train_residual_codebooks(raw, cents)
+    _ivfpq_encode(spread(raw), cents, books).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "codes"))
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    spark.createDataFrame(
+        [
+            (mi, ki, [float(x) for x in books[mi, ki]])
+            for mi in range(books.shape[0])
+            for ki in range(books.shape[1])
+        ],
+        "m int, k int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    return index_dir
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe a persisted IVFADC index (:func:`build_ivfpq_index`
+    layout): no training, no encoding — the cell filter prunes code
+    partitions at the FileIndex, ADC scores only probed-cell codes,
+    and the exact re-rank touches ``vectors`` for the shortlist only."""
+    import os
+
+    import numpy as np
+
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), DIM), dtype=np.float64)
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    books = _load_pq_codebooks(spark, index_dir)
+    encoded = spark.read.parquet(os.path.join(index_dir, "codes"))
+    qids, qmat = _query_matrix(queries)
+    return _ivfpq_adc_rerank(
+        spark, vectors, encoded, cents, books, qids, qmat, n_probe, top_k
+    )
+
+
+@query("ivfpq_cosine_topk")  # no oracle: approximate by construction;
+# recall vs the exact operator + run-to-run determinism pinned in
+# tests/test_similarity.py
+def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (Jégou et al., TPAMI 2011 §IV): coarse cells prune
+    WHICH vectors are scanned, residual PQ codes compress WHAT is
+    scanned — the layout behind every billion-vector production index
+    (faiss ``IVFx,PQy``).
+
+    Encoding (one Arrow map pass): normalize, assign the nearest coarse
+    centroid, PQ-encode the RESIDUAL ``x - c_cell`` against codebooks
+    trained on sample residuals. Scoring decomposes exactly:
+    ``q . x ~= q . c_cell + sum_m LUT[q, m, code_m]`` — one (n_q x C)
+    cell-dot matrix plus the standard per-query LUT, both tiny and
+    broadcast.
+
+    Query path: probe N_PROBE of N_CELLS (the scan filter), ADC-score
+    only probed-cell codes (never the float vectors), shortlist, then
+    exact re-rank of just the shortlist via a broadcast hash join —
+    the ``pq_cosine_topk`` tail.
+
+    ``SPARK_GRAFT_IVFPQ_INDEX=<dir>``: probe a PREBUILT index
+    (:func:`build_ivfpq_index` layout — (cell, codes) parquet
+    partitioned by cell exactly like ``build_ivf_index``) via
+    :func:`ivfpq_search`: the probe becomes a partition-pruned scan of
+    in-memory-sized codes, with no training or encoding at query time.
+    Equality of the two paths is pinned in ``tests/test_similarity.py``.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.environ.get("SPARK_GRAFT_IVFPQ_INDEX")
+    if index_dir:
+        if not os.path.isdir(os.path.join(index_dir, "codes")):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_IVFPQ_INDEX={index_dir!r} has no codes/ dir "
+                "— build it with build_ivfpq_index()"
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERY)
+        return ivfpq_search(spark, index_dir, queries, raw)
+    cents = _train_centroids(raw)  # (C, D) unit rows, seed-pinned
+    books = _train_residual_codebooks(raw, cents)
+    encoded = _ivfpq_encode(spread(raw), cents, books)
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    return _ivfpq_adc_rerank(spark, raw, encoded, cents, books, qids, qmat)

@@ -200,3 +200,100 @@ def test_hash_sample_partition_invariant(spark, sf_dir):
     # different seeds draw genuinely different samples
     c = similarity._hash_sample_matrix(raw, n=256, seed=13)
     assert not np.array_equal(a, c)
+
+
+def test_persisted_pq_index_matches_inline(spark, sf_dir, tmp_path):
+    """build_pq_index + pq_search: no training/encoding at query time,
+    identical results to the inline form (same seeds -> same codebooks
+    -> same codes); the registered query honors SPARK_GRAFT_PQ_INDEX
+    and fails loudly on a bogus dir."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    inline = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.pq_cosine_topk(spark, sf_dir).collect()
+    }
+
+    idx = similarity.build_pq_index(spark, sf_dir, str(tmp_path / "pq"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    persisted = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.pq_search(spark, idx, queries, raw).collect()
+    }
+    assert persisted == inline
+
+    os.environ["SPARK_GRAFT_PQ_INDEX"] = idx
+    try:
+        got = {
+            (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+            for r in similarity.pq_cosine_topk(spark, sf_dir).collect()
+        }
+        assert got == inline
+        os.environ["SPARK_GRAFT_PQ_INDEX"] = idx + "_nope"
+        with pytest.raises(FileNotFoundError):
+            similarity.pq_cosine_topk(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_PQ_INDEX"]
+
+
+def test_persisted_ivfpq_index_prunes_and_matches_inline(
+    spark, sf_dir, tmp_path
+):
+    """build_ivfpq_index + ivfpq_search: cell-partitioned codes give
+    directory-level partition pruning at the scan (the PartitionFilters
+    assertion, same style as the IVF test), and results equal the
+    inline form exactly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    inline = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_cosine_topk(spark, sf_dir).collect()
+    }
+
+    idx = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "ivfpq"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    out = similarity.ivfpq_search(spark, idx, queries, raw)
+    plan = physical_plan(out)
+    # multiple scans in the plan (codes + re-rank's embeddings read):
+    # SOME PartitionFilters section must carry the cell INSET
+    assert any(
+        "cell" in seg.split("]", 1)[0]
+        for seg in plan.split("PartitionFilters:")[1:]
+    ), plan
+    persisted = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in out.collect()
+    }
+    assert persisted == inline
+
+    os.environ["SPARK_GRAFT_IVFPQ_INDEX"] = idx
+    try:
+        switched = similarity.ivfpq_cosine_topk(spark, sf_dir)
+        sw_plan = physical_plan(switched)
+        assert any(
+            "cell" in seg.split("]", 1)[0]
+            for seg in sw_plan.split("PartitionFilters:")[1:]
+        ), sw_plan
+        got = {
+            (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+            for r in switched.collect()
+        }
+        assert got == inline
+        os.environ["SPARK_GRAFT_IVFPQ_INDEX"] = idx + "_nope"
+        with pytest.raises(FileNotFoundError):
+            similarity.ivfpq_cosine_topk(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_IVFPQ_INDEX"]
