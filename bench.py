@@ -157,6 +157,8 @@ EXTRA = [
     "semantic_dedup_keep_docs",
     "orders_fulfillment_lag",
     "events_user_churn",
+    # round 7
+    "bpe_apply_merges",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",

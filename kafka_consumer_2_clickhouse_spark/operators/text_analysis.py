@@ -6,7 +6,7 @@ expressions except the corpus-level frequency table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import textfns as X
 from ..sources.tables import broadcast_if_small, load_table, spread
@@ -772,6 +772,172 @@ def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_MERGE_TOP_N)
     )
+
+
+#: merges the REGISTERED apply query folds in (rank order); the
+#: function and oracle generator take any count
+BPE_APPLY_MERGES = 6
+#: join separator for the re-tokenized-sequence hash: unit separator,
+#: absent from the corpus, distinct from the intra-merged-token space
+BPE_TOK_SEP = "\x1f"
+
+
+def _apply_merge_col(toks: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a token array, LEFT-TO-RIGHT GREEDY —
+    a single ``F.aggregate`` fold, map-only.
+
+    State = (acc: merged-so-far, prev: one-token lookbehind). A
+    ``(prev=a, x=b)`` hit appends the merged symbol ``"a b"`` and
+    CLEARS prev (the consumed pair can't chain), which is exactly the
+    greedy non-overlapping rule: ``a a a`` under merge (a,a) yields
+    ``["a a", "a"]``, never ``["a", "a a"]``. Merged symbols contain a
+    space so they are textually distinct from any raw token and stay
+    inert under later merges — the new-symbol property of real BPE.
+    """
+    pair = F.lit(a + " " + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(s, x):
+        hit = s.getField("prev").eqNullSafe(F.lit(a)) & (x == F.lit(b))
+        flushed = F.when(
+            s.getField("prev").isNull(), s.getField("acc")
+        ).otherwise(F.concat(s.getField("acc"), F.array(s.getField("prev"))))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(s.getField("acc"), F.array(pair)).alias("acc"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(F.struct(flushed.alias("acc"), x.alias("prev")))
+
+    def finish(s):
+        return F.when(
+            s.getField("prev").isNull(), s.getField("acc")
+        ).otherwise(F.concat(s.getField("acc"), F.array(s.getField("prev"))))
+
+    return F.aggregate(toks, init, step, finish)
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """Recursive-CTE twin of the merge application: the SAME rank-
+    ordered merge table (the ``corpus_bigram_merge_candidates``
+    ranking, tie-broken on pair text) applied by the SAME left-to-right
+    greedy fold, one token-step per recursion row, one round per merge
+    rank. CTE names are bpe_-prefixed (nested-scope binder rule)."""
+    return f"""
+    WITH RECURSIVE bpe_docs AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    ), bpe_merges AS (
+      SELECT pair,
+             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS r,
+             string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM (
+        SELECT pair, count(*) AS n FROM (
+          SELECT unnest({X.sql_shingles('toks', 2)}) AS pair FROM bpe_docs
+        ) GROUP BY pair ORDER BY n DESC, pair LIMIT {n_merges}
+      )
+    ), bpe_fold(doc_id, r, i, toks, acc, prev) AS (
+      SELECT doc_id, 1, 1, toks, CAST([] AS VARCHAR[]), CAST(NULL AS VARCHAR)
+      FROM bpe_docs
+      UNION ALL
+      SELECT f.doc_id,
+             CASE WHEN f.i <= len(f.toks) THEN f.r ELSE f.r + 1 END,
+             CASE WHEN f.i <= len(f.toks) THEN f.i + 1 ELSE 1 END,
+             CASE WHEN f.i <= len(f.toks) THEN f.toks
+                  ELSE list_concat(f.acc,
+                       CASE WHEN f.prev IS NULL THEN CAST([] AS VARCHAR[])
+                            ELSE [f.prev] END) END,
+             CASE WHEN f.i > len(f.toks) THEN CAST([] AS VARCHAR[])
+                  WHEN f.prev IS NOT NULL AND f.prev = m.a
+                       AND f.toks[f.i] = m.b
+                    THEN list_concat(f.acc, [m.pair])
+                  WHEN f.prev IS NULL THEN f.acc
+                  ELSE list_concat(f.acc, [f.prev]) END,
+             CASE WHEN f.i > len(f.toks) THEN CAST(NULL AS VARCHAR)
+                  WHEN f.prev IS NOT NULL AND f.prev = m.a
+                       AND f.toks[f.i] = m.b
+                    THEN CAST(NULL AS VARCHAR)
+                  ELSE f.toks[f.i] END
+      FROM bpe_fold f JOIN bpe_merges m ON m.r = f.r
+      WHERE f.i <= len(f.toks) OR f.r < {n_merges}
+    ), bpe_done AS (
+      SELECT doc_id,
+             list_concat(acc,
+               CASE WHEN prev IS NULL THEN CAST([] AS VARCHAR[])
+                    ELSE [prev] END) AS toks
+      FROM bpe_fold
+      WHERE r = {n_merges} AND i > len(toks)
+    )
+    SELECT d.doc_id,
+           CAST(len(b0.toks) AS BIGINT) AS n_tokens_before,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens_after,
+           md5(array_to_string(d.toks, chr(31))) AS toks_hash
+    FROM bpe_done d JOIN bpe_docs b0 USING (doc_id)
+    """
+
+
+def bpe_apply_merges_df(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_APPLY_MERGES
+) -> DataFrame:
+    """Parameterized merge application (see :func:`bpe_apply_merges`);
+    oracle twin generated by :func:`_bpe_apply_oracle` from the same
+    merge count (pinned at a second count in tests/test_bpe_apply.py).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # the learned merge table: top-N corpus bigrams, rank order pinned
+    # by (count desc, pair) — an N-row bounded driver pull, baked into
+    # the plan as literals (the kmeans centroid-literal discipline)
+    cand = (
+        docs.select(F.explode(X.shingles(X.tokens("text"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(n_merges)
+        .collect()
+    )
+    merges = [tuple(r["pair"].split(" ", 1)) for r in cand]
+    toks = X.tokens("text")
+    out = toks
+    for a, b in merges:
+        out = _apply_merge_col(out, a, b)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_before"),
+        F.size(out).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(BPE_TOK_SEP, out)).alias("toks_hash"),
+    )
+
+
+@query("bpe_apply_merges", oracle=_bpe_apply_oracle(BPE_APPLY_MERGES))
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merge table: re-tokenize the corpus with
+    the top-{N} ``corpus_bigram_merge_candidates`` merges folded in,
+    rank by rank (Sennrich et al. 2016 application order) — closing
+    the tokenizer-design loop (merge table -> re-tokenized corpus ->
+    coverage/OOV over the NEW vocabulary). Output per doc: token count
+    before/after and an md5 over the full re-tokenized sequence, so
+    the oracle checks every merged position, not just the counts.
+
+    Exactness: each merge round is the same left-to-right greedy fold
+    on both engines — a single ``F.aggregate`` expression here, one
+    recursive-CTE token-step there — and merged symbols are inert
+    under later rounds, so the unrolled N-round chain is value-hash
+    checkable end to end (the kmeans unroll trick applied to
+    tokenization).
+
+    Scale (100 TB): the merge table is N tiny rows — learned with one
+    partial-aggregated groupBy + TakeOrdered, pulled once, compiled
+    into the plan as literals. Application is MAP-ONLY: N nested array
+    folds per document, no shuffle, no UDF; the stats projection
+    collapses map-side. Real tokenizer deployments ship the merge
+    table as a file — swap the learning subquery for a literal list
+    and the plan is pure map.
+    """
+    return bpe_apply_merges_df(spark, sf_dir)
 
 
 # Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:

@@ -1,0 +1,49 @@
+"""BPE merge application: greedy fold semantics + oracle at a second
+merge count (the parameterization pin)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators import text_analysis as TA
+
+from .oracle_utils import compare, duck_connect
+
+
+def _fold(spark, toks, a, b):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    return df.select(
+        TA._apply_merge_col(F.col("toks"), a, b).alias("out")
+    ).collect()[0]["out"]
+
+
+def test_greedy_left_to_right_semantics(spark):
+    # self-overlapping pair: leftmost wins, consumed pair can't chain
+    assert _fold(spark, ["a", "a", "a"], "a", "a") == ["a a", "a"]
+    assert _fold(spark, ["a", "a", "a", "a"], "a", "a") == ["a a", "a a"]
+    # adjacent distinct-pair occurrences both merge
+    assert _fold(spark, ["a", "b", "a", "b"], "a", "b") == ["a b", "a b"]
+    # merged symbol is inert under the same merge
+    assert _fold(spark, ["a", "a b", "b"], "a", "b") == ["a", "a b", "b"]
+    # no hit passes through
+    assert _fold(spark, ["x", "y"], "a", "b") == ["x", "y"]
+    # pair at the very end flushes correctly
+    assert _fold(spark, ["x", "a", "b"], "a", "b") == ["x", "a b"]
+
+
+def test_merges_shrink_token_counts(spark, sf_dir):
+    rows = TA.bpe_apply_merges(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_tokens_after"] <= r["n_tokens_before"] for r in rows)
+    assert any(r["n_tokens_after"] < r["n_tokens_before"] for r in rows)
+
+
+def test_oracle_at_second_merge_count(spark, sf_dir):
+    """The merge count is a real parameter: Spark chain and oracle CTE
+    unroll from the same value and stay value-hash exact."""
+    con = duck_connect(sf_dir)
+    for n in (3,):
+        ok, msg = compare(
+            TA.bpe_apply_merges_df(spark, sf_dir, n_merges=n),
+            con,
+            TA._bpe_apply_oracle(n),
+        )
+        assert ok, f"n_merges={n}: {msg}"
