@@ -60,13 +60,28 @@ def read_landed(
 
 
 def curated_ingest(
-    state_dir: str, landing_dir: str, store: StateStore | None = None
+    state_dir: str,
+    landing_dir: str,
+    store: StateStore | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
-    """``foreachBatch`` function: redact -> near-dup filter -> land."""
+    """``foreachBatch`` function: redact -> near-dup filter -> land.
+
+    ``sink``: optional downstream writer invoked with each batch's
+    SURVIVORS after they land — e.g. ``sinks.clickhouse_writer(cfg)``,
+    which completes the reference's full dataflow (Kafka-shape source
+    -> curate -> ClickHouse INSERT) with curation in the middle. The
+    parquet landing stays the replay-idempotent system of record
+    (overwrite-by-batch-dir); the sink is at-least-once on replay,
+    matching the reference's own insert semantics
+    (internal/collector/collector.go:119-155 — no dedup on retry).
+    """
 
     def land(clean_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(landing_dir, f"batch={batch_id}")
         clean_df.write.mode("overwrite").parquet(out)
+        if sink is not None:
+            sink(clean_df, batch_id)
 
     inner = neardup_filter(state_dir, land, store=store)
 

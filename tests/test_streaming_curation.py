@@ -82,3 +82,100 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     landed = read_landed(spark, str(landing))
     ids = sorted(r["doc_id"] for r in landed.collect())
     assert 21 in ids and 1 in ids and 2 in ids
+
+
+def test_curated_ingest_forwards_survivors_to_sink(spark, tmp_path):
+    """The optional downstream sink sees exactly the curated SURVIVORS
+    (post-redact, post-dedup) per batch — the seam the ClickHouse
+    integration test drives against a live server."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    state, landing = tmp_path / "state", tmp_path / "landing"
+    seen: dict[int, dict[int, str]] = {}
+
+    def recording_sink(df, batch_id):
+        seen[batch_id] = {r["doc_id"]: r["text"] for r in df.collect()}
+
+    _write_chunk(spark, src, [(1, BASE), (2, PII_DOC)], "chunk0")
+    _write_chunk(spark, src, [(10, BASE.replace("hunter", "ranger")),
+                              (11, PII_TWIN)], "chunk1")
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(
+            curated_ingest(str(state), str(landing), sink=recording_sink)
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    landed = {r["doc_id"] for r in read_landed(spark, str(landing)).collect()}
+    sunk = {d for batch in seen.values() for d in batch}
+    assert sunk == landed == {1, 2}  # dups/twins never reach the sink
+    texts = {d: t for batch in seen.values() for d, t in batch.items()}
+    assert "alice@example.com" not in texts[2]  # redacted before sink
+    assert "<EMAIL>" in texts[2]
+
+
+import os  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_CH_URL"),
+    reason="integration: set SPARK_GRAFT_CH_URL=host:port to a live ClickHouse",
+)
+def test_streaming_curation_to_clickhouse_integration(spark, tmp_path):
+    """The reference's FULL dataflow with curation in the middle:
+    stream source -> redact -> near-dup filter -> parquet landing +
+    ClickHouse INSERT. Requires a live server (and get_spark
+    clickhouse_jdbc=True for the driver jar)."""
+    from kafka_consumer_2_clickhouse_spark.config import (
+        ClickHouseConfig,
+        TopicConfig,
+    )
+    from kafka_consumer_2_clickhouse_spark.sinks import (
+        clickhouse_jdbc_options,
+        clickhouse_writer,
+        ping_clickhouse,
+    )
+
+    cfg = TopicConfig(
+        topic="t",
+        clickhouse=ClickHouseConfig(
+            host=os.environ["SPARK_GRAFT_CH_URL"],
+            table="spark_graft_curated_stream_test",
+            write_timeout=5,
+        ),
+    )
+    ping_clickhouse(spark, cfg)
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    state, landing = tmp_path / "state", tmp_path / "landing"
+    _write_chunk(spark, src, [(1, BASE), (2, PII_DOC)], "chunk0")
+    _write_chunk(spark, src, [(10, BASE.replace("hunter", "ranger")),
+                              (11, PII_TWIN)], "chunk1")
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(
+            curated_ingest(str(state), str(landing),
+                           sink=clickhouse_writer(cfg))
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    back = (
+        spark.read.format("jdbc").options(**clickhouse_jdbc_options(cfg)).load()
+    )
+    ids = {r["doc_id"] for r in back.collect()}
+    assert {1, 2} <= ids and not {10, 11} & ids
+    texts = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert "alice@example.com" not in texts[2]
