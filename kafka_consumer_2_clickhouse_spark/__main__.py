@@ -11,6 +11,9 @@ subcommands over the library:
               [--explain]             --explain prints the physical plan)
     curate SF_DIR OUT_DIR            full batch curation pipeline
     compact PATH [--target-mb N]     small-file compaction of a landing dir
+    build-index KIND OUT_DIR         persist an ANN/dedup index (KIND in
+              [--sf-dir DIR]          ivf|pq|ivfpq|dedup); prints the
+                                      SPARK_GRAFT_*_INDEX env var to set
 
 Every subcommand honors the engine's env switches
 (``SPARK_GRAFT_SCALE_MODE``, ``SPARK_GRAFT_CC_ALGO``,
@@ -77,6 +80,21 @@ def _build_parser() -> argparse.ArgumentParser:
     co = sub.add_parser("compact", help="compact a parquet landing dir")
     co.add_argument("path")
     co.add_argument("--target-mb", type=int, default=128)
+
+    bi = sub.add_parser(
+        "build-index",
+        help="build a persisted index (train once, probe forever); point "
+        "the matching SPARK_GRAFT_*_INDEX env var at the output dir",
+    )
+    bi.add_argument(
+        "kind", choices=["ivf", "pq", "ivfpq", "dedup"],
+        help="ivf: cell-partitioned vectors; pq: codes+codebooks; "
+        "ivfpq: cell-partitioned residual codes; dedup: LSH signature "
+        "index for incremental near-dup",
+    )
+    bi.add_argument("out_dir")
+    bi.add_argument("--sf-dir", default=None,
+                    help="corpus dir (default: $SPARK_GRAFT_SF_DIR)")
     return p
 
 
@@ -141,6 +159,29 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.path, target_file_bytes=args.target_mb << 20
         )
         print(json.dumps(stats, sort_keys=True))
+        return 0
+
+    if args.cmd == "build-index":
+        sf_dir = _resolve_sf_dir(args.sf_dir)
+        if args.kind == "dedup":
+            from .operators.dedup import build_signature_index
+            from .sources.tables import load_table
+
+            out = build_signature_index(
+                spark, load_table(spark, sf_dir, "documents"), args.out_dir
+            )
+            env = "SPARK_GRAFT_DEDUP_INDEX"
+        else:
+            from .operators import similarity as sim
+
+            builder = {
+                "ivf": sim.build_ivf_index,
+                "pq": sim.build_pq_index,
+                "ivfpq": sim.build_ivfpq_index,
+            }[args.kind]
+            out = builder(spark, sf_dir, args.out_dir)
+            env = f"SPARK_GRAFT_{args.kind.upper()}_INDEX"
+        print(json.dumps({"index_dir": out, "env_var": env}, sort_keys=True))
         return 0
 
     raise AssertionError(f"unhandled command {args.cmd}")  # pragma: no cover

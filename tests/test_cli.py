@@ -84,3 +84,21 @@ def test_run_query_sf_dir_env_and_fail_fast(capsys, monkeypatch, sf_dir):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/nonexistent/corpus")
     with pytest.raises(SystemExit, match="SPARK_GRAFT_SF_DIR"):
         _resolve_sf_dir(None)
+
+
+def test_build_index_cli(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """build-index builds each persisted layout and prints the env var
+    that switches the registered query onto it."""
+    import json
+
+    from kafka_consumer_2_clickhouse_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    for kind, marker in [("pq", "codes"), ("dedup", "keys")]:
+        out = str(tmp_path / kind)
+        assert main(["build-index", kind, out]) == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        info = json.loads(line)
+        assert info["index_dir"] == out
+        assert info["env_var"] == f"SPARK_GRAFT_{kind.upper()}_INDEX"
+        assert (tmp_path / kind / marker).is_dir()
