@@ -263,12 +263,22 @@ def test_broadcast_if_small_assume_small_on_estimate_failure(
         raise AttributeError("no queryExecution (connect-like)")
 
     monkeypatch.setattr(tables, "_catalyst_size_estimate", boom)
-    with caplog.at_level(logging.WARNING,
-                         logger="kafka_consumer_2_clickhouse_spark.sources.tables"):
+    # capture via a direct handler: jsonlog's config (installed by other
+    # tests in the suite) may disable propagation, which caplog needs
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    log = logging.getLogger("kafka_consumer_2_clickhouse_spark.sources.tables")
+    log.addHandler(h)
+    old_level = log.level
+    log.setLevel(logging.DEBUG)
+    try:
         # default: dropped (the exact input back), not raised — and logged
         assert tables.broadcast_if_small(cust) is cust
-    assert any("dropping broadcast hint" in r.getMessage()
-               for r in caplog.records)
+    finally:
+        log.removeHandler(h)
+        log.setLevel(old_level)
+    assert any("dropping broadcast hint" in r.getMessage() for r in records)
 
     # assume_small keeps the hint on failure: the result is a HINTED
     # DataFrame (ResolvedHint in the analyzed plan), not the input
