@@ -26,6 +26,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     clickhouse_jdbc: bool = False,
+    kafka: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -33,10 +34,11 @@ def get_spark(
     builder only contributes SQL conf; locally it defaults to
     ``local[$SPARK_GRAFT_CPUS]``.
 
-    ``clickhouse_jdbc=True`` pins the ClickHouse JDBC driver via
+    ``clickhouse_jdbc=True`` pins the ClickHouse JDBC driver and
+    ``kafka=True`` the version-matched Spark Kafka connector, both via
     ``spark.jars.packages`` (resolved from Maven Central at session
-    start — requires network, so it is opt-in; air-gapped deployments
-    ship the same jar with ``--jars``).
+    start — requires network, so each is opt-in; air-gapped
+    deployments ship the same jars with ``--jars``).
     """
     cores = default_parallelism()
     builder = (
@@ -63,24 +65,32 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
     )
+    packages = []
     if clickhouse_jdbc:
         from .sinks import CLICKHOUSE_JDBC_PACKAGE
 
+        packages.append(CLICKHOUSE_JDBC_PACKAGE)
+    if kafka:
+        from .sources.kafka import KAFKA_SQL_PACKAGE
+
+        packages.append(KAFKA_SQL_PACKAGE)
+    if packages:
         # spark.jars.packages is JVM-startup-only: getOrCreate() against
-        # an existing session silently ignores it and the missing driver
-        # would only surface later at ping time — fail fast instead.
+        # an existing session silently ignores it and the missing jar
+        # would only surface later at first use — fail fast instead.
         existing = SparkSession.getActiveSession()
-        if existing is not None and CLICKHOUSE_JDBC_PACKAGE not in existing.conf.get(
-            "spark.jars.packages", ""
+        if existing is not None and any(
+            p not in existing.conf.get("spark.jars.packages", "")
+            for p in packages
         ):
             raise RuntimeError(
-                "clickhouse_jdbc=True cannot take effect: a SparkSession "
-                "already exists in this process and spark.jars.packages is "
-                "a startup-only config. Stop the existing session first, or "
-                "launch with --packages/--jars so the driver is on the "
-                "classpath from the start."
+                "clickhouse_jdbc/kafka=True cannot take effect: a "
+                "SparkSession already exists in this process and "
+                "spark.jars.packages is a startup-only config. Stop the "
+                "existing session first, or launch with --packages/--jars "
+                "so the jars are on the classpath from the start."
             )
-        builder = builder.config("spark.jars.packages", CLICKHOUSE_JDBC_PACKAGE)
+        builder = builder.config("spark.jars.packages", ",".join(packages))
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cores}]")
     if extra_conf:

@@ -14,9 +14,19 @@ A1 exactly).
 
 from __future__ import annotations
 
+import pyspark
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from ..config import PipelineConfig
+
+#: the Spark Kafka connector matching the running Spark version —
+#: resolved via ``spark.jars.packages`` when ``session.get_spark`` is
+#: called with ``kafka=True`` (opt-in: needs Maven Central; air-gapped
+#: deployments ship the same jar with ``--jars``). Spark 4 publishes
+#: Scala 2.13 only.
+KAFKA_SQL_PACKAGE = (
+    f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+)
 
 #: the subset of the Kafka source schema the pipeline consumes
 KAFKA_SHAPE = T.StructType(

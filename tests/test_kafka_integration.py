@@ -1,0 +1,76 @@
+"""Live-broker evidence for the Kafka source option mapping.
+
+The sandbox has no broker (and no connector jar), so the round trip is
+integration-flagged: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port to a
+live Kafka and run with a fresh interpreter (the connector resolves at
+JVM startup via session.get_spark(kafka=True)). What runs by default
+is the coordinate pin: the connector package must match the running
+Spark version, or the integration path can never work.
+"""
+
+import os
+
+import pytest
+
+
+def test_kafka_package_coordinate_matches_spark():
+    import pyspark
+
+    from kafka_consumer_2_clickhouse_spark.sources.kafka import (
+        KAFKA_SQL_PACKAGE,
+    )
+
+    assert KAFKA_SQL_PACKAGE.startswith(
+        "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+    )
+    assert KAFKA_SQL_PACKAGE.endswith(pyspark.__version__)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="integration: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port to a "
+    "live Kafka broker (requires the connector jar at JVM startup: "
+    "get_spark(kafka=True) in a fresh interpreter)",
+)
+def test_kafka_roundtrip_integration(tmp_path):
+    """Produce via Spark's batch Kafka sink, consume via kafka_stream
+    (the reference's source stage, cmd/kafka-consumer/main.go:72-75):
+    the option mapping, offsets and payload bytes survive a real broker.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.config import PipelineConfig, TopicConfig
+    from kafka_consumer_2_clickhouse_spark.session import get_spark
+    from kafka_consumer_2_clickhouse_spark.sources.kafka import kafka_stream
+
+    bootstrap = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    topic = "spark_graft_roundtrip_test"
+    spark = get_spark(app_name="kafka-integration", kafka=True)
+
+    payloads = [f"msg-{i}".encode() for i in range(50)]
+    (
+        spark.createDataFrame([(p,) for p in payloads], "value binary")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    cfg = PipelineConfig(
+        topics=[TopicConfig(topic=topic)],
+        consumer_config={"bootstrap.servers": bootstrap,
+                         "enable.auto.commit": "true"},  # must be stripped
+    )
+    stream = kafka_stream(spark, cfg, starting_offsets="earliest")
+    out = str(tmp_path / "landed")
+    q = (
+        stream.selectExpr("CAST(value AS STRING) AS v", "topic", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["v"] for r in spark.read.parquet(out).collect()}
+    assert {p.decode() for p in payloads} <= got
