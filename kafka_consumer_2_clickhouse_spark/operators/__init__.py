@@ -94,11 +94,12 @@ def release_intermediate_caches(spark) -> None:
     releasing accumulate block-manager memory — bench.py clears between
     queries for exactly this reason. All levels are MEMORY_AND_DISK
     with intact lineage, so releasing is always safe (recompute, never
-    data loss). Also drops the component-labels memo
-    (``graph._COMPONENTS_MEMO``): its cached DataFrames are backed by
-    the persists being cleared, and a memo surviving the clear would
-    hand every later composite an UNPERSISTED relation they would each
-    silently recompute.
+    data loss). Also drops the session memos (``graph._COMPONENTS_MEMO``,
+    ``clustering._ASSIGN_MEMO``, ``clustering._PAIRS_MEMO``): their
+    cached DataFrames are backed by persists/checkpoints being retired
+    here. (A DIRECT ``clearCache()`` without this call is also safe
+    now: ``SessionMemo.get`` re-checks each entry's backing persists
+    and evicts stale entries — see ``operators/_memo.py``.)
     """
     graph._COMPONENTS_MEMO.clear()
     clustering._ASSIGN_MEMO.clear()
