@@ -95,7 +95,8 @@ def release_intermediate_caches(spark) -> None:
     queries for exactly this reason. All levels are MEMORY_AND_DISK
     with intact lineage, so releasing is always safe (recompute, never
     data loss). Also drops the session memos (``graph._COMPONENTS_MEMO``,
-    ``clustering._ASSIGN_MEMO``, ``clustering._PAIRS_MEMO``): their
+    ``clustering._ASSIGN_MEMO``, ``clustering._PAIRS_MEMO``,
+    ``clustering._SEM_COMP_MEMO``): their
     cached DataFrames are backed by persists/checkpoints being retired
     here. (A DIRECT ``clearCache()`` without this call is also safe
     now: ``SessionMemo.get`` re-checks each entry's backing persists
@@ -104,4 +105,5 @@ def release_intermediate_caches(spark) -> None:
     graph._COMPONENTS_MEMO.clear()
     clustering._ASSIGN_MEMO.clear()
     clustering._PAIRS_MEMO.clear()
+    clustering._SEM_COMP_MEMO.clear()
     spark.catalog.clearCache()

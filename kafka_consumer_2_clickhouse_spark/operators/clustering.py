@@ -430,6 +430,16 @@ def _semantic_pairs_oracle(
 #: Cleared by ``operators.release_intermediate_caches``.
 _PAIRS_MEMO = SessionMemo()
 
+#: per-session memo of the SEMANTIC component labels (CC fixpoint over
+#: the verified pair edges) — the same discipline as the text chain's
+#: ``graph._COMPONENTS_MEMO``: the fixpoint's per-round scheduling
+#: overhead dominates its cost at any SF (the relations are small; the
+#: rounds are not free), so every consumer after the first should pay
+#: a cache read. The result is checkpoint-truncated inside
+#: ``connected_components`` (a leaf; deps=()). Cleared by
+#: ``operators.release_intermediate_caches``.
+_SEM_COMP_MEMO = SessionMemo()
+
 
 def semantic_dedup_pairs_df(
     spark: SparkSession,
@@ -601,20 +611,27 @@ def semantic_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .graph import connected_components
 
-    nodes = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id")
-    )
     # the pair relation arrives checkpoint-truncated (and session-
     # memoized) from semantic_dedup_pairs_df, so the CC fixpoint
     # iterates over a leaf — and when semantic_dedup_pairs ran earlier
     # in the session, the Lloyd's run + quadratic verify are NOT
-    # re-derived here: this query costs ~the CC fixpoint alone
-    edges = semantic_dedup_pairs_df(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    )
-    comp = connected_components(nodes, edges).select(
-        F.col("id").alias("vec_id"), "component_id"
-    )
+    # re-derived here; the labels themselves are memoized too (see
+    # _SEM_COMP_MEMO), so repeat consumers pay a cache read
+    comp_key = _assign_memo_key(
+        spark, sf_dir, KMEANS_K, KMEANS_ITERS
+    ) + (SEMDEDUP_CELL_CAP, "components")
+    comp = _SEM_COMP_MEMO.get(comp_key)
+    if comp is None:
+        nodes = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id")
+        )
+        edges = semantic_dedup_pairs_df(spark, sf_dir).select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+        comp = connected_components(nodes, edges).select(
+            F.col("id").alias("vec_id"), "component_id"
+        )
+        _SEM_COMP_MEMO.put(comp_key, comp)  # checkpoint-backed leaf
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("bigint").alias("n_members")
     )

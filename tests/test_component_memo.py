@@ -160,3 +160,36 @@ def test_assign_memo_evicts_on_direct_clearcache(spark, sf_dir, monkeypatch):
     assert fresh is not first  # stale entry evicted, not served
     assert sorted((r["vec_id"], r["cluster"]) for r in fresh.collect()) == rows
     ops.release_intermediate_caches(spark)
+
+
+def test_semantic_components_memoized_for_keepdocs(spark, sf_dir, monkeypatch):
+    """The semantic CC labels are session-memoized like the text
+    chain's: a second keep-docs run pays a cache read, not a fixpoint
+    — even across a direct clearCache (checkpoint-backed leaf)."""
+    from kafka_consumer_2_clickhouse_spark.operators import clustering
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    ops.release_intermediate_caches(spark)
+    assert not clustering._SEM_COMP_MEMO
+
+    t0 = time.monotonic()
+    rows_cold = sorted(
+        tuple(r)
+        for r in ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
+    )
+    cold = time.monotonic() - t0
+    assert len(clustering._SEM_COMP_MEMO) == 1
+
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    rows_warm = sorted(
+        tuple(r)
+        for r in ops.QUERIES["semantic_dedup_keep_docs"](spark, sf_dir).collect()
+    )
+    warm = time.monotonic() - t0
+    assert rows_warm == rows_cold and rows_cold
+    assert warm < cold / 2, (cold, warm)
+    assert len(clustering._SEM_COMP_MEMO) == 1
+
+    ops.release_intermediate_caches(spark)
+    assert not clustering._SEM_COMP_MEMO
