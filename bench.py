@@ -170,7 +170,12 @@ EXTRA = [
 def _env_fingerprint() -> dict:
     """Host-noise attribution data (see module docstring): loadavg,
     CPU count, and a count of OTHER live JVM/PySpark processes (a
-    concurrent Spark run is the classic uniform-slowdown culprit)."""
+    concurrent Spark run is the classic uniform-slowdown culprit).
+
+    "Other" excludes this bench's own process tree — the local-mode
+    JVM and its Arrow worker daemons are children of this driver, and
+    counting them would report a "noisy host" on every clean run.
+    """
     fp: dict = {"cpus": os.cpu_count()}
     try:
         fp["loadavg"] = [round(x, 2) for x in os.getloadavg()]
@@ -179,13 +184,45 @@ def _env_fingerprint() -> dict:
     me = os.getpid()
     others = 0
     try:
+        ppid: dict[int, int] = {}
+        cmds: dict[int, str] = {}
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == me:
+            if not pid.isdigit():
                 continue
+            p = int(pid)
             try:
-                with open(f"/proc/{pid}/cmdline", "rb") as f:
-                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-            except OSError:
+                with open(f"/proc/{p}/stat") as f:
+                    # field 4 of /proc/<pid>/stat; comm (field 2) may
+                    # contain spaces but is parenthesized — split after it
+                    ppid[p] = int(f.read().rsplit(")", 1)[1].split()[1])
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmds[p] = (
+                        f.read().replace(b"\0", b" ").decode(errors="replace")
+                    )
+            except (OSError, IndexError, ValueError):
+                continue
+
+        ancestors = set()
+        a = me
+        while a > 1 and a not in ancestors:
+            ancestors.add(a)
+            a = ppid.get(a, 1)
+
+        def mine(p: int) -> bool:
+            # descendant of this bench, or in its ancestor chain (the
+            # launching shell/harness may quote "pyspark" in its argv)
+            if p in ancestors:
+                return True
+            seen = set()
+            while p > 1 and p not in seen:
+                if p == me:
+                    return True
+                seen.add(p)
+                p = ppid.get(p, 1)
+            return False
+
+        for p, cmd in cmds.items():
+            if p == me or mine(p):
                 continue
             if ("pyspark" in cmd or "spark-submit" in cmd
                     or ("java" in cmd and "spark" in cmd.lower())):
