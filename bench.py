@@ -159,6 +159,7 @@ EXTRA = [
     "events_user_churn",
     # round 7
     "bpe_apply_merges",
+    "bpe_corpus_compression",
     "dedup_keep_best_docs",
     "token_pmi_pairs",
     "events_burst_minutes",
@@ -224,8 +225,11 @@ def _env_fingerprint() -> dict:
         for p, cmd in cmds.items():
             if p == me or mine(p):
                 continue
-            if ("pyspark" in cmd or "spark-submit" in cmd
-                    or ("java" in cmd and "spark" in cmd.lower())):
+            # match actual Spark WORKLOAD signatures (JVM classpath,
+            # submit script, Python worker daemons) — not the word
+            # "spark" in free-text argv of unrelated tooling
+            if ("org.apache.spark" in cmd or "spark-submit" in cmd
+                    or "pyspark.daemon" in cmd or "pyspark.worker" in cmd):
                 others += 1
     except OSError:
         others = -1  # /proc unavailable: unknown, not zero

@@ -880,12 +880,11 @@ def _bpe_apply_oracle(n_merges: int) -> str:
     """
 
 
-def bpe_apply_merges_df(
+def _bpe_retokenized(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_APPLY_MERGES
 ) -> DataFrame:
-    """Parameterized merge application (see :func:`bpe_apply_merges`);
-    oracle twin generated by :func:`_bpe_apply_oracle` from the same
-    merge count (pinned at a second count in tests/test_bpe_apply.py).
+    """(doc_id, toks_before, toks) with the top-``n_merges`` merge
+    table folded in — the shared core of the apply/compression queries.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     # the learned merge table: top-N corpus bigrams, rank order pinned
@@ -905,10 +904,23 @@ def bpe_apply_merges_df(
     for a, b in merges:
         out = _apply_merge_col(out, a, b)
     return docs.select(
+        "doc_id", toks.alias("toks_before"), out.alias("toks")
+    )
+
+
+def bpe_apply_merges_df(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_APPLY_MERGES
+) -> DataFrame:
+    """Parameterized merge application (see :func:`bpe_apply_merges`);
+    oracle twin generated by :func:`_bpe_apply_oracle` from the same
+    merge count (pinned at a second count in tests/test_bpe_apply.py).
+    """
+    rt = _bpe_retokenized(spark, sf_dir, n_merges)
+    return rt.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens_before"),
-        F.size(out).cast("bigint").alias("n_tokens_after"),
-        F.md5(F.concat_ws(BPE_TOK_SEP, out)).alias("toks_hash"),
+        F.size("toks_before").cast("bigint").alias("n_tokens_before"),
+        F.size("toks").cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(BPE_TOK_SEP, "toks")).alias("toks_hash"),
     )
 
 
@@ -938,6 +950,85 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the plan is pure map.
     """
     return bpe_apply_merges_df(spark, sf_dir)
+
+
+def _bpe_compression_oracle(n_merges: int) -> str:
+    """One-row corpus summary over the same recursive fold chain."""
+    fold = _bpe_apply_oracle(n_merges)
+    # reuse the fold oracle's WITH chain by re-deriving bpe_done; the
+    # outer aggregates read bpe_done + bpe_docs only
+    prefix = fold.split("SELECT d.doc_id,")[0]
+    return (
+        prefix
+        + f"""
+    , bpe_before AS (
+      SELECT (SELECT CAST(sum(len(toks)) AS BIGINT) FROM bpe_docs)
+               AS toks_total,
+             (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+              FROM (SELECT unnest(toks) AS tok FROM bpe_docs)) AS vocab
+    ), bpe_after AS (
+      SELECT (SELECT CAST(sum(len(toks)) AS BIGINT) FROM bpe_done)
+               AS toks_total,
+             (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+              FROM (SELECT unnest(toks) AS tok FROM bpe_done)) AS vocab
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM bpe_docs) AS n_docs,
+           b.toks_total AS tokens_before,
+           a.toks_total AS tokens_after,
+           b.toks_total - a.toks_total AS merged_occurrences,
+           CAST(a.toks_total AS DOUBLE) / b.toks_total AS compression,
+           b.vocab AS vocab_before,
+           a.vocab AS vocab_after
+    FROM bpe_before b CROSS JOIN bpe_after a
+    """
+    )
+
+
+@query("bpe_corpus_compression", oracle=_bpe_compression_oracle(BPE_APPLY_MERGES))
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row effect summary of the applied merge table: corpus token
+    count before/after, merged-occurrence count (each merge removes
+    exactly one token), the compression ratio a tokenizer designer
+    optimizes, and vocabulary sizes (after = raw survivors + new
+    merged symbols) — the numbers that decide whether the next merge
+    round is worth it.
+
+    Scale: the fold is the same map-only chain as
+    :func:`bpe_apply_merges`; the two sums partial-aggregate to one
+    row, and the two distinct-vocab counts shuffle token-keyed
+    (vocabulary-sized, not corpus-sized, after map-side partials).
+    """
+    rt = _bpe_retokenized(spark, sf_dir)
+    sums = rt.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks_before")).cast("bigint").alias("tokens_before"),
+        F.sum(F.size("toks")).cast("bigint").alias("tokens_after"),
+    )
+    vb = (
+        rt.select(F.explode("toks_before").alias("tok"))
+        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_before"))
+    )
+    va = (
+        rt.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_after"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(vb))
+        .crossJoin(F.broadcast(va))
+        .select(
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            (F.col("tokens_before") - F.col("tokens_after")).alias(
+                "merged_occurrences"
+            ),
+            (
+                F.col("tokens_after").cast("double") / F.col("tokens_before")
+            ).alias("compression"),
+            "vocab_before",
+            "vocab_after",
+        )
+    )
 
 
 # Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:

@@ -47,3 +47,18 @@ def test_oracle_at_second_merge_count(spark, sf_dir):
             TA._bpe_apply_oracle(n),
         )
         assert ok, f"n_merges={n}: {msg}"
+
+
+def test_corpus_compression_consistent_with_per_doc(spark, sf_dir):
+    """The one-row summary must agree with the per-doc apply query:
+    sums of before/after counts, and merged_occurrences = the total
+    token reduction (each merge removes exactly one token)."""
+    per_doc = TA.bpe_apply_merges(spark, sf_dir).collect()
+    row = TA.bpe_corpus_compression(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == len(per_doc)
+    assert row["tokens_before"] == sum(r["n_tokens_before"] for r in per_doc)
+    assert row["tokens_after"] == sum(r["n_tokens_after"] for r in per_doc)
+    assert row["merged_occurrences"] == row["tokens_before"] - row["tokens_after"]
+    assert 0.0 < row["compression"] < 1.0
+    # merged symbols enter the vocabulary; raw survivors keep theirs
+    assert row["vocab_after"] > 0 and row["vocab_before"] > 0

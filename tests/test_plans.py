@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "token_coverage_curve",  # 1-row corpus-total crossJoin
     "orders_fulfillment_lag",  # 1-row order-total crossJoin
     "events_user_churn",  # 1-row timeline-end crossJoin
+    "bpe_corpus_compression",  # 1-row sums x 1-row vocab crossJoins
 }
 
 
