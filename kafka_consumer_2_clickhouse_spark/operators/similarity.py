@@ -438,6 +438,53 @@ def build_ivf_index(
     return index_dir
 
 
+def append_to_ivf_index(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> str:
+    """Incremental index maintenance — the faiss ``add()`` path: encode
+    NEW vectors against the STORED coarse quantizer (no retraining,
+    no touch of existing cells) and append them cell-partitioned.
+
+    At 100 TB this is the per-ingest batch operation: quantizer
+    stability means old cells never rewrite, appends are new parquet
+    files inside the matching ``cell=<i>`` directories, and probes keep
+    pruning at the FileIndex. Retrain+rebuild (``build_ivf_index``)
+    only when drift accumulates — the standard IVF operating model.
+    ``new_vectors``: (vec_id, embedding) rows not already in the index
+    (caller-owned contract, same as the signature index's batches).
+    """
+    import os
+
+    import numpy as np
+
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), DIM), dtype=np.float64)
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            yield pdf.assign(
+                cell=(cm @ bc.value.T).argmax(axis=1).astype("int32")
+            )
+
+    (
+        new_vectors.select("vec_id", "embedding")
+        .mapInPandas(
+            assign, schema="vec_id long, embedding array<float>, cell int"
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    return index_dir
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,
