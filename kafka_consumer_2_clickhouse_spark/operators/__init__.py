@@ -106,4 +106,5 @@ def release_intermediate_caches(spark) -> None:
     clustering._ASSIGN_MEMO.clear()
     clustering._PAIRS_MEMO.clear()
     clustering._SEM_COMP_MEMO.clear()
+    embedding_qc._DRIVER_MEMO.clear()
     spark.catalog.clearCache()
