@@ -1305,6 +1305,31 @@ def build_ivfpq_index(
     return index_dir
 
 
+def append_to_ivfpq_index(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> str:
+    """Incremental IVFADC maintenance (see :func:`append_to_ivf_index`):
+    encode new vectors against the STORED coarse quantizer and residual
+    codebooks, append cell-partitioned codes; no retraining, existing
+    cell files untouched."""
+    import os
+
+    import numpy as np
+
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), DIM), dtype=np.float64)
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    books = _load_pq_codebooks(spark, index_dir)
+    (
+        _ivfpq_encode(new_vectors.select("vec_id", "embedding"), cents, books)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    return index_dir
+
+
 def ivfpq_search(
     spark: SparkSession,
     index_dir: str,

@@ -62,3 +62,12 @@ def test_corpus_compression_consistent_with_per_doc(spark, sf_dir):
     assert 0.0 < row["compression"] < 1.0
     # merged symbols enter the vocabulary; raw survivors keep theirs
     assert row["vocab_after"] > 0 and row["vocab_before"] > 0
+
+
+def test_fold_edge_cases(spark):
+    # empty token array folds to empty
+    assert _fold(spark, [], "a", "b") == []
+    # single token passes through
+    assert _fold(spark, ["a"], "a", "a") == ["a"]
+    # empty-string tokens participate like any other (double-space text)
+    assert _fold(spark, ["", "x"], "", "x") == [" x"]

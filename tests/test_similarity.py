@@ -348,3 +348,45 @@ def test_ivf_index_append_matches_full_build(spark, sf_dir, tmp_path):
     cells = spark.read.parquet(os.path.join(inc, "cells"))
     assert cells.count() == n
     assert cells.select("vec_id").distinct().count() == n
+
+
+def test_ivfpq_index_append_matches_full_build(spark, sf_dir, tmp_path):
+    """Incremental IVFADC add: half-build + append against the stored
+    quantizers must serve searches identically to a single-pass build
+    (same centroids/codebooks copied in, so encoding is deterministic
+    per vector regardless of batch boundaries)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    full_idx = similarity.build_ivfpq_index(
+        spark, sf_dir, str(tmp_path / "full")
+    )
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, full_idx, queries, raw).collect()
+    }
+
+    inc = str(tmp_path / "inc")
+    for sub in ("centroids", "codebooks"):
+        spark.read.parquet(os.path.join(full_idx, sub)).write.parquet(
+            os.path.join(inc, sub)
+        )
+    similarity.append_to_ivfpq_index(
+        spark, inc, raw.filter(F.col("vec_id") < n // 2)
+    )
+    similarity.append_to_ivfpq_index(
+        spark, inc, raw.filter(F.col("vec_id") >= n // 2)
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, inc, queries, raw).collect()
+    }
+    assert got == want
+    codes = spark.read.parquet(os.path.join(inc, "codes"))
+    assert codes.count() == n
