@@ -999,35 +999,60 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized, not corpus-sized, after map-side partials).
     """
     rt = _bpe_retokenized(spark, sf_dir)
-    sums = rt.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size("toks_before")).cast("bigint").alias("tokens_before"),
-        F.sum(F.size("toks")).cast("bigint").alias("tokens_after"),
+    # ONE pass over the fold output: both token streams tagged and
+    # exploded together (the N nested fold expressions are interpreted
+    # HOFs — the dominant cost — so referencing rt from three separate
+    # aggregate branches would execute the fold three times; measured
+    # ~5x this query's cost). Totals and vocab sizes both derive from
+    # the (side, tok) count relation, which is vocabulary-sized after
+    # map-side partials.
+    tag = lambda side, col: F.transform(  # noqa: E731
+        col,
+        lambda t: F.struct(
+            F.lit(side).alias("side"), t.alias("tok")
+        ),
     )
-    vb = (
-        rt.select(F.explode("toks_before").alias("tok"))
-        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_before"))
+    ex = rt.select(
+        F.explode(
+            F.concat(tag(0, F.col("toks_before")), tag(1, F.col("toks")))
+        ).alias("st")
     )
-    va = (
-        rt.select(F.explode("toks").alias("tok"))
-        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_after"))
+    per_side = ex.groupBy(
+        F.col("st.side").alias("side"), F.col("st.tok").alias("tok")
+    ).agg(F.count("*").alias("c"))
+    side_stats = per_side.groupBy("side").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vocab"),
     )
-    return (
-        sums.crossJoin(F.broadcast(vb))
-        .crossJoin(F.broadcast(va))
-        .select(
-            "n_docs",
-            "tokens_before",
-            "tokens_after",
-            (F.col("tokens_before") - F.col("tokens_after")).alias(
-                "merged_occurrences"
-            ),
-            (
-                F.col("tokens_after").cast("double") / F.col("tokens_before")
-            ).alias("compression"),
-            "vocab_before",
-            "vocab_after",
-        )
+    summary = side_stats.agg(
+        F.max(F.when(F.col("side") == 0, F.col("total"))).alias(
+            "tokens_before"
+        ),
+        F.max(F.when(F.col("side") == 1, F.col("total"))).alias(
+            "tokens_after"
+        ),
+        F.max(F.when(F.col("side") == 0, F.col("vocab"))).alias(
+            "vocab_before"
+        ),
+        F.max(F.when(F.col("side") == 1, F.col("vocab"))).alias(
+            "vocab_after"
+        ),
+    )
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return summary.crossJoin(F.broadcast(n_docs)).select(
+        "n_docs",
+        "tokens_before",
+        "tokens_after",
+        (F.col("tokens_before") - F.col("tokens_after")).alias(
+            "merged_occurrences"
+        ),
+        (F.col("tokens_after").cast("double") / F.col("tokens_before")).alias(
+            "compression"
+        ),
+        "vocab_before",
+        "vocab_after",
     )
 
 
