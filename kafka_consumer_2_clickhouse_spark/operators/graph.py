@@ -335,6 +335,123 @@ def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _component_split_oracle() -> str:
+    from .sampling import _split_sql
+
+    return (
+        _components_cte()
+        + f"""
+    SELECT doc_id, component_id,
+           {_split_sql('component_id')} AS split
+    FROM comp
+    """
+    )
+
+
+@query("component_aware_splits", oracle=_component_split_oracle())
+def component_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test assignment: the split is hashed from
+    the near-dup COMPONENT label, not the document id — so every member
+    of a near-dup cluster lands in the same split and near-duplicate
+    train→eval leakage is zero *by construction* (the fix for exactly
+    the pairs ``split_neardup_leakage`` quantifies; Lee et al. 2022 §6
+    recommend dedup-aware splitting for the same reason). Singletons
+    are their own component, so they keep the plain hash-split
+    behavior and the 80/10/10 proportions hold corpus-wide.
+
+    Scale: the component labels relation is the (memoized) fixpoint
+    output already paid for by the dedup pass; the split expression
+    evaluates map-side on the label — zero joins or shuffles on top.
+    """
+    from .sampling import split_column
+
+    comp = near_dup_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        split_column(F.col("component_id")).alias("split"),
+    )
+
+
+def _split_strategy_oracle() -> str:
+    from .sampling import _split_sql
+
+    return (
+        _components_cte()
+        + f"""
+    , vp AS (
+      SELECT doc_a, doc_b FROM lsh
+    ), labeled AS (
+      SELECT vp.doc_a, vp.doc_b,
+             ca.component_id AS comp_a, cb.component_id AS comp_b
+      FROM vp
+      JOIN comp ca ON ca.doc_id = vp.doc_a
+      JOIN comp cb ON cb.doc_id = vp.doc_b
+    )
+    SELECT 'doc_hash' AS strategy,
+           CAST(sum(CASE WHEN {_split_sql('doc_a')} <> {_split_sql('doc_b')}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM labeled
+    UNION ALL
+    SELECT 'component_hash' AS strategy,
+           CAST(sum(CASE WHEN {_split_sql('comp_a')} <> {_split_sql('comp_b')}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM labeled
+    """
+    )
+
+
+@query("split_strategy_leakage", oracle=_split_strategy_oracle())
+def split_strategy_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side near-dup leakage accounting for the two split
+    strategies: one row per strategy with the count of verified
+    near-dup pairs whose endpoints land in DIFFERENT splits. The
+    ``doc_hash`` row is the damage random splitting does (nonzero on
+    any corpus with near-dups); the ``component_hash`` row is provably
+    zero — a pair's endpoints share a component by construction of the
+    edge set — and this table makes that guarantee an observable,
+    oracle-checked output rather than a docstring claim.
+
+    Scale: the verified pair relation (bucketed LSH path, never
+    all-pairs) joins the memoized component labels twice on doc id;
+    both split expressions evaluate map-side and the result collapses
+    to a 2-row aggregate.
+    """
+    from .sampling import split_column
+
+    pairs = lsh_candidate_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= COMPONENT_JACCARD_MIN
+    )
+    comp = near_dup_components(spark, sf_dir)
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component_id").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component_id").alias("comp_b")
+    )
+    labeled = pairs.select("doc_a", "doc_b").join(ca, "doc_a").join(cb, "doc_b")
+
+    def leak(a: str, b: str) -> F.Column:
+        return (
+            (split_column(F.col(a)) != split_column(F.col(b)))
+            .cast("bigint")
+        )
+
+    doc_row = labeled.agg(
+        F.lit("doc_hash").alias("strategy"),
+        F.sum(leak("doc_a", "doc_b")).cast("bigint").alias("n_cross_pairs"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    comp_row = labeled.agg(
+        F.lit("component_hash").alias("strategy"),
+        F.sum(leak("comp_a", "comp_b")).cast("bigint").alias("n_cross_pairs"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    return doc_row.unionByName(comp_row)
+
+
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
 ) -> DataFrame:

@@ -65,3 +65,47 @@ def test_dedup_keep_docs_partitions_corpus(spark, sf_dir):
     comp = graph.near_dup_components(spark, sf_dir)
     reps = comp.filter(F.col("doc_id") == F.col("component_id")).count()
     assert agg["n_kept"] == reps
+
+
+def test_component_aware_splits_never_divide_a_cluster(spark, sf_dir):
+    """The guarantee the operator exists for: every near-dup component
+    maps to exactly ONE split, proportions stay roughly 80/10/10, and
+    every document is assigned."""
+    from kafka_consumer_2_clickhouse_spark.operators import graph
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    splits = graph.component_aware_splits(spark, sf_dir)
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    assert splits.count() == total_docs
+    per_comp = (
+        splits.groupBy("component_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(F.max("n_splits"))
+        .first()[0]
+    )
+    assert per_comp == 1
+    shares = {
+        r["split"]: r["n"] / total_docs
+        for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.6 < shares.get("train", 0) < 0.95
+    assert set(shares) == {"train", "val", "test"}
+
+
+def test_split_strategy_leakage_component_row_is_zero(spark, sf_dir):
+    """component_hash leakage is zero BY CONSTRUCTION; doc_hash leakage
+    is nonzero on this corpus (it has verified near-dup pairs) — the
+    contrast the table exists to show. Both rows count the same pair
+    relation."""
+    from kafka_consumer_2_clickhouse_spark.operators import graph
+
+    rows = {
+        r["strategy"]: r
+        for r in graph.split_strategy_leakage(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"doc_hash", "component_hash"}
+    assert rows["component_hash"]["n_cross_pairs"] == 0
+    assert rows["doc_hash"]["n_pairs"] == rows["component_hash"]["n_pairs"]
+    assert rows["doc_hash"]["n_pairs"] > 0
+    assert rows["doc_hash"]["n_cross_pairs"] > 0
