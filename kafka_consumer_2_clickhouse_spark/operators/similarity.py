@@ -1110,6 +1110,152 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_vote_sql() -> str:
+    """Shared oracle body: per-query kNN label vote over exact cosines
+    (CTE ending in ``vote(query_id, true_label, predicted_label,
+    n_votes, correct)``)."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(label AS INT) AS true_label,
+             embedding AS qe, {_norm_sql('embedding', 'duck')} AS qn
+      FROM embeddings WHERE vec_id < {N_QUERY}
+    ), c AS (
+      SELECT vec_id AS cand_id, CAST(label AS INT) AS cl, embedding AS ce,
+             {_norm_sql('embedding', 'duck')} AS cn
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, true_label, cand_id, cl,
+             {_dot_sql('qe', 'ce', 'duck')} / (qn * cn) AS cosine
+      FROM q JOIN c ON query_id <> cand_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, cl, cosine,
+               row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored) t
+      WHERE rank <= {TOP_K}
+    ), votes AS (
+      SELECT query_id, true_label, cl,
+             CAST(count(*) AS BIGINT) AS n_votes,
+             max(cosine) AS best_cosine
+      FROM topk GROUP BY query_id, true_label, cl
+    ), vote AS (
+      SELECT query_id, true_label, cl AS predicted_label, n_votes,
+             CAST(CASE WHEN cl = true_label THEN 1 ELSE 0 END AS INT)
+               AS correct
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, best_cosine DESC, cl) AS vr
+        FROM votes) v
+      WHERE vr = 1
+    )"""
+
+
+def _knn_vote_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_vote_from(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _knn_vote_from(emb: DataFrame) -> DataFrame:
+    """Vote chain over any (vec_id, embedding, label) relation —
+    unit tests feed constructed corpora with known geometry."""
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding", "spark")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").cast("int").alias("cl"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_sql("embedding", "spark")).alias("cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "cl",
+        (F.expr(_dot_sql("qe", "ce", "spark")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "cl").agg(
+        F.count("*").cast("bigint").alias("n_votes"),
+        F.max("cosine").alias("best_cosine"),
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("best_cosine"), F.asc("cl")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cl").alias("predicted_label"),
+            "n_votes",
+            (F.col("cl") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle=_knn_vote_sql()
+    + """
+    SELECT query_id, true_label, predicted_label, n_votes, correct
+    FROM vote
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification over the embedding table — THE
+    standard embedding-space quality eval (a probe of whether nearest
+    neighbors share labels): per query vector, the majority label among
+    its TOP_K exact-cosine neighbors (self excluded), with the vote
+    count and a correctness flag against the ground-truth label. Ties
+    break on vote count desc, best cosine desc, label asc —
+    deterministic on both engines because the cosines themselves are
+    bit-identical (fixed-order dot-product chain, module doc).
+
+    Scale: same plan spine as ``embedding_cosine_topk`` — the query set
+    broadcasts, scoring is map-side codegen over the candidate scan,
+    the k-cap is a WindowGroupLimit, and everything after the cap
+    operates on ≤ N_QUERY·TOP_K rows. For a full-corpus eval (every
+    vector a query) swap the broadcast for the blocked-GEMM
+    ``ann_cosine_topk`` shortlist and keep the vote stages unchanged.
+    """
+    return _knn_vote_df(spark, sf_dir)
+
+
+@query(
+    "knn_accuracy",
+    oracle=_knn_vote_sql()
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(correct) AS DOUBLE) / count(*) AS accuracy
+    FROM vote
+    """,
+)
+def knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row headline of :func:`knn_label_vote`: leave-one-out
+    kNN accuracy — the number an embedding-model comparison table
+    reports. Same chain, collapsed to a single aggregate row (exact
+    integer counts; the division is one double op on two bigints).
+    """
+    v = _knn_vote_df(spark, sf_dir)
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        (F.sum("correct").cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF-PQ (IVFADC) — coarse cells + residual product quantization
 # --------------------------------------------------------------------------

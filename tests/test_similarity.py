@@ -390,3 +390,59 @@ def test_ivfpq_index_append_matches_full_build(spark, sf_dir, tmp_path):
     assert got == want
     codes = spark.read.parquet(os.path.join(inc, "codes"))
     assert codes.count() == n
+
+
+def test_knn_label_vote_semantics_on_constructed_clusters(spark):
+    """Three tight clusters with consistent labels -> every query's
+    neighbor vote must recover its own label (accuracy 1.0); the vote
+    winner carries TOP_K unanimous votes."""
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        DIM,
+        TOP_K,
+        _knn_vote_from,
+    )
+    from pyspark.sql import functions as F
+
+    def vec(center, jitter):
+        v = [0.0] * DIM
+        v[center] = 1.0
+        v[(center + 1) % DIM] = jitter
+        return v
+
+    rows = []
+    # vec_id < N_QUERY are queries: 0..9 cycle the three clusters
+    for i in range(10):
+        c = i % 3
+        rows.append((i, vec(c * 7, 0.01 * (i + 1)), c))
+    # plenty of same-cluster neighbors beyond the query range
+    for i in range(10, 46):
+        c = i % 3
+        rows.append((i, vec(c * 7, 0.01 * (i + 1)), c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = _knn_vote_from(emb)
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.sum("correct").alias("ok"),
+        F.min("n_votes").alias("min_votes"),
+    ).first()
+    assert agg["n"] == 10
+    assert agg["ok"] == 10
+    assert agg["min_votes"] == TOP_K  # unanimous within each cluster
+
+
+def test_knn_accuracy_consistent_with_vote_table(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        knn_accuracy,
+        knn_label_vote,
+    )
+    from pyspark.sql import functions as F
+
+    acc = knn_accuracy(spark, sf_dir).first()
+    vote = knn_label_vote(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("correct").alias("ok")
+    ).first()
+    assert acc["n_queries"] == vote["n"]
+    assert acc["n_correct"] == vote["ok"]
+    assert abs(acc["accuracy"] - vote["ok"] / vote["n"]) < 1e-12
