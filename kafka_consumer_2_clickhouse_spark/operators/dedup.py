@@ -1395,12 +1395,40 @@ def build_signature_index(spark: SparkSession, docs: DataFrame, index_dir: str) 
         ).alias("bk"),
     ).select("doc_id", "bk.band_id", "bk.key")
     exploded.write.mode("overwrite").parquet(os.path.join(index_dir, "keys"))
+    # Bloom sidecar: megabytes summarizing the whole key relation, so a
+    # daily probe can reject definitely-new keys MAP-SIDE without ever
+    # shuffling against the corpus-sized keys/ relation (loaded by
+    # incremental_neardup_bloom when SPARK_GRAFT_DEDUP_INDEX is set).
+    # Built once here at index time — probe time pays zero build cost.
+    from ..functions import bloom as _bloom
+
+    n_keys = exploded.count()
+    m_bits = _bloom.bloom_m_bits(n_keys)
+    bitmap = _bloom.bloom_build(
+        exploded.select(_band_bloom_key().alias("bkey")), "bkey", m_bits
+    )
+    bdir = os.path.join(index_dir, "bloom")
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, "bitmap.bin"), "wb") as f:
+        f.write(bitmap)
+    import json as _json
+
+    with open(os.path.join(bdir, "meta.json"), "w") as f:
+        _json.dump(
+            {"m_bits": m_bits, "k": _bloom.N_HASHES, "n_keys": n_keys}, f
+        )
     return index_dir
 
 
-@query(
-    "incremental_neardup_pairs",
-    oracle="""
+def _band_bloom_key() -> F.Column:
+    """The bloom key for one exploded index row: band id + band key,
+    delimiter-joined so (1, '23') and (12, '3') never collide."""
+    return F.concat_ws(":", F.col("band_id").cast("string"),
+                       F.col("key").cast("string"))
+
+
+_INCREMENTAL_NEARDUP_ORACLE = (
+    """
     WITH shingled AS (
       SELECT doc_id, {SPLIT} AS split, {SH} AS sh FROM documents
     ), digs AS (
@@ -1430,27 +1458,15 @@ def build_signature_index(spark: SparkSession, docs: DataFrame, index_dir: str) 
       FROM banded a JOIN banded b
         ON a.band{b} = b.band{b} AND a.split = 'test' AND b.split <> 'test'"""
         for b in range(N_BANDS)
-    )),
+    ))
 )
-def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: near-dup candidate pairs between the NEW
-    batch (the hash-split 'test' 10% stands in for today's ingest) and
-    the ALREADY-INDEXED corpus (the other 90%), with verified Jaccard —
-    without recomputing a single corpus signature when a prebuilt index
-    exists.
 
-    ``SPARK_GRAFT_DEDUP_INDEX=<dir>``: probe the persisted index
-    written by :func:`build_signature_index` (corpus side reads
-    (doc_id, band_id, key) rows — bytes per doc, no text, no hashing).
-    Default: derive both sides inline (same result, pinned in tests).
 
-    Scale: new-batch signatures are map-only over the (small) batch;
-    the probe is a band-key equi-join of batch keys against the index —
-    shuffle bounded by batch size x bands, NEVER corpus size; verify
-    recomputes shingles only for candidate corpus docs via a doc_id
-    semi-join on the bucketed landing layout. This is the daily-crawl
-    dedup loop: index once, probe forever.
-    """
+def _incremental_neardup(
+    spark: SparkSession, sf_dir: str, use_bloom: bool
+) -> DataFrame:
+    """Shared body of the two incremental probes (see the registered
+    wrappers below for contracts)."""
     import os
 
     from pyspark import StorageLevel
@@ -1498,6 +1514,48 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         corpus_keys = keyed(signature_relation(corpus_docs))
 
+    if use_bloom:
+        from ..functions import bloom as _bloom
+
+        bloom_meta_path = (
+            os.path.join(index_dir, "bloom") if index_dir else None
+        )
+        if bloom_meta_path and os.path.isfile(
+            os.path.join(bloom_meta_path, "bitmap.bin")
+        ):
+            # production path: the sidecar written at index-build time —
+            # zero build cost at probe time
+            import json as _json
+
+            with open(os.path.join(bloom_meta_path, "meta.json")) as f:
+                meta = _json.load(f)
+            m_bits, k = meta["m_bits"], meta["k"]
+            with open(os.path.join(bloom_meta_path, "bitmap.bin"), "rb") as f:
+                bitmap = f.read()
+            # NB: a full-corpus index's bloom may contain the batch's own
+            # band keys; a hit only routes a key into the exact join,
+            # where the anti-joined corpus side can't produce self-pairs.
+        else:
+            n_keys = corpus_keys.count()
+            m_bits = _bloom.bloom_m_bits(n_keys)
+            k = _bloom.N_HASHES
+            bitmap = _bloom.bloom_build(
+                corpus_keys.select(_band_bloom_key().alias("bkey")),
+                "bkey",
+                m_bits,
+            )
+        new_keys = (
+            _bloom.bloom_might_contain(
+                new_keys.withColumn("bkey", _band_bloom_key()),
+                "bkey",
+                bitmap,
+                m_bits,
+                k,
+            )
+            .filter(F.col("bloom_hit"))
+            .drop("bkey", "bloom_hit")
+        )
+
     a, b = new_keys.alias("a"), corpus_keys.alias("b")
     pairs = (
         a.join(
@@ -1542,3 +1600,47 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
         )
     )
+
+
+@query("incremental_neardup_pairs", oracle=_INCREMENTAL_NEARDUP_ORACLE)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup candidate pairs between the NEW
+    batch (the hash-split 'test' 10% stands in for today's ingest) and
+    the ALREADY-INDEXED corpus (the other 90%), with verified Jaccard —
+    without recomputing a single corpus signature when a prebuilt index
+    exists.
+
+    ``SPARK_GRAFT_DEDUP_INDEX=<dir>``: probe the persisted index
+    written by :func:`build_signature_index` (corpus side reads
+    (doc_id, band_id, key) rows — bytes per doc, no text, no hashing).
+    Default: derive both sides inline (same result, pinned in tests).
+
+    Scale: new-batch signatures are map-only over the (small) batch;
+    the probe is a band-key equi-join of batch keys against the index —
+    shuffle bounded by batch size x bands, NEVER corpus size; verify
+    recomputes shingles only for candidate corpus docs via a doc_id
+    semi-join on the bucketed landing layout. This is the daily-crawl
+    dedup loop: index once, probe forever.
+    """
+    return _incremental_neardup(spark, sf_dir, use_bloom=False)
+
+
+@query("incremental_neardup_bloom", oracle=_INCREMENTAL_NEARDUP_ORACLE)
+def incremental_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`incremental_neardup_pairs` with a Bloom prefilter on the
+    batch's band keys — same output, same oracle, different 100 TB
+    cost profile: the equi-join against the corpus index shuffles the
+    probe side every day, even though on a healthy crawl almost every
+    daily key is NEW. The filter (built once at index time by
+    :func:`build_signature_index`, megabytes for terabytes of keys,
+    loaded from the index's ``bloom/`` sidecar when
+    ``SPARK_GRAFT_DEDUP_INDEX`` is set, derived inline otherwise)
+    rejects definitely-new keys map-side, so only probable collisions
+    enter the join. No false negatives ever — a true collision always
+    has all its bits set — so the verified-pair output is EXACTLY the
+    plain probe's, value-hash-checked by the same oracle; a false
+    positive costs one wasted join row, never a wrong answer.
+    Equality with the plain path and the FP budget are pinned in
+    ``tests/test_bloom.py``.
+    """
+    return _incremental_neardup(spark, sf_dir, use_bloom=True)
