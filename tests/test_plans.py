@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "q17_small_qty_revenue",  # tiny per-part-avg broadcast
     "embedding_cosine_topk",  # all-pairs scoring vs broadcast queries
     "embedding_hard_negatives",  # same shape: label-inequality vs broadcast queries
+    "knn_label_vote",  # same broadcast-queries scoring spine (vote stages after)
+    "knn_accuracy",  # 1-row aggregate over knn_label_vote's chain
     "embedding_near_dup_pairs",  # all-pairs verifier (documented O(n^2))
     "ngram_jaccard_pairs",  # all-pairs verifier (documented O(n^2))
     "tfidf_top_terms",  # 1-row corpus-count crossJoin
