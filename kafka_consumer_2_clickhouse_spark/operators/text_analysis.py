@@ -1056,6 +1056,158 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rounds the REGISTERED learning query runs (the function and oracle
+#: generator take any count; pinned at a second count in tests)
+BPE_LEARN_ROUNDS = 4
+
+
+def _adjacent_pairs(toks: Column) -> Column:
+    """array<struct<lhs,rhs>> of adjacent token pairs — STRUCT-keyed,
+    not string-concatenated, so pairs over merged symbols (which
+    contain spaces) can never alias each other's counts the way
+    ``"a b"+"c"`` vs ``"a"+"b c"`` would under a string key."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("lhs"),
+                F.element_at(toks, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def bpe_learn_from(docs: DataFrame, n_rounds: int) -> DataFrame:
+    """TRUE iterative BPE learning (Sennrich et al. 2016 §3.2) over any
+    (doc_id, text) relation: each round counts adjacent pairs over the
+    CURRENT tokenization, merges the most frequent pair everywhere, and
+    recounts — so unlike :func:`corpus_bigram_merge_candidates` (one
+    count, rank-applied), later merges see earlier merges' symbols and
+    can CHAIN onto them (pinned in tests: a corpus of repeated
+    ``a b c`` learns ``(a,b)`` then ``("a b", c)``).
+
+    Returns the learned merge table (rank, lhs, rhs, n) — n is the
+    pair's count at merge time, the monotone-ish curve a tokenizer
+    designer reads to pick the merge budget.
+
+    Scale: each round is (1) one map-only greedy fold re-tokenizing
+    the corpus — the persisted round output, so round r never re-runs
+    rounds 1..r-1 — (2) one pair-count aggregate whose shuffle is
+    bounded by observed-adjacency vocabulary, partial-aggregated
+    map-side, and (3) a TakeOrdered 1-row driver pull (the argmax).
+    N rounds = N linear passes, the irreducible cost of exact
+    distributed BPE; ties break (count desc, lhs, rhs) so the learned
+    table is deterministic on any engine or partitioning.
+    """
+    spark = docs.sparkSession
+    work = docs.select("doc_id", X.tokens("text").alias("toks")).persist()
+    rows: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, n_rounds + 1):
+            top = (
+                work.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+                .groupBy(
+                    F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+                )
+                .agg(F.count("*").cast("bigint").alias("n"))
+                .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:  # corpus folded below 2 tokens everywhere
+                break
+            a, b, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n"])
+            rows.append((r, a, b, n))
+            nxt = work.select(
+                "doc_id", _apply_merge_col(F.col("toks"), a, b).alias("toks")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            work.unpersist()
+            work = nxt
+    finally:
+        work.unpersist()
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, n bigint"
+    )
+
+
+def _bpe_learn_oracle(n_rounds: int) -> str:
+    """Unrolled N-round twin: per round a struct-keyed pair count, a
+    1-row argmax (same tie-break), and a single-merge recursive fold
+    producing the next round's corpus. All fold CTEs live in one
+    WITH RECURSIVE; merged symbols are ``lhs || ' ' || rhs`` exactly
+    as the Spark fold builds them."""
+    parts = [
+        f"""
+    WITH RECURSIVE bpel_t0 AS MATERIALIZED (
+      SELECT doc_id, {X.sql_tokens('text')} AS toks FROM documents
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"bpel_t{r - 1}"
+        parts.append(f"""
+    , bpel_c{r} AS (
+      SELECT (z).a AS a, (z).b AS b, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS z
+        FROM {prev}
+      ) GROUP BY (z).a, (z).b
+    ), bpel_m{r} AS MATERIALIZED (
+      SELECT a, b, n FROM bpel_c{r} ORDER BY n DESC, a, b LIMIT 1
+    ), bpel_f{r}(doc_id, i, toks, acc, prev) AS (
+      SELECT doc_id, 1, toks, CAST([] AS VARCHAR[]), CAST(NULL AS VARCHAR)
+      FROM {prev}
+      UNION ALL
+      SELECT f.doc_id, f.i + 1, f.toks,
+        CASE WHEN f.prev IS NOT NULL AND f.prev = m.a AND f.toks[f.i] = m.b
+             THEN list_concat(f.acc, [m.a || ' ' || m.b])
+             WHEN f.prev IS NULL THEN f.acc
+             ELSE list_concat(f.acc, [f.prev]) END,
+        CASE WHEN f.prev IS NOT NULL AND f.prev = m.a AND f.toks[f.i] = m.b
+             THEN CAST(NULL AS VARCHAR)
+             ELSE f.toks[f.i] END
+      FROM bpel_f{r} f JOIN bpel_m{r} m ON TRUE
+      WHERE f.i <= len(f.toks)
+    ), bpel_t{r} AS MATERIALIZED (
+      SELECT doc_id,
+             list_concat(acc, CASE WHEN prev IS NULL
+                 THEN CAST([] AS VARCHAR[]) ELSE [prev] END) AS toks
+      FROM bpel_f{r} WHERE i = len(toks) + 1
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, n "
+        f"FROM bpel_m{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@query("bpe_learn_merges", oracle=_bpe_learn_oracle(BPE_LEARN_ROUNDS))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE TRAINING loop, distributed and oracle-checked:
+    learn {N} merges with recounting between rounds (see
+    :func:`bpe_learn_from` — the real Sennrich 2016 algorithm, of
+    which `corpus_bigram_merge_candidates` is the one-round
+    approximation). Output is the learned merge table itself;
+    `bpe_apply_merges` / coverage / OOV consume tables like it.
+
+    Exactness: every round's argmax is checked — the oracle unrolls
+    round-by-round (struct-keyed count, tie-broken 1-row argmax, the
+    same greedy fold as a recursive CTE), so a single wrong merge in
+    any round hash-fails. The kmeans/PageRank unroll discipline
+    applied to tokenizer training.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_learn_from(docs, BPE_LEARN_ROUNDS)
+
+
+bpe_learn_merges.__doc__ = bpe_learn_merges.__doc__.replace(
+    "{N}", str(BPE_LEARN_ROUNDS)
+)
+
+
 # Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", Table A1) —
 # the rule-based document filter battery used (with C4/Dolma tweaks)

@@ -71,3 +71,50 @@ def test_fold_edge_cases(spark):
     assert _fold(spark, ["a"], "a", "a") == ["a"]
     # empty-string tokens participate like any other (double-space text)
     assert _fold(spark, ["", "x"], "", "x") == [" x"]
+
+
+def test_bpe_learn_chains_onto_merged_symbols(spark):
+    """TRUE-BPE property the one-count approximation lacks: with a
+    corpus of repeated `a b c`, round 1 learns (a, b) (tie with (b, c)
+    broken on lhs asc) and round 2's best pair INVOLVES the merged
+    symbol: ("a b", c)."""
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(8)], "doc_id long, text string"
+    )
+    got = {r["rank"]: (r["lhs"], r["rhs"], r["n"])
+           for r in TA.bpe_learn_from(docs, 2).collect()}
+    assert got[1] == ("a", "b", 8)
+    assert got[2] == ("a b", "c", 8)
+
+
+def test_bpe_learn_recount_differs_from_one_shot_ranking(spark):
+    """Recounting matters: after merging the top pair, the second
+    round's winner reflects the NEW corpus, not the original bigram
+    ranking. `x y y` x4 + `y y` x3: one-shot ranking puts (y, y) at
+    rank 2 with its RAW count 7; true BPE merges (y, y) in round 1
+    (count 7), and round 2 sees (x, "y y") with count 4 -- a pair that
+    does not even exist in the raw bigram table."""
+    docs = spark.createDataFrame(
+        [(i, "x y y") for i in range(4)] + [(10 + i, "y y") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {r["rank"]: (r["lhs"], r["rhs"], r["n"])
+           for r in TA.bpe_learn_from(docs, 2).collect()}
+    assert got[1] == ("y", "y", 7)
+    assert got[2] == ("x", "y y", 4)
+
+
+def test_bpe_learn_oracle_at_second_round_count(spark, sf_dir):
+    """Round count is a real parameter: Spark loop and oracle unroll
+    from the same value, value-hash exact."""
+    con = duck_connect(sf_dir)
+    from kafka_consumer_2_clickhouse_spark.sources.tables import (
+        load_table,
+        spread,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ok, msg = compare(
+        TA.bpe_learn_from(docs, 2), con, TA._bpe_learn_oracle(2)
+    )
+    assert ok, msg
