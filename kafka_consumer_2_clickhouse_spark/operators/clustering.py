@@ -642,3 +642,43 @@ def semantic_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return kept.join(emb, "vec_id").select("vec_id", "label", "n_members")
+
+
+def _semantic_leakage_oracle() -> str:
+    from .sampling import _split_sql
+
+    return f"""
+    WITH sem AS ({_semantic_pairs_oracle()})
+    SELECT vec_a, vec_b, cosine,
+           {_split_sql('vec_a')} AS split_a,
+           {_split_sql('vec_b')} AS split_b
+    FROM sem
+    WHERE {_split_sql('vec_a')} <> {_split_sql('vec_b')}
+    """
+
+
+@query("split_semantic_leakage", oracle=_semantic_leakage_oracle())
+def split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train->eval contamination: embedding near-dup pairs
+    (the SemDeDup cell-verified relation) whose endpoints land in
+    different hash splits — the leakage axis neither exact-text
+    (`split_exact_leakage`) nor shingle-LSH (`split_neardup_leakage`)
+    can see: a paraphrase or re-encode of a training doc sitting in
+    the test split inflates eval scores with zero lexical overlap.
+    Empty result == semantically clean splits; each returned row names
+    a pair to quarantine, with its cosine as the evidence.
+
+    Scale: rides the memoized cell-capped pair relation (nothing
+    quadratic in the corpus); the split labels derive map-side from
+    the vec_id content hash — zero joins or shuffles added.
+    """
+    from .sampling import split_column
+
+    pairs = semantic_dedup_pairs_df(spark, sf_dir)
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        split_column(F.col("vec_a")).alias("split_a"),
+        split_column(F.col("vec_b")).alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))

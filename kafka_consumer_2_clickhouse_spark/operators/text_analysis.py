@@ -904,7 +904,7 @@ def _bpe_retokenized(
     for a, b in merges:
         out = _apply_merge_col(out, a, b)
     return docs.select(
-        "doc_id", toks.alias("toks_before"), out.alias("toks")
+        "doc_id", "lang", toks.alias("toks_before"), out.alias("toks")
     )
 
 
@@ -1053,6 +1053,60 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vocab_before",
         "vocab_after",
+    )
+
+
+def _bpe_by_lang_oracle(n_merges: int) -> str:
+    """Per-language compression over the same recursive fold chain
+    (reuses the apply oracle's WITH prefix up to ``bpe_done``)."""
+    prefix = _bpe_apply_oracle(n_merges).split("SELECT d.doc_id,")[0]
+    return (
+        prefix
+        + """
+    SELECT d2.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(b0.toks)) AS BIGINT) AS tokens_before,
+           CAST(sum(len(d.toks)) AS BIGINT) AS tokens_after,
+           CAST(sum(len(b0.toks)) - sum(len(d.toks)) AS BIGINT)
+             AS merged_occurrences,
+           CAST(sum(len(d.toks)) AS DOUBLE) / sum(len(b0.toks))
+             AS compression
+    FROM bpe_done d
+    JOIN bpe_docs b0 USING (doc_id)
+    JOIN documents d2 USING (doc_id)
+    GROUP BY d2.lang
+    """
+    )
+
+
+@query("bpe_compression_by_lang", oracle=_bpe_by_lang_oracle(BPE_APPLY_MERGES))
+def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FAIRNESS accounting (Petrov et al. 2023, "Language
+    Model Tokenizers Introduce Unfairness Between Languages"): the
+    applied merge table's compression per language. A merge table
+    learned on a mixed corpus over-fits the dominant language — its
+    documents shrink, the tail languages' barely do, so per-token
+    pricing/context budgets silently tax the tail. This table is the
+    check: tokens before/after, merged occurrences, and the
+    compression ratio PER LANGUAGE over the same fold chain as
+    `bpe_apply_merges`.
+
+    Scale: the fold is map-only; the aggregate shuffles |langs| rows.
+    Exact integer sums; the one division is a double over two exact
+    bigints.
+    """
+    rt = _bpe_retokenized(spark, sf_dir)
+    return rt.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks_before")).cast("bigint").alias("tokens_before"),
+        F.sum(F.size("toks")).cast("bigint").alias("tokens_after"),
+        (
+            F.sum(F.size("toks_before")) - F.sum(F.size("toks"))
+        ).cast("bigint").alias("merged_occurrences"),
+        (
+            F.sum(F.size("toks")).cast("double")
+            / F.sum(F.size("toks_before"))
+        ).alias("compression"),
     )
 
 

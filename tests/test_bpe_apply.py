@@ -118,3 +118,14 @@ def test_bpe_learn_oracle_at_second_round_count(spark, sf_dir):
         TA.bpe_learn_from(docs, 2), con, TA._bpe_learn_oracle(2)
     )
     assert ok, msg
+
+
+def test_compression_by_lang_sums_to_corpus_totals(spark, sf_dir):
+    """Per-language rows must partition the corpus-level summary."""
+    rows = TA.bpe_compression_by_lang(spark, sf_dir).collect()
+    corpus = TA.bpe_corpus_compression(spark, sf_dir).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == corpus["n_docs"]
+    assert sum(r["tokens_before"] for r in rows) == corpus["tokens_before"]
+    assert sum(r["tokens_after"] for r in rows) == corpus["tokens_after"]
+    assert all(0 < r["compression"] <= 1.0 for r in rows)
+    assert len(rows) > 1  # the corpus is multilingual

@@ -201,3 +201,20 @@ def test_semantic_dedup_cell_cap_oracle_replay(spark, sf_dir):
         allowed.update(ranked[:cap])
     for a, b in capped_pairs:
         assert a in allowed and b in allowed, (a, b)
+
+
+def test_split_semantic_leakage_rows_are_cross_split_pairs(spark, sf_dir):
+    """Every reported pair crosses splits and exists in the semantic
+    pair relation with the same cosine."""
+    from kafka_consumer_2_clickhouse_spark.operators import clustering as C
+
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in C.semantic_dedup_pairs(spark, sf_dir).collect()
+    }
+    leaks = C.split_semantic_leakage(spark, sf_dir).collect()
+    for r in leaks:
+        assert r["split_a"] != r["split_b"]
+        assert (r["vec_a"], r["vec_b"]) in pairs
+        assert r["cosine"] == pairs[(r["vec_a"], r["vec_b"])]
+    assert len(leaks) <= len(pairs)
