@@ -554,6 +554,77 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LM-quality cut candidates swept by doc_logprob_threshold_sweep —
+#: straddle the corpus score distribution (~3.38..3.70 on the test
+#: corpus; a real run derives candidates from percentile_approx first)
+LOGPROB_SWEEP_THRESHOLDS = (3.395, 3.4, 3.405, 3.41, 3.5)
+_LP_LIST = ", ".join(str(t) for t in LOGPROB_SWEEP_THRESHOLDS)
+
+
+@query(
+    "doc_logprob_threshold_sweep",
+    oracle=f"""
+    WITH lp AS ({{LOGPROB}}),
+    th AS (SELECT unnest([{_LP_LIST}]) AS threshold)
+    SELECT t.threshold,
+           CAST(count(*) FILTER (WHERE lp.avg_neg_logprob <= t.threshold)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE lp.avg_neg_logprob > t.threshold)
+                AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE lp.avg_neg_logprob <= t.threshold)
+                AS DOUBLE) / count(*) AS keep_rate,
+           CAST(coalesce(sum(lp.n_tokens)
+                  FILTER (WHERE lp.avg_neg_logprob <= t.threshold), 0)
+                AS BIGINT) AS tokens_kept
+    FROM lp CROSS JOIN th t
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+    """.replace("{LOGPROB}", ORACLE_SQL["doc_unigram_logprob"]),
+)
+def doc_logprob_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-quality filter's pre-commit tuning sweep (the CCNet
+    perplexity-cut analog of ``dedup_threshold_sensitivity``): at each
+    candidate mean-neg-logprob cut, how many documents and tokens the
+    keep side retains. A curation owner reads this table to pick the
+    cut that hits the token budget BEFORE running the drop — the
+    difference between threshold 3.40 and 3.41 here is ~half the
+    corpus, which is exactly why the sweep exists.
+
+    Determinism: the score is the round-before-aggregate exact mean
+    (`doc_unigram_logprob`), so <=-comparisons agree bit-for-bit
+    cross-engine; all outputs are exact counts (one double ratio over
+    two exact ints).
+
+    Scale: ONE pass over the per-doc score relation (the token-probe
+    chain runs once); the threshold fan-out is a Generate over a
+    5-literal array and every aggregate is keyed on <= 5 thresholds —
+    the same bounded-sweep shape as the dedup sensitivity table.
+    """
+    lp = doc_unigram_logprob(spark, sf_dir)
+    fanned = lp.select(
+        "n_tokens",
+        "avg_neg_logprob",
+        F.explode(
+            F.array(*[F.lit(t) for t in LOGPROB_SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    keep = F.col("avg_neg_logprob") <= F.col("threshold")
+    return (
+        fanned.groupBy("threshold")
+        .agg(
+            F.sum(keep.cast("bigint")).cast("bigint").alias("n_kept"),
+            F.sum((~keep).cast("bigint")).cast("bigint").alias("n_dropped"),
+            (F.sum(keep.cast("bigint")).cast("double") / F.count("*")).alias(
+                "keep_rate"
+            ),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("threshold")
+    )
+
+
 @query(
     "source_token_entropy",
     oracle="""

@@ -50,3 +50,28 @@ def test_oov_rate_monotone_in_vocab_size(spark, sf_dir):
     }
     assert set(small) == set(big)
     assert all(big[d] <= small[d] for d in small)
+
+
+def test_logprob_sweep_monotone_and_consistent(spark, sf_dir):
+    """Keep counts must be monotone nondecreasing in the threshold and
+    agree with direct filtering of the per-doc score relation."""
+    from kafka_consumer_2_clickhouse_spark.operators import text_analysis as TA
+
+    rows = sorted(
+        TA.doc_logprob_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    scores = TA.doc_unigram_logprob(spark, sf_dir).collect()
+    n = len(scores)
+    prev = -1
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == n
+        assert r["n_kept"] >= prev
+        prev = r["n_kept"]
+        direct = sum(1 for s in scores if s["avg_neg_logprob"] <= r["threshold"])
+        assert r["n_kept"] == direct
+        toks = sum(
+            s["n_tokens"] for s in scores
+            if s["avg_neg_logprob"] <= r["threshold"]
+        )
+        assert r["tokens_kept"] == toks
