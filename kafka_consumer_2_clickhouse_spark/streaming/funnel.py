@@ -1,0 +1,148 @@
+"""Streaming conversion attribution: a per-user funnel state machine
+([EXT] — the online twin of the batch ``events_conversion_funnel``).
+
+A funnel product wants conversions attributed AS THEY HAPPEN, not in a
+nightly batch: first ``view`` opens the journey, the first ``click``
+inside the click window arms the purchase window, the first
+``purchase`` inside it emits one conversion row. The batch operator
+(`operators/behavior.py events_conversion_funnel`, three cascaded
+min-aggregates) is the deterministic offline auditor for the same
+stream; this is the online emitter.
+
+State machine per user (the attribution rules funnel products use):
+
+- ``v_ts``: set by the user's FIRST view, then frozen — later views
+  never re-open a journey.
+- ``c_ts``: set by the first click with ``v_ts < ts`` and
+  ``ts - v_ts <= click_window`` — later or out-of-window clicks are
+  ignored; a click before any view is ignored.
+- conversion: the first purchase with ``c_ts < ts`` and
+  ``ts - c_ts <= purchase_window`` emits (user_id, v_ts, c_ts, p_ts)
+  exactly once; ``done`` freezes the journey so replays of later
+  events can't re-emit.
+
+Ordering semantics: each micro-batch is processed in event-time order
+(ts, event_id) per user, so under in-order delivery the emitted
+attribution equals the batch auditor's first-qualifying timestamps —
+pinned in tests. Out-of-order delivery ACROSS batches keeps the online
+property instead: an earlier-timestamped click arriving after the
+window was armed does not retroactively re-attribute (also pinned —
+that is what "online" means; the batch operator is ground truth).
+
+Scale: one user_id shuffle per micro-batch (the same partitioning
+every stateful op here uses); state is 2 longs + 1 bool per user —
+O(users), independent of throughput; the in-order transition scan
+touches only that user's rows in that micro-batch. Arrow-batched
+transport; the per-user python transition loop is bounded by
+rows-per-user-per-batch (single digits in practice).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: defaults match the batch auditor (behavior.FUNNEL_*_WINDOW_S)
+CLICK_WINDOW_S = 3600
+PURCHASE_WINDOW_S = 86400
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("v_us", T.LongType()),  # -1 = unset
+        T.StructField("c_us", T.LongType()),  # -1 = unset
+        T.StructField("done", T.BooleanType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v_ts", T.TimestampType()),
+        T.StructField("c_ts", T.TimestampType()),
+        T.StructField("p_ts", T.TimestampType()),
+    ]
+)
+
+
+def _make_stepper(click_window_us: int, purchase_window_us: int):
+    def _step(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        v_us, c_us, done = state.get if state.exists else (-1, -1, False)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((v_us, c_us, done))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        if done:
+            state.update((v_us, c_us, done))
+            return
+        # event-time order within the micro-batch (ties on event_id):
+        # first-qualifying semantics match the batch auditor when
+        # delivery is in order
+        batch = batch.sort_values(["ts_us", "event_id"])
+        conv = None
+        for typ, ts in zip(batch["event_type"], batch["ts_us"]):
+            ts = int(ts)
+            if v_us < 0:
+                if typ == "view":
+                    v_us = ts
+            elif c_us < 0:
+                if (
+                    typ == "click"
+                    and ts > v_us
+                    and ts - v_us <= click_window_us
+                ):
+                    c_us = ts
+            else:
+                if (
+                    typ == "purchase"
+                    and ts > c_us
+                    and ts - c_us <= purchase_window_us
+                ):
+                    done = True
+                    conv = ts
+                    break
+        state.update((v_us, c_us, done))
+        if conv is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "v_ts": [pd.Timestamp(v_us, unit="us")],
+                    "c_ts": [pd.Timestamp(c_us, unit="us")],
+                    "p_ts": [pd.Timestamp(conv, unit="us")],
+                }
+            )
+
+    return _step
+
+
+def conversion_attribution(
+    events: DataFrame,
+    click_window_s: int = CLICK_WINDOW_S,
+    purchase_window_s: int = PURCHASE_WINDOW_S,
+) -> DataFrame:
+    """Per-user streaming funnel over (user_id, event_id, event_type,
+    ts). Emits one (user_id, v_ts, c_ts, p_ts) row per conversion;
+    output mode must be ``update``."""
+    keyed = events.selectExpr(
+        "cast(user_id as long) as user_id",
+        "cast(event_id as long) as event_id",
+        "cast(event_type as string) as event_type",
+        "unix_micros(ts) as ts_us",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_stepper(click_window_s * 1_000_000, purchase_window_s * 1_000_000),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

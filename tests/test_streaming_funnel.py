@@ -1,0 +1,216 @@
+"""Streaming conversion attribution: first-qualifying semantics,
+exactly-once emission, window bounds, restart recovery, and the online
+(no-retroactive-reattribution) property."""
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming.funnel import (
+    conversion_attribution,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _ts(s):
+    return pd.Timestamp(f"2026-01-01 {s}").to_pydatetime()
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, path, name, checkpoint=None, **kwargs):
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    w = (
+        conversion_attribution(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_conversion_emitted_with_first_qualifying_chain(spark, tmp_path):
+    path = str(tmp_path / "s")
+    rows = [
+        (1, 1, "view", _ts("09:00:00")),
+        (1, 2, "view", _ts("09:05:00")),       # later view ignored
+        (1, 3, "click", _ts("09:30:00")),      # first qualifying click
+        (1, 4, "click", _ts("09:40:00")),      # ignored
+        (1, 5, "purchase", _ts("10:00:00")),   # converts
+        (1, 6, "purchase", _ts("11:00:00")),   # ignored (done)
+        (2, 7, "click", _ts("09:00:00")),      # click before any view
+        (2, 8, "view", _ts("09:10:00")),
+        (2, 9, "purchase", _ts("09:20:00")),   # no click -> no conversion
+    ]
+    _write_batch(spark, path, rows)
+    got = _run(spark, path, "fun_t1")
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1
+    assert r["v_ts"] == _ts("09:00:00")
+    assert r["c_ts"] == _ts("09:30:00")
+    assert r["p_ts"] == _ts("10:00:00")
+
+
+def test_window_bounds_enforced(spark, tmp_path):
+    path = str(tmp_path / "s")
+    rows = [
+        # user 1: click outside the 1h window -> never armed
+        (1, 1, "view", _ts("09:00:00")),
+        (1, 2, "click", _ts("10:30:00")),
+        (1, 3, "purchase", _ts("10:40:00")),
+        # user 2: click exactly at the boundary qualifies (<=)
+        (2, 4, "view", _ts("09:00:00")),
+        (2, 5, "click", _ts("10:00:00")),
+        (2, 6, "purchase", _ts("10:30:00")),
+    ]
+    _write_batch(spark, path, rows)
+    got = {r["user_id"]: r for r in _run(spark, path, "fun_t2")}
+    assert set(got) == {2}
+    assert got[2]["c_ts"] == _ts("10:00:00")
+
+
+def test_journey_spans_micro_batches_and_survives_restart(spark, tmp_path):
+    """State carries the armed journey across batches AND across a
+    checkpointed restart; the conversion is emitted exactly once.
+    (foreachBatch parquet sink — the memory sink can't recover from a
+    checkpoint.)"""
+    import os
+
+    path = str(tmp_path / "s")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(path)
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            conversion_attribution(stream)
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, path, [(1, 1, "view", _ts("09:00:00"))])
+    _write_batch(spark, path, [(1, 2, "click", _ts("09:30:00"))])
+    run_once()
+    emitted = (
+        spark.read.parquet(sink).collect() if os.path.isdir(sink) else []
+    )
+    assert emitted == []  # armed, not converted
+    # restart from the checkpoint with the purchase arriving later
+    _write_batch(spark, path, [(1, 3, "purchase", _ts("15:00:00"))])
+    run_once()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 1
+    assert got2[0]["v_ts"] == _ts("09:00:00")
+    assert got2[0]["c_ts"] == _ts("09:30:00")
+    assert got2[0]["p_ts"] == _ts("15:00:00")
+
+
+def test_online_no_retroactive_reattribution(spark, tmp_path):
+    """A better (earlier) click arriving in a LATER batch must not
+    re-attribute: the online answer keeps the first-ARMED click. The
+    batch auditor would pick 09:10 — that divergence is the documented
+    online-vs-offline contract."""
+    path = str(tmp_path / "s")
+    _write_batch(spark, path, [
+        (1, 1, "view", _ts("09:00:00")),
+        (1, 2, "click", _ts("09:45:00")),
+    ])
+    _write_batch(spark, path, [
+        (1, 3, "click", _ts("09:10:00")),      # late, earlier-timestamped
+        (1, 4, "purchase", _ts("10:00:00")),
+    ])
+    got = _run(spark, path, "fun_t4")
+    assert len(got) == 1
+    assert got[0]["c_ts"] == _ts("09:45:00")
+
+
+def test_agrees_with_batch_auditor_on_in_order_corpus(spark):
+    """On the real corpus replayed IN EVENT-TIME ORDER as one batch,
+    the set of converted users and their attribution timestamps equal
+    the batch operator's cascaded-min semantics (python replay).
+    sf0.01: the smoke corpus has zero completed funnels."""
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        FUNNEL_CLICK_WINDOW_S,
+        FUNNEL_PURCHASE_WINDOW_S,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    # python replay of the state machine == cascaded-min attribution
+    # when processed in event-time order
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        st = by_user.setdefault(r["user_id"], {"v": None, "c": None, "p": None})
+        if st["p"] is not None:
+            continue
+        if st["v"] is None:
+            if r["event_type"] == "view":
+                st["v"] = r["ts"]
+        elif st["c"] is None:
+            if (
+                r["event_type"] == "click"
+                and r["ts"] > st["v"]
+                and (r["ts"] - st["v"]).total_seconds() <= FUNNEL_CLICK_WINDOW_S
+            ):
+                st["c"] = r["ts"]
+        else:
+            if (
+                r["event_type"] == "purchase"
+                and r["ts"] > st["c"]
+                and (r["ts"] - st["c"]).total_seconds()
+                <= FUNNEL_PURCHASE_WINDOW_S
+            ):
+                st["p"] = r["ts"]
+    expected = {
+        u: (s["v"], s["c"], s["p"]) for u, s in by_user.items() if s["p"]
+    }
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/s"
+        rows = [
+            (r["user_id"], r["event_id"], r["event_type"], r["ts"])
+            for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"]))
+        ]
+        _write_batch(spark, path, rows)
+        got = {
+            r["user_id"]: (r["v_ts"], r["c_ts"], r["p_ts"])
+            for r in _run(spark, path, "fun_t5")
+        }
+    assert got == expected
+    assert expected  # non-vacuous: the corpus converts somebody
