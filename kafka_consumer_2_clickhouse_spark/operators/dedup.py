@@ -1304,6 +1304,101 @@ minhash_jaccard_estimates.__doc__ = minhash_jaccard_estimates.__doc__.replace(
 )
 
 
+#: containment level above which the smaller doc counts as embedded
+CONTAINMENT_MIN = 0.9
+
+
+@query(
+    "neardup_containment_pairs",
+    oracle="""
+    WITH lshp AS ({LSH}),
+    cnt AS (
+      SELECT doc_id, CAST(len(list_distinct({SH})) AS BIGINT) AS n_sh
+      FROM documents
+    ), sized AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard, ca.n_sh AS n_a, cb.n_sh AS n_b,
+             CAST(round(p.jaccard * (ca.n_sh + cb.n_sh)
+                        / (1 + p.jaccard)) AS BIGINT) AS n_inter
+      FROM lshp p
+        JOIN cnt ca ON ca.doc_id = p.doc_a
+        JOIN cnt cb ON cb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard,
+           CAST(n_inter AS DOUBLE) / n_a AS containment_a,
+           CAST(n_inter AS DOUBLE) / n_b AS containment_b,
+           CASE WHEN n_a <= n_b THEN CAST(n_inter AS DOUBLE) / n_a
+                ELSE CAST(n_inter AS DOUBLE) / n_b END AS max_containment,
+           CAST(CASE WHEN (CASE WHEN n_a <= n_b
+                               THEN CAST(n_inter AS DOUBLE) / n_a
+                               ELSE CAST(n_inter AS DOUBLE) / n_b END)
+                          >= {CMIN}
+                     THEN 1 ELSE 0 END AS INT) AS is_embedded
+    FROM sized
+    """.replace("{LSH}", _lsh_pairs_oracle())
+    .replace("{SH}", X.sql_shingles(X.sql_tokens("text"), SHINGLE_N))
+    .replace("{CMIN}", str(CONTAINMENT_MIN)),
+)
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC overlap over the verified LSH candidates: containment
+    C(A,B) = |A∩B|/|A| per side (Broder 1997's other resemblance
+    measure). Symmetric Jaccard under-scores the classic news-wire
+    case — a short article pasted verbatim inside a long page scores
+    j = |A|/|B| (small) but containment_a = 1.0; this table flags the
+    embedded side (``is_embedded`` when the smaller doc's containment
+    clears {CMIN}) so wrapper pages don't survive dedup as "distinct".
+
+    Exactness without re-verifying: the intersection size is recovered
+    ALGEBRAICALLY from the already-verified Jaccard —
+    i = j·(|A|+|B|)/(1+j) exactly, and the double-arithmetic chain is
+    evaluated identically by both engines before the integer round, so
+    the recovery is bit-stable and oracle-checked (plus re-derived
+    directly in tests).
+
+    Scale: rides the LSH candidate relation (never all-pairs); the
+    per-doc distinct-shingle counts are a map-only |docs|-row relation
+    joined twice on doc id — no shingle arrays move for this query.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cnt = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(X.shingles(X.tokens("text"), SHINGLE_N)))
+        .cast("bigint")
+        .alias("n_sh"),
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sized = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.round(
+                F.col("jaccard")
+                * (F.col("n_a") + F.col("n_b"))
+                / (1 + F.col("jaccard"))
+            ).cast("bigint"),
+        )
+    )
+    cont_a = F.col("n_inter").cast("double") / F.col("n_a")
+    cont_b = F.col("n_inter").cast("double") / F.col("n_b")
+    max_cont = F.when(F.col("n_a") <= F.col("n_b"), cont_a).otherwise(cont_b)
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        cont_a.alias("containment_a"),
+        cont_b.alias("containment_b"),
+        max_cont.alias("max_containment"),
+        (max_cont >= CONTAINMENT_MIN).cast("int").alias("is_embedded"),
+    )
+
+
+neardup_containment_pairs.__doc__ = neardup_containment_pairs.__doc__.replace(
+    "{CMIN}", str(CONTAINMENT_MIN)
+)
+
+
 #: minimum verified Jaccard for a cross-split pair to count as leakage
 #: (matches the component-building threshold in operators/graph.py)
 SPLIT_LEAK_JACCARD_MIN = 0.5

@@ -388,3 +388,34 @@ def test_incremental_index_missing_dir_fails_fast(spark, sf_dir, tmp_path, monke
     monkeypatch.setenv("SPARK_GRAFT_DEDUP_INDEX", str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError, match="keys/"):
         ops.QUERIES["incremental_neardup_pairs"](spark, sf_dir)
+
+
+def test_containment_recovery_matches_direct_intersection(spark, sf_dir):
+    """The algebraic intersection recovery i = j(|A|+|B|)/(1+j) must
+    equal a direct python set-intersection on every candidate pair,
+    and containments must bound jaccard from above."""
+    from kafka_consumer_2_clickhouse_spark.functions import textfns as X
+    from kafka_consumer_2_clickhouse_spark.operators import dedup as D
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = D.neardup_containment_pairs(spark, sf_dir).collect()
+    assert got
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            X.shingles(X.tokens("text"), D.SHINGLE_N).alias("sh"),
+        )
+        .collect()
+    }
+    for r in got:
+        a, b = sh[r["doc_a"]], sh[r["doc_b"]]
+        inter = len(a & b)
+        assert abs(r["containment_a"] - inter / len(a)) < 1e-12, r
+        assert abs(r["containment_b"] - inter / len(b)) < 1e-12, r
+        assert r["max_containment"] >= r["jaccard"] - 1e-12
+        assert r["is_embedded"] == int(
+            r["max_containment"] >= D.CONTAINMENT_MIN
+        )
