@@ -59,6 +59,12 @@ from .state_store import DEFAULT_STORE, StateStore
 EST_JACCARD_MIN = 0.5
 
 _KEYS = "keys"
+_BLOOM = "bloom"
+
+#: fixed per-store bitmap size so per-batch blooms OR into one union
+#: (16 KiB/batch at 2^17 bits — ~10 bits/key up to ~13k keys/batch;
+#: size for the expected batch, saturation only costs false positives)
+BLOOM_M_BITS = 1 << 17
 
 
 def _sig_store_rows(docs: DataFrame) -> DataFrame:
@@ -92,6 +98,18 @@ def _est(a: str, b: str):
     return agree / F.lit(float(N_MINHASH))
 
 
+def _live_batch_dirs(
+    state_dir: str,
+    before_batch: int | None,
+    store: StateStore,
+) -> list[str]:
+    path = os.path.join(state_dir, _KEYS)
+    dirs = [d for d in store.listdir(path) if d.startswith("batch=")]
+    if before_batch is not None:
+        dirs = [d for d in dirs if int(d.split("=", 1)[1]) < before_batch]
+    return sorted(dirs)
+
+
 def read_signature_store(
     spark: SparkSession,
     state_dir: str,
@@ -105,9 +123,7 @@ def read_signature_store(
     with itself and drop every survivor."""
     store = store or DEFAULT_STORE
     path = os.path.join(state_dir, _KEYS)
-    dirs = [d for d in store.listdir(path) if d.startswith("batch=")]
-    if before_batch is not None:
-        dirs = [d for d in dirs if int(d.split("=", 1)[1]) < before_batch]
+    dirs = _live_batch_dirs(state_dir, before_batch, store)
     if not dirs:
         return None
     return spark.read.option("basePath", path).parquet(
@@ -115,15 +131,75 @@ def read_signature_store(
     )
 
 
+def _load_bloom_union(
+    spark: SparkSession,
+    state_dir: str,
+    dirs: list[str],
+    store: StateStore,
+):
+    """OR the per-batch bloom sidecars covering exactly ``dirs``.
+
+    Returns (bitmap, m_bits, k) or None when coverage is incomplete or
+    inconsistent — the probe then falls back to the plain join, which
+    is always safe (the bloom is an optimization, never the truth).
+    Soundness: each batch's sidecar is written BEFORE its keys dir
+    (see ``neardup_filter``), so a keys dir implies its bloom covers
+    it; a crash between the two leaves bloom-without-keys — extra set
+    bits, false positives only, never a missed duplicate.
+    """
+    import numpy as np
+
+    metas = []
+    for d in dirs:
+        bdir = os.path.join(state_dir, _BLOOM, d)
+        if not store.isdir(bdir):
+            return None  # pre-bloom store or torn write: no prefilter
+        metas.append(bdir)
+    acc = None
+    m_bits = k = None
+    for bdir in metas:
+        row = spark.read.parquet(bdir).collect()
+        if len(row) != 1:
+            return None
+        r = row[0]
+        if m_bits is None:
+            m_bits, k = int(r["m_bits"]), int(r["k"])
+            acc = np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8).copy()
+        elif int(r["m_bits"]) != m_bits or int(r["k"]) != k:
+            return None  # mixed sizing: cannot OR, fall back
+        else:
+            acc |= np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
+    if acc is None:
+        return None
+    return acc.tobytes(), m_bits, k
+
+
 def neardup_filter(
     state_dir: str,
     accept: Callable[[DataFrame, int], None],
     est_threshold: float = EST_JACCARD_MIN,
     store: StateStore | None = None,
+    bloom_m_bits: int | None = BLOOM_M_BITS,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: near-dup-filter each batch
     against history + itself, hand survivors to ``accept(df, batch_id)``
-    (the landing sink), and extend the signature store."""
+    (the landing sink), and extend the signature store.
+
+    ``bloom_m_bits``: per-batch Bloom sidecar size (None disables).
+    Each committed batch stores a bloom over its band keys NEXT TO the
+    keys dir; the history probe ORs the live sidecars (KiBs each) and
+    rejects the batch's definitely-new keys MAP-SIDE before the store
+    equi-join — at 100 TB/day the probe side shrinks to probable
+    collisions. Write ORDER is the no-false-negative argument: the
+    sidecar commits BEFORE its keys dir, so any keys a later probe can
+    see are already covered by a sidecar; a crash between the writes
+    costs false positives only. Replay overwrites both dirs
+    idempotently; retention GC removes them together; a store with any
+    batch missing its sidecar (pre-bloom layout, torn write) falls
+    back to the plain join — the bloom is an optimization, never the
+    truth. Output equality with the bloomless filter, the crash
+    orderings, and the fallback are pinned in
+    tests/test_streaming_neardup.py."""
     st = store or DEFAULT_STORE
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -148,9 +224,30 @@ def neardup_filter(
 
         hist = read_signature_store(spark, state_dir, before_batch=batch_id, store=st)
         if hist is not None:
+            probe = rows
+            if bloom_m_bits is not None:
+                dirs = _live_batch_dirs(state_dir, batch_id, st)
+                union = _load_bloom_union(spark, state_dir, dirs, st)
+                if union is not None:
+                    from ..functions.bloom import bloom_might_contain
+                    from ..operators.dedup import _band_bloom_key
+
+                    bm, m_bits, k = union
+                    probe = (
+                        bloom_might_contain(
+                            rows.withColumn("bkey", _band_bloom_key()),
+                            "bkey",
+                            bm,
+                            m_bits,
+                            k,
+                        )
+                        .filter(F.col("bloom_hit"))
+                        .drop("bkey", "bloom_hit")
+                    )
+            ap = probe.alias("a")
             h = hist.alias("h")
             hist_drops = (
-                a.join(
+                ap.join(
                     h,
                     (F.col("a.band_id") == F.col("h.band_id"))
                     & (F.col("a.key") == F.col("h.key")),
@@ -166,10 +263,27 @@ def neardup_filter(
         survivors = batch_df.join(drops, "doc_id", "left_anti")
         accept(survivors, batch_id)
 
-        # store survivors' signature rows; overwrite-by-batch-dir makes
-        # a checkpoint replay rewrite identical state, never append it
+        surv_rows = rows.join(drops, "doc_id", "left_anti")
+        # extend the store: bloom sidecar FIRST, then the keys dir (the
+        # ordering that makes a torn write cost false positives, never
+        # a missed duplicate); both overwrite-by-batch-dir so a
+        # checkpoint replay rewrites identical state, never appends it
+        if bloom_m_bits is not None:
+            from ..functions.bloom import N_HASHES, bloom_build
+            from ..operators.dedup import _band_bloom_key
+
+            bitmap = bloom_build(
+                surv_rows.select(_band_bloom_key().alias("bkey")),
+                "bkey",
+                bloom_m_bits,
+            )
+            bout = os.path.join(state_dir, _BLOOM, f"batch={batch_id}")
+            spark.createDataFrame(
+                [(bloom_m_bits, N_HASHES, bytearray(bitmap))],
+                "m_bits long, k int, bitmap binary",
+            ).coalesce(1).write.mode("overwrite").parquet(bout)
         out = os.path.join(state_dir, _KEYS, f"batch={batch_id}")
-        rows.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(out)
+        surv_rows.write.mode("overwrite").parquet(out)
         rows.unpersist()
 
     return process
@@ -204,6 +318,11 @@ def expire_signature_batches(
         except ValueError:
             continue
         if bid < before_batch:
+            # keys first, sidecar second: the intermediate state
+            # (bloom without keys) is the false-positive-only one
             st.rmtree(os.path.join(path, d))
+            bdir = os.path.join(state_dir, _BLOOM, d)
+            if st.isdir(bdir):
+                st.rmtree(bdir)
             removed += 1
     return removed

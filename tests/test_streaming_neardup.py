@@ -142,3 +142,91 @@ def test_signature_store_retention_gc(spark, tmp_path):
     assert accepted[-1] == (3, [99, 100])
     # idempotent / no-op second run
     assert expire_signature_batches(state, before_batch=2) == 0
+
+
+def test_bloom_prefilter_equals_bloomless_filter(spark, tmp_path):
+    """The bloom sidecar is an optimization, never the truth: the
+    landed sets must be IDENTICAL with and without it, batch by batch,
+    including cross-batch drops that must survive the prefilter."""
+    from kafka_consumer_2_clickhouse_spark.streaming.neardup import _BLOOM
+    import os
+
+    near = BASE.replace("hunter", "ranger")
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(10, near), (11, THIRD)],
+        [(20, OTHER + " extra"), (21, BASE)],
+    ]
+    results = {}
+    for label, m in (("bloom", None), ("plain", 0)):
+        state = str(tmp_path / label)
+        sink = Collector()
+        f = (
+            neardup_filter(state, sink)
+            if m is None
+            else neardup_filter(state, sink, bloom_m_bits=None)
+        )
+        for i, rows in enumerate(batches):
+            f(_docs(spark, rows), i)
+        results[label] = {k: sorted(v) for k, v in sink.landed.items()}
+    assert results["bloom"] == results["plain"]
+    # the bloom store actually has sidecars; the plain one doesn't
+    assert os.path.isdir(str(tmp_path / "bloom" / _BLOOM / "batch=0"))
+    assert not os.path.isdir(str(tmp_path / "plain" / _BLOOM))
+
+
+def test_missing_sidecar_falls_back_safely(spark, tmp_path):
+    """A store with a keys dir but no bloom sidecar (pre-bloom layout
+    or torn write) must fall back to the plain join — the cross-batch
+    near-dup is still dropped."""
+    import shutil
+
+    from kafka_consumer_2_clickhouse_spark.streaming.neardup import _BLOOM
+
+    state = str(tmp_path / "state")
+    sink = Collector()
+    f = neardup_filter(state, sink)
+    f(_docs(spark, [(1, BASE)]), 0)
+    shutil.rmtree(str(tmp_path / "state" / _BLOOM / "batch=0"))
+    near = BASE.replace("hunter", "ranger")
+    f(_docs(spark, [(10, near), (11, THIRD)]), 1)
+    assert sorted(sink.landed[1]) == [11]  # dup still caught
+
+
+def test_bloom_without_keys_is_harmless(spark, tmp_path):
+    """The torn-write state the commit ORDER allows (sidecar written,
+    crash before keys): extra set bits only — fresh docs still land,
+    nothing is wrongly dropped by keys that don't exist."""
+    import shutil
+
+    from kafka_consumer_2_clickhouse_spark.streaming.neardup import _KEYS
+
+    state = str(tmp_path / "state")
+    sink = Collector()
+    f = neardup_filter(state, sink)
+    f(_docs(spark, [(1, BASE)]), 0)
+    # simulate: batch 0's keys dir lost after its sidecar committed
+    shutil.rmtree(str(tmp_path / "state" / _KEYS / "batch=0"))
+    f(_docs(spark, [(10, BASE), (11, THIRD)]), 1)
+    # doc 10 collides only with the VANISHED keys -> must land (the
+    # bloom alone can never drop anything)
+    assert sorted(sink.landed[1]) == [10, 11]
+
+
+def test_gc_removes_bloom_sidecars_with_keys(spark, tmp_path):
+    import os
+
+    from kafka_consumer_2_clickhouse_spark.streaming.neardup import (
+        _BLOOM,
+        expire_signature_batches,
+    )
+
+    state = str(tmp_path / "state")
+    sink = Collector()
+    f = neardup_filter(state, sink)
+    f(_docs(spark, [(1, BASE)]), 0)
+    f(_docs(spark, [(2, OTHER)]), 1)
+    removed = expire_signature_batches(state, before_batch=1)
+    assert removed == 1
+    assert not os.path.isdir(os.path.join(state, _BLOOM, "batch=0"))
+    assert os.path.isdir(os.path.join(state, _BLOOM, "batch=1"))
