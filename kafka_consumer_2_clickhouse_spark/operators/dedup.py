@@ -1716,8 +1716,20 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes shingles only for candidate corpus docs via a doc_id
     semi-join on the bucketed landing layout. This is the daily-crawl
     dedup loop: index once, probe forever.
+
+    ``SPARK_GRAFT_SCALE_MODE=approx`` flips the DEFAULT to the Bloom-
+    prefiltered probe (same contract, same oracle — the
+    ``near_dup_components`` algorithm-level swap pattern, since the
+    bloom path's output is exactly equal); an explicit
+    ``SPARK_GRAFT_INCREMENTAL_BLOOM=1/0`` always wins.
     """
-    return _incremental_neardup(spark, sf_dir, use_bloom=False)
+    import os
+
+    from . import scale_mode
+
+    env = os.environ.get("SPARK_GRAFT_INCREMENTAL_BLOOM")
+    use_bloom = (scale_mode() == "approx") if env is None else env == "1"
+    return _incremental_neardup(spark, sf_dir, use_bloom=use_bloom)
 
 
 @query("incremental_neardup_bloom", oracle=_INCREMENTAL_NEARDUP_ORACLE)

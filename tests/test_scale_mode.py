@@ -96,3 +96,28 @@ def test_cc_under_flag_equals_default(spark, sf_dir, monkeypatch):
     )
     spark.catalog.clearCache()
     assert relabeled == base
+
+
+def test_incremental_pairs_algorithm_swap(spark, sf_dir, monkeypatch):
+    """approx mode flips the incremental probe's default to the bloom
+    path (same oracle, algorithm-level swap); the explicit env always
+    wins."""
+    from kafka_consumer_2_clickhouse_spark.operators import dedup as D
+
+    calls = []
+    real = D._incremental_neardup
+
+    def spy(spark_, sf_dir_, use_bloom):
+        calls.append(use_bloom)
+        return real(spark_, sf_dir_, use_bloom=False)  # cheap body
+
+    monkeypatch.setattr(D, "_incremental_neardup", spy)
+    D.incremental_neardup_pairs(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    D.incremental_neardup_pairs(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_BLOOM", "0")
+    D.incremental_neardup_pairs(spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE")
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_BLOOM", "1")
+    D.incremental_neardup_pairs(spark, sf_dir)
+    assert calls == [False, True, False, True]
