@@ -265,6 +265,13 @@ def embedding_pca_projection(
        component — so the projection itself is MAP-ONLY whole-stage
        codegen over the full table. No shuffle touches n rows.
     """
+    comps, _vals, mean = _pca_basis(spark, sf_dir, k)
+    return _project(spark, sf_dir, comps, mean, prefix="pc")
+
+
+def _pca_basis(spark: SparkSession, sf_dir: str, k: int):
+    """(top-k sign-fixed eigenvectors, their eigenvalues, means) from
+    the memoized covariance/mean driver pull."""
     import numpy as np
 
     d = DIM
@@ -287,13 +294,19 @@ def embedding_pca_projection(
     # numpy eigh returns ascending eigenvalues; take the top k
     vals, vecs = np.linalg.eigh((cov + cov.T) / 2.0)
     order = np.argsort(vals)[::-1][:k]
-    comps = []
+    comps, top_vals = [], []
     for c in order:
         v = vecs[:, c]
         if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
             v = -v
         comps.append(v)
+        top_vals.append(float(vals[c]))
+    return comps, top_vals, mean
 
+
+def _project(spark, sf_dir, comps, mean, prefix: str):
+    """Compile (x - mean)·v literal chains — map-only codegen."""
+    d = DIM
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     cols = [F.col("vec_id")]
     for ci, v in enumerate(comps, start=1):
@@ -302,8 +315,42 @@ def embedding_pca_projection(
             f" * {v[j]!r}"
             for j in range(d)
         ) + ")"
-        cols.append(F.expr(expr).alias(f"pc{ci}"))
+        cols.append(F.expr(expr).alias(f"{prefix}{ci}"))
     return emb.select(*cols)
+
+
+#: eigenvalue floor for whitening — a numerically-dead direction must
+#: not blow up into a huge axis (standard PCA-whitening epsilon)
+WHITEN_EPS = 1e-8
+
+
+@query("embedding_whitened_projection")  # no oracle: eigendecomposition
+# has no portable SQL twin; the identity-covariance contract is pinned
+# vs numpy in tests (same policy as embedding_pca_projection)
+def embedding_whitened_projection(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> DataFrame:
+    """PCA-WHITENED top-k scores: each principal-component score scaled
+    by 1/sqrt(eigenvalue + eps), so the output dimensions have unit
+    variance and zero correlation — the preprocessing contrastive
+    losses, Mahalanobis OOD scoring, and some ANN quantizers assume
+    (un-whitened embeddings let one dominant direction swallow the
+    metric). This completes the covariance -> PCA -> whitening chain
+    the QC family documents.
+
+    Execution shape: identical to :func:`embedding_pca_projection` —
+    the scaling folds into the SAME literal projection vectors
+    (v/sqrt(λ+ε) compiled driver-side), so the plan is still one
+    map-only codegen pass; the covariance/mean driver pull is shared
+    through the session memo, not recomputed.
+    """
+    import math
+
+    comps, vals, mean = _pca_basis(spark, sf_dir, k)
+    scaled = [
+        v / math.sqrt(val + WHITEN_EPS) for v, val in zip(comps, vals)
+    ]
+    return _project(spark, sf_dir, scaled, mean, prefix="wc")
 
 
 def _mean_sums_sql(engine: str) -> str:

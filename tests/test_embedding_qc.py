@@ -183,3 +183,34 @@ def test_triangular_index_inversion_exhaustive():
         c_r = r * DIM - (r * (r - 1)) / 2
         got.append((r + 1, int(r + 1 + (pos - c_r))))
     assert got == want
+
+
+def test_whitened_projection_has_identity_covariance(spark, sf_dir):
+    """The whitening contract: the output scores' population
+    covariance is the identity (diagonal 1, off-diagonal 0) up to the
+    epsilon floor, and the columns are the PCA scores scaled by
+    1/sqrt(eigenvalue)."""
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.operators import embedding_qc as Q
+
+    rows = Q.embedding_whitened_projection(spark, sf_dir).collect()
+    k = Q.PCA_K
+    mat = np.array([[r[f"wc{i}"] for i in range(1, k + 1)] for r in rows])
+    n = len(mat)
+    cov = (mat - mat.mean(axis=0)).T @ (mat - mat.mean(axis=0)) / n
+    # population covariance (matches embedding_covariance's /n): unit
+    # diagonal, zero off-diagonal
+    assert np.allclose(np.diag(cov), 1.0, atol=5e-3), np.diag(cov)
+    off = cov - np.diag(np.diag(cov))
+    assert np.max(np.abs(off)) < 5e-3, off
+
+    pca = {
+        r["vec_id"]: [r[f"pc{i}"] for i in range(1, k + 1)]
+        for r in Q.embedding_pca_projection(spark, sf_dir).collect()
+    }
+    _, vals, _ = Q._pca_basis(spark, sf_dir, k)
+    for r in rows[:20]:
+        for i in range(1, k + 1):
+            expect = pca[r["vec_id"]][i - 1] / (vals[i - 1] + Q.WHITEN_EPS) ** 0.5
+            assert abs(r[f"wc{i}"] - expect) < 1e-9
