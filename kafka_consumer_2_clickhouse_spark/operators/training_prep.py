@@ -248,3 +248,55 @@ def pack_manifest(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def epoch_order_sql(n_shards: int = PACK_SHARDS, seq_len: int = SEQ_LEN) -> str:
+    """DuckDB oracle for :func:`pack_epoch_order`, composed from the
+    same pack chain."""
+    return f"""
+    WITH p AS ({pack_sql(n_shards, seq_len)}),
+    seqs AS (
+      SELECT DISTINCT seq_id, shard FROM p
+    )
+    SELECT seq_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5(CAST(seq_id AS VARCHAR)), seq_id
+           ) AS BIGINT) AS epoch_pos
+    FROM seqs
+    """
+
+
+@query("pack_epoch_order", oracle=epoch_order_sql())
+def pack_epoch_order(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = PACK_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """The training epoch's READ ORDER: every packed sequence's
+    position within its shard, shuffled by content hash — reproducible
+    across engines, partitionings and reruns (the property RNG
+    shuffles lack, exactly the `events_deterministic_sample` argument
+    applied to the data-loader's shuffle). A loader that walks shard
+    s in epoch_pos order consumes a deterministic but
+    decorrelated-from-packing-order token stream; re-shuffling per
+    epoch = salt the hash with the epoch number.
+
+    Scale: distinct (seq_id, shard) collapses map-side from the
+    assignment rows; the rank window is PER SHARD — bounded by
+    sequences-per-shard, the same unit the per-shard packing cumsum
+    already scans, and the unit a loader materializes anyway; raise
+    ``n_shards`` to shrink it (the knob doc_pack_assignment documents).
+    Never a global window.
+    """
+    asn = doc_pack_assignment(spark, sf_dir, n_shards, seq_len)
+    seqs = asn.select("seq_id", "shard").distinct()
+    w = W.partitionBy("shard").orderBy(
+        F.md5(F.col("seq_id").cast("string")), F.col("seq_id")
+    )
+    return seqs.select(
+        "seq_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("epoch_pos"),
+    )

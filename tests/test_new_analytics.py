@@ -846,3 +846,35 @@ def test_nation_yoy_math(spark, sf_dir):
                 cur["yoy_growth"]
                 - round((cur["revenue"] - prev["revenue"]) / prev["revenue"], 6)
             ) < 1e-9
+
+
+def test_pack_epoch_order_is_a_permutation_and_parameterized(spark, sf_dir):
+    """epoch_pos is a 1..n_s permutation within every shard, stable
+    across reruns, decorrelated from seq_id order, and oracle-green at
+    a second (n_shards, seq_len)."""
+    from kafka_consumer_2_clickhouse_spark.operators import training_prep as TP
+    from .oracle_utils import compare, duck_connect
+
+    rows = TP.pack_epoch_order(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["epoch_pos"], r["seq_id"]))
+    for shard, pairs in by_shard.items():
+        ps = sorted(p for p, _ in pairs)
+        assert ps == list(range(1, len(pairs) + 1)), shard
+        # decorrelated: hash order must not equal seq_id order (any
+        # shard with >3 sequences agreeing on both orders would be
+        # astronomically unlucky)
+        if len(pairs) > 3:
+            by_pos = [s for _, s in sorted(pairs)]
+            assert by_pos != sorted(by_pos)
+    rerun = TP.pack_epoch_order(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+    con = duck_connect(sf_dir)
+    ok, msg = compare(
+        TP.pack_epoch_order(spark, sf_dir, n_shards=5, seq_len=128),
+        con,
+        TP.epoch_order_sql(n_shards=5, seq_len=128),
+    )
+    assert ok, msg
