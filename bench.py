@@ -165,6 +165,18 @@ EXTRA = [
     "events_burst_minutes",
     "corpus_datacard",
     "nation_revenue_yoy",
+    "component_aware_splits",
+    "split_strategy_leakage",
+    "knn_label_vote",
+    "knn_accuracy",
+    "incremental_neardup_bloom",
+    "bpe_learn_merges",
+    "bpe_compression_by_lang",
+    "split_semantic_leakage",
+    "doc_logprob_threshold_sweep",
+    "neardup_containment_pairs",
+    "embedding_whitened_projection",
+    "pack_epoch_order",
 ]
 
 
