@@ -176,8 +176,8 @@ def dedupe_replayed_batches(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.dropDuplicates(key_cols)
 
 
-def _list_data_files(path: str) -> list[str]:
-    """Parquet data files under a landing dir (skips _SUCCESS/.crc and
+def _list_data_files(path: str, fmt: str = "parquet") -> list[str]:
+    """Columnar data files under a landing dir (skips _SUCCESS/.crc and
     any _-prefixed metadata dirs)."""
     import os
 
@@ -187,7 +187,7 @@ def _list_data_files(path: str) -> list[str]:
         out.extend(
             os.path.join(root, f)
             for f in files
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+            if f.endswith("." + fmt) and not f.startswith(("_", "."))
         )
     return out
 
@@ -198,8 +198,10 @@ def compact_landing(
     key_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
     target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
 ) -> dict:
-    """Compact a Parquet landing directory in place: merge the
+    """Compact a Parquet (or ORC — ``fmt="orc"``, the other
+    Spark-native columnar landing format) directory in place: merge the
     per-micro-batch small files into ~``target_file_bytes`` files and
     (optionally) apply :func:`dedupe_replayed_batches`, keeping row
     content otherwise identical.
@@ -231,7 +233,9 @@ def compact_landing(
     import os
     import shutil
 
-    before = _list_data_files(path)
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"fmt={fmt!r}: expected 'parquet' or 'orc'")
+    before = _list_data_files(path, fmt)
     if not before:
         return {
             "files_before": 0,
@@ -241,7 +245,7 @@ def compact_landing(
         }
     in_bytes = sum(os.path.getsize(f) for f in before)
 
-    df = spark.read.parquet(path)
+    df = spark.read.format(fmt).load(path)
     rows_before = df.count()
     out = dedupe_replayed_batches(df, key_cols) if key_cols else df
     # compressed-bytes-per-row from the files being rewritten is the
@@ -259,15 +263,16 @@ def compact_landing(
             .write.mode("overwrite")
             .option("maxRecordsPerFile", max_records)
             .partitionBy(*partition_cols)
-            .parquet(tmp)
+            .format(fmt)
+            .save(tmp)
         )
     else:
         n_files = max(1, math.ceil(in_bytes / target_file_bytes))
         out.repartition(n_files).write.mode("overwrite").option(
             "maxRecordsPerFile", max_records
-        ).parquet(tmp)
+        ).format(fmt).save(tmp)
 
-    rows_after = spark.read.parquet(tmp).count()
+    rows_after = spark.read.format(fmt).load(tmp).count()
     if rows_after != rows_before and not key_cols:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -279,7 +284,7 @@ def compact_landing(
     shutil.rmtree(old)
     return {
         "files_before": len(before),
-        "files_after": len(_list_data_files(path)),
+        "files_after": len(_list_data_files(path, fmt)),
         "rows_before": rows_before,
         "rows_after": rows_after,
     }
