@@ -129,3 +129,38 @@ def test_index_sidecar_roundtrip_and_prefilter(spark, sf_dir, tmp_path, monkeypa
     total = annotated.count()
     survivors = annotated.filter(F.col("bloom_hit")).count()
     assert 0 < survivors < total  # rejects some, keeps the colliders
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis sweep: for ANY key set (unicode, empty strings,
+    collision-bait prefixes), every inserted key must probe positive.
+    One Spark round-trip per example is slow, so examples are few and
+    each carries a whole batch of keys."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=40),
+            min_size=1,
+            max_size=64,
+            unique=True,
+        )
+    )
+    def run(keys):
+        m = bloom.bloom_m_bits(len(keys))
+        bm = bloom.bloom_build(_keys_df(spark, keys), "bkey", m)
+        hits = (
+            bloom.bloom_might_contain(_keys_df(spark, keys), "bkey", bm, m)
+            .filter(F.col("bloom_hit"))
+            .count()
+        )
+        assert hits == len(keys)
+
+    run()
