@@ -31,7 +31,9 @@ ORACLE_SQL = analytics.ORACLE_SQL
 #: global window). ``near_dup_components`` is swapped at the ALGORITHM
 #: level instead (min-label -> O(log n) star rounds) because both
 #: satisfy the identical contract and oracle — see
-#: :func:`graph.near_dup_components`.
+#: :func:`graph.near_dup_components`; ``incremental_neardup_pairs``
+#: likewise flips its default to the Bloom-prefiltered probe (same
+#: output, same oracle — :func:`dedup.incremental_neardup_pairs`).
 SCALE_MODE_SWAPS: dict[str, str] = {
     "doc_difficulty_buckets": "doc_difficulty_buckets_approx",
     "events_profile": "events_profile_approx",
