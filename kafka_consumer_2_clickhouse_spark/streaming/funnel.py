@@ -68,7 +68,11 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _make_stepper(click_window_us: int, purchase_window_us: int):
+def _make_stepper(
+    click_window_us: int,
+    purchase_window_us: int,
+    expire_dead_journeys: bool,
+):
     def _step(
         key: tuple[Any, ...],
         pdfs: Iterator["pd.DataFrame"],  # noqa: F821
@@ -92,6 +96,15 @@ def _make_stepper(click_window_us: int, purchase_window_us: int):
         conv = None
         for typ, ts in zip(batch["event_type"], batch["ts_us"]):
             ts = int(ts)
+            if expire_dead_journeys and v_us >= 0:
+                # a journey whose window has provably closed (this
+                # event's time is past it) can never convert: drop it
+                # so the NEXT view re-opens — per-user state lives only
+                # while a journey is in flight
+                if c_us < 0 and ts - v_us > click_window_us:
+                    v_us = -1
+                elif c_us >= 0 and ts - c_us > purchase_window_us:
+                    v_us, c_us = -1, -1
             if v_us < 0:
                 if typ == "view":
                     v_us = ts
@@ -111,7 +124,11 @@ def _make_stepper(click_window_us: int, purchase_window_us: int):
                     done = True
                     conv = ts
                     break
-        state.update((v_us, c_us, done))
+        if expire_dead_journeys and v_us < 0 and not done:
+            # no journey in flight — hold no state at all
+            state.remove()
+        else:
+            state.update((v_us, c_us, done))
         if conv is not None:
             yield pd.DataFrame(
                 {
@@ -129,10 +146,24 @@ def conversion_attribution(
     events: DataFrame,
     click_window_s: int = CLICK_WINDOW_S,
     purchase_window_s: int = PURCHASE_WINDOW_S,
+    expire_dead_journeys: bool = False,
 ) -> DataFrame:
     """Per-user streaming funnel over (user_id, event_id, event_type,
     ts). Emits one (user_id, v_ts, c_ts, p_ts) row per conversion;
-    output mode must be ``update``."""
+    output mode must be ``update``.
+
+    ``expire_dead_journeys``: the production state bound. Default
+    False = first-view-EVER semantics (exactly the batch auditor's
+    attribution; state is O(all users ever seen)). True = a journey
+    whose window has provably closed (a later event's time is past it)
+    is dropped and the user's NEXT view re-opens a fresh journey —
+    the session-scoped behavior funnel products ship, with state
+    bounded by journeys IN FLIGHT (window length x arrival rate)
+    instead of total users; converted users keep their ``done`` marker
+    so replays can't re-emit. Deliberately diverges from the batch
+    auditor for users whose first journey died — pinned both ways in
+    tests.
+    """
     keyed = events.selectExpr(
         "cast(user_id as long) as user_id",
         "cast(event_id as long) as event_id",
@@ -140,7 +171,11 @@ def conversion_attribution(
         "unix_micros(ts) as ts_us",
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _make_stepper(click_window_s * 1_000_000, purchase_window_s * 1_000_000),
+        _make_stepper(
+            click_window_s * 1_000_000,
+            purchase_window_s * 1_000_000,
+            expire_dead_journeys,
+        ),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -214,3 +214,53 @@ def test_agrees_with_batch_auditor_on_in_order_corpus(spark):
         }
     assert got == expected
     assert expected  # non-vacuous: the corpus converts somebody
+
+
+def test_expired_journey_reopens_only_under_expiry_flag(spark, tmp_path):
+    """A first journey whose click window lapses is dead. Default
+    (auditor-exact) semantics: the user can never convert. With
+    expire_dead_journeys=True: the next view re-opens and the second
+    journey converts — the session-scoped production behavior."""
+    rows = [
+        (1, 1, "view", _ts("08:00:00")),
+        # no click within 1h -> journey dead once a later event shows up
+        (1, 2, "view", _ts("12:00:00")),
+        (1, 3, "click", _ts("12:20:00")),
+        (1, 4, "purchase", _ts("13:00:00")),
+    ]
+    path1 = str(tmp_path / "a")
+    _write_batch(spark, path1, rows)
+    got_default = _run(spark, path1, "fun_e1")
+    assert got_default == []  # first view froze v_ts at 08:00 forever
+
+    path2 = str(tmp_path / "b")
+    _write_batch(spark, path2, rows)
+    got_expiry = _run(spark, path2, "fun_e2", expire_dead_journeys=True)
+    assert len(got_expiry) == 1
+    assert got_expiry[0]["v_ts"] == _ts("12:00:00")
+    assert got_expiry[0]["c_ts"] == _ts("12:20:00")
+    assert got_expiry[0]["p_ts"] == _ts("13:00:00")
+
+
+def test_expiry_drops_state_for_dead_journeys(spark, tmp_path):
+    """With expiry on, a user whose journey died and produced no new
+    journey holds NO state (state.remove()) — the bounded-state claim
+    — while converted users keep their done marker (no re-emission on
+    replayed later events)."""
+    path = str(tmp_path / "s")
+    # user 1 converts; user 2's journey dies with no re-open
+    _write_batch(spark, path, [
+        (1, 1, "view", _ts("09:00:00")),
+        (1, 2, "click", _ts("09:10:00")),
+        (1, 3, "purchase", _ts("09:30:00")),
+        (2, 4, "view", _ts("09:00:00")),
+        (2, 5, "click", _ts("11:00:00")),  # too late: kills the journey
+    ])
+    # a later batch: user 2 purchase (must NOT convert — no armed
+    # journey), user 1 another purchase (must not re-emit)
+    _write_batch(spark, path, [
+        (2, 6, "purchase", _ts("11:30:00")),
+        (1, 7, "purchase", _ts("11:40:00")),
+    ])
+    got = _run(spark, path, "fun_e3", expire_dead_journeys=True)
+    assert len(got) == 1 and got[0]["user_id"] == 1
