@@ -1041,3 +1041,52 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pii_rate"),
         )
     )
+
+
+def _receipt_oracle() -> str:
+    return f"""
+    WITH cc AS ({_curated_oracle()})
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           (sum((('0x' || substr(md5(clean_text), 1, 15))::BIGINT)
+                ::DECIMAL(38,0)))::DECIMAL(38,0)::VARCHAR
+             AS content_checksum
+    FROM cc GROUP BY split ORDER BY split
+    """
+
+
+@query("curated_release_receipt", oracle=_receipt_oracle())
+def curated_release_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-integrity receipt: per split of the curated corpus,
+    document/token/language counts and an ORDER-INSENSITIVE exact
+    content checksum (sum of each redacted text's 60-bit md5 prefix as
+    a decimal integer). Two runs — or two engines, or a re-shard of
+    the same release — agree on this table iff they produced the same
+    document set with byte-identical redacted text; a consumer
+    verifies a downloaded shard set against the published receipt
+    without ordering guarantees. Datasheets-style provenance made
+    checkable.
+
+    Scale: rides the curated composite; the checksum is a map-side
+    md5-prefix per row and one exact decimal sum per split — integer
+    arithmetic, no float summation order anywhere, commutative by
+    construction (hence re-shard-stable).
+    """
+    cur = curated_corpus(spark, sf_dir)
+    piece = F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        cur.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(piece).cast("decimal(38,0)").cast("string").alias(
+                "content_checksum"
+            ),
+        )
+        .orderBy("split")
+    )

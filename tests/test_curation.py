@@ -263,3 +263,45 @@ def test_repetition_token_cap_bounds_long_docs(spark):
     # short doc unaffected by the cap
     assert rows[2]["dup_token_ratio"] == 0.0
     assert rows[2]["top_token_ratio"] == 0.1
+
+
+def test_release_receipt_is_order_insensitive_and_detects_tampering(spark, sf_dir):
+    """The checksum must be identical under any partitioning/order and
+    must CHANGE when any single document's text changes — the two
+    properties that make it a release receipt."""
+    from kafka_consumer_2_clickhouse_spark.operators import curation as C
+    from pyspark.sql import functions as F
+
+    base = {r["split"]: r for r in C.curated_release_receipt(spark, sf_dir).collect()}
+    assert base and all(int(r["content_checksum"]) > 0 for r in base.values())
+
+    # order-insensitivity: recompute from a reshuffled curated relation
+    cur = C.curated_corpus(spark, sf_dir).repartition(13)
+    piece = F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    re_sums = {
+        r["split"]: r["s"]
+        for r in cur.groupBy("split")
+        .agg(F.sum(piece).cast("decimal(38,0)").cast("string").alias("s"))
+        .collect()
+    }
+    for s, r in base.items():
+        assert re_sums[s] == r["content_checksum"]
+
+    # tamper-evidence: flip one document's text -> that split's
+    # checksum moves by exactly the md5-prefix delta
+    one = cur.limit(1).collect()[0]
+    tampered = cur.withColumn(
+        "clean_text",
+        F.when(F.col("doc_id") == one["doc_id"], F.lit("TAMPERED")).otherwise(
+            F.col("clean_text")
+        ),
+    )
+    t_sums = {
+        r["split"]: r["s"]
+        for r in tampered.groupBy("split")
+        .agg(F.sum(piece).cast("decimal(38,0)").cast("string").alias("s"))
+        .collect()
+    }
+    assert t_sums[one["split"]] != base[one["split"]]["content_checksum"]
