@@ -1090,3 +1090,109 @@ def curated_release_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _feature_vector_oracle() -> str:
+    from .analytics import ORACLE_SQL
+
+    pii_total = " + ".join(
+        f"{k}_count"
+        for k in (
+            "email ssn phone ipv4 credit_card ipv6 mac iban aws_key jwt pem"
+        ).split()
+    )
+    return f"""
+    WITH fq AS ({ORACLE_SQL['doc_quality_scores']}),
+         fr AS ({ORACLE_SQL['doc_repetition_scores']}),
+         fp AS ({ORACLE_SQL['doc_pii_scan']}),
+         fg AS ({ORACLE_SQL['doc_gopher_quality']}),
+         fl AS ({ORACLE_SQL['doc_unigram_logprob']})
+    SELECT d.doc_id, d.lang, {_split_sql('d.doc_id')} AS split,
+           fl.n_tokens, fq.quality_score, fq.punct_ratio,
+           fq.stopword_ratio, fq.ttr,
+           fr.dup_token_ratio, fr.top_bigram_ratio,
+           CAST(CASE WHEN fr.flagged THEN 1 ELSE 0 END AS INT)
+             AS repetition_flag,
+           CAST(CASE WHEN fp.has_pii THEN 1 ELSE 0 END AS INT) AS has_pii,
+           CAST({pii_total} AS BIGINT) AS n_pii_hits,
+           CAST(CASE WHEN fg.keep THEN 1 ELSE 0 END AS INT) AS gopher_keep,
+           fl.avg_neg_logprob
+    FROM documents d
+      JOIN fq USING (doc_id)
+      JOIN fr USING (doc_id)
+      JOIN fp USING (doc_id)
+      JOIN fg USING (doc_id)
+      JOIN fl USING (doc_id)
+    """
+
+
+@query("doc_feature_vector", oracle=_feature_vector_oracle())
+def doc_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document FEATURE MATRIX a learned quality classifier
+    trains on (the fastText/DataComp/FineWeb-edu filtering recipe:
+    rule signals in, classifier score out): every checked per-doc
+    signal — quality components, repetition ratios, PII incidence,
+    Gopher rule verdict, unigram-LM fluency — joined wide on doc_id,
+    with lang and the hash split ready as label/stratification columns.
+    Each column is an already-oracle-checked operator; the composite is
+    value-hash-checked again end to end.
+
+    Scale: every component relation is map-only or token-shuffle
+    bounded, keyed on doc_id — on the bucketed landing layout the five
+    joins are co-located bucket joins with no exchange on the fact
+    side; flags are ints, ratios doubles, nothing wider than a few
+    machine words per doc.
+    """
+    from .analytics import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = QUERIES["doc_quality_scores"](spark, sf_dir).select(
+        "doc_id", "quality_score", "punct_ratio", "stopword_ratio", "ttr"
+    )
+    r = QUERIES["doc_repetition_scores"](spark, sf_dir).select(
+        "doc_id",
+        "dup_token_ratio",
+        "top_bigram_ratio",
+        F.col("flagged").cast("int").alias("repetition_flag"),
+    )
+    pii_cols = (
+        "email ssn phone ipv4 credit_card ipv6 mac iban aws_key jwt pem"
+    ).split()
+    pii_raw = QUERIES["doc_pii_scan"](spark, sf_dir)
+    p = pii_raw.select(
+        "doc_id",
+        F.col("has_pii").cast("int").alias("has_pii"),
+        sum(F.col(f"{k}_count") for k in pii_cols).cast("bigint").alias(
+            "n_pii_hits"
+        ),
+    )
+    g = QUERIES["doc_gopher_quality"](spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("gopher_keep")
+    )
+    lp = QUERIES["doc_unigram_logprob"](spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_neg_logprob"
+    )
+    return (
+        docs.join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(p, "doc_id")
+        .join(g, "doc_id")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            split_column(F.col("doc_id")).alias("split"),
+            "n_tokens",
+            "quality_score",
+            "punct_ratio",
+            "stopword_ratio",
+            "ttr",
+            "dup_token_ratio",
+            "top_bigram_ratio",
+            "repetition_flag",
+            "has_pii",
+            "n_pii_hits",
+            "gopher_keep",
+            "avg_neg_logprob",
+        )
+    )

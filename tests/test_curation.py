@@ -305,3 +305,22 @@ def test_release_receipt_is_order_insensitive_and_detects_tampering(spark, sf_di
         .collect()
     }
     assert t_sums[one["split"]] != base[one["split"]]["content_checksum"]
+
+
+def test_feature_vector_columns_match_components(spark, sf_dir):
+    """Spot-check the wide matrix against its component operators on a
+    sample of docs (composition must not mangle any column)."""
+    from kafka_consumer_2_clickhouse_spark.operators import curation as C
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import QUERIES
+
+    fv = {r["doc_id"]: r for r in C.doc_feature_vector(spark, sf_dir).collect()}
+    assert fv
+    q = {r["doc_id"]: r for r in QUERIES["doc_quality_scores"](spark, sf_dir).collect()}
+    g = {r["doc_id"]: r for r in QUERIES["doc_gopher_quality"](spark, sf_dir).collect()}
+    lp = {r["doc_id"]: r for r in QUERIES["doc_unigram_logprob"](spark, sf_dir).collect()}
+    for did in list(fv)[:25]:
+        assert fv[did]["quality_score"] == q[did]["quality_score"]
+        assert fv[did]["gopher_keep"] == int(g[did]["keep"])
+        assert fv[did]["avg_neg_logprob"] == lp[did]["avg_neg_logprob"]
+        assert fv[did]["n_pii_hits"] >= 0
+        assert fv[did]["split"] in ("train", "val", "test")
