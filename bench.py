@@ -177,6 +177,8 @@ EXTRA = [
     "neardup_containment_pairs",
     "embedding_whitened_projection",
     "pack_epoch_order",
+    "curated_release_receipt",
+    "doc_feature_vector",
 ]
 
 

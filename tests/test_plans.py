@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "corpus_mixture_summary",  # 1-row scale + 1-row total crossJoins
     "doc_unigram_logprob",  # 1-row corpus-token-total crossJoin
     "doc_logprob_threshold_sweep",  # inherits doc_unigram_logprob's 1-row crossJoin
+    "doc_feature_vector",  # inherits doc_unigram_logprob's 1-row crossJoin
     "doc_difficulty_buckets",  # inherits doc_unigram_logprob's 1-row crossJoin
     "doc_difficulty_buckets_approx",  # same + 1-row cutpoints crossJoin
     "events_value_histogram",  # 1-row min/max range crossJoin
