@@ -730,3 +730,159 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(2, "click_1h", c))
         .unionByName(row(3, "purchase_24h", p))
     )
+
+
+#: the sessionization gap the profile below justifies (must match
+#: events_sessionized's 30-min cut, analytics.py)
+SESSION_GAP_S = 1800
+
+
+@query(
+    "events_gap_profile",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts) AS BIGINT)
+               AS gap_us
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(quantile_cont(gap_us, 0.50) AS DOUBLE) / 1e6, 6)
+             AS p50_gap_s,
+           round(CAST(quantile_cont(gap_us, 0.90) AS DOUBLE) / 1e6, 6)
+             AS p90_gap_s,
+           round(CAST(quantile_cont(gap_us, 0.99) AS DOUBLE) / 1e6, 6)
+             AS p99_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s,
+           CAST(sum(CASE WHEN gap_us > {SESSION_GAP_S}::BIGINT * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_gap,
+           CAST(sum(CASE WHEN gap_us > {SESSION_GAP_S}::BIGINT * 1000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS share_over_gap
+    FROM g WHERE gap_us IS NOT NULL
+    """,
+)
+def events_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user — THE empirical input to
+    choosing a sessionization gap (the 30-min cut `events_sessionized`
+    hardcodes is an industry default; this table says whether it fits
+    THIS stream): p50/p90/p99/max of consecutive same-user gaps and
+    the share that exceed the current cut (= the fraction of event
+    transitions that become session boundaries). The watermark twin of
+    this report is `events_lateness_profile`.
+
+    Determinism: gaps are exact microsecond differences under the
+    total per-user (ts, event_id) order; percentiles interpolate over
+    integers identically on both engines (the lateness-profile
+    discipline).
+
+    Scale: one user_id-partitioned lag window (the stream's natural
+    partitioning, never a global order) collapsing into a single
+    1-row aggregate; the exact percentile swaps for
+    ``percentile_approx`` at 100 TB exactly as the lateness profile
+    documents.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).cast("bigint")
+    g = ev.select(gap_us.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    over = (F.col("gap_us") > SESSION_GAP_S * 1_000_000).cast("bigint")
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias("p90_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.99)) / 1e6, 6).alias(
+            "p99_gap_s"
+        ),
+        F.round(F.max("gap_us").cast("double") / 1e6, 6).alias("max_gap_s"),
+        F.sum(over).cast("bigint").alias("n_over_gap"),
+        (F.sum(over).cast("double") / F.count("*")).alias("share_over_gap"),
+    )
+
+
+@query(
+    "orders_backlog_timeseries",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(max(l_shipdate) AS DATE) AS close_day
+      FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             1 AS opened, 0 AS closed
+      FROM orders
+      UNION ALL
+      SELECT c.close_day AS day, 0, 1
+      FROM orders o JOIN closes c USING (o_orderkey)
+    ), daily AS (
+      SELECT day,
+             CAST(sum(opened) AS BIGINT) AS n_opened,
+             CAST(sum(closed) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (
+             ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-flow accounting: the open-order BACKLOG by day — an
+    order enters at its order date and leaves on the day its LAST
+    lineitem ships (never-shipped orders stay in the backlog), sampled
+    sparsely at every day with activity (the backlog is constant
+    between those days, so the sparse series is complete). The
+    operations chart that shows whether fulfillment keeps up with
+    intake — the interval-overlap counting problem solved with +1/−1
+    delta events and a running sum instead of a per-day interval join.
+
+    Scale: per-order close dates collapse map-side on the orderkey
+    shuffle the fulfillment-lag query already pays; deltas aggregate
+    to DAY GRAIN before the cumulative window, so the global running
+    sum orders calendar days (thousands), never fact rows — the
+    `orders_monthly_growth` bounded-grain discipline. Exact integer
+    counts end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").cast("date").alias("close_day")
+    )
+    opened = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closed = (
+        orders.select("o_orderkey")
+        .join(closes, "o_orderkey")
+        .select(
+            F.col("close_day").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = (
+        opened.unionByName(closed)
+        .groupBy("day")
+        .agg(
+            F.sum("opened").cast("bigint").alias("n_opened"),
+            F.sum("closed").cast("bigint").alias("n_closed"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias(
+            "backlog"
+        ),
+    )

@@ -878,3 +878,50 @@ def test_pack_epoch_order_is_a_permutation_and_parameterized(spark, sf_dir):
         TP.epoch_order_sql(n_shards=5, seq_len=128),
     )
     assert ok, msg
+
+
+def test_backlog_timeseries_invariants(spark, sf_dir):
+    """Backlog is the running open-order count: never negative, ends
+    at (orders placed - orders fully shipped), and each row's value is
+    the previous row's plus its own net delta."""
+    from kafka_consumer_2_clickhouse_spark.operators import behavior as B
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    rows = sorted(
+        B.orders_backlog_timeseries(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r["n_opened"] - r["n_closed"]
+        assert r["backlog"] == run
+        assert r["backlog"] >= 0
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_closed = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["backlog"] == n_orders - n_closed
+
+
+def test_gap_profile_consistent_with_sessionization(spark, sf_dir):
+    """share_over_gap must equal (sessions - users) / gaps: every
+    over-gap transition is exactly one new session for a user who
+    already had one."""
+    from kafka_consumer_2_clickhouse_spark.operators import behavior as B
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import QUERIES
+    from pyspark.sql import functions as F
+
+    prof = B.events_gap_profile(spark, sf_dir).collect()[0]
+    # events_sessionized is one row per (user_id, session_no) session
+    sess = QUERIES["events_sessionized"](spark, sf_dir)
+    agg = sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    ).first()
+    assert prof["n_gaps"] == agg["n_events"] - agg["n_users"]
+    assert prof["n_over_gap"] == agg["n_sessions"] - agg["n_users"]

@@ -73,6 +73,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # lag over the MONTH-GRAIN aggregate only — bounded by calendar
     # months in the data, never fact-table rows
     "orders_monthly_growth",
+    # running sum over the DAY-GRAIN delta aggregate only — bounded by
+    # calendar days with activity, never fact-table rows
+    "orders_backlog_timeseries",
     # rank window over the ZIPF_TOP_N-row head only (TakeOrdered
     # bounds it before the window), never the vocabulary
     "corpus_zipf_fit",
