@@ -248,3 +248,67 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", score.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 3.5)
     )
+
+
+@query(
+    "events_key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_rows_per_key,
+           round(CAST(quantile_cont(cnt, 0.50) AS DOUBLE), 6)
+             AS p50_rows_per_key,
+           round(CAST(quantile_cont(cnt, 0.99) AS DOUBLE), 6)
+             AS p99_rows_per_key,
+           CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+           CAST(max(cnt) AS DOUBLE)
+             / (CAST(sum(cnt) AS DOUBLE) / count(*)) AS skew_ratio,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS hot_key_share,
+           CAST(ceil(CAST(max(cnt) AS DOUBLE)
+             / greatest(CAST(quantile_cont(cnt, 0.50) AS DOUBLE), 1.0))
+             AS BIGINT) AS suggested_salt
+    FROM c
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for the stream's natural partitioning
+    key (``user_id``) — THE pre-flight check before sizing any of the
+    user-keyed shuffles this repo runs (sessionization, funnels, per-user
+    state): per-key row-count distribution (mean/p50/p99/max), the skew
+    ratio (max key vs mean key), the hot key's share of all rows, and a
+    suggested salt factor (shards needed so the hottest key looks like a
+    median key — the standard salted-join prescription).
+
+    [EXT]: the reference lands events blind; at 100 TB an unnoticed
+    10^4x hot key (one bot user) turns every user-keyed stage into a
+    single-straggler stage. AQE's skew-join handles joins, but grouped
+    aggs and ``applyInPandasWithState`` need the salt hint this emits.
+
+    Scale: one groupBy on the key (map-side partial collapses to one
+    row per key) then a 1-row aggregate over the key-count relation.
+    The exact percentile over per-key counts is the documented
+    small-scale choice; at extreme key cardinality swap
+    ``percentile_approx`` exactly as ``events_lateness_profile``
+    documents. No window, no join, nothing quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    mean = F.sum("cnt").cast("double") / F.count("*")
+    p50 = F.percentile("cnt", F.lit(0.5))
+    return c.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        mean.alias("mean_rows_per_key"),
+        F.round(p50, 6).alias("p50_rows_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_rows_per_key"),
+        F.max("cnt").cast("bigint").alias("max_rows_per_key"),
+        (F.max("cnt").cast("double") / mean).alias("skew_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("hot_key_share"),
+        F.ceil(F.max("cnt").cast("double") / F.greatest(p50, F.lit(1.0)))
+        .cast("bigint")
+        .alias("suggested_salt"),
+    )

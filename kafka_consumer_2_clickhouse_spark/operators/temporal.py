@@ -491,3 +491,107 @@ events_burst_minutes.__doc__ = (
     .replace("{F}", str(BURST_FACTOR))
     .replace("{W}", str(BURST_BASELINE_MIN))
 )
+
+
+#: Truncated-EWMA smoothing parameters: per-hour decay and the window
+#: beyond which weights ((1-alpha)^k < 2e-4) are dropped. Weights are
+#: materialized as EXACT INTEGERS (round(w * 1e9)) so both engines sum
+#: them order-insensitively — no floating-point weight arithmetic
+#: anywhere in the aggregate.
+EWMA_ALPHA = 0.3
+EWMA_WINDOW_H = 24
+EWMA_WEIGHTS: list[tuple[int, int]] = [
+    (k, int(round((1 - EWMA_ALPHA) ** k * 1_000_000_000)))
+    for k in range(EWMA_WINDOW_H)
+]
+
+
+def _ewma_oracle() -> str:
+    values = ", ".join(f"({k}, {w})" for k, w in EWMA_WEIGHTS)
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,6)) AS x
+      FROM events GROUP BY 1, 2
+    ), wt AS (
+      SELECT * FROM (VALUES {values}) AS t(k, w)
+    ), contrib AS (
+      SELECT h.event_type,
+             h.hour + wt.k * INTERVAL 1 HOUR AS hour,
+             h.x * wt.w AS wx,
+             wt.w AS w
+      FROM hourly h CROSS JOIN wt
+    )
+    SELECT t.event_type, t.hour,
+           CAST(t.x AS DOUBLE) AS hourly_value,
+           round(CAST(sum(c.wx) AS DOUBLE) / CAST(sum(c.w) AS DOUBLE), 6)
+             AS ewma_24h
+    FROM hourly t
+    JOIN contrib c ON c.event_type = t.event_type AND c.hour = t.hour
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("events_ewma_hourly", oracle=_ewma_oracle())
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed hourly baseline per event type: a TRUNCATED EWMA
+    (per-hour decay alpha=0.3, 24-h support — dropped tail weight
+    < 0.03%) of the hourly value totals, the smoothed baseline the MAD
+    anomaly gate (`events_anomaly_mad`) lacks a trend-following twin
+    for. Gap-aware by construction: an absent hour simply contributes
+    nothing, so after a quiet spell the baseline re-converges at the
+    true time-decay rate rather than treating observed rows as
+    adjacent (the row-frame EWMA failure mode).
+
+    The recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} is not a window
+    frame any SQL engine shares; the truncated form IS expressible as
+    a bounded fan-out: each hour-grain row multicasts into its next 24
+    target hours with precomputed integer weights (the `cube_events`
+    explode discipline), and each target normalizes by the weight mass
+    actually present. Exactness: hour totals stay DECIMAL, weights are
+    integers, so both engines' sums are order-insensitive; the only
+    float op is the final division.
+
+    Scale: the fan-out is 24x the HOUR GRAIN (calendar-bounded, never
+    fact rows); both the grain aggregate and the contribution regroup
+    shuffle on (event_type, hour) — the same key, so AQE coalesces
+    them; nothing touches raw events twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    wt = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(w).cast("bigint").alias("w"))
+            for k, w in EWMA_WEIGHTS
+        ]
+    )
+    contrib = (
+        hourly.select("event_type", "hour", "x", F.explode(wt).alias("o"))
+        .select(
+            "event_type",
+            F.timestamp_add("HOUR", F.col("o.k"), F.col("hour")).alias("hour"),
+            (F.col("x") * F.col("o.w")).alias("wx"),
+            F.col("o.w").alias("w"),
+        )
+    )
+    return (
+        hourly.join(contrib, ["event_type", "hour"])
+        .groupBy("event_type", "hour", "x")
+        .agg(
+            F.round(
+                F.sum("wx").cast("double") / F.sum("w").cast("double"), 6
+            ).alias("ewma_24h")
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.col("x").cast("double").alias("hourly_value"),
+            "ewma_24h",
+        )
+    )

@@ -925,3 +925,53 @@ def test_gap_profile_consistent_with_sessionization(spark, sf_dir):
     ).first()
     assert prof["n_gaps"] == agg["n_events"] - agg["n_users"]
     assert prof["n_over_gap"] == agg["n_sessions"] - agg["n_users"]
+
+
+def test_key_skew_report_invariants(spark, sf_dir):
+    """Distribution stats must be internally consistent and the salt
+    suggestion at least 1."""
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import QUERIES
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    r = QUERIES["events_key_skew_report"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert r["n_rows"] == ev.count()
+    assert r["n_keys"] == ev.select("user_id").distinct().count()
+    assert r["p50_rows_per_key"] <= r["p99_rows_per_key"] <= r["max_rows_per_key"]
+    assert r["skew_ratio"] >= 1.0
+    assert 0 < r["hot_key_share"] <= 1.0
+    assert r["suggested_salt"] >= 1
+
+
+def test_ewma_hourly_invariants(spark, sf_dir):
+    """One output row per (type, hour) grain row; an hour whose 24-h
+    lookback contains only itself has ewma == its own value; every
+    ewma lies within [min, max] of the type's hourly values."""
+    from kafka_consumer_2_clickhouse_spark.operators import temporal as T
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import QUERIES
+    from pyspark.sql import functions as F
+
+    df = QUERIES["events_ewma_hourly"](spark, sf_dir)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        lo = min(r["hourly_value"] for r in rs)
+        hi = max(r["hourly_value"] for r in rs)
+        # first observed hour: nothing before it, ewma == value
+        assert abs(rs[0]["ewma_24h"] - round(rs[0]["hourly_value"], 6)) < 1e-6
+        for r in rs:
+            assert lo - 1e-6 <= r["ewma_24h"] <= hi + 1e-6
+    # grain preserved: one row per (type, hour)
+    n_grain = (
+        QUERIES["events_ewma_hourly"](spark, sf_dir)
+        .select("event_type", "hour")
+        .distinct()
+        .count()
+    )
+    assert n_grain == len(rows)
+    # weights are exact integers, monotone decreasing, w0 = 1e9
+    ws = [w for _, w in T.EWMA_WEIGHTS]
+    assert ws[0] == 1_000_000_000 and all(a > b for a, b in zip(ws, ws[1:]))
