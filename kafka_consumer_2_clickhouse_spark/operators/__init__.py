@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     dedup,
     embedding_qc,
     graph,
+    layout,
     multimodal,
     pii,
     profile,

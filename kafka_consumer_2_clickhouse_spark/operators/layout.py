@@ -1,0 +1,227 @@
+"""Data-layout operators: Z-order (Morton) clustering and min-max
+pruning accounting.
+
+[EXT] — the reference (``collector.go:193-210``) dumps CSV batches in
+arrival order; at 100 TB the single highest-leverage storage decision
+is the LAYOUT of the landed files, because every engine (Spark parquet
+row-group stats, ClickHouse minmax skip indexes) prunes scans with
+per-file min/max statistics. A file sorted by ONE key prunes only that
+key's predicates; interleaving the bits of two keys (a Z-order /
+Morton curve — the strategy behind Delta Lake ``OPTIMIZE ZORDER BY``)
+gives BOTH predicates sub-linear scans from the same single layout.
+
+Two operators:
+
+- :func:`lineitem_zorder_layout` — assign every lineitem to one of 64
+  files by the top bits of its 16-bit Z-value over
+  (ship-day bucket, part bucket) and report each file's min/max
+  statistics plus whether a canonical day-range / part-equality probe
+  could prune it.
+- :func:`zorder_pruning_gain` — the 2x2 accounting (layout x probe)
+  that makes the trade quantitative: files and rows scanned under
+  min-max pruning for the Z-layout vs a day-sorted layout, against the
+  rows each probe actually selects.
+
+Everything is a pure map-side derivation (bit arithmetic on two
+integers) followed by a <=128-group aggregate: the Z-value of a row
+depends on nothing but that row, so at 100 TB this IS the write path —
+``df.repartitionByRange(z).write`` — and the report here is its
+pruning audit. The bucket grid is STATIC (fixed epoch, fixed divisor,
+fixed modulus), so Z-values are identical across scale factors and
+engines — no data-dependent quantiles anywhere in the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+#: bits per dimension — 8+8 interleave into a 16-bit Z-value
+Z_BITS = 8
+#: grid epoch for the ship-day index (before the corpus' first ship date)
+DAY_EPOCH = "1995-01-01"
+#: days per day-bucket (2500-day corpus span -> <=250 buckets of 10 days)
+DAY_BUCKET_DAYS = 10
+#: Z-file = top 6 bits of the 16-bit Z-value -> 64 files
+N_FILES = 64
+Z_FILE_SHIFT = 2 * Z_BITS - 6
+#: the day-sorted comparison layout: day_bucket >> 2 -> 64 files too
+DAY_FILE_SHIFT = 2
+
+#: canonical probes: a ~7-month ship-date range and one part bucket
+PROBE_DAY_LO, PROBE_DAY_HI = 100, 120
+PROBE_PART_BUCKET = 7
+
+
+def _bucket_exprs(engine: str) -> tuple[str, str]:
+    """(day_bucket, part_bucket) SQL expressions for ``engine``."""
+    if engine == "spark":
+        day_idx = f"datediff(l_shipdate, DATE '{DAY_EPOCH}')"
+        day = f"least({day_idx} div {DAY_BUCKET_DAYS}, {2 ** Z_BITS - 1})"
+    else:
+        day_idx = f"date_diff('day', DATE '{DAY_EPOCH}', l_shipdate)"
+        day = f"least({day_idx} // {DAY_BUCKET_DAYS}, {2 ** Z_BITS - 1})"
+    part = f"(l_partkey % {2 ** Z_BITS})"
+    return day, part
+
+
+def _z_expr(day: str, part: str, engine: str) -> str:
+    """16-bit Morton interleave of two {Z_BITS}-bit bucket expressions.
+
+    Generated as the SAME unrolled 16-term sum for both engines (only
+    the shift syntax differs), so the Z-value is engine-identical by
+    construction.
+    """
+    terms = []
+    for i in range(Z_BITS):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({day}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({part}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"(((({day}) >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"(((({part}) >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _keyed(engine: str) -> str:
+    """The per-row derivation CTE body: buckets, Z-value, file ids."""
+    day, part = _bucket_exprs(engine)
+    z = _z_expr(day, part, engine)
+    if engine == "spark":
+        zf = f"shiftright({z}, {Z_FILE_SHIFT})"
+        df_ = f"shiftright({day}, {DAY_FILE_SHIFT})"
+    else:
+        zf = f"(({z}) >> {Z_FILE_SHIFT})"
+        df_ = f"(({day}) >> {DAY_FILE_SHIFT})"
+    return f"""
+      SELECT CAST({day} AS INT) AS day_bucket,
+             CAST({part} AS INT) AS part_bucket,
+             CAST({zf} AS INT) AS zfile,
+             CAST({df_} AS INT) AS dfile
+      FROM lineitem
+    """
+
+
+_SCAN_DAY = (
+    f"(min_day <= {PROBE_DAY_HI} AND max_day >= {PROBE_DAY_LO})"
+)
+_SCAN_PART = (
+    f"(min_part <= {PROBE_PART_BUCKET} AND max_part >= {PROBE_PART_BUCKET})"
+)
+
+
+def _layout_sql(engine: str) -> str:
+    """Per-Z-file stats + prunability flags (query 1)."""
+    return f"""
+    WITH keyed AS ({_keyed(engine)})
+    SELECT zfile AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(day_bucket) AS min_day, max(day_bucket) AS max_day,
+           min(part_bucket) AS min_part, max(part_bucket) AS max_part,
+           {_SCAN_DAY} AS scan_day_range,
+           {_SCAN_PART} AS scan_part_eq
+    FROM keyed GROUP BY zfile
+    """
+
+
+def _gain_sql(engine: str) -> str:
+    """The 2x2 (layout x probe) pruning accounting (query 2)."""
+    if engine == "spark":
+        unpivot = (
+            "SELECT stack(2, 'zorder', zfile, 'daysort', dfile)"
+            " AS (layout, file_id), day_bucket, part_bucket FROM keyed"
+        )
+        sel_unpivot = (
+            "SELECT stack(2, 'day_range', sel_day, 'part_eq', sel_part)"
+            " AS (probe, rows_selected) FROM sel"
+        )
+    else:
+        unpivot = """
+            SELECT 'zorder' AS layout, zfile AS file_id,
+                   day_bucket, part_bucket FROM keyed
+            UNION ALL
+            SELECT 'daysort', dfile, day_bucket, part_bucket FROM keyed
+        """
+        sel_unpivot = """
+            SELECT 'day_range' AS probe, sel_day AS rows_selected FROM sel
+            UNION ALL SELECT 'part_eq', sel_part FROM sel
+        """
+    return f"""
+    WITH keyed AS ({_keyed(engine)}),
+    tagged AS ({unpivot}),
+    files AS (
+      SELECT layout, file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(day_bucket) AS min_day, max(day_bucket) AS max_day,
+             min(part_bucket) AS min_part, max(part_bucket) AS max_part
+      FROM tagged GROUP BY layout, file_id
+    ),
+    per AS (
+      SELECT layout, 'day_range' AS probe,
+             CAST(count(*) AS BIGINT) AS files_total,
+             CAST(sum(CASE WHEN {_SCAN_DAY} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN {_SCAN_DAY} THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total
+      FROM files GROUP BY layout
+      UNION ALL
+      SELECT layout, 'part_eq',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN {_SCAN_PART} THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN {_SCAN_PART} THEN n_rows ELSE 0 END) AS BIGINT),
+             CAST(sum(n_rows) AS BIGINT)
+      FROM files GROUP BY layout
+    ),
+    sel AS (
+      SELECT CAST(sum(CASE WHEN day_bucket BETWEEN {PROBE_DAY_LO}
+                       AND {PROBE_DAY_HI} THEN 1 ELSE 0 END) AS BIGINT)
+               AS sel_day,
+             CAST(sum(CASE WHEN part_bucket = {PROBE_PART_BUCKET}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sel_part
+      FROM keyed
+    ),
+    selp AS ({sel_unpivot})
+    SELECT p.layout, p.probe, p.files_total, p.files_scanned,
+           p.rows_scanned, s.rows_selected,
+           round(CAST(p.rows_scanned AS DOUBLE) / p.rows_total, 6)
+             AS scan_fraction
+    FROM per p JOIN selp s ON p.probe = s.probe
+    """
+
+
+@query("lineitem_zorder_layout", oracle=_layout_sql("duckdb"))
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics of the 64-file Z-order layout over
+    (ship-day bucket, part bucket), with prunability flags for the two
+    canonical probes. See the module docstring for why this is the
+    write-path audit, not a toy: ``file_id`` here is exactly the
+    ``repartitionByRange`` key a 100 TB compaction job would write by.
+
+    Scale: map-only bit arithmetic inside the scan -> 64-group
+    aggregate (bounded by the static grid, never the data).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_layout_sql("spark"))
+
+
+@query("zorder_pruning_gain", oracle=_gain_sql("duckdb"))
+def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files/rows scanned under min-max pruning, for each layout x
+    probe cell: the Z-order layout prunes BOTH the day-range and the
+    part-equality probe; the day-sorted layout prunes only the former
+    (every file spans all part buckets, so a part probe scans 100%).
+    ``rows_selected`` (probe-dependent, layout-independent) is the
+    lower bound any layout could reach.
+
+    Scale: one pass derives both layouts' file ids (the 2x fan-out is
+    a projection, collapsed map-side by partial aggregation into
+    <=128 (layout, file) groups); the probe-selectivity aggregate
+    reuses the same scan shape; the final join is 4 rows x 2 rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_gain_sql("spark"))

@@ -1,0 +1,82 @@
+"""Z-order layout operators: bit-level reference checks (both engines
+agreeing on a wrong interleave would still pass the oracle gate) and
+pruning-accounting invariants."""
+
+import duckdb
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators import layout as L
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def _morton(day: int, part: int) -> int:
+    z = 0
+    for i in range(L.Z_BITS):
+        z |= ((day >> i) & 1) << (2 * i + 1)
+        z |= ((part >> i) & 1) << (2 * i)
+    return z
+
+
+def test_z_expr_matches_python_reference_on_both_engines(spark):
+    """Evaluate the generated Z expression on a grid of bucket pairs in
+    BOTH engines and compare against an independent Python interleave."""
+    pairs = [(d, p) for d in (0, 1, 2, 3, 15, 100, 170, 255)
+             for p in (0, 1, 7, 8, 127, 128, 254, 255)]
+    expected = {(d, p): _morton(d, p) for d, p in pairs}
+
+    rows = ", ".join(f"({d}, {p})" for d, p in pairs)
+    spark_sql = (
+        f"SELECT day, part, {L._z_expr('day', 'part', 'spark')} AS z "
+        f"FROM VALUES {rows} AS t(day, part)"
+    )
+    got_spark = {(r.day, r.part): r.z for r in spark.sql(spark_sql).collect()}
+    assert got_spark == expected
+
+    duck_sql = (
+        f"SELECT day, part, {L._z_expr('day', 'part', 'duckdb')} AS z "
+        f"FROM (VALUES {rows}) AS t(day, part)"
+    )
+    got_duck = {(d, p): z for d, p, z in duckdb.sql(duck_sql).fetchall()}
+    assert got_duck == expected
+
+
+def test_zorder_layout_file_stats(spark, sf_dir):
+    rows = ops.QUERIES["lineitem_zorder_layout"](spark, sf_dir).collect()
+    n_lineitem = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n_lineitem
+    assert len(rows) <= L.N_FILES
+    assert len({r["file_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r["file_id"] < L.N_FILES
+        assert 0 <= r["min_day"] <= r["max_day"] <= 255
+        assert 0 <= r["min_part"] <= r["max_part"] <= 255
+        # a Z-file's bucket ranges are confined to the file's Z-prefix
+        # cell: top 3 day bits and top 3 part bits are fixed per file
+        assert r["min_day"] >> 5 == r["max_day"] >> 5
+        assert r["min_part"] >> 5 == r["max_part"] >> 5
+
+
+def test_pruning_gain_accounting(spark, sf_dir):
+    rows = {(r["layout"], r["probe"]): r
+            for r in ops.QUERIES["zorder_pruning_gain"](spark, sf_dir).collect()}
+    assert set(rows) == {("zorder", "day_range"), ("zorder", "part_eq"),
+                         ("daysort", "day_range"), ("daysort", "part_eq")}
+    for r in rows.values():
+        # min-max pruning is sound: never scans less than it selects
+        assert r["rows_scanned"] >= r["rows_selected"]
+        assert r["files_scanned"] <= r["files_total"]
+        assert 0.0 <= r["scan_fraction"] <= 1.0
+    # the layout lesson itself: a day-sorted layout essentially cannot
+    # prune a part-only probe (files span all part buckets; at the
+    # tiny test SF a ~90-row file can miss bucket 7 by luck, so >= 0.9
+    # rather than == 1.0)...
+    assert rows[("daysort", "part_eq")]["scan_fraction"] >= 0.9
+    assert (rows[("daysort", "part_eq")]["scan_fraction"]
+            > 2 * rows[("zorder", "part_eq")]["scan_fraction"])
+    # ...while the Z-layout prunes BOTH probes to a strict subset
+    assert rows[("zorder", "part_eq")]["scan_fraction"] < 0.5
+    assert rows[("zorder", "day_range")]["scan_fraction"] < 0.5
+    # selectivity is layout-independent
+    for probe in ("day_range", "part_eq"):
+        assert (rows[("zorder", probe)]["rows_selected"]
+                == rows[("daysort", probe)]["rows_selected"])
