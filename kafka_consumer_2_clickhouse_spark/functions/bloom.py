@@ -151,14 +151,15 @@ def bloom_might_contain(
 
     @pandas_udf("boolean")
     def probe(pos_arrays: pd.Series) -> pd.Series:
+        if not len(pos_arrays):
+            return pd.Series(np.empty(0, dtype=bool))
         bits = np.frombuffer(bitmap, dtype=np.uint8)
-        out = np.empty(len(pos_arrays), dtype=bool)
-        for i, arr in enumerate(pos_arrays):
-            p = np.asarray(arr, dtype=np.int64)
-            out[i] = bool(
-                np.all((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1)
-            )
-        return pd.Series(out)
+        # every row carries exactly k positions -> stack to one (n, k)
+        # int64 matrix and test all bits with a single gather; no
+        # per-row Python inside the Arrow batch
+        p = np.array(pos_arrays.tolist(), dtype=np.int64)
+        hit = ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+        return pd.Series(hit)
 
     return df.withColumn(
         out_col,

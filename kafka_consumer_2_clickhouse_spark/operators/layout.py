@@ -85,8 +85,8 @@ def _z_expr(day: str, part: str, engine: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _keyed(engine: str) -> str:
-    """The per-row derivation CTE body: buckets, Z-value, file ids."""
+def _key_exprs(engine: str) -> dict[str, str]:
+    """Named per-row derivation expressions: buckets, Z-value file ids."""
     day, part = _bucket_exprs(engine)
     z = _z_expr(day, part, engine)
     if engine == "spark":
@@ -95,12 +95,21 @@ def _keyed(engine: str) -> str:
     else:
         zf = f"(({z}) >> {Z_FILE_SHIFT})"
         df_ = f"(({day}) >> {DAY_FILE_SHIFT})"
+    return {
+        "day_bucket": f"CAST({day} AS INT)",
+        "part_bucket": f"CAST({part} AS INT)",
+        "zfile": f"CAST({zf} AS INT)",
+        "dfile": f"CAST({df_} AS INT)",
+    }
+
+
+def _keyed(engine: str, table: str = "lineitem") -> str:
+    """The per-row derivation CTE body: buckets, Z-value, file ids."""
+    ex = _key_exprs(engine)
+    cols = ", ".join(f"{e} AS {name}" for name, e in ex.items())
     return f"""
-      SELECT CAST({day} AS INT) AS day_bucket,
-             CAST({part} AS INT) AS part_bucket,
-             CAST({zf} AS INT) AS zfile,
-             CAST({df_} AS INT) AS dfile
-      FROM lineitem
+      SELECT {cols}
+      FROM {table}
     """
 
 
@@ -112,10 +121,10 @@ _SCAN_PART = (
 )
 
 
-def _layout_sql(engine: str) -> str:
+def _layout_sql(engine: str, table: str = "lineitem") -> str:
     """Per-Z-file stats + prunability flags (query 1)."""
     return f"""
-    WITH keyed AS ({_keyed(engine)})
+    WITH keyed AS ({_keyed(engine, table)})
     SELECT zfile AS file_id,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(day_bucket) AS min_day, max(day_bucket) AS max_day,
@@ -126,7 +135,7 @@ def _layout_sql(engine: str) -> str:
     """
 
 
-def _gain_sql(engine: str) -> str:
+def _gain_sql(engine: str, table: str = "lineitem") -> str:
     """The 2x2 (layout x probe) pruning accounting (query 2)."""
     if engine == "spark":
         unpivot = (
@@ -149,7 +158,7 @@ def _gain_sql(engine: str) -> str:
             UNION ALL SELECT 'part_eq', sel_part FROM sel
         """
     return f"""
-    WITH keyed AS ({_keyed(engine)}),
+    WITH keyed AS ({_keyed(engine, table)}),
     tagged AS ({unpivot}),
     files AS (
       SELECT layout, file_id,
@@ -192,20 +201,35 @@ def _gain_sql(engine: str) -> str:
     """
 
 
+def _sql_over(spark: SparkSession, lineitem: DataFrame, sql_for: callable) -> DataFrame:
+    """Analyze generated SQL against ``lineitem`` through a namespaced
+    temp view that is dropped immediately after analysis (``spark.sql``
+    resolves eagerly, so the returned plan no longer needs the view) —
+    a shared session never sees a bare ``lineitem`` name."""
+    name = "__kc2ch_zorder_lineitem"
+    lineitem.createOrReplaceTempView(name)
+    try:
+        return spark.sql(sql_for(name))
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 @query("lineitem_zorder_layout", oracle=_layout_sql("duckdb"))
 def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file min/max statistics of the 64-file Z-order layout over
     (ship-day bucket, part bucket), with prunability flags for the two
     canonical probes. See the module docstring for why this is the
     write-path audit, not a toy: ``file_id`` here is exactly the
-    ``repartitionByRange`` key a 100 TB compaction job would write by.
+    ``repartitionByRange`` key a 100 TB compaction job would write by
+    (:func:`materialize_layout` IS that write, and
+    tests/test_storage_layout.py pins the landed files' parquet
+    footers against this prediction).
 
     Scale: map-only bit arithmetic inside the scan -> 64-group
     aggregate (bounded by the static grid, never the data).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(_layout_sql("spark"))
+    return _sql_over(spark, lineitem, lambda t: _layout_sql("spark", t))
 
 
 @query("zorder_pruning_gain", oracle=_gain_sql("duckdb"))
@@ -223,5 +247,134 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same scan shape; the final join is 4 rows x 2 rows.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(_gain_sql("spark"))
+    return _sql_over(spark, lineitem, lambda t: _gain_sql("spark", t))
+
+
+# ---------------------------------------------------------------------------
+# materialized layout: the actual write path + manifest-driven pruned read
+# ---------------------------------------------------------------------------
+
+#: manifest sidecar written next to the data files (Delta/Iceberg-style
+#: per-file column stats — the data-skipping index Spark's file reader
+#: doesn't keep natively for non-partition columns)
+MANIFEST_NAME = "_layout_manifest.json"
+
+
+def materialize_layout(
+    lineitem: DataFrame, out_dir: str, layout: str = "zorder"
+) -> dict:
+    """WRITE the 64-file layout for real: one parquet file per file id,
+    each sorted on (day_bucket, part_bucket) so row-group stats are
+    tight, plus a JSON manifest of per-file min/max read back from the
+    LANDED parquet footers (not from the plan — the manifest proves
+    what's physically on disk).
+
+    ``layout``: ``"zorder"`` (Morton file ids) or ``"daysort"`` (the
+    day-bucket comparison layout).
+
+    Plan: the keyed projection is map-only; ``repartition(N, file_id)``
+    is the ONE shuffle (hash on file id, so each file id lands whole in
+    one task); ``partitionBy(file_id)`` then writes exactly one file
+    per id. At 100 TB this is the compaction job verbatim — the
+    shuffle is the one-time rewrite cost :func:`zorder_pruning_gain`
+    justifies. Returns the manifest dict.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    if layout not in ("zorder", "daysort"):
+        raise ValueError(f"unknown layout {layout!r}")
+    file_col = "zfile" if layout == "zorder" else "dfile"
+    ex = _key_exprs("spark")
+    keyed = lineitem.selectExpr(
+        "*", *[f"{e} AS {name}" for name, e in ex.items()]
+    ).drop("zfile" if file_col == "dfile" else "dfile")
+    (
+        keyed.repartition(N_FILES, file_col)
+        .sortWithinPartitions("day_bucket", "part_bucket")
+        .write.mode("overwrite")
+        .partitionBy(file_col)
+        .parquet(out_dir)
+    )
+
+    files = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    entries = []
+    for path in sorted(files):
+        meta = pq.ParquetFile(path).metadata
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        stats = {}
+        for col in ("day_bucket", "part_bucket"):
+            ci = schema_names.index(col)
+            lo = min(meta.row_group(g).column(ci).statistics.min
+                     for g in range(meta.num_row_groups))
+            hi = max(meta.row_group(g).column(ci).statistics.max
+                     for g in range(meta.num_row_groups))
+            stats[col] = [int(lo), int(hi)]
+        rel = os.path.relpath(path, out_dir)
+        fid = int(rel.split(f"{file_col}=")[1].split("/")[0])
+        entries.append({"path": rel, "file_id": fid,
+                        "n_rows": meta.num_rows, "stats": stats})
+    manifest = {"layout": layout, "file_col": file_col, "files": entries}
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def manifest_pruned_files(
+    out_dir: str,
+    day_range: tuple[int, int] | None = None,
+    part_eq: int | None = None,
+) -> tuple[list[str], int]:
+    """File paths a probe must scan per the manifest's min/max stats
+    (exactly the skip an engine's minmax index performs), plus the
+    total file count. Predicates are over the landed ``day_bucket`` /
+    ``part_bucket`` columns."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    keep = []
+    for e in manifest["files"]:
+        lo_d, hi_d = e["stats"]["day_bucket"]
+        lo_p, hi_p = e["stats"]["part_bucket"]
+        if day_range is not None and (hi_d < day_range[0] or lo_d > day_range[1]):
+            continue
+        if part_eq is not None and (hi_p < part_eq or lo_p > part_eq):
+            continue
+        keep.append(os.path.join(out_dir, e["path"]))
+    return keep, len(manifest["files"])
+
+
+def pruned_read(
+    spark: SparkSession,
+    out_dir: str,
+    day_range: tuple[int, int] | None = None,
+    part_eq: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read ONLY the files the manifest says the probe can touch (the
+    manifest-driven data skipping Delta/Iceberg perform on Spark),
+    with the residual predicate still applied — returns
+    ``(df, files_scanned, files_total)``. Unopened files are real I/O
+    saved; tests pin ``files_scanned`` == the count
+    :func:`zorder_pruning_gain` predicts."""
+    files, total = manifest_pruned_files(out_dir, day_range, part_eq)
+    if not files:
+        # preserve schema on an empty selection
+        df = spark.read.parquet(out_dir).limit(0)
+    else:
+        df = spark.read.option("basePath", out_dir).parquet(*files)
+    if day_range is not None:
+        df = df.filter(
+            (F.col("day_bucket") >= day_range[0])
+            & (F.col("day_bucket") <= day_range[1])
+        )
+    if part_eq is not None:
+        df = df.filter(F.col("part_bucket") == part_eq)
+    return df, len(files), total

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Pre-commit consistency gate: registry == SURVEY §2d == committed oracle artifact.
+
+Run before any commit that touches the query registry
+(``operators/__init__.py`` / ``__spark_entry__.py``) or SURVEY.md:
+
+    python scripts/preflight.py [--artifact ORACLE_LOCAL_rN.json]
+
+Checks (exit nonzero on any failure):
+  1. Every name in ``queries()`` appears in SURVEY.md §2d.
+  2. SURVEY §2d's declared "<N> queries, <M> with DuckDB-oracle SQL twins"
+     matches ``len(queries())`` / ``len(oracle_sql())``.
+  3. Every ``oracle_sql()`` key is a registered query (no orphan oracles).
+  4. If an oracle artifact is given (or the newest ``ORACLE_LOCAL_r*.json``
+     exists), its query set EXACTLY equals the registry — a stale artifact
+     (the round-7 failure mode) is an error, not a warning.
+
+This is the mechanical form of the judge's round-7 brief item #2.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    artifact = None
+    if "--artifact" in args:
+        artifact = args[args.index("--artifact") + 1]
+    else:
+        def _round_num(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        cands = sorted(glob.glob(os.path.join(REPO, "ORACLE_LOCAL_r*.json")), key=_round_num)
+        if cands:
+            artifact = cands[-1]
+
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    errs: list[str] = []
+
+    surv = open(os.path.join(REPO, "SURVEY.md")).read()
+    sec = surv.split("### 2d.")[1].split("## 3.")[0]
+    missing = sorted(q for q in qs if q not in sec)
+    if missing:
+        errs.append(f"SURVEY 2d missing {len(missing)} registered queries: {missing}")
+    m = re.search(r"(\d+) queries, (\d+) with DuckDB-oracle SQL twins", sec)
+    if not m:
+        errs.append("SURVEY 2d count header not found")
+    else:
+        if int(m.group(1)) != len(qs):
+            errs.append(f"SURVEY 2d declares {m.group(1)} queries, registry has {len(qs)}")
+        if int(m.group(2)) != len(oracles):
+            errs.append(f"SURVEY 2d declares {m.group(2)} oracle twins, registry has {len(oracles)}")
+
+    orphans = sorted(oracles - qs)
+    if orphans:
+        errs.append(f"oracle_sql() keys with no registered query: {orphans}")
+
+    if artifact and os.path.exists(artifact):
+        data = json.load(open(artifact))
+        names = set(data.get("results", data) if isinstance(data, dict) else [])
+        names.discard("n_queries")
+        names.discard("n_failed")
+        names.discard("sf_dir")
+        if isinstance(data, dict) and "results" in data:
+            names = set(data["results"])
+        stale = sorted(qs - names)
+        extra = sorted(names - qs)
+        if stale:
+            errs.append(
+                f"{os.path.basename(artifact)} is STALE: {len(stale)} registered "
+                f"queries have no committed oracle evidence: {stale}"
+            )
+        if extra:
+            errs.append(
+                f"{os.path.basename(artifact)} lists {len(extra)} queries no longer "
+                f"registered: {extra}"
+            )
+        if not stale and not extra:
+            print(f"artifact {os.path.basename(artifact)}: covers all {len(qs)} queries")
+    else:
+        print("no oracle artifact found — skipping artifact check (run "
+              "scripts/oracle_check.py --json ORACLE_LOCAL_rN.json before snapshot)")
+
+    print(f"registry: {len(qs)} queries, {len(oracles)} oracle twins")
+    if errs:
+        for e in errs:
+            print(f"PREFLIGHT FAIL: {e}", file=sys.stderr)
+        return 1
+    print("preflight OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
