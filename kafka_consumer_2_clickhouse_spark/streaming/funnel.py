@@ -30,11 +30,14 @@ window was armed does not retroactively re-attribute (also pinned —
 that is what "online" means; the batch operator is ground truth).
 
 Scale: one user_id shuffle per micro-batch (the same partitioning
-every stateful op here uses); state is 2 longs + 1 bool per user —
-O(users), independent of throughput; the in-order transition scan
-touches only that user's rows in that micro-batch. Arrow-batched
-transport; the per-user python transition loop is bounded by
-rows-per-user-per-batch (single digits in practice).
+every stateful op here uses); state is 3 longs + 1 bool per user, and
+with ``expire_dead_journeys=True`` + ``done_retention_s`` it is
+bounded by journeys IN FLIGHT plus one replay horizon of conversions
+(event-time timeouts drop everything else) — independent of total
+users ever seen. The in-order transition scan touches only that
+user's rows in that micro-batch. Arrow-batched transport; the
+per-user python transition loop is bounded by rows-per-user-per-batch
+(single digits in practice).
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("v_us", T.LongType()),  # -1 = unset
         T.StructField("c_us", T.LongType()),  # -1 = unset
         T.StructField("done", T.BooleanType()),
+        T.StructField("p_us", T.LongType()),  # conversion time, -1 = unset
     ]
 )
 
@@ -72,7 +76,23 @@ def _make_stepper(
     click_window_us: int,
     purchase_window_us: int,
     expire_dead_journeys: bool,
+    done_retention_us: int | None = None,
 ):
+    def _set_event_timeout(state: GroupState, v_us, c_us, done, p_us) -> None:
+        """Event-time timeout at the instant this state becomes dead
+        weight: a converted user's replay horizon end, or an in-flight
+        journey's window close (past which no on-time event can ever
+        advance it, by the watermark guarantee). Re-set on every
+        invocation — GroupState clears the timeout each call."""
+        if done:
+            close_ms = (p_us + done_retention_us) // 1000
+        elif c_us >= 0:
+            close_ms = (c_us + purchase_window_us) // 1000 + 1
+        else:
+            close_ms = (v_us + click_window_us) // 1000 + 1
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(close_ms, wm + 1))
+
     def _step(
         key: tuple[Any, ...],
         pdfs: Iterator["pd.DataFrame"],  # noqa: F821
@@ -80,14 +100,26 @@ def _make_stepper(
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        v_us, c_us, done = state.get if state.exists else (-1, -1, False)
+        if done_retention_us is not None and state.hasTimedOut:
+            # the replay horizon (done users) or the journey window
+            # (in-flight) has passed the watermark: this state can
+            # never change the output again — drop it
+            state.remove()
+            return
+        v_us, c_us, done, p_us = (
+            state.get if state.exists else (-1, -1, False, -1)
+        )
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
-            state.update((v_us, c_us, done))
+            state.update((v_us, c_us, done, p_us))
+            if done_retention_us is not None:
+                _set_event_timeout(state, v_us, c_us, done, p_us)
             return
         batch = pd.concat(chunks, ignore_index=True)
         if done:
-            state.update((v_us, c_us, done))
+            state.update((v_us, c_us, done, p_us))
+            if done_retention_us is not None:
+                _set_event_timeout(state, v_us, c_us, done, p_us)
             return
         # event-time order within the micro-batch (ties on event_id):
         # first-qualifying semantics match the batch auditor when
@@ -123,12 +155,15 @@ def _make_stepper(
                 ):
                     done = True
                     conv = ts
+                    p_us = ts
                     break
         if expire_dead_journeys and v_us < 0 and not done:
             # no journey in flight — hold no state at all
             state.remove()
         else:
-            state.update((v_us, c_us, done))
+            state.update((v_us, c_us, done, p_us))
+            if done_retention_us is not None:
+                _set_event_timeout(state, v_us, c_us, done, p_us)
         if conv is not None:
             yield pd.DataFrame(
                 {
@@ -147,6 +182,8 @@ def conversion_attribution(
     click_window_s: int = CLICK_WINDOW_S,
     purchase_window_s: int = PURCHASE_WINDOW_S,
     expire_dead_journeys: bool = False,
+    done_retention_s: int | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Per-user streaming funnel over (user_id, event_id, event_type,
     ts). Emits one (user_id, v_ts, c_ts, p_ts) row per conversion;
@@ -163,11 +200,33 @@ def conversion_attribution(
     so replays can't re-emit. Deliberately diverges from the batch
     auditor for users whose first journey died — pinned both ways in
     tests.
+
+    ``done_retention_s`` (requires ``expire_dead_journeys``): makes the
+    in-flight bound REAL. Without it, ``done`` markers persist forever
+    — state is O(converted users ever). With it, the stream is
+    watermarked (``watermark_delay``) and every state row carries an
+    EVENT-TIME timeout: a converted user's marker expires once the
+    watermark passes ``p_ts + done_retention_s`` (the replay horizon —
+    inside it a replayed purchase still hits the marker and cannot
+    re-emit; past it, replays are late data behind the watermark and
+    are dropped before the operator), and an in-flight journey whose
+    window close has passed the watermark (so no on-time event can
+    ever advance it) drops without waiting for a next event. State is
+    then bounded by journeys in flight plus one horizon of conversions,
+    independent of total users ever seen.
     """
+    if done_retention_s is not None and not expire_dead_journeys:
+        raise ValueError(
+            "done_retention_s requires expire_dead_journeys=True "
+            "(retention is the bound on the expiring-state mode)"
+        )
+    if done_retention_s is not None:
+        events = events.withWatermark("ts", watermark_delay)
     keyed = events.selectExpr(
         "cast(user_id as long) as user_id",
         "cast(event_id as long) as event_id",
         "cast(event_type as string) as event_type",
+        "ts",
         "unix_micros(ts) as ts_us",
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
@@ -175,9 +234,14 @@ def conversion_attribution(
             click_window_s * 1_000_000,
             purchase_window_s * 1_000_000,
             expire_dead_journeys,
+            done_retention_s * 1_000_000 if done_retention_s is not None else None,
         ),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if done_retention_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -264,3 +264,62 @@ def test_expiry_drops_state_for_dead_journeys(spark, tmp_path):
     ])
     got = _run(spark, path, "fun_e3", expire_dead_journeys=True)
     assert len(got) == 1 and got[0]["user_id"] == 1
+
+
+def test_done_marker_expires_after_retention_horizon(spark, tmp_path):
+    """done_retention_s makes the in-flight state bound real: a
+    converted user's done marker survives the replay horizon (a
+    replayed purchase inside it does NOT re-emit), then expires via
+    event-time timeout once the watermark passes p_ts + retention —
+    state row count returns to journeys actually in flight."""
+    path = str(tmp_path / "s")
+    # batch 1: user 1 converts at 09:30; user 2 arms a purchase window
+    # (in flight for 24h)
+    _write_batch(spark, path, [
+        (1, 1, "view", _ts("09:00:00")),
+        (1, 2, "click", _ts("09:10:00")),
+        (1, 3, "purchase", _ts("09:30:00")),
+        (2, 4, "view", _ts("09:00:00")),
+        (2, 5, "click", _ts("09:20:00")),
+    ])
+    # batch 2: replayed purchase INSIDE the horizon (09:40 < 09:30+30m)
+    # -> done marker present, no re-emit; user 3's lone purchase holds
+    # no state but advances the max event time (watermark source)
+    _write_batch(spark, path, [
+        (1, 6, "purchase", _ts("09:40:00")),
+        (3, 7, "purchase", _ts("10:45:00")),
+    ])
+    # batch 3: watermark is now 10:45-10m=10:35 > 09:30+30m=10:00 ->
+    # user 1's timeout fires, marker dropped
+    _write_batch(spark, path, [
+        (3, 8, "purchase", _ts("11:00:00")),
+    ])
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        conversion_attribution(
+            stream,
+            expire_dead_journeys=True,
+            done_retention_s=1800,
+            watermark_delay="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("fun_ret")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM fun_ret").collect()
+    # exactly one conversion ever emitted (replay inside horizon ate
+    # the marker, post-horizon there is nothing to replay on time)
+    assert len(got) == 1 and got[0]["user_id"] == 1
+    # state is back to journeys in flight: only user 2 remains
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert state_rows and state_rows[-1] == 1, state_rows
