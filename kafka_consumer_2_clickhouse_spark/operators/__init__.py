@@ -41,6 +41,22 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "order_value_quartiles": "order_value_quartiles_approx",
 }
 
+#: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:
+#: the query keeps its NAME and its ORACLE (identical output — only
+#: the physical strategy changes), so unlike :data:`SCALE_MODE_SWAPS`
+#: nothing is re-pointed or oracle-dropped. query name -> what flips.
+#: Path equality is pinned in tests/test_scale_mode.py.
+SCALE_MODE_ALGO_SWAPS: dict[str, str] = {
+    # min-label propagation -> O(log n) large-star/small-star rounds
+    "near_dup_components": "graph.connected_components_star",
+    # inline probe -> Bloom-prefiltered probe (no false negatives)
+    "incremental_neardup_pairs": "dedup probe behind bloom sidecar",
+    # hot-session aggregate -> salted two-phase + (key,value)-spread
+    # distinct count (functions/skew.py — the prescription
+    # events_key_skew_report's suggested_salt diagnoses)
+    "events_session_stats": "skew.salted_agg + skew_count_distinct",
+}
+
 
 def scale_mode() -> str:
     """``SPARK_GRAFT_SCALE_MODE``: ``exact`` (default) or ``approx``."""

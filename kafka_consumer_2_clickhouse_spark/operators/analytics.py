@@ -497,20 +497,22 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the final per-session aggregate (map-side combine on an
     already-partitioned relation); duration is exact µs, the only unit
     with engine-identical semantics at timestamp resolution.
+
+    ``SPARK_GRAFT_SCALE_MODE=approx`` swaps the AGGREGATION to the
+    salted two-phase plan ``functions/skew.py`` prescribes when
+    ``events_key_skew_report`` diagnoses a dominant user (a bot/replay
+    flood): decomposable stats via :func:`skew.salted_agg` (no single
+    task ever holds a hot session's full row set) and the distinct-type
+    count via :func:`skew.skew_count_distinct` (spreads by key AND
+    value). Same output, same oracle — an algorithm-level swap like
+    ``SPARK_GRAFT_CC_ALGO`` (``SCALE_MODE_ALGO_SWAPS``; path equality
+    pinned in tests/test_scale_mode.py).
     """
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    ) / 1_000_000
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
-    )
-    numbered = flagged.withColumn(
-        "session_no",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    from . import scale_mode
+
+    numbered = _session_numbered(spark, sf_dir)
+    if scale_mode() == "approx":
+        return _session_stats_salted(numbered)
     return (
         numbered.groupBy("user_id", "session_no")
         .agg(
@@ -526,6 +528,57 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_types",
             "duration_us",
+        )
+    )
+
+
+def _session_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared sessionization relation: events tagged with their
+    30-min-gap session number (one user_id window — the per-user
+    ordered scan IS the sessionization and cannot be salted; the
+    skew-sensitive stage is the aggregate on top)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+def _session_stats_salted(numbered: DataFrame) -> DataFrame:
+    """The skew-resistant aggregate: salted two-phase sum/count/min/max
+    plus the (key, value)-spread distinct count, merged with one
+    co-partitioned join on the session key — no task ever sees a hot
+    session whole. Output identical to the exact aggregate."""
+    from ..functions.skew import salted_agg, skew_count_distinct
+
+    keys = ["user_id", "session_no"]
+    ts_us = numbered.withColumn("ts_us", F.unix_micros("ts"))
+    base = salted_agg(
+        ts_us,
+        keys,
+        {
+            "n_events": ("event_id", "count"),
+            "min_us": ("ts_us", "min"),
+            "max_us": ("ts_us", "max"),
+        },
+    )
+    types = skew_count_distinct(numbered, keys, "event_type", alias="n_types")
+    return (
+        base.join(types, keys)
+        .select(
+            "user_id",
+            F.col("session_no").cast("bigint").alias("session_no"),
+            "n_events",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            (F.col("max_us") - F.col("min_us")).cast("bigint").alias("duration_us"),
         )
     )
 

@@ -1549,3 +1549,105 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = _ivfpq_encode(spread(raw), cents, books)
     qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
     return _ivfpq_adc_rerank(spark, raw, encoded, cents, books, qids, qmat)
+
+
+# --------------------------------------------------------------------------
+# ANN recall / tuning report — the pre-commit accuracy table for the
+# whole approximate family
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Recall@k + rank displacement of every approximate variant vs the
+    exact operator — see :func:`ann_recall_report`. ``k <= TOP_K``
+    truncates both sides to their top-k prefix (rank is already the
+    deterministic tie-broken position, so prefixes are well-defined).
+    """
+    if not 1 <= k <= TOP_K:
+        raise ValueError(f"k must be in [1, {TOP_K}], got {k}")
+    exact = (
+        embedding_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cosine").alias("cos_exact"),
+            F.col("rank").alias("rank_exact"),
+        )
+    )
+    # bounded driver pull: <= N_QUERY * k rows by construction
+    n_expected = exact.count()
+    variants = {
+        "ann": ann_cosine_topk,
+        "ivf": ivf_cosine_topk,
+        "pq": pq_cosine_topk,
+        "ivfpq": ivfpq_cosine_topk,
+    }
+    tagged = None
+    for name, fn in sorted(variants.items()):
+        t = (
+            fn(spark, sf_dir)
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(name).alias("variant"),
+                "query_id",
+                "cand_id",
+                F.col("cosine").alias("cos_approx"),
+                F.col("rank").alias("rank_approx"),
+            )
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    matched = F.col("rank_exact").isNotNull()
+    joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("variant")
+        .agg(
+            F.lit(k).alias("k"),
+            F.lit(n_expected).alias("n_expected"),
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.round(F.sum(matched.cast("long")) / F.lit(n_expected), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        matched,
+                        F.abs(F.col("rank_approx") - F.col("rank_exact")),
+                    )
+                ),
+                6,
+            ).alias("mean_rank_displacement"),
+            F.round(
+                F.max(
+                    F.when(
+                        matched, F.abs(F.col("cos_approx") - F.col("cos_exact"))
+                    )
+                ),
+                9,
+            ).alias("max_cosine_abs_err"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query("ann_recall_report")  # rows-only: scores the approximate family
+# against the exact operator — no portable SQL oracle exists for the
+# approximate sides; recall floors at two k settings pinned in
+# tests/test_similarity.py
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family's accuracy sign-off table: for each approximate
+    variant (``ann`` blocked-GEMM, ``ivf`` cell probing, ``pq`` ADC +
+    re-rank, ``ivfpq`` IVFADC), recall@k, mean absolute rank
+    displacement over the recovered pairs, and the worst cosine-score
+    error vs ``embedding_cosine_topk`` on the same corpus, queries,
+    and parameters — the pre-commit tuning-table discipline
+    (`dedup_threshold_sensitivity`, `minhash_jaccard_estimates`)
+    applied to similarity search: BEFORE trusting an index layout at
+    100 TB, this one table says what the approximation costs.
+
+    Scale: the exact spine is <= N_QUERY x k rows (broadcast); each
+    variant contributes <= N_QUERY x k rows; the join and aggregate
+    run over <= 4 x N_QUERY x k rows total. The cost is the underlying
+    variant scans themselves — each already plan-gated individually.
+    """
+    return _ann_recall_report(spark, sf_dir, TOP_K)

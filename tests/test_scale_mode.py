@@ -121,3 +121,28 @@ def test_incremental_pairs_algorithm_swap(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_BLOOM", "1")
     D.incremental_neardup_pairs(spark, sf_dir)
     assert calls == [False, True, False, True]
+
+
+def test_session_stats_salted_swap_equals_exact(spark, sf_dir, monkeypatch):
+    """events_session_stats under approx mode routes the aggregate
+    through the salted two-phase + skew_count_distinct plan
+    (functions/skew.py — the prescription events_key_skew_report
+    diagnoses) and must return EXACTLY the default-mode rows: the
+    algorithm-swap contract, listed in SCALE_MODE_ALGO_SWAPS."""
+    assert "events_session_stats" in ops.SCALE_MODE_ALGO_SWAPS
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    base = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_session_stats"](spark, sf_dir).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    salted_df = ops.QUERIES["events_session_stats"](spark, sf_dir)
+    salted = sorted(tuple(r) for r in salted_df.collect())
+    assert base == salted
+    assert len(base) > 0
+    # the salted plan really is the two-phase shape: an extra salt-key
+    # aggregate exchange and NO expand-based distinct concentration
+    from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+
+    p = physical_plan(salted_df)
+    assert "__salt" in p, p

@@ -446,3 +446,41 @@ def test_knn_accuracy_consistent_with_vote_table(spark, sf_dir):
     assert acc["n_queries"] == vote["n"]
     assert acc["n_correct"] == vote["ok"]
     assert abs(acc["accuracy"] - vote["ok"] / vote["n"]) < 1e-12
+
+
+def test_ann_recall_report_floors_at_two_k(spark, sf_dir):
+    """The family accuracy table: every variant appears once per run,
+    recall floors hold at the default k AND a second setting, the
+    exact-path variant (`ann`) is perfect by construction, and matched
+    pairs carry exact cosine scores (re-rank/gemm fidelity)."""
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        TOP_K,
+        _ann_recall_report,
+    )
+
+    for k, floor in ((TOP_K, 0.5), (2, 0.5)):
+        rows = {r["variant"]: r for r in _ann_recall_report(spark, sf_dir, k).collect()}
+        assert set(rows) == {"ann", "ivf", "pq", "ivfpq"}
+        for v, r in rows.items():
+            assert r["k"] == k
+            assert r["n_expected"] == 10 * k  # N_QUERY x k exact pairs
+            assert r["recall_at_k"] >= floor, (k, v, r["recall_at_k"])
+            # every recovered pair is scored EXACTLY (gemm or re-rank)
+            assert r["max_cosine_abs_err"] is not None
+            assert r["max_cosine_abs_err"] < 1e-9, (v, r)
+        # the blocked-GEMM path is the exact algorithm distributed:
+        # perfect recall, zero displacement
+        assert rows["ann"]["recall_at_k"] == 1.0
+        assert rows["ann"]["mean_rank_displacement"] == 0.0
+
+
+def test_ann_recall_report_registered_matches_default_k(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        TOP_K,
+        _ann_recall_report,
+    )
+
+    reg = ops.QUERIES["ann_recall_report"](spark, sf_dir).collect()
+    direct = _ann_recall_report(spark, sf_dir, TOP_K).collect()
+    assert sorted(map(tuple, reg)) == sorted(map(tuple, direct))
