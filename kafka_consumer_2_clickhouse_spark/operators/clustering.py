@@ -682,3 +682,90 @@ def split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_column(F.col("vec_a")).alias("split_a"),
         split_column(F.col("vec_b")).alias("split_b"),
     ).filter(F.col("split_a") != F.col("split_b"))
+
+
+#: cosine thresholds probed by the semantic dedup sensitivity report —
+#: sweeps UP from the base verify cut (SEMANTIC_DUP_COS), the direction
+#: a pipeline owner tightens toward
+SEMANTIC_SWEEP_THRESHOLDS = (0.4, 0.5, 0.6, 0.7, 0.8)
+
+_SEM_SWEEP_LIST = ", ".join(str(t) for t in SEMANTIC_SWEEP_THRESHOLDS)
+
+
+@query(
+    "semantic_dedup_threshold_sweep",
+    oracle=f"""
+    WITH semp AS (
+      SELECT * FROM ({_semantic_pairs_oracle()}) q
+    ), th AS (
+      SELECT unnest([{_SEM_SWEEP_LIST}]) AS threshold
+    ), f AS (
+      SELECT t.threshold, p.vec_a, p.vec_b
+      FROM semp p JOIN th t ON p.cosine >= t.threshold
+    ), np AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM f GROUP BY threshold
+    ), nv AS (
+      SELECT threshold, CAST(count(DISTINCT vec) AS BIGINT) AS n_vecs_affected
+      FROM (SELECT threshold, vec_a AS vec FROM f
+            UNION ALL SELECT threshold, vec_b FROM f)
+      GROUP BY threshold
+    ), ng AS (
+      SELECT threshold, CAST(count(DISTINCT vec_b) AS BIGINT)
+               AS n_dropped_greedy
+      FROM f GROUP BY threshold
+    )
+    SELECT np.threshold, np.n_pairs, nv.n_vecs_affected, ng.n_dropped_greedy
+    FROM np JOIN nv USING (threshold) JOIN ng USING (threshold)
+    ORDER BY threshold
+    """,
+)
+def semantic_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup tuning report — the semantic twin of
+    ``dedup_threshold_sensitivity``: at each candidate cosine cut, how
+    many cell-verified embedding pairs survive, how many vectors they
+    touch, and the greedy keep-min drop count. Abbas et al. 2023 §4
+    shows downstream quality is SENSITIVE to this epsilon (their 0.03
+    vs 0.07 changes the kept fraction by tens of percent); this is the
+    one table an owner reads before committing a semantic dedup pass
+    at corpus scale. Thresholds with rows are exactly those with >= 1
+    surviving pair (inner composition, identical on both engines).
+
+    Determinism: cosine is the repo's bit-identical fixed-order
+    dot-product chain (the ``semantic_dedup_pairs`` oracle contract),
+    so >= comparisons agree bit-for-bit; all outputs are exact bigint
+    counts.
+
+    Scale: ONE pass over the memoized cell-capped pair relation (the
+    Lloyd's run + capped quadratic verify execute once per session);
+    the threshold fan-out is a Generate over a 5-literal array and
+    every aggregate is keyed on <= 5 thresholds — the bounded-sweep
+    shape shared with the lexical and logprob sweeps.
+    """
+    pairs = semantic_dedup_pairs_df(spark, sf_dir).select(
+        "vec_a", "vec_b", "cosine"
+    )
+    fanned = pairs.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(t) for t in SEMANTIC_SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("cosine") >= F.col("threshold"))
+    np_ = fanned.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    nv = (
+        fanned.select(
+            "threshold", F.explode(F.array("vec_a", "vec_b")).alias("vec")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("vec").cast("bigint").alias("n_vecs_affected"))
+    )
+    ng = fanned.groupBy("threshold").agg(
+        F.count_distinct("vec_b").cast("bigint").alias("n_dropped_greedy")
+    )
+    return np_.join(nv, "threshold").join(ng, "threshold").orderBy("threshold")

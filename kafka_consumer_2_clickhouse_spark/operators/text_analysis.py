@@ -1901,3 +1901,74 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 token_pmi_pairs.__doc__ = token_pmi_pairs.__doc__.replace(
     "{N}", str(PMI_TOP_N)
 )
+
+
+@query(
+    "source_token_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+    ), call AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS c_corpus FROM c GROUP BY tok
+    ), t AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM t
+    ), term AS (
+      SELECT c.source, t.n_tokens,
+             round((CAST(c.c AS DOUBLE) / t.n_tokens)
+                   * ln((CAST(c.c AS DOUBLE) / t.n_tokens)
+                        / (CAST(call.c_corpus AS DOUBLE) / tot.corpus_tokens)),
+                   6) AS kl
+      FROM c JOIN call USING (tok) JOIN t USING (source) CROSS JOIN tot
+    )
+    SELECT source, n_tokens,
+           CAST(sum(CAST(kl AS DECIMAL(27,6))) AS DOUBLE) AS kl_nats
+    FROM term GROUP BY source, n_tokens
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over the
+    token distributions — the mixture-design signal `source_token_entropy`
+    (within-source diversity) can't give: a source can be internally
+    diverse yet far OFF-DISTRIBUTION (spam feed, wrong language, machine
+    boilerplate). High KL = the source pulls the mixture away from the
+    corpus average; DoReMi-style weighting and drift monitors read
+    exactly this number. Every source token appears in the corpus
+    distribution by construction, so no zero-probability terms exist.
+
+    Determinism: each KL term is rounded to 6 decimals BEFORE the exact
+    decimal sum (round-before-aggregate — the ``doc_unigram_logprob``
+    discipline), and the p_s/p_c chain is the same fixed-order double
+    arithmetic on both engines.
+
+    Scale: one (source, token) partial-aggregated shuffle (the
+    ``token_frequencies`` relation), one token-keyed corpus roll-up of
+    that SAME relation (vocabulary-sized, never the corpus), a
+    broadcast source-totals join (source cardinality is small by
+    nature), and a 1-row corpus-total crossJoin — then a source-sized
+    final aggregate.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    call = c.groupBy("tok").agg(F.sum("c").cast("bigint").alias("c_corpus"))
+    t = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
+    p_s = F.col("c").cast("double") / F.col("n_tokens")
+    p_c = F.col("c_corpus").cast("double") / F.col("corpus_tokens")
+    term = (
+        c.join(call, "tok")
+        .join(F.broadcast(t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(p_s * F.log(p_s / p_c), 6).alias("kl"),
+        )
+    )
+    return term.groupBy("source", "n_tokens").agg(
+        F.sum(F.col("kl").cast("decimal(27,6)")).cast("double").alias("kl_nats")
+    ).select("source", "n_tokens", "kl_nats")

@@ -975,3 +975,40 @@ def test_ewma_hourly_invariants(spark, sf_dir):
     # weights are exact integers, monotone decreasing, w0 = 1e9
     ws = [w for _, w in T.EWMA_WEIGHTS]
     assert ws[0] == 1_000_000_000 and all(a > b for a, b in zip(ws, ws[1:]))
+
+
+def test_source_token_kl_properties(spark, sf_dir):
+    """KL(P_s || P_c) is non-negative up to term rounding, totals agree
+    with the entropy report's token accounting, and at least one source
+    is measurably off-distribution (the corpus mixes languages)."""
+    kl = {r["source"]: r for r in ops.QUERIES["source_token_kl"](spark, sf_dir).collect()}
+    ent = {
+        r["source"]: r
+        for r in ops.QUERIES["source_token_entropy"](spark, sf_dir).collect()
+    }
+    assert set(kl) == set(ent)
+    for s, r in kl.items():
+        assert r["n_tokens"] == ent[s]["n_tokens"]
+        # Gibbs: true KL >= 0; each term rounds to 6 decimals before
+        # the sum, so the floor is -(n_terms * 5e-7)
+        assert r["kl_nats"] >= -0.001, (s, r["kl_nats"])
+    assert max(r["kl_nats"] for r in kl.values()) > 0.0
+
+
+def test_semantic_sweep_monotone_and_anchored(spark, sf_dir):
+    """Tightening the cosine cut can only shrink the table, and the
+    base-threshold row must equal the registered pair query exactly."""
+    from kafka_consumer_2_clickhouse_spark.operators.clustering import (
+        SEMANTIC_DUP_COS,
+        SEMANTIC_SWEEP_THRESHOLDS,
+    )
+
+    rows = ops.QUERIES["semantic_dedup_threshold_sweep"](spark, sf_dir).collect()
+    got = {r["threshold"]: r for r in rows}
+    present = [t for t in SEMANTIC_SWEEP_THRESHOLDS if t in got]
+    for a, b in zip(present, present[1:]):
+        for colname in ("n_pairs", "n_vecs_affected", "n_dropped_greedy"):
+            assert got[a][colname] >= got[b][colname], (a, b, colname)
+    base = got[SEMANTIC_DUP_COS]
+    pairs = ops.QUERIES["semantic_dedup_pairs"](spark, sf_dir)
+    assert base["n_pairs"] == pairs.count()

@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "orders_fulfillment_lag",  # 1-row order-total crossJoin
     "events_user_churn",  # 1-row timeline-end crossJoin
     "bpe_corpus_compression",  # 1-row sums x 1-row vocab crossJoins
+    "source_token_kl",  # 1-row corpus-token-total crossJoin
 }
 
 
