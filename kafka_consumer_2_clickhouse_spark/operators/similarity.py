@@ -606,13 +606,29 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
         return ivf_search(spark, index_dir, queries)
-    emb = spread(raw)
-
     # --- coarse quantizer: same deterministic build as build_ivf_index,
     # trained inline (the persisted-index path is build_ivf_index +
     # ivf_search; this registered form re-derives per call so the driver
     # contract stays side-effect-free)
     cents = _train_centroids(raw)
+    return _ivf_topk_inline(spark, raw, cents, N_PROBE, TOP_K)
+
+
+def _ivf_topk_inline(
+    spark: SparkSession,
+    raw: DataFrame,
+    cents,
+    n_probe: int,
+    top_k: int,
+) -> DataFrame:
+    """The inline IVF probe against an already-trained coarse quantizer
+    (``cents``): per-query cell selection, blocked-GEMM scoring of only
+    probed-cell candidates, global top-k merge. Factored out so the
+    ``n_probe`` tuning sweep trains the quantizer ONCE and probes it at
+    every setting."""
+    import numpy as np
+
+    emb = spread(raw)
     bc_cents = spark.sparkContext.broadcast(cents)
 
     qrows = (
@@ -621,11 +637,10 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    # cells to probe per query: N_PROBE nearest centroids
-    probe = {int(q): set((qmat[i] @ cents.T).argsort()[-N_PROBE:].tolist())
+    # cells to probe per query: n_probe nearest centroids
+    probe = {int(q): set((qmat[i] @ cents.T).argsort()[-n_probe:].tolist())
              for i, q in enumerate(qids)}
     bc_q = spark.sparkContext.broadcast((qids, qmat, probe))
-    top_k = TOP_K
 
     def score(batches):
         import numpy as np
@@ -1651,3 +1666,74 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant scans themselves — each already plan-gated individually.
     """
     return _ann_recall_report(spark, sf_dir, TOP_K)
+
+
+#: n_probe settings swept by the IVF tuning curve — the last value is
+#: N_CELLS itself, where probing every cell makes the "approximation"
+#: provably exact (the sweep's built-in sanity anchor)
+IVF_SWEEP_PROBES = (1, 2, 4, 8, N_CELLS)
+
+
+@query("ivf_nprobe_sweep")  # rows-only: scores the approximate probe
+# settings against the exact operator; monotonicity + the exact anchor
+# at n_probe=N_CELLS pinned in tests/test_similarity.py
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE IVF tuning curve (faiss's ``nprobe`` sweep): recall@k and
+    rank displacement vs the exact operator at each probe width, next
+    to the fraction of cells scanned — the compute-vs-recall trade a
+    100 TB index owner dials BEFORE provisioning query capacity.
+    ``n_probe = N_CELLS`` probes everything and must score recall 1.0
+    (scoring within probed cells is exact) — the row that proves the
+    sweep's own arithmetic.
+
+    Scale: the coarse quantizer trains ONCE (bounded content-hash
+    sample); each setting re-uses it and scans only its probed cells;
+    the comparison join and aggregate run over
+    <= |settings| x N_QUERY x k rows against the broadcast exact spine.
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = _train_centroids(raw)
+    exact = (
+        embedding_cosine_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank").alias("rank_exact"),
+        )
+    )
+    n_expected = exact.count()  # bounded: <= N_QUERY * TOP_K
+    tagged = None
+    for p in IVF_SWEEP_PROBES:
+        t = _ivf_topk_inline(spark, raw, cents, p, TOP_K).select(
+            F.lit(p).alias("n_probe"),
+            "query_id",
+            "cand_id",
+            F.col("rank").alias("rank_approx"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    matched = F.col("rank_exact").isNotNull()
+    joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("n_probe")
+        .agg(
+            F.lit(N_CELLS).alias("n_cells"),
+            F.round(F.first(F.col("n_probe")) / F.lit(N_CELLS), 6).alias(
+                "scan_fraction"
+            ),
+            F.lit(n_expected).alias("n_expected"),
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.round(F.sum(matched.cast("long")) / F.lit(n_expected), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        matched,
+                        F.abs(F.col("rank_approx") - F.col("rank_exact")),
+                    )
+                ),
+                6,
+            ).alias("mean_rank_displacement"),
+        )
+        .orderBy("n_probe")
+    )

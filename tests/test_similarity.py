@@ -484,3 +484,28 @@ def test_ann_recall_report_registered_matches_default_k(spark, sf_dir):
     reg = ops.QUERIES["ann_recall_report"](spark, sf_dir).collect()
     direct = _ann_recall_report(spark, sf_dir, TOP_K).collect()
     assert sorted(map(tuple, reg)) == sorted(map(tuple, direct))
+
+
+def test_ivf_nprobe_sweep_monotone_with_exact_anchor(spark, sf_dir):
+    """Recall must be non-decreasing in n_probe, and probing every cell
+    (n_probe = N_CELLS) makes the probe provably exact — recall 1.0,
+    zero displacement: the row that proves the sweep's arithmetic."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        IVF_SWEEP_PROBES,
+        N_CELLS,
+    )
+
+    rows = ops.QUERIES["ivf_nprobe_sweep"](spark, sf_dir).collect()
+    got = {r["n_probe"]: r for r in rows}
+    assert set(got) == set(IVF_SWEEP_PROBES)
+    ordered = [got[p] for p in sorted(got)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["recall_at_k"] <= b["recall_at_k"], (a, b)
+    full = got[N_CELLS]
+    assert full["recall_at_k"] == 1.0
+    assert full["mean_rank_displacement"] == 0.0
+    assert full["n_matched"] == full["n_expected"]
+    # each row accounts for the scan cost it buys recall with
+    for r in rows:
+        assert abs(r["scan_fraction"] - r["n_probe"] / N_CELLS) < 1e-9
