@@ -433,21 +433,36 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings of the bitstring (same LSH shape as minhash).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # Hash each token ONCE; per md5 nibble, one LUT lookup yields the
-    # nibble's 4 bit-counters PACKED into one long at 15-bit lanes
-    # (bit3<<45 | bit2<<30 | bit1<<15 | bit0) — so the whole 64-bit
-    # popcount is 16 sums instead of 64. Lanes can't collide below
-    # 2^15 = 32768 tokens per doc (corpus max: 100; at ingest, cap
-    # token streams or widen to 2 lanes/long). The ±1 sign-sum becomes
-    # popcount algebra: sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
-    #
-    # MAP-ONLY formulation: fold the token array with F.aggregate into
-    # a 16-lane struct accumulator instead of explode + groupBy. Same
-    # arithmetic, but zero shuffle and no 10M-row materialization —
-    # measured ~2.5x faster than the explode plan at sf0.1, and at
-    # 100 TB the signature stage becomes pure scan parallelism (the
-    # explode plan's per-doc combine already kept the shuffle small;
-    # this removes it entirely).
+    return simhash64_select(docs, F.split("text", " "), ["doc_id"])
+
+
+def simhash64_select(
+    df: DataFrame,
+    toks,
+    keep_cols: list[str],
+    out: str = "simhash64",
+) -> DataFrame:
+    """``df.select(keep_cols..., <64-bit simhash over toks> AS out)``
+    — the shared map-only fingerprint kernel (used by ``simhash_docs``
+    over word tokens and by the multimodal pHash stand-in over payload
+    grams).
+
+    Hash each token ONCE; per md5 nibble, one LUT lookup yields the
+    nibble's 4 bit-counters PACKED into one long at 15-bit lanes
+    (bit3<<45 | bit2<<30 | bit1<<15 | bit0) — so the whole 64-bit
+    popcount is 16 sums instead of 64. Lanes can't collide below
+    2^15 = 32768 tokens per doc (corpus max: 100; at ingest, cap
+    token streams or widen to 2 lanes/long). The ±1 sign-sum becomes
+    popcount algebra: sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
+
+    MAP-ONLY formulation: fold the token array with F.aggregate into
+    a 16-lane struct accumulator instead of explode + groupBy. Same
+    arithmetic, but zero shuffle and no 10M-row materialization —
+    measured ~2.5x faster than the explode plan at sf0.1, and at
+    100 TB the signature stage becomes pure scan parallelism (the
+    explode plan's per-doc combine already kept the shuffle small;
+    this removes it entirely).
+    """
     lut = [
         ((n >> 3 & 1) << 45) | ((n >> 2 & 1) << 30) | ((n >> 1 & 1) << 15) | (n & 1)
         for n in range(16)
@@ -477,25 +492,24 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[(acc[f"s{p}"] + ps[p]).alias(f"s{p}") for p in range(16)]
         )
 
-    toks = F.split("text", " ")
-    sums = docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tok"),
-        F.aggregate(toks, zero, fold).alias("s"),
+    sums = df.select(
+        *keep_cols,
+        F.size(toks).alias("__n_tok"),
+        F.aggregate(toks, zero, fold).alias("__s"),
     )
 
     def ones(i: int):  # set-bit count for global bit i, from lane i%4
         return F.shiftright(
-            F.col("s").getField(f"s{i // 4}"), 45 - 15 * (i % 4)
+            F.col("__s").getField(f"s{i // 4}"), 45 - 15 * (i % 4)
         ).bitwiseAND(0x7FFF)
 
     bits = F.concat(
         *[
-            F.when(2 * ones(i) > F.col("n_tok"), "1").otherwise("0")
+            F.when(2 * ones(i) > F.col("__n_tok"), "1").otherwise("0")
             for i in range(64)
         ]
     )
-    return sums.select("doc_id", bits.alias("simhash64"))
+    return sums.select(*keep_cols, bits.alias(out))
 
 
 #: near-dup cut for this corpus (pairwise Hamming median is ~20; a

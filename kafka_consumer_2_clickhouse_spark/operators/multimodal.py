@@ -313,3 +313,166 @@ def media_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").cast("bigint").alias("min_width"),
         F.max("width").cast("bigint").alias("max_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: the pHash analog over payload content
+# ---------------------------------------------------------------------------
+
+#: character-gram width and stride of the stand-in perceptual hash
+PHASH_GRAM = 4
+
+
+def _phash_sql() -> str:
+    """DuckDB twin of the stand-in pHash + all-pairs verify: simhash
+    over stride-4 char 4-grams of the decoded payload, pairs within
+    SIMHASH_MAX_HAMMING per modality. (The oracle states the SEMANTIC
+    result; the banded candidate generation is the engine's concern —
+    the `simhash_near_pairs` contract.)"""
+    from ..functions import textfns as X
+    from .dedup import SIMHASH_MAX_HAMMING, _hamming_sql
+
+    bit_cases = X.simhash_bit_exprs("tok", bits=64)
+    sums = ",\n           ".join(
+        f"sum({c}) AS s{i}" for i, c in enumerate(bit_cases)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             text FROM documents
+    ), grams AS (
+      SELECT media_id, modality,
+             unnest([substr(text, CAST(p AS INT), {PHASH_GRAM})
+                     for p in range(1, greatest(length(text) - {PHASH_GRAM - 2}, 2),
+                                    {PHASH_GRAM})]) AS tok
+      FROM media
+    ), sums AS (
+      SELECT media_id, modality, {sums} FROM grams GROUP BY media_id, modality
+    ), sh AS (
+      SELECT media_id, modality, {bits} AS phash64 FROM sums
+    )
+    SELECT a.modality, a.media_id AS media_a, b.media_id AS media_b,
+           {_hamming_sql('a.phash64', 'b.phash64')} AS hamming
+    FROM sh a JOIN sh b
+      ON a.modality = b.modality AND a.media_id < b.media_id
+    WHERE {_hamming_sql('a.phash64', 'b.phash64')} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media 64-bit perceptual fingerprint (stand-in): simhash over
+    stride-{PHASH_GRAM} char grams of the decoded payload. A REAL
+    pHash (DCT of a downsampled grayscale, via the
+    ``decode_image_real`` seam) would replace only this fingerprint
+    expression — everything downstream (Manku banding, Hamming verify)
+    is representation-independent. The stand-in is itself a legitimate
+    binary-content fingerprint: small payload edits flip few bits, so
+    the near-dup join finds genuinely similar payloads, not just
+    byte-identical ones (which ``media_dedup_exact`` already catches).
+
+    Map-only: decode + gram slicing + the 16-lane fold all run in one
+    codegen pass per row (the shared :func:`dedup.simhash64_select`
+    kernel); payload bytes never shuffle.
+    """
+    from .dedup import simhash64_select
+
+    media = media_table(spark, sf_dir)
+    txt = F.decode("payload", "UTF-8")  # the stand-in decode, JVM-side
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(txt) - (PHASH_GRAM - 1), F.lit(1)),
+            F.lit(PHASH_GRAM),
+        ),
+        lambda p: txt.substr(p, F.lit(PHASH_GRAM)),
+    )
+    return simhash64_select(
+        media, grams, ["media_id", "modality"], out="phash64"
+    )
+
+
+@query("media_phash_neardup", oracle=_phash_sql())
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs per modality — the NEAR twin of
+    ``media_dedup_exact``: re-encoded/lightly-edited media share a
+    close perceptual hash while differing in bytes (the crawl
+    pathology exact md5 dedup cannot see; at training scale this is
+    the image/audio analog of shingle near-dup). Candidates via the
+    Manku C(8,4) block-combination keys (pigeonhole-perfect recall at
+    Hamming <= 4 — the `simhash_near_pairs` scheme with modality added
+    to the bucket key so cross-modality pairs never generate), verify
+    by two XOR+popcounts inside the join.
+
+    Scale: |media| x 70 narrow key rows into ONE equi-join shuffle,
+    fingerprints travel as two 32-bit halves; payloads never leave the
+    map side. A hot bucket is AQE-skew territory, same guard as the
+    text path.
+    """
+    from itertools import combinations
+
+    from pyspark import StorageLevel
+
+    from .dedup import SIMHASH_BLOCKS, SIMHASH_CLEAN_BLOCKS, SIMHASH_MAX_HAMMING
+
+    width = 64 // SIMHASH_BLOCKS
+    sh = media_phash(spark, sf_dir)
+    fp = sh.select(
+        "media_id",
+        "modality",
+        F.conv(F.substring("phash64", 1, 32), 2, 10).cast("long").alias("v0"),
+        F.conv(F.substring("phash64", 33, 32), 2, 10).cast("long").alias("v1"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def block(b: int):
+        word = F.col("v0") if b < SIMHASH_BLOCKS // 2 else F.col("v1")
+        return F.shiftright(word, width * (3 - b % 4)).bitwiseAND(255)
+
+    blocks = fp.select(
+        "media_id", "modality", "v0", "v1",
+        *[block(b).alias(f"b{b}") for b in range(SIMHASH_BLOCKS)],
+    )
+
+    def combo_key(combo):
+        k = F.col(f"b{combo[0]}")
+        for c in combo[1:]:
+            k = F.shiftleft(k, width).bitwiseOR(F.col(f"b{c}"))
+        return k
+
+    combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_CLEAN_BLOCKS))
+    keys = blocks.select(
+        "media_id", "modality", "v0", "v1",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(ci).alias("combo_id"), combo_key(c).alias("key"))
+                for ci, c in enumerate(combos)
+            ])
+        ).alias("bk"),
+    ).select("media_id", "modality", "v0", "v1", "bk.combo_id", "bk.key")
+
+    # SHUFFLE_HASH: pin the only join shape that exists at scale (see
+    # simhash_near_pairs)
+    a, b = keys.alias("a"), keys.hint("shuffle_hash").alias("b")
+    hamming = F.bit_count(F.col("a.v0").bitwiseXOR(F.col("b.v0"))) + F.bit_count(
+        F.col("a.v1").bitwiseXOR(F.col("b.v1"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.combo_id") == F.col("b.combo_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.modality").alias("modality"),
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -46,3 +46,38 @@ def test_frame_samples_explode(spark, sf_dir):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG...")
+
+
+def test_media_phash_neardup_semantics(spark, sf_dir):
+    """The banded join must return EXACTLY the all-pairs result: every
+    same-modality pair of fingerprints within SIMHASH_MAX_HAMMING, no
+    cross-modality pairs (same bytes republished under two modality
+    labels is media_dedup_exact's finding, deliberately not this
+    one's), and hamming values that match a direct bitstring compare."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+    )
+    from kafka_consumer_2_clickhouse_spark.operators.multimodal import (
+        media_phash,
+    )
+
+    fp = {
+        r["media_id"]: (r["modality"], r["phash64"])
+        for r in media_phash(spark, sf_dir).collect()
+    }
+    want = set()
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if fp[a][0] != fp[b][0]:
+                continue
+            h = sum(x != y for x, y in zip(fp[a][1], fp[b][1]))
+            if h <= SIMHASH_MAX_HAMMING:
+                want.add((fp[a][0], a, b, h))
+    got = {
+        (r["modality"], r["media_a"], r["media_b"], r["hamming"])
+        for r in ops.QUERIES["media_phash_neardup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(m == fp[a][0] == fp[b][0] for m, a, b, _ in got)
