@@ -179,6 +179,16 @@ EXTRA = [
     "pack_epoch_order",
     "curated_release_receipt",
     "doc_feature_vector",
+    # round 8
+    "ann_recall_report",
+    "ivf_nprobe_sweep",
+    "source_token_kl",
+    "semantic_dedup_threshold_sweep",
+    "media_phash_neardup",
+    "lineitem_zorder_layout",
+    "zorder_pruning_gain",
+    "events_key_skew_report",
+    "events_ewma_hourly",
 ]
 
 

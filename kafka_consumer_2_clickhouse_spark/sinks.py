@@ -199,6 +199,7 @@ def compact_landing(
     partition_cols: list[str] | None = None,
     target_file_bytes: int = 128 << 20,
     fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Compact a Parquet (or ORC — ``fmt="orc"``, the other
     Spark-native columnar landing format) directory in place: merge the
@@ -225,6 +226,15 @@ def compact_landing(
     operator is the compaction/OPTIMIZE job of a table format (Delta,
     Iceberg), which adds the snapshot atomicity a bare directory can't
     give — the dataframe work is identical.
+
+    ``cluster_by``: cluster the rewritten files on these columns —
+    unpartitioned tables ``repartitionByRange`` on them (DISJOINT
+    per-file key ranges, so a later filter on the cluster key skips
+    whole files via footer min/max — the OPTIMIZE ... ZORDER/CLUSTER BY
+    move, single-key form; for the two-key interleave see
+    ``operators.layout``), partitioned tables sort within each
+    directory's task so row groups come out tight. Same one-shuffle
+    budget: the range/hash repartition IS the compaction shuffle.
 
     Returns ``{"files_before", "files_after", "rows_before",
     "rows_after"}``.
@@ -258,9 +268,11 @@ def compact_landing(
     old = path.rstrip("/") + "__precompact"
     shutil.rmtree(tmp, ignore_errors=True)
     if partition_cols:
+        shaped = out.repartition(*[F.col(c) for c in partition_cols])
+        if cluster_by:
+            shaped = shaped.sortWithinPartitions(*cluster_by)
         (
-            out.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
+            shaped.write.mode("overwrite")
             .option("maxRecordsPerFile", max_records)
             .partitionBy(*partition_cols)
             .format(fmt)
@@ -268,7 +280,13 @@ def compact_landing(
         )
     else:
         n_files = max(1, math.ceil(in_bytes / target_file_bytes))
-        out.repartition(n_files).write.mode("overwrite").option(
+        if cluster_by:
+            shaped = out.repartitionByRange(
+                n_files, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            shaped = out.repartition(n_files)
+        shaped.write.mode("overwrite").option(
             "maxRecordsPerFile", max_records
         ).format(fmt).save(tmp)
 

@@ -259,3 +259,63 @@ def test_zorder_materialized_layout_prunes_for_real(spark, sf_dir, tmp_path):
     z_day, _ = L.manifest_pruned_files(zdir, day_range=day_probe)
     d_day, _ = L.manifest_pruned_files(ddir, day_range=day_probe)
     assert len(z_day) < z_total and len(d_day) < d_total
+
+
+def test_compact_landing_cluster_by_makes_files_prunable(spark, sf_dir, tmp_path):
+    """cluster_by=[value]: the compacted files carry DISJOINT value ranges
+    (repartitionByRange + sortWithinPartitions), so a value-window probe
+    admits few files by footer min/max — while the default round-robin
+    compaction spreads every window across every file. Content must be
+    identical either way."""
+    import pyarrow.parquet as pq
+
+    from kafka_consumer_2_clickhouse_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "ts")
+
+    def land(path):
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).repartition(3).write.mode(
+                "append"
+            ).parquet(path)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(sinks._list_data_files(path)):
+            meta = pq.ParquetFile(f).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            ci = names.index(col)
+            out.append((
+                min(meta.row_group(g).column(ci).statistics.min
+                    for g in range(meta.num_row_groups)),
+                max(meta.row_group(g).column(ci).statistics.max
+                    for g in range(meta.num_row_groups)),
+            ))
+        return out
+
+    plain_dir, clus_dir = str(tmp_path / "plain"), str(tmp_path / "clus")
+    land(plain_dir)
+    land(clus_dir)
+    target = 8 << 10  # small target -> several output files
+    sinks.compact_landing(spark, plain_dir, target_file_bytes=target)
+    sinks.compact_landing(
+        spark, clus_dir, target_file_bytes=target, cluster_by=["value"]
+    )
+
+    # identical content either way
+    a = sorted(map(tuple, spark.read.parquet(plain_dir).collect()))
+    b = sorted(map(tuple, spark.read.parquet(clus_dir).collect()))
+    assert a == b
+
+    clus = sorted(file_ranges(clus_dir, "value"))
+    assert len(clus) > 2
+    # clustered: ranges disjoint (touching at boundaries at most)
+    for (lo1, hi1), (lo2, hi2) in zip(clus, clus[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # a narrow window admits fewer clustered files than plain files
+    lo, hi = clus[1]  # one file's exact span
+    def admitted(ranges):
+        return sum(1 for (a_, b_) in ranges if not (b_ < lo or a_ > hi))
+    plain = file_ranges(plain_dir, "value")
+    assert admitted(clus) < admitted(plain) or len(plain) == 1
