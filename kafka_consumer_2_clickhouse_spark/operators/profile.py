@@ -312,3 +312,95 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("suggested_salt"),
     )
+
+
+def _dedup_cost_sql() -> str:
+    """DuckDB twin of the dedup shuffle-cost model — same exact integer
+    arithmetic over the same corpus aggregates."""
+    from .dedup import N_BANDS, N_MINHASH, SHINGLE_N, SPAN_BLOCK_TOKENS
+
+    return f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t,
+             CAST(sum(greatest(len(string_split(text, ' ')) - {SHINGLE_N - 1},
+                               0)) AS BIGINT) AS sh,
+             CAST(sum(len(string_split(text, ' ')) // {SPAN_BLOCK_TOKENS})
+                  AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'exact_hash' AS strategy, d AS sig_rows,
+             d * 16 AS sig_bytes, d AS cand_key_rows,
+             d * 24 AS cand_key_bytes FROM s
+      UNION ALL
+      SELECT 'minhash_lsh', d, d * {N_MINHASH} * 8, d * {N_BANDS},
+             d * {N_BANDS} * 24 FROM s
+      UNION ALL
+      SELECT 'simhash_manku', d, d * 8, d * 70, d * 70 * 36 FROM s
+      UNION ALL
+      SELECT 'exactsubstr_blocks', b, b * 24, b, b * 24 FROM s
+      UNION ALL
+      SELECT 'shingle_verify', sh, sh * 24, sh, sh * 24 FROM s
+    ) q ORDER BY strategy
+    """
+
+
+@query("dedup_cost_preflight", oracle=_dedup_cost_sql())
+def dedup_cost_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SHUFFLE-COST planning table: before committing a
+    100 TB dedup pass, what does each strategy materialize and move?
+    Per strategy, the signature relation's row count and modeled bytes,
+    and the candidate-join key stream's rows and bytes, from exact
+    corpus aggregates (doc count, token count, shingle count, span
+    blocks) times each strategy's pinned constants — the storage/
+    shuffle counterpart of `events_key_skew_report`'s key-skew
+    preflight and the cost side of `dedup_threshold_sensitivity`'s
+    quality side. Byte weights are the repo's actual wire shapes
+    (md5 16 B, long 8 B, minhash K={{N_MINHASH}} longs, LSH
+    {{N_BANDS}} band keys/doc, Manku C(8,4)=70 compound keys/doc of
+    ~36 B, one ExactSubstr block per {{SPAN_BLOCK_TOKENS}} tokens) —
+    a model, but an exact and oracle-checked one: both engines compute
+    identical bigints, so the table is wrong only where the DOCUMENTED
+    weights are.
+
+    Scale: ONE aggregate over the documents scan (token counting is
+    map-side), 5-row literal fan-out — the whole query is a scan plus
+    one 1-row-per-partition combine.
+    """
+    from .dedup import N_BANDS, N_MINHASH, SHINGLE_N, SPAN_BLOCK_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    s = docs.agg(
+        F.count("*").cast("bigint").alias("d"),
+        F.sum(n_tok).cast("bigint").alias("t"),
+        F.sum(F.greatest(n_tok - (SHINGLE_N - 1), F.lit(0)))
+        .cast("bigint")
+        .alias("sh"),
+        F.sum(n_tok.cast("bigint") - (n_tok.cast("bigint") % SPAN_BLOCK_TOKENS))
+        .cast("bigint")
+        .alias("b8"),
+    ).select(
+        "d", "t", "sh", (F.col("b8") / SPAN_BLOCK_TOKENS).cast("bigint").alias("b")
+    )
+    rows = (
+        "stack(5, "
+        "'exact_hash', d, d * 16, d, d * 24, "
+        f"'minhash_lsh', d, d * {N_MINHASH} * 8, d * {N_BANDS}, d * {N_BANDS} * 24, "
+        "'simhash_manku', d, d * 8, d * 70, d * 70 * 36, "
+        "'exactsubstr_blocks', b, b * 24, b, b * 24, "
+        "'shingle_verify', sh, sh * 24, sh, sh * 24"
+        ") AS (strategy, sig_rows, sig_bytes, cand_key_rows, cand_key_bytes)"
+    )
+    return (
+        s.selectExpr(rows)
+        .selectExpr(
+            "strategy",
+            "CAST(sig_rows AS BIGINT) AS sig_rows",
+            "CAST(sig_bytes AS BIGINT) AS sig_bytes",
+            "CAST(cand_key_rows AS BIGINT) AS cand_key_rows",
+            "CAST(cand_key_bytes AS BIGINT) AS cand_key_bytes",
+        )
+        .orderBy("strategy")
+    )
