@@ -189,6 +189,8 @@ EXTRA = [
     "zorder_pruning_gain",
     "events_key_skew_report",
     "events_ewma_hourly",
+    "dedup_cost_preflight",
+    "pq_m_sweep",
 ]
 
 

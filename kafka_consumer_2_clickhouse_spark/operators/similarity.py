@@ -1737,3 +1737,142 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+
+
+#: subspace counts swept by the PQ compression dial (all divide DIM=64;
+#: code size = m bytes/vector, so these are 32x / 16x / 8x compression
+#: of the 256-byte float32 vector)
+PQ_SWEEP_M = (8, 16, 32)
+
+
+@query("pq_m_sweep")  # rows-only: scores the quantized variants against
+# the exact operator; recall floors + exact-rerank fidelity pinned in
+# tests/test_similarity.py
+def pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ COMPRESSION dial (the third ANN tuning table, after the
+    family report and the IVF probe-width curve): recall@k and rank
+    displacement vs the exact operator at each subspace count ``m``,
+    next to the bytes-per-vector and compression factor that setting
+    buys. Fewer subspaces = smaller codes = coarser ADC shortlists —
+    this table says where the shortlist starts dropping true
+    neighbors, which is what an owner reads before sizing a 100 TB
+    code store.
+
+    Scale: codebooks train per setting on the SAME bounded
+    content-hash sample (driver numpy, <= 2048 rows); each setting's
+    encode is one Arrow map pass; ADC scans codes only; the exact
+    re-rank touches full vectors for shortlists alone. The comparison
+    join and aggregate run over <= |settings| x N_QUERY x k rows
+    against the broadcast exact spine.
+    """
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        embedding_cosine_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cosine").alias("cos_exact"),
+            F.col("rank").alias("rank_exact"),
+        )
+    )
+    n_expected = exact.count()  # bounded: <= N_QUERY * TOP_K
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    tagged = None
+    for m in PQ_SWEEP_M:
+        books = train_pq_codebooks(raw, m=m)
+        codes = pq_encode(spread(raw), books)
+        # shortlist_n = k: NO re-rank slack, so recall measures the raw
+        # ADC ordering quality the subspace count actually controls (a
+        # generous shortlist + exact re-rank hides the dial — that
+        # production slack is pq_cosine_topk's own setting)
+        t = _pq_adc_rerank(
+            spark, raw, codes, books, qids, qmat, shortlist_n=TOP_K
+        ).select(
+            F.lit(m).alias("m"),
+            "query_id",
+            "cand_id",
+            F.col("rank").alias("rank_approx"),
+        )
+        # ADC score fidelity over the TRUE top-k pairs: score each
+        # exact pair's codes through this m's LUT — an Arrow pass over
+        # the semi-joined (<= n_expected-row) codes relation, so the
+        # error column measures quantization, not shortlist luck
+        lut = np.einsum(
+            "qms,mks->qmk",
+            qmat.reshape(len(qmat), m, DIM // m),
+            books,
+        )
+        bc = spark.sparkContext.broadcast((qids, lut))
+
+        def adc_score(batches, _bc=bc):  # bind THIS m's broadcast now —
+            # the closure runs lazily, after the loop has moved on
+            import numpy as np
+            import pandas as pd
+
+            ids, lut_v = _bc.value
+            m_v = lut_v.shape[1]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cd = np.vstack(pdf["codes"].to_numpy())
+                # sims[q, c] = sum_j lut_v[q, j, cd[c, j]]: fancy-index
+                # gives (n_query, m, n_cand); reduce the m axis
+                sims = lut_v[
+                    :, np.arange(m_v)[:, None], cd.T.astype(np.int64)
+                ].sum(axis=1)  # (n_query, n_cand)
+                for qi, qid in enumerate(ids):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": cand_ids,
+                            "adc_cosine": sims[qi],
+                        }
+                    )
+
+        pair_ids = exact.select(F.col("cand_id").alias("vec_id")).distinct()
+        scored = (
+            codes.join(F.broadcast(pair_ids), "vec_id", "left_semi")
+            .mapInPandas(
+                adc_score, schema="query_id long, cand_id long, adc_cosine double"
+            )
+        )
+        t = t.join(F.broadcast(scored), ["query_id", "cand_id"], "left")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    matched = F.col("rank_exact").isNotNull()
+    joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("m")
+        .agg(
+            F.first(F.col("m")).cast("bigint").alias("code_bytes"),
+            F.round(F.lit(DIM * 4) / F.first(F.col("m")), 6).alias(
+                "compression_x"
+            ),
+            F.lit(n_expected).alias("n_expected"),
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.round(F.sum(matched.cast("long")) / F.lit(n_expected), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        matched,
+                        F.abs(F.col("rank_approx") - F.col("rank_exact")),
+                    )
+                ),
+                6,
+            ).alias("mean_rank_displacement"),
+            F.round(
+                F.avg(
+                    F.when(
+                        matched,
+                        F.abs(F.col("adc_cosine") - F.col("cos_exact")),
+                    )
+                ),
+                6,
+            ).alias("adc_cosine_mae"),
+        )
+        .orderBy("m")
+    )

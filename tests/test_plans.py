@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "embedding_cosine_topk",  # all-pairs scoring vs broadcast queries
     "ann_recall_report",  # inherits embedding_cosine_topk's exact spine
     "ivf_nprobe_sweep",  # same inherited exact spine
+    "pq_m_sweep",  # same inherited exact spine
     "embedding_hard_negatives",  # same shape: label-inequality vs broadcast queries
     "knn_label_vote",  # same broadcast-queries scoring spine (vote stages after)
     "knn_accuracy",  # 1-row aggregate over knn_label_vote's chain

@@ -509,3 +509,26 @@ def test_ivf_nprobe_sweep_monotone_with_exact_anchor(spark, sf_dir):
     # each row accounts for the scan cost it buys recall with
     for r in rows:
         assert abs(r["scan_fraction"] - r["n_probe"] / N_CELLS) < 1e-9
+
+
+def test_pq_m_sweep_fidelity_improves_with_subspaces(spark, sf_dir):
+    """The compression dial: ADC cosine error must strictly shrink as
+    subspace count grows (finer quantization), recall floors hold, and
+    the byte accounting is the code size m itself."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        DIM,
+        PQ_SWEEP_M,
+    )
+
+    rows = {r["m"]: r for r in ops.QUERIES["pq_m_sweep"](spark, sf_dir).collect()}
+    assert set(rows) == set(PQ_SWEEP_M)
+    ordered = [rows[m] for m in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["adc_cosine_mae"] > b["adc_cosine_mae"], (a, b)
+    for m, r in rows.items():
+        assert r["code_bytes"] == m
+        assert abs(r["compression_x"] - DIM * 4 / m) < 1e-9
+        assert r["n_expected"] == 50
+        assert r["recall_at_k"] >= 0.5, (m, r["recall_at_k"])
+        assert r["adc_cosine_mae"] is not None and r["adc_cosine_mae"] > 0.0
