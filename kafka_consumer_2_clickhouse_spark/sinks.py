@@ -192,6 +192,40 @@ def _list_data_files(path: str, fmt: str = "parquet") -> list[str]:
     return out
 
 
+def _zorder_column(df: DataFrame, col_a: str, col_b: str) -> F.Column:
+    """16-bit Morton (Z-order) key over two numeric columns, scaled to
+    8-bit grid buckets against their OBSERVED min/max (one bounded
+    1-row aggregate pulled to the driver and baked as literals —
+    map-only after that). The interleave is the
+    ``operators.layout._z_expr`` bit math over arbitrary expressions;
+    constant columns degrade gracefully to bucket 0."""
+    from .operators.layout import _z_expr
+
+    stats0 = df.agg(
+        F.min(col_a).cast("double").alias("a_lo"),
+        F.max(col_a).cast("double").alias("a_hi"),
+        F.min(col_b).cast("double").alias("b_lo"),
+        F.max(col_b).cast("double").alias("b_hi"),
+    ).first()
+    stats = {k: (stats0[k] if stats0[k] is not None else 0.0)
+             for k in ("a_lo", "a_hi", "b_lo", "b_hi")}
+
+    def bucket(col: str, lo: float, hi: float) -> str:
+        span = (hi - lo) or 1.0
+        return (
+            f"least(greatest(CAST((CAST({col} AS DOUBLE) - {lo!r}) * 255.0 "
+            f"/ {span!r} AS INT), 0), 255)"
+        )
+
+    return F.expr(
+        _z_expr(
+            bucket(col_a, stats["a_lo"], stats["a_hi"]),
+            bucket(col_b, stats["b_lo"], stats["b_hi"]),
+            "spark",
+        )
+    )
+
+
 def compact_landing(
     spark: SparkSession,
     path: str,
@@ -200,6 +234,7 @@ def compact_landing(
     target_file_bytes: int = 128 << 20,
     fmt: str = "parquet",
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict:
     """Compact a Parquet (or ORC — ``fmt="orc"``, the other
     Spark-native columnar landing format) directory in place: merge the
@@ -231,10 +266,18 @@ def compact_landing(
     unpartitioned tables ``repartitionByRange`` on them (DISJOINT
     per-file key ranges, so a later filter on the cluster key skips
     whole files via footer min/max — the OPTIMIZE ... ZORDER/CLUSTER BY
-    move, single-key form; for the two-key interleave see
-    ``operators.layout``), partitioned tables sort within each
+    move, single-key form), partitioned tables sort within each
     directory's task so row groups come out tight. Same one-shuffle
     budget: the range/hash repartition IS the compaction shuffle.
+
+    ``zorder_by``: the TWO-key interleave (OPTIMIZE ZORDER BY proper,
+    unpartitioned tables only; mutually exclusive with ``cluster_by``):
+    both columns scale to 8-bit grid buckets against their observed
+    min/max (one bounded 1-row aggregate) and Morton-interleave into a
+    16-bit Z value (the ``operators.layout`` bit math over arbitrary
+    numeric columns); ``repartitionByRange`` on Z then gives every file
+    a LOCALIZED range in BOTH columns, so either column's probe skips
+    files — where a single-key cluster serves only its own key.
 
     Returns ``{"files_before", "files_after", "rows_before",
     "rows_after"}``.
@@ -245,6 +288,13 @@ def compact_landing(
 
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"fmt={fmt!r}: expected 'parquet' or 'orc'")
+    if zorder_by is not None:
+        if cluster_by is not None:
+            raise ValueError("zorder_by and cluster_by are mutually exclusive")
+        if partition_cols is not None:
+            raise ValueError("zorder_by supports unpartitioned tables only")
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two numeric columns")
     before = _list_data_files(path, fmt)
     if not before:
         return {
@@ -280,7 +330,15 @@ def compact_landing(
         )
     else:
         n_files = max(1, math.ceil(in_bytes / target_file_bytes))
-        if cluster_by:
+        if zorder_by:
+            z = _zorder_column(out, zorder_by[0], zorder_by[1])
+            shaped = (
+                out.withColumn("__z", z)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             shaped = out.repartitionByRange(
                 n_files, *[F.col(c) for c in cluster_by]
             ).sortWithinPartitions(*cluster_by)

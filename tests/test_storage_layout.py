@@ -319,3 +319,88 @@ def test_compact_landing_cluster_by_makes_files_prunable(spark, sf_dir, tmp_path
         return sum(1 for (a_, b_) in ranges if not (b_ < lo or a_ > hi))
     plain = file_ranges(plain_dir, "value")
     assert admitted(clus) < admitted(plain) or len(plain) == 1
+
+
+def test_compact_landing_zorder_by_serves_both_probes(spark, sf_dir, tmp_path):
+    """zorder_by=(event_id, value): ONE compacted layout whose files
+    carry localized ranges in BOTH columns — either column's probe
+    skips files by footer min/max. The single-key comparison
+    (cluster_by=[value]) serves only its own key: an event_id probe
+    admits (nearly) every file there. Content identical throughout."""
+    import pyarrow.parquet as pq
+
+    from kafka_consumer_2_clickhouse_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "ts")
+
+    def land(path):
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).repartition(3).write.mode(
+                "append"
+            ).parquet(path)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(sinks._list_data_files(path)):
+            meta = pq.ParquetFile(f).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            ci = names.index(col)
+            out.append((
+                min(meta.row_group(g).column(ci).statistics.min
+                    for g in range(meta.num_row_groups)),
+                max(meta.row_group(g).column(ci).statistics.max
+                    for g in range(meta.num_row_groups)),
+            ))
+        return out
+
+    def admitted(ranges, lo, hi):
+        return sum(1 for (a, b) in ranges if not (b < lo or a > hi))
+
+    zdir, cdir = str(tmp_path / "z"), str(tmp_path / "c")
+    land(zdir)
+    land(cdir)
+    target = 8 << 10
+    sinks.compact_landing(
+        spark, zdir, target_file_bytes=target, zorder_by=("event_id", "value")
+    )
+    sinks.compact_landing(
+        spark, cdir, target_file_bytes=target, cluster_by=["value"]
+    )
+
+    a = sorted(map(tuple, spark.read.parquet(zdir).collect()))
+    b = sorted(map(tuple, spark.read.parquet(cdir).collect()))
+    assert a == b  # identical content, different physical layout
+
+    z_ev = file_ranges(zdir, "event_id")
+    z_val = file_ranges(zdir, "value")
+    c_ev = file_ranges(cdir, "event_id")
+    n_z, n_c = len(z_ev), len(c_ev)
+    assert n_z > 3 and n_c > 3
+
+    # probes: the TOP ~1/8 slice of each column's observed domain
+    # (value is skewed toward 0, so the sparse top end is where
+    # min/max pruning has anything to prune)
+    ev_lo = min(lo for lo, _ in z_ev)
+    ev_hi = max(hi for _, hi in z_ev)
+    ev_probe = (ev_hi - (ev_hi - ev_lo) / 8, ev_hi)
+    v_lo = min(lo for lo, _ in z_val)
+    v_hi = max(hi for _, hi in z_val)
+    v_probe = (v_hi - (v_hi - v_lo) / 8, v_hi)
+
+    # Z layout: BOTH probes skip real files
+    assert admitted(z_ev, *ev_probe) < n_z
+    assert admitted(z_val, *v_probe) < n_z
+    # single-key layout: its own key prunes, the other key does not —
+    # the event_id probe admits strictly more files than under Z
+    assert admitted(file_ranges(cdir, "value"), *v_probe) < n_c
+    assert admitted(c_ev, *ev_probe) > admitted(z_ev, *ev_probe)
+
+    # guard-rail API contracts
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sinks.compact_landing(
+            spark, zdir, cluster_by=["value"], zorder_by=("event_id", "value")
+        )
+    with pytest.raises(ValueError, match="exactly two"):
+        sinks.compact_landing(spark, zdir, zorder_by=("event_id",))
