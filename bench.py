@@ -191,6 +191,7 @@ EXTRA = [
     "events_ewma_hourly",
     "dedup_cost_preflight",
     "pq_m_sweep",
+    "quality_regressor_eval",
 ]
 
 

@@ -20,6 +20,10 @@ from . import (  # noqa: F401
 # so it must import after them
 from . import curation  # noqa: F401, E402
 
+# quality_model trains on curation's doc_feature_vector, so it imports
+# after curation
+from . import quality_model  # noqa: F401, E402
+
 # All operator modules register into the same QUERIES/ORACLE_SQL
 # registries (declared in analytics.py) via the @query decorator.
 QUERIES = analytics.QUERIES

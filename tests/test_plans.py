@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "ann_recall_report",  # inherits embedding_cosine_topk's exact spine
     "ivf_nprobe_sweep",  # same inherited exact spine
     "pq_m_sweep",  # same inherited exact spine
+    "quality_regressor_fit",  # inherits doc_feature_vector's 1-row crossJoin
+    "quality_regressor_eval",  # same inherited design-matrix chain
     "embedding_hard_negatives",  # same shape: label-inequality vs broadcast queries
     "knn_label_vote",  # same broadcast-queries scoring spine (vote stages after)
     "knn_accuracy",  # 1-row aggregate over knn_label_vote's chain

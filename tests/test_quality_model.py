@@ -1,0 +1,77 @@
+"""In-engine OLS quality-model distillation: the one-pass Gram
+aggregate + bounded driver solve must reproduce numpy's least squares
+exactly, fit on the TRAIN split only, and score map-only."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators.quality_model import (
+    FEATURES,
+    RIDGE,
+    _design,
+    _fit_coefficients,
+)
+
+
+def test_fit_matches_numpy_on_train_split_only(spark, sf_dir):
+    """The distributed Gram-aggregate solve == numpy lstsq on the
+    collected TRAIN design matrix (the exact-math identity), and NOT
+    on the full corpus — proof the fit respects the split."""
+    coef = _fit_coefficients(spark, sf_dir)
+    rows = _design(spark, sf_dir).collect()
+    d1 = len(FEATURES) + 1
+
+    def solve(subset):
+        X = np.array([[r[f"x{i}"] for i in range(d1)] for r in subset])
+        y = np.array([r["y"] for r in subset])
+        return np.linalg.solve(X.T @ X + RIDGE * np.eye(d1), X.T @ y)
+
+    train = [r for r in rows if r["split"] == "train"]
+    want = solve(train)
+    # the Gram matrix is ill-conditioned (near-collinear ratios), so
+    # compare in PREDICTION space — the well-conditioned functional —
+    # plus a loose coefficient check: distributed-sum order vs numpy's
+    # differs in the last float digits and the solve amplifies it
+    Xt = np.array([[r[f"x{i}"] for i in range(d1)] for r in train])
+    assert np.allclose(Xt @ coef, Xt @ want, atol=1e-8)
+    assert np.allclose(coef, want, rtol=1e-3, atol=1e-3), (coef, want)
+    # full-corpus fit differs: val/test rows never entered the Gram
+    full = solve(rows)
+    assert not np.allclose(coef, full, atol=1e-9)
+
+
+def test_fit_table_matches_internal_coefficients(spark, sf_dir):
+    coef = _fit_coefficients(spark, sf_dir)
+    got = {
+        r["feature"]: r["coefficient"]
+        for r in ops.QUERIES["quality_regressor_fit"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(["intercept"] + FEATURES)
+    assert abs(got["intercept"] - coef[0]) < 1e-12
+    for i, f in enumerate(FEATURES):
+        assert abs(got[f] - coef[i + 1]) < 1e-12, f
+
+
+def test_eval_math_and_split_hygiene(spark, sf_dir):
+    """Eval rows: one per split; with-intercept OLS guarantees
+    in-sample (train) R^2 >= 0 up to the ridge epsilon; mae <= rmse
+    always; and the residual math reproduces from the coefficient
+    table driver-side."""
+    rows = {r["split"]: r for r in
+            ops.QUERIES["quality_regressor_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    for s, r in rows.items():
+        assert r["n"] > 0
+        assert 0 <= r["mae"] <= r["rmse"], (s, r)
+        assert r["r2"] <= 1.0
+    assert rows["train"]["r2"] >= -1e-6  # OLS identity, corpus-independent
+
+    # replay one split's MAE from the coefficient table
+    coef = _fit_coefficients(spark, sf_dir)
+    d1 = len(FEATURES) + 1
+    val = [r for r in _design(spark, sf_dir).collect() if r["split"] == "val"]
+    X = np.array([[r[f"x{i}"] for i in range(d1)] for r in val])
+    y = np.array([r["y"] for r in val])
+    mae = float(np.mean(np.abs(y - X @ coef)))
+    assert abs(rows["val"]["mae"] - round(mae, 6)) < 2e-6
