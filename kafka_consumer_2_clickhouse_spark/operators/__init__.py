@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     clustering,
     dedup,
     embedding_qc,
+    expectations,
     graph,
     layout,
     multimodal,

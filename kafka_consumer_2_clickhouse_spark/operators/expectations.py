@@ -1,0 +1,244 @@
+"""Data-contract audits: expectation checks and referential integrity.
+
+[EXT] The reference pipeline lands whatever Kafka delivers — schema
+cast is its only gate (``internal/converter/converter.go``); nothing
+validates the *values*. At 100 TB a landed table needs a contract
+report before anything trains on it: null rates, key uniqueness,
+accepted ranges, enum membership, freshness — the Great-Expectations /
+dbt-test audit, expressed as ONE Spark aggregate per table — plus the
+cross-table foreign-key orphan audit that catches partial loads (a
+lineitem shard landed without its orders shard).
+
+Scale design:
+
+* ``events_expectations_report``: every check folds into a single
+  grouped-less aggregate over ONE scan (conditional sums + one
+  count-distinct); the unpivot to one-row-per-check happens on the
+  1-row result. No joins, no second scan, no shuffle beyond the
+  aggregate's partial->final merge. At 100 TB the exact
+  ``count(DISTINCT ...)`` uniqueness check is the only expand —
+  swap to ``approx_count_distinct`` and the whole report is a pure
+  map-side sketch merge (same trade ``events_profile`` documents).
+* ``referential_orphans``: one edge = one scan of the child + one
+  LEFT JOIN against the parent's DISTINCT key relation, aggregated to
+  a single row in the same pass (count + sum-of-unmatched), so the
+  row count and the orphan count never diverge between scans. Dim
+  parents broadcast; the one fact-fact edge (lineitem->orders) is a
+  key-partitioned join AQE handles. Null FKs count as orphans in both
+  engines (neither LEFT JOIN nor anti-join matches NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .analytics import query
+
+# --------------------------------------------------------------------------
+# events_expectations_report
+# --------------------------------------------------------------------------
+
+#: contract for the events table: (check_name, check_type, column,
+#: SQL failure predicate — rows where the predicate is TRUE fail).
+#: Deliberately includes checks this corpus FAILS (value cap 300,
+#: event_type enum without 'error') so the report demonstrably
+#: catches violations, not just rubber-stamps.
+EVENT_CHECKS: list[tuple[str, str, str, str]] = [
+    ("event_id_not_null", "not_null", "event_id", "event_id IS NULL"),
+    ("ts_not_null", "not_null", "ts", "ts IS NULL"),
+    ("user_id_not_null", "not_null", "user_id", "user_id IS NULL"),
+    ("event_type_not_null", "not_null", "event_type", "event_type IS NULL"),
+    ("value_not_null", "not_null", "value", "value IS NULL"),
+    ("value_non_negative", "range", "value", "value < 0"),
+    ("value_below_cap", "range", "value", "value > 300.0"),
+    (
+        "event_type_in_enum",
+        "enum",
+        "event_type",
+        "event_type NOT IN ('click','view','purchase','signup')",
+    ),
+    (
+        "ts_freshness_window",
+        "range",
+        "ts",
+        "ts < TIMESTAMP '2024-01-01 00:00:00' "
+        "OR ts >= TIMESTAMP '2025-01-01 00:00:00'",
+    ),
+]
+
+
+def _expectations_oracle() -> str:
+    fail_sums = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i, (_, _, _, pred) in enumerate(EVENT_CHECKS)
+    )
+    rows = [
+        f"""SELECT '{name}' AS check_name, '{ctype}' AS check_type,
+               '{col}' AS column_name, n_rows AS n_checked, f{i} AS n_failed
+        FROM agg"""
+        for i, (name, ctype, col, _) in enumerate(EVENT_CHECKS)
+    ]
+    rows.append(
+        """SELECT 'event_id_unique' AS check_name, 'unique' AS check_type,
+               'event_id' AS column_name, n_rows AS n_checked,
+               n_rows - n_distinct_ids AS n_failed
+        FROM agg"""
+    )
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_distinct_ids,
+           {fail_sums}
+      FROM events
+    )
+    SELECT check_name, check_type, column_name, n_checked, n_failed,
+           CAST(n_failed AS DOUBLE) / n_checked AS fail_fraction,
+           n_failed = 0 AS passed
+    FROM ({union})
+    """
+
+
+@query("events_expectations_report", oracle=_expectations_oracle())
+def events_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit of the events table: one row per expectation
+    (null / range / enum / uniqueness), with checked + failed counts.
+
+    The pre-training gate the reference pipeline never runs (it casts
+    and ships — ``internal/converter/converter.go``): a landed table
+    gets a machine-readable pass/fail contract before anything
+    downstream consumes it. The contract includes checks this corpus
+    genuinely fails (value cap, enum without 'error') — the report
+    proves violations surface, not just that green data is green.
+
+    Scale: ONE scan -> one grouping-less aggregate (conditional sums
+    + one exact count-distinct for the uniqueness check — the only
+    expand; ``approx_count_distinct`` is the documented 100 TB swap).
+    The per-check unpivot runs on the 1-row aggregate, so output cost
+    is O(checks), never O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col("event_id")).cast("bigint").alias("n_distinct_ids"),
+    ]
+    for i, (_, _, _, pred) in enumerate(EVENT_CHECKS):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(f"f{i}")
+        )
+    agg = ev.agg(*aggs)
+
+    per_check = [
+        (name, ctype, col, F.col(f"f{i}"))
+        for i, (name, ctype, col, _) in enumerate(EVENT_CHECKS)
+    ] + [
+        ("event_id_unique", "unique", "event_id",
+         F.col("n_rows") - F.col("n_distinct_ids")),
+    ]
+    # unpivot by exploding an array of per-check structs over the ONE
+    # aggregate row — a union of per-check branches would re-execute
+    # the aggregate (and the scan) once per check at scale
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.lit(ctype).alias("check_type"),
+                F.lit(col).alias("column_name"),
+                F.col("n_rows").alias("n_checked"),
+                failed.cast("bigint").alias("n_failed"),
+            )
+            for name, ctype, col, failed in per_check
+        ]
+    )
+    out = agg.select(F.explode(checks).alias("c")).select("c.*")
+    return out.select(
+        "*",
+        (F.col("n_failed").cast("double") / F.col("n_checked")).alias(
+            "fail_fraction"
+        ),
+        (F.col("n_failed") == 0).alias("passed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# referential_orphans
+# --------------------------------------------------------------------------
+
+#: the star schema's FK edges: (child, fk, parent, pk, parent_is_dim)
+FK_EDGES: list[tuple[str, str, str, str, bool]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+def _orphans_oracle() -> str:
+    rows = []
+    for child, fk, parent, pk, _ in FK_EDGES:
+        rows.append(f"""
+        SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+               '{parent}' AS parent_table,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{fk} = p.{pk}""")
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+    SELECT child_table, fk_column, parent_table, n_rows, n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_rows AS orphan_fraction
+    FROM ({union})
+    """
+
+
+@query("referential_orphans", oracle=_orphans_oracle())
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over every edge of the star schema:
+    per edge, child row count, rows whose FK has no parent, and the
+    orphan fraction. Catches partial loads — the failure mode where a
+    fact shard lands before (or without) its dimension shard and every
+    downstream join silently drops rows.
+
+    Scale: one edge = one child scan + one LEFT JOIN against the
+    parent's DISTINCT-key relation (dims broadcast explicitly; the
+    fact-fact lineitem->orders edge shuffles on the key and AQE
+    handles it), aggregated to ONE row in the same pass so row count
+    and orphan count can never diverge between scans. NULL FKs count
+    as orphans in both engines.
+    """
+    dfs = []
+    for child, fk, parent, pk, is_dim in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        if is_dim:
+            p = F.broadcast(p)
+        joined = c.join(p, c[fk] == p[pk], "left")
+        dfs.append(
+            joined.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_column"),
+                F.lit(parent).alias("parent_table"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "*",
+        (F.col("n_orphans").cast("double") / F.col("n_rows")).alias(
+            "orphan_fraction"
+        ),
+    )

@@ -57,11 +57,21 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 def _nanos_columns_at(target: str, mtime_ns: int, size: int) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
+    # pyarrow reports BOTH annotated TIMESTAMP(NANOS) (physical INT64)
+    # and legacy INT96 timestamps (Spark's default writer type) as
+    # timestamp[ns] — but Spark reads INT96 back as a plain TIMESTAMP
+    # regardless of nanosAsLong, so only physical-INT64 columns need
+    # the epoch-nanos restoration
+    meta = pq.ParquetFile(target).metadata
+    physical = {
+        meta.schema.column(i).name: meta.schema.column(i).physical_type
+        for i in range(meta.num_columns)
+    }
     schema = pq.read_schema(target)
     out = []
     for field in schema:
         t = field.type
-        if str(t).startswith("timestamp[ns"):
+        if str(t).startswith("timestamp[ns") and physical.get(field.name) == "INT64":
             out.append(field.name)
     return tuple(out)
 

@@ -1,0 +1,91 @@
+"""Data-contract audit semantics + plan shape."""
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.plans import physical_plan
+
+
+def test_expectations_report_flags_real_violations(spark, sf_dir):
+    rows = {
+        r["check_name"]: r
+        for r in ops.QUERIES["events_expectations_report"](spark, sf_dir).collect()
+    }
+    # one row per contract check + the uniqueness check
+    from kafka_consumer_2_clickhouse_spark.operators.expectations import EVENT_CHECKS
+
+    assert len(rows) == len(EVENT_CHECKS) + 1
+
+    # the corpus genuinely violates these two checks...
+    assert not rows["value_below_cap"]["passed"]
+    assert rows["value_below_cap"]["n_failed"] > 0
+    assert not rows["event_type_in_enum"]["passed"]
+    # ...and satisfies the structural ones
+    for name in ("event_id_not_null", "ts_not_null", "user_id_not_null",
+                 "value_non_negative", "ts_freshness_window", "event_id_unique"):
+        assert rows[name]["passed"], name
+        assert rows[name]["n_failed"] == 0
+    # every check audited the full table
+    n = {r["n_checked"] for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0
+    # fail_fraction is consistent with the counts
+    for r in rows.values():
+        assert abs(r["fail_fraction"] - r["n_failed"] / r["n_checked"]) < 1e-12
+
+
+def test_expectations_report_scans_events_once(spark, sf_dir):
+    """The per-check unpivot must NOT re-execute the aggregate: one
+    FileScan of events in the whole plan (a union-per-check shape
+    would show one scan per check — fatal at 100 TB)."""
+    plan = physical_plan(
+        ops.QUERIES["events_expectations_report"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_referential_orphans_clean_star_schema(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.expectations import FK_EDGES
+
+    rows = ops.QUERIES["referential_orphans"](spark, sf_dir).collect()
+    assert len(rows) == len(FK_EDGES)
+    # the synthetic star schema is referentially intact — every edge
+    # audits its full child table and finds zero orphans
+    for r in rows:
+        assert r["n_orphans"] == 0, r
+        assert r["orphan_fraction"] == 0.0
+        assert r["n_rows"] > 0
+    # edge coverage: every FK edge appears exactly once
+    seen = {(r["child_table"], r["fk_column"], r["parent_table"]) for r in rows}
+    assert seen == {(c, fk, p) for c, fk, p, _, _ in FK_EDGES}
+
+
+def test_referential_orphans_detects_injected_orphans(spark, tmp_path, sf_dir):
+    """Audit a COPY of the star schema with a truncated parent: drop
+    half the orders, and the lineitem->orders edge must report the
+    matching orphan count while every other edge stays clean."""
+    import shutil
+    import os
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    broken = tmp_path / "broken_sf"
+    os.makedirs(broken)
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", broken / f"{t}.parquet")
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.filter("o_orderkey % 2 = 0")
+    # the loader resolves <dir>/<name>.parquet — a directory works
+    kept.write.parquet(str(broken / "orders.parquet"))
+
+    rows = {
+        (r["child_table"], r["fk_column"]): r
+        for r in ops.QUERIES["referential_orphans"](spark, str(broken)).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    expect_orphans = li.join(
+        kept.select("o_orderkey"), li.l_orderkey == kept.o_orderkey, "left_anti"
+    ).count()
+    got = rows[("lineitem", "l_orderkey")]
+    assert got["n_orphans"] == expect_orphans > 0
+    # the other edges are untouched
+    for (child, fk), r in rows.items():
+        if (child, fk) != ("lineitem", "l_orderkey"):
+            assert r["n_orphans"] == 0, (child, fk)
