@@ -404,3 +404,98 @@ def dedup_cost_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# --------------------------------------------------------------------------
+# join_cardinality_preflight
+# --------------------------------------------------------------------------
+
+#: join edges the preflight models: (join_name, left table, left key,
+#: right table, right key). Includes the self-join every behavioral
+#: query family runs (events x events on user_id) — the classic
+#: quadratic-blowup risk a planner must price before executing.
+JOIN_EDGES: list[tuple[str, str, str, str, str]] = [
+    ("lineitem_x_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_x_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events_x_events_user", "events", "user_id", "events", "user_id"),
+]
+
+
+def _join_card_sql() -> str:
+    rows = []
+    for name, lt, lk, rt, rk in JOIN_EDGES:
+        rows.append(f"""
+        SELECT '{name}' AS join_name,
+               CAST(sum(coalesce(nl, 0)) AS BIGINT) AS left_rows,
+               CAST(sum(coalesce(nr, 0)) AS BIGINT) AS right_rows,
+               CAST(count(nl) AS BIGINT) AS left_keys,
+               CAST(count(nr) AS BIGINT) AS right_keys,
+               CAST(count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                          THEN 1 END) AS BIGINT) AS matched_keys,
+               CAST(sum(coalesce(nl * nr, 0)) AS BIGINT) AS out_rows,
+               CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_key_out,
+               CAST(sum(coalesce(nl * nr, 0)) AS DOUBLE)
+                 / sum(coalesce(nl, 0)) AS amplification
+        FROM (SELECT {lk} AS k, count(*) AS nl FROM {lt} GROUP BY 1) l
+        FULL OUTER JOIN
+             (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) r
+        USING (k)""")
+    return "\n        UNION ALL ".join(rows)
+
+
+@query("join_cardinality_preflight", oracle=_join_card_sql())
+def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output cardinality — computed WITHOUT running the
+    join. Per edge: input rows/keys per side, matched keys, the exact
+    output row count (sum over keys of n_left x n_right), the hottest
+    single key's contribution (the skew straggler), and the
+    left-side amplification factor.
+
+    The planning table behind every "can we afford this join" decision
+    at 100 TB: the key-grain count relations are tiny compared to the
+    fact tables, their full-outer join shuffles only |keys| rows, yet
+    the arithmetic yields the join's EXACT output size — including the
+    events self-join's quadratic per-user blowup, priced here before
+    anyone pays it. Complements `events_key_skew_report` (per-key skew
+    on one table) and `dedup_cost_preflight` (dedup wire costs).
+
+    Scale: per edge, two key-grain groupBys (map-side partials
+    collapse to one row per key) + one |keys|-row full-outer join +
+    one 1-row aggregate. Never materializes a single joined fact row.
+    """
+    dfs = []
+    for name, lt, lk, rt, rk in JOIN_EDGES:
+        lc = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count("*").alias("nl"))
+        )
+        rc = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count("*").alias("nr"))
+        )
+        j = lc.join(rc, "k", "full_outer")
+        out_rows = F.sum(F.coalesce(F.col("nl") * F.col("nr"), F.lit(0)))
+        dfs.append(
+            j.agg(
+                F.sum(F.coalesce("nl", F.lit(0))).cast("bigint").alias("left_rows"),
+                F.sum(F.coalesce("nr", F.lit(0))).cast("bigint").alias("right_rows"),
+                F.count("nl").cast("bigint").alias("left_keys"),
+                F.count("nr").cast("bigint").alias("right_keys"),
+                F.count(
+                    F.when(F.col("nl").isNotNull() & F.col("nr").isNotNull(), 1)
+                ).cast("bigint").alias("matched_keys"),
+                out_rows.cast("bigint").alias("out_rows"),
+                F.coalesce(F.max(F.col("nl") * F.col("nr")), F.lit(0))
+                .cast("bigint")
+                .alias("max_key_out"),
+                (out_rows.cast("double") / F.sum(F.coalesce("nl", F.lit(0))))
+                .alias("amplification"),
+            ).select(F.lit(name).alias("join_name"), "*")
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

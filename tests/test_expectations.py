@@ -89,3 +89,34 @@ def test_referential_orphans_detects_injected_orphans(spark, tmp_path, sf_dir):
     for (child, fk), r in rows.items():
         if (child, fk) != ("lineitem", "l_orderkey"):
             assert r["n_orphans"] == 0, (child, fk)
+
+
+def test_join_cardinality_preflight_predicts_actual_joins(spark, sf_dir):
+    """The preflight's out_rows must equal the REAL join's row count —
+    the whole point is pricing the join without running it, so run it
+    once here and pin the prediction. Also sanity-pins amplification
+    and the self-join's quadratic blowup being the table's maximum."""
+    from kafka_consumer_2_clickhouse_spark.operators.profile import JOIN_EDGES
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    rows = {
+        r["join_name"]: r
+        for r in ops.QUERIES["join_cardinality_preflight"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {name for name, *_ in JOIN_EDGES}
+    for name, lt, lk, rt, rk in JOIN_EDGES:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        actual = left.join(
+            right, left[lk] == right[rk], "inner"
+        ).count()
+        assert rows[name]["out_rows"] == actual, name
+        got = rows[name]
+        assert got["max_key_out"] <= got["out_rows"]
+        assert abs(got["amplification"] - got["out_rows"] / got["left_rows"]) < 1e-9
+    # the events self-join is the blowup case: every user contributes
+    # n^2 rows, so amplification strictly exceeds the FK joins'
+    fk_amp = max(
+        rows[n]["amplification"] for n in rows if n != "events_x_events_user"
+    )
+    assert rows["events_x_events_user"]["amplification"] > fk_amp
