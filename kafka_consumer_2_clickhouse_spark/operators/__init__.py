@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     expectations,
     graph,
     layout,
+    maintenance,
     multimodal,
     pii,
     profile,

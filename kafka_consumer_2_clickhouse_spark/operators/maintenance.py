@@ -1,0 +1,330 @@
+"""Warehouse maintenance operators: incremental rollup merge, CDC
+MERGE semantics, and SCD2 history.
+
+[EXT] The reference relays events into ClickHouse and stops
+(``internal/collector/collector.go``); everything a warehouse does
+AFTER landing — maintaining materialized rollups incrementally,
+applying CDC upsert/delete batches, turning event streams into
+slowly-changing-dimension history — is out of its scope but essential
+at 100 TB, where "recompute the rollup from scratch" means re-scanning
+the corpus for every arriving delta.
+
+Scale design:
+
+* ``incremental_rollup_merge`` proves the MERGEABILITY of the rollup:
+  every metric is an algebraic aggregate (count/sum/min/max; avg
+  derived post-merge), so base+delta partials merged with a second
+  grain-level groupBy EQUAL the full recompute — the oracle IS the
+  full recompute, so the equality is hash-checked every run. At
+  100 TB the base partial is already materialized and only the delta
+  scan runs; the query simulates exactly that maintenance step.
+* ``orders_merge_upsert`` is MERGE INTO without a table format: one
+  key-partitioned full-outer join between target and CDC batch
+  classifies every row insert/update/delete/unchanged in a single
+  pass. The audit output is grain-bounded (one row per action).
+* ``events_scd2_history`` builds type-2 validity intervals with two
+  user-partitioned windows (change detection, then interval close) —
+  no self-join, no global window; state per user is its change count,
+  not its event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import load_table
+from .analytics import dsum, query
+
+# --------------------------------------------------------------------------
+# incremental_rollup_merge
+# --------------------------------------------------------------------------
+
+#: the base/delta split point as a fraction of the corpus time span
+#: (numerator/denominator — integer microsecond arithmetic so both
+#: engines derive the identical cutoff)
+CUTOFF_NUM, CUTOFF_DEN = 4, 5
+
+
+def _rollup_merge_sql() -> str:
+    # the ORACLE is the full recompute: if the Spark side's
+    # base+delta merge diverges from it in any cell, the hash check
+    # fails — the merge-equals-recompute proof runs on every oracle pass
+    return """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@query("incremental_rollup_merge", oracle=_rollup_merge_sql())
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: split the corpus
+    at a deterministic time cutoff (80% of the span), roll up base and
+    delta INDEPENDENTLY, merge the partials with a second grain-level
+    aggregate, and re-derive the non-algebraic column (avg) from the
+    merged sums. The oracle is the FULL recompute — so the
+    merge-equals-recompute identity that makes incremental
+    maintenance sound is hash-verified on every oracle pass.
+
+    At 100 TB the base partial is a stored table and only the delta
+    (the day's arrivals) is scanned+rolled — this query simulates that
+    exact maintenance step, including the discipline it forces: only
+    ALGEBRAIC aggregates in the stored rollup (count/sum/min/max;
+    avg/stddev derived at read time), decimal sums so re-aggregation
+    order can't move a double.
+
+    Scale: two fact scans here (simulating base-then-delta arrival);
+    in maintenance mode the base scan disappears. The merge groupBy
+    runs on grain-level partials — |hours x types| rows, never facts.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    rng = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).select(
+        (
+            F.col("lo")
+            + F.floor(
+                ((F.col("hi") - F.col("lo")) * CUTOFF_NUM) / CUTOFF_DEN
+            ).cast("bigint")
+        ).alias("cutoff_us")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    with_cut = ev.crossJoin(F.broadcast(rng))
+    base = partial(with_cut.filter(F.col("ts_us") <= F.col("cutoff_us")))
+    delta = partial(with_cut.filter(F.col("ts_us") > F.col("cutoff_us")))
+
+    merged = (
+        base.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_merge_upsert
+# --------------------------------------------------------------------------
+
+#: deterministic CDC batch derived from the orders table itself:
+#: keys % 10 == UPD_MOD are updates (status -> 'F', price * 1.1),
+#: keys % 10 == DEL_MOD are deletes, and every update key also spawns
+#: an insert with the negated key (guaranteed absent from the target)
+UPD_MOD, DEL_MOD = 3, 7
+
+
+def _merge_upsert_sql() -> str:
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey AS k, 'U' AS op,
+             'F' AS new_status,
+             o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 10 = {UPD_MOD}
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = {DEL_MOD}
+      UNION ALL
+      SELECT -o_orderkey, 'I', 'O', o_totalprice * 0.5
+      FROM orders WHERE o_orderkey % 10 = {UPD_MOD}
+    ), classified AS (
+      SELECT CASE
+               WHEN s.op = 'I' THEN 'inserted'
+               WHEN s.op = 'U' AND t.o_orderkey IS NOT NULL THEN 'updated'
+               WHEN s.op = 'D' AND t.o_orderkey IS NOT NULL THEN 'deleted'
+               WHEN s.k IS NULL THEN 'unchanged'
+             END AS action,
+             CASE
+               WHEN s.op = 'I' THEN s.new_price
+               WHEN s.op = 'U' AND t.o_orderkey IS NOT NULL THEN s.new_price
+               WHEN s.op = 'D' THEN t.o_totalprice
+               ELSE t.o_totalprice
+             END AS price
+      FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+    )
+    SELECT action, count(*) AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM classified
+    WHERE action IS NOT NULL
+    GROUP BY action
+    """
+
+
+@query("orders_merge_upsert", oracle=_merge_upsert_sql())
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC batch
+    (updates, deletes, inserts — derived deterministically from the
+    target so the oracle can derive the identical batch) to the orders
+    table via ONE key-partitioned full-outer join, and emit the merge
+    audit: per action (inserted/updated/deleted/unchanged), row count
+    and the decimal-exact price total of the post-merge state (for
+    deletes, the price removed).
+
+    This is the Delta/Iceberg MERGE execution plan expressed directly:
+    classify every (target, source) pair in a single pass — no
+    per-action scans, no second join. The audit row counts are the
+    write-ahead numbers a MERGE commits to its transaction log.
+
+    Scale: the CDC batch shuffles on the key alongside the target
+    (both sides key-partitioned, AQE handles size asymmetry); output
+    is 4 rows. Never materializes the merged table wide — actions and
+    prices fold straight into the grain aggregate.
+    """
+    t = load_table(spark, sf_dir, "orders")
+    upd = (
+        t.filter(F.col("o_orderkey") % 10 == UPD_MOD)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U").alias("op"),
+            F.lit("F").alias("new_status"),
+            (F.col("o_totalprice") * 1.1).alias("new_price"),
+        )
+    )
+    dele = (
+        t.filter(F.col("o_orderkey") % 10 == DEL_MOD)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("new_status"),
+            F.lit(None).cast("double").alias("new_price"),
+        )
+    )
+    ins = (
+        t.filter(F.col("o_orderkey") % 10 == UPD_MOD)
+        .select(
+            (-F.col("o_orderkey")).alias("k"),
+            F.lit("I").alias("op"),
+            F.lit("O").alias("new_status"),
+            (F.col("o_totalprice") * 0.5).alias("new_price"),
+        )
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+
+    j = t.join(src, t["o_orderkey"] == src["k"], "full_outer")
+    action = (
+        F.when(F.col("op") == "I", "inserted")
+        .when((F.col("op") == "U") & F.col("o_orderkey").isNotNull(), "updated")
+        .when((F.col("op") == "D") & F.col("o_orderkey").isNotNull(), "deleted")
+        .when(F.col("k").isNull(), "unchanged")
+    )
+    price = (
+        F.when(F.col("op") == "I", F.col("new_price"))
+        .when(
+            (F.col("op") == "U") & F.col("o_orderkey").isNotNull(),
+            F.col("new_price"),
+        )
+        .when(F.col("op") == "D", F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        j.select(action.alias("action"), price.alias("price"))
+        .filter(F.col("action").isNotNull())
+        .groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("price").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_scd2_history
+# --------------------------------------------------------------------------
+
+
+def _scd2_sql() -> str:
+    return """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev IS NULL OR prev <> state
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS valid_to,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             IS NULL AS is_current,
+           CAST(row_number() OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS BIGINT) AS version
+    FROM changes
+    """
+
+
+@query("events_scd2_history", oracle=_scd2_sql())
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from the event
+    stream: per user, one row per STATE CHANGE (event_type treated as
+    the user's current state), with ``[valid_from, valid_to)``
+    validity intervals, an ``is_current`` flag on the open interval,
+    and a per-user version counter — the event-sourced dimension table
+    every warehouse derives from its CDC feed.
+
+    Note ``prev <> state`` (not null-safe) drops repeated states: a
+    user emitting view,view,click collapses to two versions. Ties on
+    ``ts`` are broken by ``event_id`` in BOTH window orders, so the
+    history is bit-deterministic.
+
+    Scale: two user-partitioned windows over the fact stream (change
+    detection, then interval close on the CHANGE rows only — already
+    collapsed, so the second window's input is the distinct-state-run
+    count, not the event count). No join, no global window; the
+    standard SCD2-from-events plan at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = ordered.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )

@@ -1,0 +1,114 @@
+"""Warehouse-maintenance operator semantics (operators/maintenance.py)."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark, sf_dir):
+    """The registered query merges base+delta partials; recompute the
+    rollup in ONE pass here and pin cell-level equality — the
+    mergeability proof, in-engine (the oracle re-proves it vs DuckDB)."""
+    merged = ops.QUERIES["incremental_rollup_merge"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    full = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "hour", "event_type", "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "min_value", "max_value",
+            (F.col("sum_dec").cast("double") / F.col("n_events")).alias(
+                "avg_value"
+            ),
+        )
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    # both halves contributed: some grain rows exist on each side of
+    # the cutoff (the 80/20 split is non-degenerate on this corpus)
+    assert merged.count() > 0
+
+
+def test_merge_upsert_audit_counts(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.maintenance import (
+        DEL_MOD,
+        UPD_MOD,
+    )
+
+    rows = {
+        r["action"]: r
+        for r in ops.QUERIES["orders_merge_upsert"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    n_upd = orders.filter(F.col("o_orderkey") % 10 == UPD_MOD).count()
+    n_del = orders.filter(F.col("o_orderkey") % 10 == DEL_MOD).count()
+    assert rows["updated"]["n_rows"] == n_upd > 0
+    assert rows["deleted"]["n_rows"] == n_del > 0
+    # every update key spawns one insert with the negated key
+    assert rows["inserted"]["n_rows"] == n_upd
+    assert rows["unchanged"]["n_rows"] == n - n_upd - n_del
+    # updated price total is 1.1x the affected rows' original total
+    # (same double arithmetic the operator uses)
+    orig = (
+        orders.filter(F.col("o_orderkey") % 10 == UPD_MOD)
+        .agg(
+            F.sum((F.col("o_totalprice") * 1.1).cast("decimal(27,6)"))
+            .cast("double")
+        )
+        .collect()[0][0]
+    )
+    assert abs(rows["updated"]["total_price"] - orig) < 1e-6
+
+
+def test_scd2_intervals_contiguous_and_single_current(spark, sf_dir):
+    hist = ops.QUERIES["events_scd2_history"](spark, sf_dir)
+    hist.cache()
+    try:
+        # exactly one open interval per user
+        open_per_user = (
+            hist.groupBy("user_id")
+            .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+            .filter(F.col("n_open") != 1)
+            .count()
+        )
+        assert open_per_user == 0
+        # intervals chain: version k's valid_to == version k+1's valid_from
+        a = hist.alias("a")
+        b = hist.alias("b")
+        broken = (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.version") + 1 == F.col("b.version")),
+            )
+            .filter(F.col("a.valid_to") != F.col("b.valid_from"))
+            .count()
+        )
+        assert broken == 0
+        # consecutive versions always change state (no no-op rows)
+        noop = (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.version") + 1 == F.col("b.version")),
+            )
+            .filter(F.col("a.state") == F.col("b.state"))
+            .count()
+        )
+        assert noop == 0
+        # history covers every user in the corpus
+        ev = load_table(spark, sf_dir, "events")
+        assert (
+            hist.select("user_id").distinct().count()
+            == ev.select("user_id").distinct().count()
+        )
+    finally:
+        hist.unpersist()

@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     "events_user_churn",  # 1-row timeline-end crossJoin
     "bpe_corpus_compression",  # 1-row sums x 1-row vocab crossJoins
     "source_token_kl",  # 1-row corpus-token-total crossJoin
+    "incremental_rollup_merge",  # 1-row time-cutoff crossJoin (x2 branches)
 }
 
 
