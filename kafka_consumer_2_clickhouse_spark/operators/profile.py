@@ -499,3 +499,140 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# events_psi_drift
+# --------------------------------------------------------------------------
+
+#: fixed bin count for the PSI histogram
+PSI_BINS = 10
+
+
+def _psi_sql() -> str:
+    return f"""
+    WITH rng AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events
+    ), b AS (
+      SELECT CAST(least(floor((value - vmin) / (vmax - vmin) * {PSI_BINS}),
+                        {PSI_BINS - 1}) AS INT) AS bucket,
+             CASE WHEN epoch_us(ts) <= lo + (hi - lo) // 2
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events CROSS JOIN rng
+      WHERE vmax > vmin
+    ), c AS (
+      SELECT bucket, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ), t AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+             CAST(sum(n_cur) AS BIGINT) AS tot_cur
+      FROM c
+    ), s AS (
+      SELECT CAST(range AS INT) AS bucket FROM range({PSI_BINS})
+    )
+    SELECT s.bucket,
+           CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur,
+           CAST(coalesce(c.n_ref, 0) + 1 AS DOUBLE)
+             / CAST(tot_ref + {PSI_BINS} AS DOUBLE) AS p_ref,
+           CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE)
+             / CAST(tot_cur + {PSI_BINS} AS DOUBLE) AS p_cur,
+           round(
+             (CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE)
+                / CAST(tot_cur + {PSI_BINS} AS DOUBLE)
+              - CAST(coalesce(c.n_ref, 0) + 1 AS DOUBLE)
+                / CAST(tot_ref + {PSI_BINS} AS DOUBLE))
+             * ln((CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE)
+                     / CAST(tot_cur + {PSI_BINS} AS DOUBLE))
+                  / (CAST(coalesce(c.n_ref, 0) + 1 AS DOUBLE)
+                     / CAST(tot_ref + {PSI_BINS} AS DOUBLE))), 9)
+             AS psi_contrib
+    FROM s LEFT JOIN c ON s.bucket = c.bucket
+    CROSS JOIN t
+    """
+
+
+@query("events_psi_drift", oracle=_psi_sql())
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the ``value`` feature between
+    the first and second half of the corpus timeline: fixed-width bins
+    over the GLOBAL value range, Laplace-smoothed bin shares per
+    window, per-bin PSI contribution ``(p_cur - p_ref) *
+    ln(p_cur/p_ref)``. Total PSI = sum of the 10 contributions
+    (industry rule of thumb: > 0.2 = the feature shifted, retrain /
+    investigate). The NUMERIC-feature drift monitor beside
+    `events_type_share_drift`'s categorical one and
+    `source_token_kl`'s vocabulary one.
+
+    Determinism: bin ids and counts are exact integers, shares are
+    integer divisions, and the log term is rounded to 9 decimals
+    (round-before-ship, the `tfidf_top_terms` discipline).
+
+    Scale: one 1-row min/max aggregate, then ONE pass over the facts
+    computing (bucket, window) counts as a conditional-sum groupBy on
+    the bucket grain (10 rows out), a static 10-row spine left-join
+    (fills empty bins for smoothing), and two 1-row broadcast
+    crossJoins. Nothing beyond the histogram shuffle at any corpus
+    size.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    rng = ev.agg(
+        F.min("ts_us").alias("lo"),
+        F.max("ts_us").alias("hi"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    mid = F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2).cast("bigint")
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+            * PSI_BINS
+        ),
+        F.lit(PSI_BINS - 1),
+    ).cast("int")
+    is_ref = F.when(F.col("ts_us") <= mid, 1).otherwise(0)
+    c = (
+        ev.crossJoin(F.broadcast(rng))
+        .filter(F.col("vmax") > F.col("vmin"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(is_ref).cast("bigint").alias("n_ref"),
+            F.sum(1 - is_ref).cast("bigint").alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_cur").cast("bigint").alias("tot_cur"),
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(c, "bucket", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            "tot_ref",
+            "tot_cur",
+        )
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("tot_ref") + PSI_BINS
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("tot_cur") + PSI_BINS
+    ).cast("double")
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_contrib"),
+    )

@@ -595,3 +595,86 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_24h",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_residuals
+# --------------------------------------------------------------------------
+
+
+def _seasonal_sql() -> str:
+    mean = "CAST(sum_n AS DOUBLE) / cnt"
+    var = f"CAST(sumsq_n AS DOUBLE) / cnt - ({mean}) * ({mean})"
+    std = f"sqrt(greatest({var}, 0))"
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), keyed AS (
+      SELECT hr, n, CAST(isodow(hr) AS INT) AS dow,
+             CAST(hour(hr) AS INT) AS hod
+      FROM hourly
+    ), cells AS (
+      SELECT dow, hod, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sum_n,
+             CAST(sum(n * n) AS BIGINT) AS sumsq_n
+      FROM keyed GROUP BY dow, hod
+    )
+    SELECT k.hr, k.dow, k.hod, k.n,
+           {mean} AS expected,
+           k.n - ({mean}) AS residual,
+           CASE WHEN {std} > 0
+                THEN round((k.n - ({mean})) / ({std}), 9)
+           END AS zscore
+    FROM keyed k JOIN cells USING (dow, hod)
+    """
+
+
+@query("events_seasonal_residuals", oracle=_seasonal_sql())
+def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scores for the hourly event series:
+    each hour's count vs its (iso-weekday, hour-of-day) seasonal cell
+    baseline — expected count, residual, and a z-score against the
+    cell's own variance. Completes the anomaly-baseline triple:
+    `events_anomaly_mad` (global robust), `events_ewma_hourly`
+    (recency-decayed trend), and this (weekly seasonality) — the
+    Monday-9am spike that MAD flags and EWMA lags is EXPECTED here.
+
+    Determinism: the cell stats are exact integer sums (count, sum,
+    sum-of-squares over hourly counts); mean/variance derive from them
+    with an identical expression tree in both engines; sqrt is
+    IEEE-correctly-rounded; the z-score is rounded to 9 decimals
+    (round-before-ship).
+
+    Scale: ONE fact-scale shuffle (the hour-grain groupBy with
+    map-side partials); everything after runs on the hour grain —
+    the <=168-row seasonal cell aggregate broadcasts back onto the
+    hourly relation. Never a window, never fact rows twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    keyed = hourly.select(
+        "hr",
+        "n",
+        (F.weekday("hr") + 1).cast("int").alias("dow"),
+        F.hour("hr").cast("int").alias("hod"),
+    )
+    cells = keyed.groupBy("dow", "hod").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sumsq_n"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("cnt")
+    var = F.col("sumsq_n").cast("double") / F.col("cnt") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return keyed.join(F.broadcast(cells), ["dow", "hod"]).select(
+        "hr",
+        "dow",
+        "hod",
+        "n",
+        mean.alias("expected"),
+        (F.col("n") - mean).alias("residual"),
+        F.when(std > 0, F.round((F.col("n") - mean) / std, 9)).alias("zscore"),
+    )

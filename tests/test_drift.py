@@ -1,0 +1,62 @@
+"""Numeric drift (PSI) and seasonal-residual semantics."""
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_psi_drift_bins_and_nonnegativity(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.profile import PSI_BINS
+
+    rows = ops.QUERIES["events_psi_drift"](spark, sf_dir).collect()
+    assert {r["bucket"] for r in rows} == set(range(PSI_BINS))
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == ev_n
+    for r in rows:
+        # (p_cur - p_ref) and ln(p_cur/p_ref) always share sign, so
+        # every PSI contribution is >= 0 (up to the 9-decimal rounding)
+        assert r["psi_contrib"] >= -1e-9, r
+        assert 0.0 < r["p_ref"] < 1.0 and 0.0 < r["p_cur"] < 1.0
+    # the synthetic stream is time-stationary: total PSI far below the
+    # 0.2 "investigate" threshold (a real shift would trip this)
+    assert sum(r["psi_contrib"] for r in rows) < 0.2
+
+
+def test_seasonal_residuals_center_per_cell(spark, sf_dir):
+    df = ops.QUERIES["events_seasonal_residuals"](spark, sf_dir)
+    df.cache()
+    try:
+        # one row per distinct hour in the corpus
+        ev = load_table(spark, sf_dir, "events")
+        n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+        assert df.count() == n_hours
+        # residuals sum to ~zero WITHIN each seasonal cell (the
+        # baseline is the cell mean)
+        bad = (
+            df.groupBy("dow", "hod")
+            .agg(F.sum("residual").alias("s"))
+            .filter(F.abs(F.col("s")) > 1e-6)
+            .count()
+        )
+        assert bad == 0
+        # z-score is null exactly when the cell has zero variance
+        assert (
+            df.filter(F.col("zscore").isNull())
+            .join(
+                df.groupBy("dow", "hod").agg(
+                    (F.stddev_pop("n") > 0).alias("has_var")
+                ),
+                ["dow", "hod"],
+            )
+            .filter(F.col("has_var"))
+            .count()
+            == 0
+        )
+        # dow/hod ranges
+        r = df.agg(
+            F.min("dow"), F.max("dow"), F.min("hod"), F.max("hod")
+        ).collect()[0]
+        assert 1 <= r[0] and r[1] <= 7 and 0 <= r[2] and r[3] <= 23
+    finally:
+        df.unpersist()

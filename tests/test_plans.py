@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "bpe_corpus_compression",  # 1-row sums x 1-row vocab crossJoins
     "source_token_kl",  # 1-row corpus-token-total crossJoin
     "incremental_rollup_merge",  # 1-row time-cutoff crossJoin (x2 branches)
+    "events_psi_drift",  # 1-row range + 1-row totals crossJoins
 }
 
 
