@@ -242,3 +242,66 @@ def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_fraction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# events_contract_quarantine
+# --------------------------------------------------------------------------
+
+
+def violation_reasons(
+    checks: list[tuple[str, str, str, str]] | None = None,
+) -> F.Column:
+    """Map-only expression: comma-joined names of every failed
+    row-level check (empty string == row passes the contract).
+    ``concat_ws`` skips NULLs, so the whole thing is one codegen'd
+    projection — no UDF, no array materialization. Shared by the batch
+    quarantine query below and the streaming gate
+    (``streaming/contracts.py``) so both enforce the IDENTICAL
+    contract."""
+    cs = EVENT_CHECKS if checks is None else checks
+    return F.concat_ws(
+        ",",
+        *[F.when(F.expr(pred), F.lit(name)) for name, _t, _c, pred in cs],
+    )
+
+
+def _quarantine_sql() -> str:
+    cases = ", ".join(
+        f"CASE WHEN {pred} THEN '{name}' END"
+        for name, _t, _c, pred in EVENT_CHECKS
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN concat_ws(',', {cases}) = '' THEN 'passed'
+                  ELSE concat_ws(',', {cases}) END AS reasons
+      FROM events
+    )
+    SELECT reasons, count(*) AS n_rows
+    FROM tagged GROUP BY reasons
+    """
+
+
+@query("events_contract_quarantine", oracle=_quarantine_sql())
+def events_contract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level contract routing summary: every event grouped by the
+    exact combination of checks it fails (comma-joined in contract
+    order; ``passed`` for clean rows) — the table the streaming gate
+    (``streaming/contracts.py``) commits per batch, computed over the
+    landed corpus. Where `events_expectations_report` counts each
+    check independently, this partitions ROWS, so the counts sum to
+    the table size and co-failing checks surface as combined reasons.
+
+    Scale: one map-only codegen'd projection (concat_ws over the
+    check predicates) + one groupBy on the reasons grain (bounded by
+    observed check combinations, never rows). No UDF, no join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reasons = violation_reasons()
+    return (
+        ev.select(
+            F.when(reasons == "", "passed").otherwise(reasons).alias("reasons")
+        )
+        .groupBy("reasons")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )

@@ -1,0 +1,80 @@
+"""Streaming contract enforcement: the expectations audit, in-flight.
+
+``operators/expectations.py`` REPORTS contract violations on a landed
+table; this module ENFORCES the same contract at ingest — every
+micro-batch is split into passing rows (flow downstream) and
+violating rows (quarantined with machine-readable reasons), extending
+the reference's dead-letter discipline (corrupt bytes / bad JSON ->
+dead letter, ``internal/converter/converter.go``) from PARSE failures
+to SEMANTIC ones. A bot flood of negative values or an enum-breaking
+producer never reaches the warehouse, and the quarantine keeps the
+evidence.
+
+Scale: the split is a map-only predicate evaluation (the same
+codegen'd SQL predicates as the batch audit — no UDF, no shuffle);
+quarantine writes are overwrite-by-batch-dir, the repo's
+replay-idempotent commit protocol (``streaming/curation.py``,
+``rollup_sink.py``). Row-level checks only — table-level checks
+(uniqueness) stay in the batch audit where they belong.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.expectations import violation_reasons  # noqa: F401
+
+#: quarantine column carrying the comma-joined failed check names
+REASONS_COL = "contract_reasons"
+
+
+def contract_split(
+    df: DataFrame, checks: list[tuple[str, str, str, str]] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(passing, quarantined) — quarantined rows carry
+    :data:`REASONS_COL`. Both sides are filters over one projection;
+    Spark collapses each into the scan."""
+    tagged = df.withColumn(REASONS_COL, violation_reasons(checks))
+    passing = tagged.filter(F.col(REASONS_COL) == "").drop(REASONS_COL)
+    quarantined = tagged.filter(F.col(REASONS_COL) != "")
+    return passing, quarantined
+
+
+def contract_gate(
+    quarantine_dir: str,
+    downstream: Callable[[DataFrame, int], None],
+    checks: list[tuple[str, str, str, str]] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: split each micro-batch on the
+    contract, quarantine violations under
+    ``quarantine_dir/batch=<id>/`` (overwrite-by-batch-dir — replay
+    re-lands the identical quarantine, exactly-once effective), and
+    hand ONLY passing rows to ``downstream``.
+
+    Compose it in front of any sink, e.g.::
+
+        curated = curated_ingest(state_dir, landing_dir)
+        gate = contract_gate(quarantine_dir, curated)
+        stream.writeStream.foreachBatch(gate)...
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        passing, quarantined = contract_split(batch_df, checks)
+        out = os.path.join(quarantine_dir, f"batch={batch_id}")
+        quarantined.write.mode("overwrite").parquet(out)
+        downstream(passing, batch_id)
+
+    return process
+
+
+def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
+    """All quarantined rows across batches (empty-safe)."""
+    try:
+        return spark.read.option("basePath", quarantine_dir).parquet(
+            os.path.join(quarantine_dir, "batch=*")
+        )
+    except Exception:
+        return spark.createDataFrame([], "batch bigint")

@@ -1,0 +1,116 @@
+"""Streaming contract gate e2e: a real file stream drives the
+expectations split; passing rows land, violations quarantine with
+machine-readable reasons, and replay is idempotent."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming.contracts import (
+    REASONS_COL,
+    contract_gate,
+    contract_split,
+    read_quarantine,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+OK_TS = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+GOOD = [(1, OK_TS, 10, "click", 5.0), (2, OK_TS, 11, "view", 0.0)]
+BAD = [
+    # value over the 300 cap
+    (3, OK_TS, 12, "purchase", 400.0),
+    # enum violation
+    (4, OK_TS, 13, "error", 1.0),
+    # double violation: cap AND enum -> combined reasons, contract order
+    (5, OK_TS, 14, "error", 350.0),
+    # null user_id
+    (6, OK_TS, None, "click", 1.0),
+    # stale timestamp
+    (7, dt.datetime(2023, 1, 1), 15, "view", 1.0),
+]
+
+
+def _land_sink(landing_dir):
+    def land(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{landing_dir}/batch={batch_id}")
+
+    return land
+
+
+def _run(spark, src, ckpt, quarantine, landing):
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(
+            contract_gate(str(quarantine), _land_sink(str(landing)))
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_contract_gate_routes_and_replays(spark, tmp_path):
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    quarantine, landing = tmp_path / "quarantine", tmp_path / "landing"
+
+    spark.createDataFrame(GOOD + BAD, SCHEMA).coalesce(1).write.parquet(
+        f"{src}/chunk0"
+    )
+    _run(spark, src, ckpt, quarantine, landing)
+
+    landed = spark.read.parquet(f"{landing}/batch=*")
+    assert {r["event_id"] for r in landed.collect()} == {1, 2}
+    # passing rows flow downstream WITHOUT the reasons column
+    assert REASONS_COL not in landed.columns
+
+    quar = read_quarantine(spark, str(quarantine))
+    reasons = {r["event_id"]: r[REASONS_COL] for r in quar.collect()}
+    assert set(reasons) == {3, 4, 5, 6, 7}
+    assert reasons[3] == "value_below_cap"
+    assert reasons[4] == "event_type_in_enum"
+    # combined failure keeps contract order
+    assert reasons[5] == "value_below_cap,event_type_in_enum"
+    assert reasons[6] == "user_id_not_null"
+    assert reasons[7] == "ts_freshness_window"
+
+    # replay from a fresh checkpoint: overwrite-by-batch-dir lands the
+    # identical state — no duplicates on either side
+    _run(spark, src, tmp_path / "ckpt2", quarantine, landing)
+    assert spark.read.parquet(f"{landing}/batch=*").count() == 2
+    assert read_quarantine(spark, str(quarantine)).count() == 5
+
+
+def test_contract_split_partitions_exactly(spark, sf_dir):
+    """Batch form: split of the real events table is a clean partition
+    and agrees with the registered quarantine summary."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    passing, quarantined = contract_split(ev)
+    n = ev.count()
+    n_pass, n_quar = passing.count(), quarantined.count()
+    assert n_pass + n_quar == n
+    summary = {
+        r["reasons"]: r["n_rows"]
+        for r in ops.QUERIES["events_contract_quarantine"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert summary.get("passed", 0) == n_pass
+    assert sum(v for k, v in summary.items() if k != "passed") == n_quar
+    # quarantined rows carry non-empty reasons
+    assert quarantined.filter(F.col(REASONS_COL) == "").count() == 0
