@@ -841,3 +841,141 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "component_id", "n_members", "quality_score")
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_triangles
+# --------------------------------------------------------------------------
+
+
+def _triangles_sql() -> str:
+    from .behavior import COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+    ), tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      JOIN edges e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ), nodes AS (
+      SELECT x AS p FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ), tcnt AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS t FROM nodes GROUP BY p
+    ), deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY p
+    )
+    SELECT deg.p AS part, d AS degree,
+           CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d > 1
+                THEN round(2.0 * coalesce(t, 0) / (d * (d - 1)), 9)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON deg.p = tcnt.p
+    """
+
+
+@query("copurchase_triangles", oracle=_triangles_sql())
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over
+    the supported co-purchase graph — the "do these products form
+    cliques or chains" structure signal behind bundle recommendations
+    and community pre-checks.
+
+    Algorithm (Spark side): DEGREE-ORDERED node-iterator (Schank &
+    Wagner; the MapReduce form is Suri & Vassilvitskii's "Counting
+    triangles and the curse of the last reducer", WWW'11). Each edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    every wedge is generated at its LOWEST-degree vertex: a hub of
+    degree d contributes O(arboricity * d), not O(d^2), wedges — the
+    skew trick that makes triangle counting survive power-law graphs at
+    100 TB. Each triangle materializes exactly once (its minimum-order
+    vertex generates the wedge; one equi-join closes it). The oracle
+    enumerates the same triangle SET with naive lexicographic
+    orientation — orientation changes the plan, never the set.
+
+    Scale: wedges + one equi-join against the canonical edge relation;
+    per-node attribution is an explode of 3-node triangle rows, then a
+    node-grain aggregate. Degrees broadcast (|parts| rows). No step
+    touches fact rows after the edge aggregate.
+    """
+    from .behavior import part_copurchase_pairs
+
+    edges = part_copurchase_pairs(spark, sf_dir).selectExpr(
+        "part_a AS pa", "part_b AS pb"
+    )
+    # consumed three times (degrees, orientation, wedge close) — persist
+    # so the order self-join behind it runs once; lineage intact, so
+    # release is always safe (see release_intermediate_caches)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+
+    # orient each edge low -> high in (degree, id) order
+    e = (
+        edges.join(F.broadcast(deg).withColumnRenamed("p", "pa_k"),
+                   F.col("pa") == F.col("pa_k"))
+        .withColumnRenamed("d", "da")
+        .drop("pa_k")
+        .join(F.broadcast(deg).withColumnRenamed("p", "pb_k"),
+              F.col("pb") == F.col("pb_k"))
+        .withColumnRenamed("d", "db")
+        .drop("pb_k")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    fwd = e.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+
+    # wedges at the low-degree vertex; close with the canonical edges
+    w1 = fwd.select(F.col("src"), F.col("dst").alias("u"))
+    w2 = fwd.select(F.col("src"), F.col("dst").alias("v"))
+    wedges = w1.join(w2, "src").filter(F.col("u") < F.col("v"))
+    closed = wedges.join(
+        edges,
+        (F.least("u", "v") == F.col("pa"))
+        & (F.greatest("u", "v") == F.col("pb")),
+    ).select("src", "u", "v")
+
+    nodes = (
+        closed.select(F.col("src").alias("p"))
+        .unionAll(closed.select(F.col("u").alias("p")))
+        .unionAll(closed.select(F.col("v").alias("p")))
+    )
+    tcnt = nodes.groupBy("p").agg(F.count("*").cast("bigint").alias("t"))
+
+    out = deg.join(tcnt, "p", "left").select(
+        F.col("p").alias("part"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("d") > 1,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("t", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    return out

@@ -109,3 +109,49 @@ def test_split_strategy_leakage_component_row_is_zero(spark, sf_dir):
     assert rows["doc_hash"]["n_pairs"] == rows["component_hash"]["n_pairs"]
     assert rows["doc_hash"]["n_pairs"] > 0
     assert rows["doc_hash"]["n_cross_pairs"] > 0
+
+
+def test_copurchase_triangles_attribution_and_bruteforce(spark, sf_dir):
+    """Each triangle is attributed to exactly its 3 vertices (total
+    divisible by 3), coefficients are valid, and the hottest node's
+    count matches a brute-force recount of edges among its neighbors."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        part_copurchase_pairs,
+    )
+
+    df = ops.QUERIES["copurchase_triangles"](spark, sf_dir)
+    df.cache()
+    try:
+        rows = df.collect()
+        assert sum(r["n_triangles"] for r in rows) % 3 == 0
+        assert all(0.0 <= r["clustering_coeff"] <= 1.0 for r in rows)
+        assert any(r["n_triangles"] > 0 for r in rows)
+
+        hot = max(rows, key=lambda r: r["n_triangles"])
+        edges = part_copurchase_pairs(spark, sf_dir).selectExpr(
+            "part_a AS pa", "part_b AS pb"
+        )
+        edges.cache()
+        neigh = {
+            r[0]
+            for r in edges.filter(
+                (F.col("pa") == hot["part"]) | (F.col("pb") == hot["part"])
+            )
+            .selectExpr(
+                f"CASE WHEN pa = {hot['part']} THEN pb ELSE pa END AS n"
+            )
+            .collect()
+        }
+        assert len(neigh) == hot["degree"]
+        brute = (
+            edges.filter(
+                F.col("pa").isin(list(neigh)) & F.col("pb").isin(list(neigh))
+            ).count()
+        )
+        edges.unpersist()
+        assert brute == hot["n_triangles"]
+    finally:
+        df.unpersist()
