@@ -192,6 +192,16 @@ EXTRA = [
     "dedup_cost_preflight",
     "pq_m_sweep",
     "quality_regressor_eval",
+    "events_expectations_report",
+    "referential_orphans",
+    "join_cardinality_preflight",
+    "incremental_rollup_merge",
+    "orders_merge_upsert",
+    "events_scd2_history",
+    "events_psi_drift",
+    "events_seasonal_residuals",
+    "events_contract_quarantine",
+    "copurchase_triangles",
 ]
 
 

@@ -1972,3 +1972,130 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term.groupBy("source", "n_tokens").agg(
         F.sum(F.col("kl").cast("decimal(27,6)")).cast("double").alias("kl_nats")
     ).select("source", "n_tokens", "kl_nats")
+
+
+# --------------------------------------------------------------------------
+# inverted-index surface: postings directory + conjunctive search
+# --------------------------------------------------------------------------
+
+#: fixed conjunctive search terms (all must appear in a doc)
+SEARCH_TERMS = ("batch", "scan", "hash")
+
+#: result page size for the search head
+SEARCH_TOP_K = 20
+
+
+def _postings_sql() -> str:
+    return """
+    WITH td AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok, doc_id
+    ), s AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total,
+             CAST(max(tf) AS BIGINT) AS max_tf
+      FROM td GROUP BY tok
+    )
+    SELECT s.tok, s.df, s.tf_total, s.max_tf,
+           min(td.doc_id) AS top_doc_id
+    FROM s JOIN td ON td.tok = s.tok AND td.tf = s.max_tf
+    GROUP BY s.tok, s.df, s.tf_total, s.max_tf
+    """
+
+
+@query("token_postings_stats", oracle=_postings_sql())
+def token_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index's directory page: per token, document
+    frequency, total term frequency, the maximum per-doc tf, and the
+    champion document (smallest doc_id among max-tf holders — the
+    deterministic argmax). This is the statistics relation a search
+    layer consults before touching postings: df drives conjunction
+    ordering (rarest-first intersection), max_tf bounds impact-ordered
+    early termination (WAND-style).
+
+    Scale: explode -> (token, doc) partial counts collapse map-side;
+    everything after runs on the vocabulary/posting grain. The
+    champion join is token-keyed against the (token, doc) relation —
+    at web scale that relation IS the inverted index, stored
+    doc-sorted per token; this directory is one aggregate over it.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    td = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    s = (
+        td.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+        )
+        .alias("s")
+    )
+    tda = td.alias("td")
+    return (
+        s.join(
+            tda,
+            (F.col("s.tok") == F.col("td.tok"))
+            & (F.col("td.tf") == F.col("s.max_tf")),
+        )
+        .groupBy(F.col("s.tok").alias("tok"), "df", "tf_total", "max_tf")
+        .agg(F.min("td.doc_id").alias("top_doc_id"))
+    )
+
+
+def _search_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN ({terms})
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS tf_sum
+      FROM hits GROUP BY doc_id
+    )
+    SELECT doc_id, tf_sum
+    FROM per_doc
+    WHERE n_terms = {len(SEARCH_TERMS)}
+    ORDER BY tf_sum DESC, doc_id
+    LIMIT {SEARCH_TOP_K}
+    """
+
+
+@query("keyword_search_docs", oracle=_search_sql())
+def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (every term must appear), ranked by
+    total term frequency with a doc_id tiebreak — the posting-list
+    INTERSECTION query, expressed so the term filter reaches the scan:
+    only the query terms' postings ever move, never the corpus's.
+
+    Scale: the ``tok IN (...)`` predicate applies inside the exploded
+    projection (rows for non-query tokens die before any shuffle), the
+    intersection is a doc-grain aggregate over <= |terms| rows per
+    doc, and the result head is a TakeOrdered over matching docs only.
+    With a stored inverted index this becomes |terms| posting scans —
+    the directory (`token_postings_stats`) tells the engine to
+    intersect rarest-first.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hits = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_terms"),
+        F.count("*").cast("bigint").alias("tf_sum"),
+    )
+    return (
+        per_doc.filter(F.col("n_terms") == len(SEARCH_TERMS))
+        .select("doc_id", "tf_sum")
+        .orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+        .limit(SEARCH_TOP_K)
+    )

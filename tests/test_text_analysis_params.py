@@ -75,3 +75,61 @@ def test_logprob_sweep_monotone_and_consistent(spark, sf_dir):
             if s["avg_neg_logprob"] <= r["threshold"]
         )
         assert r["tokens_kept"] == toks
+
+
+def test_keyword_search_conjunction_holds(spark, sf_dir):
+    """Every returned doc contains ALL query terms; ranking is
+    tf-descending with doc_id tiebreak; tf_sum matches a direct
+    recount on the raw text."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        SEARCH_TERMS,
+        SEARCH_TOP_K,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    rows = ops.QUERIES["keyword_search_docs"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= SEARCH_TOP_K
+    # ranking invariant
+    keys = [(-r["tf_sum"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        toks = docs[r["doc_id"]].split(" ")
+        assert all(t in toks for t in SEARCH_TERMS)
+        assert r["tf_sum"] == sum(toks.count(t) for t in SEARCH_TERMS)
+
+
+def test_token_postings_stats_champion_doc(spark, sf_dir):
+    """df / champion agree with a direct per-token recount."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    stats = {
+        r["tok"]: r
+        for r in ops.QUERIES["token_postings_stats"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    import collections
+
+    for tok in list(stats)[:5]:
+        per_doc = collections.Counter()
+        for d in docs:
+            c = d["text"].split(" ").count(tok)
+            if c:
+                per_doc[d["doc_id"]] = c
+        assert stats[tok]["df"] == len(per_doc)
+        assert stats[tok]["tf_total"] == sum(per_doc.values())
+        mx = max(per_doc.values())
+        assert stats[tok]["max_tf"] == mx
+        assert stats[tok]["top_doc_id"] == min(
+            k for k, v in per_doc.items() if v == mx
+        )
