@@ -1,0 +1,150 @@
+"""Streaming upsert maintenance: the latest-row-per-key materialized
+view, kept current on ingest.
+
+The reference's ClickHouse tables resolve duplicate inserts with
+ReplacingMergeTree background merges — the engine-side batch twin is
+``latest_events_snapshot`` (``operators/curation.py``). This module is
+the STREAMING side: a ``foreachBatch`` maintainer that folds every
+micro-batch into a persistent latest-state table, so "current row per
+key" is queryable at all times without waiting for a nightly snapshot
+— the CDC materialized view every serving layer keeps.
+
+Upsert fold: within-batch winners (one row per key, max version) merge
+with the committed state through the SAME winner-per-key reduction —
+latest-wins is associative, so incremental maintenance equals a
+from-scratch snapshot of everything ingested (pinned in
+tests/test_streaming_upsert.py). Optional CDC tombstones: rows whose
+``delete_col`` is true REMOVE their key when they are the key's
+latest version (and a later live version resurrects it).
+
+Exactly-once: identical protocol to ``rollup_sink.py`` — state
+versioned by last applied batch id under ``state_dir/batch=<id>/``,
+tmp-write + rename commit, replayed batches (``batch_id <=``
+committed) skipped, superseded versions swept. Same object-store
+caveat: commit via manifest on S3/GCS (``state_store.py``).
+
+Scale: each batch reduces map-side to its touched keys before one
+key-partitioned merge against the state table. The read-merge-rewrite
+rewrites the state per batch — key-space-sized, not stream-sized; for
+a huge key-space partition the state layout and rewrite only touched
+buckets (same note as ``rollup_sink.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .state_store import DEFAULT_STORE, StateStore
+
+_PREFIX = "batch="
+
+#: tombstone marker column (absent => pure-upsert stream)
+DELETE_COL = "__deleted"
+
+
+def committed_batch(state_dir: str, store: StateStore | None = None) -> int | None:
+    """Highest committed batch id, or None for no state yet."""
+    store = store or DEFAULT_STORE
+    ids = [
+        int(d[len(_PREFIX):])
+        for d in store.listdir(state_dir)
+        if d.startswith(_PREFIX) and not d.endswith(".tmp")
+    ]
+    return max(ids) if ids else None
+
+
+def read_latest(
+    spark: SparkSession, state_dir: str, store: StateStore | None = None
+) -> DataFrame | None:
+    """The committed latest-state table (live rows only), or None
+    before the first commit."""
+    b = committed_batch(state_dir, store)
+    if b is None:
+        return None
+    df = spark.read.parquet(os.path.join(state_dir, f"{_PREFIX}{b}"))
+    if DELETE_COL in df.columns:
+        df = df.filter(~F.col(DELETE_COL)).drop(DELETE_COL)
+    return df
+
+
+def _winners(
+    df: DataFrame, keys: tuple[str, ...], order: tuple[str, ...]
+) -> DataFrame:
+    """One row per key: the max-version row (latest-wins reduction)."""
+    w = W.partitionBy(*keys).orderBy(*[F.desc(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_maintainer(
+    state_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    order: tuple[str, ...] = ("ts", "event_id"),
+    delete_col: str | None = None,
+    store: StateStore | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function maintaining the latest-row-per-key
+    state table (default key/version match
+    ``latest_events_snapshot``'s ReplacingMergeTree contract).
+
+    ``delete_col``: optional boolean column marking CDC tombstones.
+    Tombstones participate in versioning (a tombstone that is the
+    key's latest version hides the key from :func:`read_latest`; a
+    LATER live row resurrects it) — exactly ReplacingMergeTree's
+    ``is_deleted`` semantics.
+    """
+    st = store or DEFAULT_STORE
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        last = committed_batch(state_dir, st)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: state already contains it
+        delta = batch_df
+        if delete_col is not None:
+            delta = delta.withColumn(DELETE_COL, F.col(delete_col).cast("boolean"))
+        else:
+            delta = delta.withColumn(DELETE_COL, F.lit(False))
+        delta = _winners(delta, keys, order)
+
+        b = committed_batch(state_dir, st)
+        existing = (
+            None
+            if b is None
+            else batch_df.sparkSession.read.parquet(
+                os.path.join(state_dir, f"{_PREFIX}{b}")
+            )
+        )
+        merged = (
+            delta
+            if existing is None
+            else _winners(existing.unionByName(delta), keys, order)
+        )
+        final = os.path.join(state_dir, f"{_PREFIX}{batch_id}")
+        tmp = final + ".tmp"
+        # materialize BEFORE the swap: merged lazily reads the old
+        # version, so writing must not touch the committed dir
+        merged.write.mode("overwrite").parquet(tmp)
+        st.rename(tmp, final)
+        # sweep superseded versions and stray tmps (crash-tolerant:
+        # committed_batch takes the max id, cleanup is disk-usage only)
+        for d in st.listdir(state_dir):
+            if not d.startswith(_PREFIX):
+                continue
+            if d.endswith(".tmp"):
+                if d != os.path.basename(tmp):
+                    st.rmtree(os.path.join(state_dir, d))
+                continue
+            try:
+                did = int(d[len(_PREFIX):])
+            except ValueError:
+                continue
+            if did < batch_id:
+                st.rmtree(os.path.join(state_dir, d))
+
+    return maintain

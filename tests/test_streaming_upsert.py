@@ -1,0 +1,141 @@
+"""Streaming upsert sink: incremental latest-state == batch snapshot,
+tombstone semantics, and replay idempotence."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+    read_latest,
+    upsert_maintainer,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream(spark, src, ckpt, state, schema=None, **kw):
+    q = (
+        spark.readStream.schema(schema or SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(upsert_maintainer(str(state), **kw))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_incremental_latest_state_equals_batch_snapshot(spark, sf_dir, tmp_path):
+    """Stream the real corpus in multiple micro-batches; the maintained
+    state must equal the registered batch snapshot of the same data —
+    latest-wins is associative, so arrival order cannot matter."""
+    src, ckpt, state = tmp_path / "src", tmp_path / "ckpt", tmp_path / "state"
+    ev = load_table(spark, sf_dir, "events")
+    # several files -> several micro-batches (arbitrary row placement)
+    ev.repartition(4).write.parquet(f"{src}/corpus")
+    _stream(spark, src, ckpt, state)
+
+    got = read_latest(spark, str(state))
+    want = ops.QUERIES["latest_events_snapshot"](spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tombstones_hide_and_resurrect(spark, tmp_path):
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 5, 1, 11, 0, 0)
+    t2 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    # fresh StructType: .add would MUTATE the shared SCHEMA in place
+    del_schema = T.StructType(
+        SCHEMA.fields + [T.StructField("is_deleted", T.BooleanType())]
+    )
+
+    def rows(df_rows, name):
+        spark.createDataFrame(df_rows, del_schema).coalesce(1).write.parquet(
+            f"{tmp_path}/src/{name}"
+        )
+
+    # batch 0: two live keys
+    rows(
+        [
+            (1, t0, 1, "click", 1.0, "{}", False),
+            (2, t0, 2, "view", 2.0, "{}", False),
+        ],
+        "c0",
+    )
+    # batch 1: tombstone user 1 (later version), update user 2
+    rows(
+        [
+            (3, t1, 1, "click", 0.0, "{}", True),
+            (4, t1, 2, "view", 5.0, "{}", False),
+        ],
+        "c1",
+    )
+    # batch 2: user 1 comes back with a NEWER live row
+    rows([(5, t2, 1, "click", 9.0, "{}", False)], "c2")
+
+    state = tmp_path / "state"
+    _stream(
+        spark,
+        tmp_path / "src",
+        tmp_path / "ckpt",
+        state,
+        schema=del_schema,
+        delete_col="is_deleted",
+    )
+    live = {
+        (r["user_id"], r["event_type"]): r
+        for r in read_latest(spark, str(state)).collect()
+    }
+    # user 1 was deleted at t1 but resurrected at t2 with the new row
+    assert live[(1, "click")]["event_id"] == 5
+    assert live[(1, "click")]["value"] == 9.0
+    # user 2 holds its latest update
+    assert live[(2, "view")]["event_id"] == 4
+
+    # an OLD live row arriving late cannot resurrect past a tombstone:
+    # apply it directly as a new batch and check the winner stands
+    mid = dt.datetime(2024, 5, 1, 10, 30, 0)
+    maintain = upsert_maintainer(str(state), delete_col="is_deleted")
+    late = spark.createDataFrame(
+        [(6, mid, 2, "view", 7.0, "{}", False)], del_schema
+    )
+    maintain(late, 99)
+    live2 = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in read_latest(spark, str(state)).collect()
+    }
+    assert live2[(2, "view")] == 4  # t1 row still wins over the t0:30 late one
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    state = tmp_path / "state"
+    maintain = upsert_maintainer(str(state))
+    b0 = spark.createDataFrame([(1, t0, 1, "click", 1.0, "{}")], SCHEMA)
+    maintain(b0, 0)
+    snap = sorted(
+        read_latest(spark, str(state)).collect(), key=lambda r: r["event_id"]
+    )
+    # replay the same batch id with DIFFERENT content: must be a no-op
+    b0_evil = spark.createDataFrame([(9, t0, 9, "view", 9.0, "{}")], SCHEMA)
+    maintain(b0_evil, 0)
+    again = sorted(
+        read_latest(spark, str(state)).collect(), key=lambda r: r["event_id"]
+    )
+    assert again == snap
+    # next id applies normally
+    maintain(b0_evil, 1)
+    assert read_latest(spark, str(state)).count() == 2
