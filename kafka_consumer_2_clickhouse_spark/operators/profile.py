@@ -636,3 +636,97 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_cur.alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# lineitem_analyze_stats
+# --------------------------------------------------------------------------
+
+#: numeric lineitem columns the ANALYZE pass profiles
+ANALYZE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: equi-depth histogram resolution: percent points 0,10,...,100
+ANALYZE_PCTS = tuple(range(0, 101, 10))
+
+
+def _analyze_sql() -> str:
+    aggs = []
+    for c in ANALYZE_COLS:
+        for p in ANALYZE_PCTS:
+            aggs.append(
+                f"round(CAST(quantile_cont({c}, {p / 100.0}) AS DOUBLE), 9)"
+                f" AS q_{c}_{p}"
+            )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c}")
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nulls_{c}"
+        )
+    rows = []
+    for c in ANALYZE_COLS:
+        for p in ANALYZE_PCTS:
+            rows.append(
+                f"""SELECT '{c}' AS column_name, {p} AS p,
+                   q_{c}_{p} AS boundary, ndv_{c} AS ndv,
+                   nulls_{c} AS n_nulls, n_rows
+                FROM agg"""
+            )
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {", ".join(aggs)}
+      FROM lineitem
+    )
+    {union}
+    """
+
+
+@query("lineitem_analyze_stats", oracle=_analyze_sql())
+def lineitem_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... FOR COLUMNS, as a query: per numeric column,
+    the 11-point equi-depth histogram (exact linear-interpolated
+    deciles, Spark ``percentile`` vs DuckDB ``quantile_cont`` — same
+    h=(n-1)q definition, boundaries rounded to 9 decimals because the
+    engines' interpolation FMA ordering can differ in the last ulp on
+    low-magnitude doubles), exact
+    distinct cardinality, and null count — the statistics relation a
+    cost-based optimizer prices selectivity and join orders from, and
+    the histogram `join_cardinality_preflight`'s exact arithmetic
+    replaces once columns (not keys) drive the estimate.
+
+    Scale: ONE scan, one grouping-less aggregate computing every
+    decile vector + ndv + null count together; the 44-row unpivot
+    explodes the single result row. Exact percentile sorts per column
+    — the oracle-checkable choice; at 100 TB swap ``percentile_approx``
+    (mergeable t-digest) and ``approx_count_distinct`` exactly as
+    `events_profile_approx` documents.
+    """
+    qs = [p / 100.0 for p in ANALYZE_PCTS]
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in ANALYZE_COLS:
+        aggs.append(F.percentile(c, qs).alias(f"q_{c}"))  # rounded at unpivot
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"ndv_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+    agg = li.agg(*aggs)
+    structs = []
+    for c in ANALYZE_COLS:
+        for i, p in enumerate(ANALYZE_PCTS):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(p).alias("p"),
+                    F.round(F.element_at(f"q_{c}", i + 1), 9).alias(
+                        "boundary"
+                    ),
+                    F.col(f"ndv_{c}").alias("ndv"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col("n_rows").alias("n_rows"),
+                )
+            )
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -120,3 +120,33 @@ def test_join_cardinality_preflight_predicts_actual_joins(spark, sf_dir):
         rows[n]["amplification"] for n in rows if n != "events_x_events_user"
     )
     assert rows["events_x_events_user"]["amplification"] > fk_amp
+
+
+def test_analyze_stats_histogram_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators.profile import (
+        ANALYZE_COLS,
+        ANALYZE_PCTS,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    rows = ops.QUERIES["lineitem_analyze_stats"](spark, sf_dir).collect()
+    assert len(rows) == len(ANALYZE_COLS) * len(ANALYZE_PCTS)
+    li = load_table(spark, sf_dir, "lineitem")
+    mins = li.agg(
+        *[F.min(c).alias(c) for c in ANALYZE_COLS],
+        *[F.max(c).alias(f"mx_{c}") for c in ANALYZE_COLS],
+    ).collect()[0]
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["column_name"], {})[r["p"]] = r
+    for c in ANALYZE_COLS:
+        hist = by_col[c]
+        # endpoints are the true min/max (up to the 9-decimal rounding)
+        assert abs(hist[0]["boundary"] - mins[c]) < 1e-8
+        assert abs(hist[100]["boundary"] - mins[f"mx_{c}"]) < 1e-8
+        # equi-depth boundaries are monotone non-decreasing
+        bs = [hist[p]["boundary"] for p in ANALYZE_PCTS]
+        assert bs == sorted(bs)
+        assert hist[0]["ndv"] > 0 and hist[0]["n_nulls"] == 0
