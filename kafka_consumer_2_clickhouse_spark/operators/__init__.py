@@ -45,6 +45,7 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "doc_difficulty_buckets": "doc_difficulty_buckets_approx",
     "events_profile": "events_profile_approx",
     "order_value_quartiles": "order_value_quartiles_approx",
+    "lineitem_analyze_stats": "lineitem_analyze_stats_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

@@ -730,3 +730,54 @@ def lineitem_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+#: percentile_approx accuracy for the approx ANALYZE twin: returned
+#: boundary is a real data point whose rank is within n/ACC of target
+ANALYZE_APPROX_ACC = 10_000
+
+
+@query("lineitem_analyze_stats_approx")  # rows-only: sketch values are engine-specific
+def lineitem_analyze_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`lineitem_analyze_stats`:
+    ``percentile_approx`` (mergeable quantile sketch, rank error
+    <= n/ANALYZE_APPROX_ACC) replaces the exact sort-based deciles and
+    HLL++ ``approx_count_distinct`` (rsd=HLL_RSD) replaces the exact
+    ndv — the whole ANALYZE pass becomes ONE partial+final
+    sketch-merge aggregate over the scan: no per-column sort, no
+    Expand. Rank-error and ndv-error bounds vs the exact twin are
+    pinned in tests (same gate family as `events_profile_approx` /
+    `order_value_quartiles_approx`); n_nulls/n_rows remain exact.
+    """
+    qs = [p / 100.0 for p in ANALYZE_PCTS]
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in ANALYZE_COLS:
+        aggs.append(
+            F.percentile_approx(c, qs, ANALYZE_APPROX_ACC).alias(f"q_{c}")
+        )
+        aggs.append(
+            F.approx_count_distinct(c, HLL_RSD).cast("bigint").alias(f"ndv_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+    agg = li.agg(*aggs)
+    structs = []
+    for c in ANALYZE_COLS:
+        for i, p in enumerate(ANALYZE_PCTS):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(p).alias("p"),
+                    F.round(F.element_at(f"q_{c}", i + 1), 9).alias(
+                        "boundary"
+                    ),
+                    F.col(f"ndv_{c}").alias("ndv"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col("n_rows").alias("n_rows"),
+                )
+            )
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -150,3 +150,45 @@ def test_analyze_stats_histogram_invariants(spark, sf_dir):
         bs = [hist[p]["boundary"] for p in ANALYZE_PCTS]
         assert bs == sorted(bs)
         assert hist[0]["ndv"] > 0 and hist[0]["n_nulls"] == 0
+
+
+def test_analyze_stats_approx_error_bounds(spark, sf_dir):
+    """The sketch twin's boundaries are real data points within the
+    documented rank error of the exact deciles, and its ndv is within
+    the HLL rsd envelope; n_nulls/n_rows stay exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators.profile import (
+        ANALYZE_APPROX_ACC,
+        ANALYZE_COLS,
+        HLL_RSD,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    exact = {
+        (r["column_name"], r["p"]): r
+        for r in ops.QUERIES["lineitem_analyze_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["column_name"], r["p"]): r
+        for r in ops.QUERIES["lineitem_analyze_stats_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    for c in ANALYZE_COLS:
+        vals = sorted(r[0] for r in li.select(c).collect())
+        tol_rank = max(1, n // ANALYZE_APPROX_ACC) + 1
+        for (col, p), a in approx.items():
+            if col != c:
+                continue
+            target = round((p / 100) * (n - 1))
+            lo = vals[max(0, target - tol_rank)]
+            hi = vals[min(n - 1, target + tol_rank)]
+            assert lo - 1e-9 <= a["boundary"] <= hi + 1e-9, (c, p)
+        e = exact[(c, 0)]
+        a = approx[(c, 0)]
+        assert abs(a["ndv"] - e["ndv"]) <= max(3, 4 * HLL_RSD * e["ndv"])
+        assert a["n_nulls"] == e["n_nulls"] and a["n_rows"] == e["n_rows"]
