@@ -68,6 +68,13 @@ def main() -> int:
     if orphans:
         errs.append(f"oracle_sql() keys with no registered query: {orphans}")
 
+    m = re.search(r"Exactly (\d+) are rows-only", sec)
+    if m and int(m.group(1)) != len(qs) - len(oracles):
+        errs.append(
+            f"SURVEY 2d declares {m.group(1)} rows-only queries, registry has "
+            f"{len(qs) - len(oracles)}"
+        )
+
     if artifact and os.path.exists(artifact):
         data = json.load(open(artifact))
         names = set(data.get("results", data) if isinstance(data, dict) else [])
