@@ -781,3 +781,99 @@ def lineitem_analyze_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             )
     return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# --------------------------------------------------------------------------
+# join_selectivity_estimate
+# --------------------------------------------------------------------------
+
+
+def _selectivity_sql() -> str:
+    rows = []
+    for name, lt, lk, rt, rk in JOIN_EDGES:
+        rows.append(f"""
+        SELECT '{name}' AS join_name,
+               CAST(nl AS BIGINT) AS left_rows,
+               CAST(nr AS BIGINT) AS right_rows,
+               CAST(dl AS BIGINT) AS left_ndv,
+               CAST(dr AS BIGINT) AS right_ndv,
+               CAST(floor(CAST(nl AS DOUBLE) * nr / greatest(dl, dr))
+                    AS BIGINT) AS est_rows,
+               CAST(x AS BIGINT) AS exact_rows,
+               round(abs(CAST(floor(CAST(nl AS DOUBLE) * nr
+                                    / greatest(dl, dr)) AS DOUBLE) - x)
+                     / x, 9) AS rel_error
+        FROM (
+          SELECT (SELECT count(*) FROM {lt}) AS nl,
+                 (SELECT count(*) FROM {rt}) AS nr,
+                 (SELECT count(DISTINCT {lk}) FROM {lt}) AS dl,
+                 (SELECT count(DISTINCT {rk}) FROM {rt}) AS dr,
+                 (SELECT sum(cl * cr) FROM
+                    (SELECT {lk} AS k, count(*) AS cl FROM {lt} GROUP BY 1) a
+                    JOIN
+                    (SELECT {rk} AS k, count(*) AS cr FROM {rt} GROUP BY 1) b
+                    USING (k)) AS x
+        )""")
+    return "\n        UNION ALL ".join(rows)
+
+
+@query("join_selectivity_estimate", oracle=_selectivity_sql())
+def join_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The System-R selectivity estimate, scored against ground truth:
+    per join edge, the textbook cardinality estimate
+    ``|L| x |R| / max(ndv_L, ndv_R)`` (uniform-keys + containment
+    assumption — what every cost-based optimizer prices a join with
+    when it only has ANALYZE stats) next to the EXACT output size and
+    the relative error. The events self-join edge is where the
+    uniformity assumption breaks: sum(n_u^2) >= (sum n_u)^2 / d by
+    Cauchy-Schwarz, so ANY per-key skew makes the formula a strict
+    underestimate — which is WHY `join_cardinality_preflight`
+    exists for the joins that matter and `lineitem_analyze_stats`
+    carries histograms beyond ndv.
+
+    Scale: the estimate needs only the 1-row stats (counts + ndv) —
+    the whole point; the exact side reuses the key-grain arithmetic
+    (never a joined fact row). Output is |edges| rows.
+    """
+    dfs = []
+    for name, lt, lk, rt, rk in JOIN_EDGES:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        lstats = left.agg(
+            F.count("*").alias("nl"), F.count_distinct(F.col(lk)).alias("dl")
+        )
+        rstats = right.agg(
+            F.count("*").alias("nr"), F.count_distinct(F.col(rk)).alias("dr")
+        )
+        lc = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("cl"))
+        rc = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cr"))
+        exact = lc.join(rc, "k").agg(
+            F.sum(F.col("cl") * F.col("cr")).alias("x")
+        )
+        est = (
+            F.floor(
+                F.col("nl").cast("double")
+                * F.col("nr")
+                / F.greatest("dl", "dr")
+            )
+        ).cast("bigint")
+        dfs.append(
+            lstats.crossJoin(F.broadcast(rstats))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("nl").cast("bigint").alias("left_rows"),
+                F.col("nr").cast("bigint").alias("right_rows"),
+                F.col("dl").cast("bigint").alias("left_ndv"),
+                F.col("dr").cast("bigint").alias("right_ndv"),
+                est.alias("est_rows"),
+                F.col("x").cast("bigint").alias("exact_rows"),
+                F.round(
+                    F.abs(est.cast("double") - F.col("x")) / F.col("x"), 9
+                ).alias("rel_error"),
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -192,3 +192,29 @@ def test_analyze_stats_approx_error_bounds(spark, sf_dir):
         a = approx[(c, 0)]
         assert abs(a["ndv"] - e["ndv"]) <= max(3, 4 * HLL_RSD * e["ndv"])
         assert a["n_nulls"] == e["n_nulls"] and a["n_rows"] == e["n_rows"]
+
+
+def test_selectivity_estimate_exact_on_fk_skewed_on_selfjoin(spark, sf_dir):
+    """For key-FK joins with containment the System-R formula is
+    near-exact; the skewed events self-join must expose the uniformity
+    assumption (underestimate). Also cross-checks exact_rows against
+    join_cardinality_preflight's out_rows."""
+    rows = {
+        r["join_name"]: r
+        for r in ops.QUERIES["join_selectivity_estimate"](spark, sf_dir).collect()
+    }
+    pre = {
+        r["join_name"]: r
+        for r in ops.QUERIES["join_cardinality_preflight"](spark, sf_dir).collect()
+    }
+    for name, r in rows.items():
+        assert r["exact_rows"] == pre[name]["out_rows"], name
+    for name in ("lineitem_x_orders", "lineitem_x_part", "orders_x_customer"):
+        assert rows[name]["rel_error"] < 0.05, (name, rows[name]["rel_error"])
+    sj = rows["events_x_events_user"]
+    # Cauchy-Schwarz: sum(n_u^2) >= (sum n_u)^2 / d — the uniformity
+    # formula STRICTLY underestimates a self-join whenever any per-key
+    # skew exists (this synthetic corpus is near-uniform, so the gap
+    # is small but the direction is guaranteed)
+    assert sj["est_rows"] <= sj["exact_rows"]
+    assert sj["rel_error"] >= 0.0

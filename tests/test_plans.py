@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "source_token_kl",  # 1-row corpus-token-total crossJoin
     "incremental_rollup_merge",  # 1-row time-cutoff crossJoin (x2 branches)
     "events_psi_drift",  # 1-row range + 1-row totals crossJoins
+    "join_selectivity_estimate",  # 1-row stats crossJoins per edge
 }
 
 
