@@ -202,6 +202,12 @@ EXTRA = [
     "events_seasonal_residuals",
     "events_contract_quarantine",
     "copurchase_triangles",
+    "lineitem_analyze_stats",
+    "token_postings_stats",
+    "keyword_search_docs",
+    "media_chunk_dedup_report",
+    "media_cdc_dedup_report",
+    "join_selectivity_estimate",
 ]
 
 
