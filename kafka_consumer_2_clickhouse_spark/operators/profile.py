@@ -704,16 +704,29 @@ def lineitem_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     qs = [p / 100.0 for p in ANALYZE_PCTS]
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE distinct-free pass for percentiles + null counts: mixing 4
+    # count_distincts into the same aggregate would Expand the scan
+    # x(columns+1) and drag every percentile buffer through the
+    # multiplied rows (measured 6x slower at sf0.1)
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in ANALYZE_COLS:
         aggs.append(F.percentile(c, qs).alias(f"q_{c}"))  # rounded at unpivot
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"ndv_{c}"))
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"nulls_{c}")
         )
     agg = li.agg(*aggs)
+    # ndv per column as proper distributed distincts (groupBy the
+    # column, count the groups — partial-aggregated, no Expand), each
+    # a 1-row broadcast joined onto the stats row
+    for c in ANALYZE_COLS:
+        ndv = (
+            li.groupBy(c)
+            .agg(F.lit(1))
+            .agg(F.count("*").cast("bigint").alias(f"ndv_{c}"))
+        )
+        agg = agg.crossJoin(F.broadcast(ndv))
     structs = []
     for c in ANALYZE_COLS:
         for i, p in enumerate(ANALYZE_PCTS):

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "incremental_rollup_merge",  # 1-row time-cutoff crossJoin (x2 branches)
     "events_psi_drift",  # 1-row range + 1-row totals crossJoins
     "join_selectivity_estimate",  # 1-row stats crossJoins per edge
+    "lineitem_analyze_stats",  # 4x 1-row ndv crossJoins (Expand avoidance)
 }
 
 
