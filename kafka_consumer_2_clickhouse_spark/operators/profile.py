@@ -890,3 +890,102 @@ def join_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# shuffle_partition_advisor
+# --------------------------------------------------------------------------
+
+#: target uncompressed bytes per shuffle partition / scan split —
+#: Spark's own default maxPartitionBytes (128 MiB)
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+#: per-table row-width expressions (in-memory/wire bytes, typed-width
+#: model): fixed widths for numerics/timestamps, measured lengths for
+#: strings, 4B/element + header for float arrays
+_WIDTH_EXPRS: dict[str, str] = {
+    "lineitem": (
+        "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8"  # keys, linenumber, 4 doubles
+        " + length(l_returnflag) + length(l_linestatus) + 8"
+    ),
+    "orders": (
+        "8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)"
+    ),
+    "events": (
+        "8 + 8 + 8 + length(event_type) + 8"
+        " + coalesce(length(props), 0)"
+    ),
+    "documents": (
+        "8 + length(text) + length(lang) + length(source) + 8"
+    ),
+    "embeddings": "8 + 16 + 4 * len(embedding) + 4",
+}
+
+
+def _advisor_sql() -> str:
+    rows = []
+    for t, w in _WIDTH_EXPRS.items():
+        rows.append(f"""
+        SELECT '{t}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({w}) AS BIGINT) AS est_bytes,
+               CAST(round(CAST(sum({w}) AS DOUBLE) / count(*), 2)
+                    AS DOUBLE) AS avg_row_bytes,
+               CAST(greatest(1, ceil(CAST(sum({w}) AS DOUBLE)
+                    / {TARGET_PARTITION_BYTES})) AS BIGINT)
+                 AS suggested_partitions
+        FROM {t}""")
+    return "\n        UNION ALL ".join(rows)
+
+
+@query("shuffle_partition_advisor", oracle=_advisor_sql())
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing preflight for ``spark.sql.shuffle.partitions`` /
+    ``maxPartitionBytes``: per table, exact row count, modeled
+    uncompressed bytes (typed widths for numerics, MEASURED lengths
+    for strings and vectors — an exact aggregate, not a guess), and
+    the partition count that puts ~128 MiB in each task. The number a
+    100 TB job must set BEFORE its first shuffle: default 200
+    partitions on a 3 TB shuffle is 15 GB/task (OOM); 32 partitions on
+    30 MB is fine. Completes the ops-preflight family
+    (`events_key_skew_report` = skew, `join_cardinality_preflight` =
+    volume, this = task sizing).
+
+    Scale: one map-side sum per table (length() folds into the scan),
+    5 one-row aggregates unioned. The byte model is documented and
+    oracle-checked exact — wrong only where the DECLARED widths are.
+    """
+    spark_width = {
+        t: w.replace("len(embedding)", "size(embedding)")
+        for t, w in _WIDTH_EXPRS.items()
+    }
+    dfs = []
+    for t, _ in _WIDTH_EXPRS.items():
+        tbl = load_table(spark, sf_dir, t)
+        w = F.expr(spark_width[t]).cast("bigint")
+        dfs.append(
+            tbl.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(w).cast("bigint").alias("est_bytes"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "est_bytes",
+                F.round(
+                    F.col("est_bytes").cast("double") / F.col("n_rows"), 2
+                ).alias("avg_row_bytes"),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("est_bytes").cast("double")
+                        / TARGET_PARTITION_BYTES
+                    ),
+                )
+                .cast("bigint")
+                .alias("suggested_partitions"),
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -218,3 +218,26 @@ def test_selectivity_estimate_exact_on_fk_skewed_on_selfjoin(spark, sf_dir):
     # is small but the direction is guaranteed)
     assert sj["est_rows"] <= sj["exact_rows"]
     assert sj["rel_error"] >= 0.0
+
+
+def test_shuffle_partition_advisor_consistency(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.profile import (
+        TARGET_PARTITION_BYTES,
+        _WIDTH_EXPRS,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    rows = {
+        r["table_name"]: r
+        for r in ops.QUERIES["shuffle_partition_advisor"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_WIDTH_EXPRS)
+    for t, r in rows.items():
+        assert r["n_rows"] == load_table(spark, sf_dir, t).count()
+        assert r["est_bytes"] > r["n_rows"]  # > 1 byte/row, trivially
+        assert abs(r["avg_row_bytes"] - round(r["est_bytes"] / r["n_rows"], 2)) < 0.011
+        import math
+
+        assert r["suggested_partitions"] == max(
+            1, math.ceil(r["est_bytes"] / TARGET_PARTITION_BYTES)
+        )
