@@ -1,0 +1,124 @@
+"""The whole streaming engine on ONE stream: contract gate ->
+(parquet landing + hourly rollup state + latest-row upsert view), all
+maintained in the same foreachBatch, consistent with their batch
+twins, and stable across a stop/restart with new arrivals."""
+
+import datetime as dt
+
+from pyspark.sql import Window as W, functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming.contracts import (
+    contract_gate,
+    read_quarantine,
+)
+from kafka_consumer_2_clickhouse_spark.streaming.rollup_sink import (
+    read_state,
+    rollup_maintainer,
+)
+from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+    read_latest,
+    upsert_maintainer,
+)
+from kafka_consumer_2_clickhouse_spark.functions.rollup import rollup_state
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 4, 1, 9, 0, 0)
+
+
+def _mk(i, minutes, user, etype, value):
+    return (i, T0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+
+WAVE_1 = [
+    _mk(1, 0, 1, "view", 10.0),
+    _mk(2, 5, 1, "click", 20.0),
+    _mk(3, 65, 2, "view", 30.0),
+    _mk(4, 70, 2, "error", 1.0),  # enum violation -> quarantine
+    _mk(5, 75, 3, "purchase", 999.0),  # cap violation -> quarantine
+]
+WAVE_2 = [
+    _mk(6, 120, 1, "view", 40.0),  # newer view for user 1
+    _mk(7, 125, 2, "click", 50.0),
+    _mk(8, 130, None, "view", 1.0),  # null user -> quarantine
+]
+
+
+def _run(spark, tmp_path, wave, name):
+    src = tmp_path / "src"
+    spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+        f"{src}/{name}"
+    )
+
+    landing = tmp_path / "landing"
+
+    def downstream(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{landing}/batch={batch_id}")
+        rollup_maintainer(str(tmp_path / "rollup"), keys=("event_type",))(
+            df, batch_id
+        )
+        upsert_maintainer(str(tmp_path / "latest"))(df, batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(
+            contract_gate(str(tmp_path / "quarantine"), downstream)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _check_consistent(spark, tmp_path, n_landed, n_quarantined):
+    landed = spark.read.parquet(f"{tmp_path}/landing/batch=*")
+    assert landed.count() == n_landed
+    assert read_quarantine(spark, f"{tmp_path}/quarantine").count() == (
+        n_quarantined
+    )
+
+    # rollup state == from-scratch rollup of exactly what landed
+    state = read_state(spark, f"{tmp_path}/rollup")
+    fresh = rollup_state(landed, time_col="ts", keys=("event_type",))
+    assert state.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(state).count() == 0
+
+    # latest view == batch latest-row-per-key snapshot of what landed
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    snap = (
+        landed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got = read_latest(spark, f"{tmp_path}/latest")
+    assert got.exceptAll(snap).count() == 0
+    assert snap.exceptAll(got).count() == 0
+
+
+def test_composed_pipeline_consistent_across_restart(spark, tmp_path):
+    _run(spark, tmp_path, WAVE_1, "wave1")
+    _check_consistent(spark, tmp_path, n_landed=3, n_quarantined=2)
+
+    # second run: NEW checkpointed stream instance picks up wave 2 only
+    _run(spark, tmp_path, WAVE_2, "wave2")
+    _check_consistent(spark, tmp_path, n_landed=5, n_quarantined=3)
+
+    # the latest view reflects the cross-wave winner for user 1's views
+    live = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in read_latest(spark, f"{tmp_path}/latest").collect()
+    }
+    assert live[(1, "view")] == 6  # wave-2 row supersedes wave-1
