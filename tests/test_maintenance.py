@@ -112,3 +112,37 @@ def test_scd2_intervals_contiguous_and_single_current(spark, sf_dir):
         )
     finally:
         hist.unpersist()
+
+
+def test_incremental_join_merge_terms_partition_the_view(spark, sf_dir):
+    """The four cross terms partition the joined rows: term row counts
+    sum to the full join size, and with the key-mod split the two
+    mixed terms are empty by construction (kept for the general
+    identity)."""
+    from kafka_consumer_2_clickhouse_spark.operators.maintenance import (
+        JOIN_DELTA_MOD,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    full = li.join(od, li.l_orderkey == od.o_orderkey).count()
+
+    li_b = li.filter(F.col("l_orderkey") % JOIN_DELTA_MOD != 0)
+    li_d = li.filter(F.col("l_orderkey") % JOIN_DELTA_MOD == 0)
+    od_b = od.filter(F.col("o_orderkey") % JOIN_DELTA_MOD != 0)
+    od_d = od.filter(F.col("o_orderkey") % JOIN_DELTA_MOD == 0)
+
+    def n(left, right):
+        return left.join(right, left["l_orderkey"] == right["o_orderkey"]).count()
+
+    bb, db, bd, dd = n(li_b, od_b), n(li_d, od_b), n(li_b, od_d), n(li_d, od_d)
+    assert bb + db + bd + dd == full
+    assert db == 0 and bd == 0  # key-mod split: mixed terms empty
+    assert dd > 0  # the delta x delta term carries the delta keys
+    # and the merged view's item total equals the full join size
+    merged_items = (
+        ops.QUERIES["incremental_join_merge"](spark, sf_dir)
+        .agg(F.sum("n_items"))
+        .collect()[0][0]
+    )
+    assert merged_items == full
