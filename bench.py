@@ -208,6 +208,9 @@ EXTRA = [
     "media_chunk_dedup_report",
     "media_cdc_dedup_report",
     "join_selectivity_estimate",
+    "shuffle_partition_advisor",
+    "incremental_join_merge",
+    "lineitem_analyze_stats_approx",
 ]
 
 
