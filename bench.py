@@ -211,6 +211,12 @@ EXTRA = [
     "shuffle_partition_advisor",
     "incremental_join_merge",
     "lineitem_analyze_stats_approx",
+    "supplier_pareto_frontier",
+    "part_name_neardup",
+    "bm25_search_docs",
+    "events_forecast_eval",
+    "events_level_shifts",
+    "lineitem_correlation_matrix",
 ]
 
 

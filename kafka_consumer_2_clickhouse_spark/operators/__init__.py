@@ -5,8 +5,10 @@ from . import (  # noqa: F401
     dedup,
     embedding_qc,
     expectations,
+    frontier,
     graph,
     layout,
+    linkage,
     maintenance,
     multimodal,
     pii,

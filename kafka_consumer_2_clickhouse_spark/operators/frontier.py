@@ -1,0 +1,126 @@
+"""Skyline (Pareto-frontier) operator.
+
+The multi-objective selection query OLAP engines grew after
+Börzsönyi/Kossmann/Stocker, "The Skyline Operator" (ICDE 2001): return
+the rows not *dominated* by any other row — here, suppliers for whom
+no other supplier is both faster (lower average fulfillment delay) and
+bigger (higher discounted revenue). Neither the reference (a 766-LoC
+ETL relay, SURVEY.md §2b) nor Spark has a native SKYLINE; this is the
+composition-of-DataFrame-ops implementation.
+
+The 2-D skyline has a classic sort-based form: order points by
+(delay ASC, revenue DESC); a point is on the frontier iff its revenue
+strictly exceeds the running maximum revenue of everything before it.
+A single global sort of all suppliers would be the naive plan; the
+distributed shape used here is the standard two-phase prune:
+
+1. **bucket-local skyline** — hash the distinct metric pairs into
+   ``N_BUCKETS`` groups and run the running-max window *partitioned by
+   bucket*. A point dominated within its bucket is dominated globally
+   (dominance doesn't care which bucket the dominator sits in), so
+   each bucket's survivors form a superset of the global frontier and
+   every bucket prunes in parallel. Random buckets leave ~O(frontier +
+   n/bucket_count · P[local-max]) survivors — for random data the
+   survivor set collapses toward the true frontier size.
+2. **global skyline** — the same window, unpartitioned, over the
+   pruned survivors only (whitelisted bounded global window:
+   its input is the union of per-bucket frontiers, not the supplier
+   relation).
+
+The oracle states dominance declaratively (NOT EXISTS anti-join,
+O(n²)) — an independent formulation, so the test is stronger than a
+translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.tables import broadcast_if_small, load_table, spread
+from .analytics import dsum, query
+
+#: hash buckets for the partition-local skyline prune (phase 1)
+N_BUCKETS = 32
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier (avg_delay_days, revenue), both rounded BEFORE any
+    dominance comparison so Spark and the oracle rank identical
+    values. One orderkey equi-join + one supplier-grain aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = spread(li).join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+    return joined.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum("delay_days").cast("double") / F.count("*"), 6
+        ).alias("avg_delay_days"),
+        F.round(dsum("disc_price"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "supplier_pareto_frontier",
+    oracle="""
+    WITH m AS (
+      SELECT l.l_suppkey,
+             round(CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate))
+                        AS DOUBLE) / count(*), 6) AS avg_delay_days,
+             round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    )
+    SELECT m.l_suppkey AS s_suppkey, s.s_name, m.avg_delay_days, m.revenue
+    FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m d
+      WHERE d.avg_delay_days <= m.avg_delay_days AND d.revenue >= m.revenue
+        AND (d.avg_delay_days < m.avg_delay_days OR d.revenue > m.revenue)
+    )
+    """,
+)
+def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers on the (minimize avg fulfillment delay, maximize
+    discounted revenue) Pareto frontier — see module docstring for the
+    two-phase distributed skyline.
+
+    Dominance runs on the DISTINCT metric-pair grain (ties on both
+    dimensions don't dominate each other, and deduping first makes the
+    running-max rule exact); suppliers re-attach by a semi-join on the
+    surviving pairs.
+
+    Scale: metrics are one equi-join + one supplier-grain aggregate;
+    phase 1's window is partitioned (parallel, prunes ~everything);
+    phase 2's global window sees only phase-1 survivors. The supplier
+    name attaches via a broadcast dimension join.
+    """
+    m = _metrics(spark, sf_dir)
+    pairs = m.select("avg_delay_days", "revenue").distinct()
+
+    def skyline(df: DataFrame, *, bucketed: bool) -> DataFrame:
+        part = [F.pmod(F.hash("revenue"), F.lit(N_BUCKETS))] if bucketed else []
+        w = (
+            W.partitionBy(*part)
+            .orderBy(F.asc("avg_delay_days"), F.desc("revenue"))
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        prev_max = F.max("revenue").over(w)
+        return df.withColumn("_pm", prev_max).filter(
+            F.col("_pm").isNull() | (F.col("revenue") > F.col("_pm"))
+        ).drop("_pm")
+
+    survivors = skyline(pairs, bucketed=True)
+    frontier = skyline(survivors, bucketed=False)
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        m.join(frontier, ["avg_delay_days", "revenue"], "semi")
+        .join(broadcast_if_small(sup), m.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "avg_delay_days", "revenue")
+    )

@@ -1,0 +1,92 @@
+"""Record linkage: blocked fuzzy matching on dirty string keys.
+
+The entity-resolution primitive every warehouse needs when two feeds
+spell the same real-world thing differently: generate candidate pairs
+with a cheap *blocking key*, verify candidates with an edit-distance
+kernel, and report the surviving matches with enough context (how many
+rows carry each spelling) to adjudicate merges. Neither the reference
+(SURVEY.md §2b — it has no joins at all) nor Spark ships a fuzzy join;
+this is the blocking + verify composition (Fellegi–Sunter style
+pipeline, deterministic scoring).
+
+Scale design — the three standard moves, in order:
+
+1. **dedupe to the value grain first.** Edit distance is a property of
+   the *spelling*, not the row; a 100 TB fact table has a tiny distinct
+   value set for any human-entered key. One groupBy collapses rows to
+   (value, n_rows) before anything quadratic.
+2. **block.** Only pairs sharing a blocking key (here: the trailing
+   token — the product noun for part names) are ever compared; the
+   join is a hash equi-join on the block, never a cross product.
+3. **verify.** ``levenshtein`` runs as a JVM codegen expression on the
+   blocked candidates only.
+
+Both engines implement the same classic Levenshtein, so the verified
+distance is oracle-exact (pinned cross-engine on identical inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table, spread
+from .analytics import query
+
+#: maximum edit distance for a candidate pair to be reported a match
+MAX_EDIT_DISTANCE = 3
+
+
+@query(
+    "part_name_neardup",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part
+      GROUP BY p_name
+    ), blocked AS (
+      SELECT p_name, n_parts,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT_DISTANCE}
+    """,
+)
+def part_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pairs: distinct names blocked on their
+    trailing token (the product noun), verified at Levenshtein
+    distance <= MAX_EDIT_DISTANCE, reported with per-spelling row
+    counts — the catalog-cleanup worklist ("red widget" vs "hot
+    widget", which spelling carries the volume).
+
+    Scale: see module docstring — value-grain dedupe, block equi-join,
+    codegen Levenshtein verify. Nothing quadratic in the part table
+    survives; the candidate set is per-block pairs of DISTINCT names.
+    """
+    names = (
+        spread(load_table(spark, sf_dir, "part"))
+        .groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= MAX_EDIT_DISTANCE)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )

@@ -989,3 +989,133 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix (ANALYZE extension)
+# --------------------------------------------------------------------------
+
+#: numeric lineitem columns in the correlation matrix. Values carry at
+#: most 2 decimals (TPC-H money/percentage grain), so x*100 rounds to
+#: an EXACT integer — the whole Gram matrix accumulates in exact
+#: decimal arithmetic and both engines derive corr from bit-identical
+#: sums. Pearson correlation is scale-invariant, so the x100 never
+#: needs undoing.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    scaled = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS {c}" for c in _CORR_COLS
+    )
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS DECIMAL(38,0))) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"sum(CAST({a} * {b} AS DECIMAL(38,0))) AS sp_{a}__{b}")
+    selects = []
+    for a, b in _CORR_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}__{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        var_a = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        var_b = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows,"
+            f" round({num} / (sqrt({var_a}) * sqrt({var_b})), 9) AS corr"
+            " FROM g"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH scaled AS (
+      SELECT {scaled} FROM lineitem
+    ), g AS (
+      SELECT {', '.join(sums)} FROM scaled
+    )
+    {body}
+    """
+
+
+@query("lineitem_correlation_matrix", oracle=_corr_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between lineitem's numeric columns
+    — the multi-column extension of ``lineitem_analyze_stats``: the
+    statistic an optimizer needs to stop assuming column independence
+    (correlated predicates are THE classic cardinality-misestimate),
+    and the first look a feature-engineering pass takes at redundant
+    inputs.
+
+    Determinism: values scale to exact integers (x100, 2-decimal
+    grain), the full Gram matrix (sums, squares, cross-products)
+    accumulates in exact DECIMAL(38,0) — order-insensitive — and corr
+    derives from those sums in identical double expressions on both
+    engines, rounded to 9 decimals. Pearson is scale-invariant so the
+    x100 cancels.
+
+    Scale: ONE pass, ONE 1-row aggregate (map-side combined partials:
+    4 sums + 4 squares + 6 cross-products + count), then a 6-row
+    explode. The 100 TB cost is the scan; nothing else grows.
+    """
+    from ..sources.tables import spread
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    scaled = li.select(
+        *[
+            F.round(F.col(c) * 100).cast("bigint").alias(c)
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
+                f"sp_{a}__{b}"
+            )
+        )
+    g = scaled.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}__{b}").cast("double")
+        num = n * sp - sa * sb
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        return F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 9)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return g.select(F.explode(rows).alias("r")).select(
+        "r.col_x", "r.col_y", "r.n_rows", "r.corr"
+    )

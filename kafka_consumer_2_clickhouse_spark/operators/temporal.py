@@ -678,3 +678,188 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - mean).alias("residual"),
         F.when(std > 0, F.round((F.col("n") - mean) / std, 9)).alias("zscore"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtesting and level-shift detection on the daily grain
+# --------------------------------------------------------------------------
+
+#: minimum |(post-pre)/pre| for a day to be flagged a level shift
+LEVEL_SHIFT_MIN_RATIO = 0.25
+
+#: window width (days) on each side of the level-shift comparison
+LEVEL_SHIFT_WINDOW = 7
+
+
+@query(
+    "events_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ), lagged AS (
+      SELECT day, c,
+             lag(c, 1) OVER (ORDER BY day) AS f_naive,
+             lag(c, 7) OVER (ORDER BY day) AS f_seasonal
+      FROM daily
+    ), errs AS (
+      SELECT 'naive' AS model, c, c - f_naive AS err
+      FROM lagged WHERE f_naive IS NOT NULL
+      UNION ALL
+      SELECT 'seasonal_naive' AS model, c, c - f_seasonal AS err
+      FROM lagged WHERE f_seasonal IS NOT NULL
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
+           round(sqrt(CAST(sum(err * err) AS DOUBLE) / count(*)), 6) AS rmse,
+           round(CAST(sum(CAST(CAST(abs(err) AS DOUBLE) / c
+                               AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6)
+             AS mape,
+           round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_bias
+    FROM errs GROUP BY model
+    """,
+)
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two standard no-model forecasting baselines on
+    the daily event count — naive (yesterday's value) and seasonal
+    naive (same weekday last week) — scored with MAE / RMSE / MAPE /
+    mean bias. The table every forecasting effort publishes first: a
+    model that can't beat seasonal-naive isn't a model.
+
+    Determinism: errors are exact integer count differences; MAE/RMSE
+    derive from exact integer sums; MAPE's per-day ratio is the one
+    double term, summed through the suite's order-insensitive
+    decimal-cast idiom.
+
+    Scale: the fact table collapses to the DAY grain in one partial-
+    aggregated groupBy; the lag window and the metric aggregate run on
+    calendar-days rows (whitelisted bounded global window — same class
+    as ``orders_monthly_growth``). Both models score in ONE pass via a
+    melt-explode, not per-model rescans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "c",
+        F.lag("c", 1).over(w).alias("f_naive"),
+        F.lag("c", 7).over(w).alias("f_seasonal"),
+    )
+    melted = lagged.select(
+        "c",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("model"),
+                    (F.col("c") - F.col("f_naive")).alias("err"),
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("model"),
+                    (F.col("c") - F.col("f_seasonal")).alias("err"),
+                ),
+            )
+        ).alias("m"),
+    ).select("c", "m.model", "m.err").filter(F.col("err").isNotNull())
+    n = F.count("*")
+    return melted.groupBy("model").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(F.sum(F.abs("err")).cast("double") / n, 6).alias("mae"),
+        F.round(
+            F.sqrt(F.sum(F.col("err") * F.col("err")).cast("double") / n), 6
+        ).alias("rmse"),
+        F.round(
+            F.sum(
+                (F.abs("err").cast("double") / F.col("c")).cast(
+                    "decimal(27,12)"
+                )
+            ).cast("double")
+            / n,
+            6,
+        ).alias("mape"),
+        F.round(F.sum("err").cast("double") / n, 6).alias("mean_bias"),
+    )
+
+
+@query(
+    "events_level_shifts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ), framed AS (
+      SELECT day, c,
+             sum(c) OVER (ORDER BY day
+               ROWS BETWEEN {LEVEL_SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS pre_sum,
+             count(c) OVER (ORDER BY day
+               ROWS BETWEEN {LEVEL_SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS pre_n,
+             sum(c) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND {LEVEL_SHIFT_WINDOW - 1} FOLLOWING)
+               AS post_sum,
+             count(c) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND {LEVEL_SHIFT_WINDOW - 1} FOLLOWING)
+               AS post_n
+      FROM daily
+    )
+    SELECT day,
+           round(CAST(pre_sum AS DOUBLE) / pre_n, 6) AS pre_avg,
+           round(CAST(post_sum AS DOUBLE) / post_n, 6) AS post_avg,
+           round((CAST(post_sum AS DOUBLE) / post_n
+                  - CAST(pre_sum AS DOUBLE) / pre_n)
+                 / (CAST(pre_sum AS DOUBLE) / pre_n), 6) AS shift_ratio,
+           abs(round((CAST(post_sum AS DOUBLE) / post_n
+                      - CAST(pre_sum AS DOUBLE) / pre_n)
+                     / (CAST(pre_sum AS DOUBLE) / pre_n), 6))
+             >= {LEVEL_SHIFT_MIN_RATIO} AS is_shift
+    FROM framed
+    WHERE pre_n = {LEVEL_SHIFT_WINDOW} AND post_n = {LEVEL_SHIFT_WINDOW}
+    """,
+)
+def events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint screen on the daily event count: for every day with
+    a full {window}-day history and horizon, compare the trailing
+    window's mean against the window starting that day; a relative
+    jump past LEVEL_SHIFT_MIN_RATIO flags a level shift. The
+    mean-shift scan that catches pipeline regressions (a source went
+    dark, a double-ingest) that per-point outlier tests miss because
+    every individual day looks locally normal.
+
+    Determinism: window sums are exact integers; the published ratio
+    rounds at 6 decimals, and the flag compares the ROUNDED ratio so
+    both engines flag identically even at the threshold boundary.
+
+    Scale: fact rows collapse to the day grain first; both frames run
+    in one bounded calendar-grain window pass (whitelisted, same class
+    as ``orders_backlog_timeseries``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_pre = W.orderBy("day").rowsBetween(-LEVEL_SHIFT_WINDOW, -1)
+    w_post = W.orderBy("day").rowsBetween(0, LEVEL_SHIFT_WINDOW - 1)
+    framed = daily.select(
+        "day",
+        F.sum("c").over(w_pre).alias("pre_sum"),
+        F.count("c").over(w_pre).alias("pre_n"),
+        F.sum("c").over(w_post).alias("post_sum"),
+        F.count("c").over(w_post).alias("post_n"),
+    ).filter(
+        (F.col("pre_n") == LEVEL_SHIFT_WINDOW)
+        & (F.col("post_n") == LEVEL_SHIFT_WINDOW)
+    )
+    pre_avg = F.col("pre_sum").cast("double") / F.col("pre_n")
+    post_avg = F.col("post_sum").cast("double") / F.col("post_n")
+    ratio = F.round((post_avg - pre_avg) / pre_avg, 6)
+    return framed.select(
+        "day",
+        F.round(pre_avg, 6).alias("pre_avg"),
+        F.round(post_avg, 6).alias("post_avg"),
+        ratio.alias("shift_ratio"),
+        (F.abs(ratio) >= LEVEL_SHIFT_MIN_RATIO).alias("is_shift"),
+    )

@@ -2099,3 +2099,137 @@ def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf_sum"), F.asc("doc_id"))
         .limit(SEARCH_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (the disjunctive twin of keyword_search_docs)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_sql() -> str:
+    t = SEARCH_TERMS
+    terms_in = ", ".join(f"'{x}'" for x in t)
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tok = '{x}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, x in enumerate(t)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(DISTINCT CASE WHEN tok = '{x}' THEN doc_id END)"
+        f" AS BIGINT) AS df_{i}"
+        for i, x in enumerate(t)
+    )
+    # fixed-order sum: term 0 + term 1 + term 2 — identical expression
+    # tree on both engines (float addition is not associative)
+    score_terms = " + ".join(
+        f"""(CASE WHEN tf_{i} = 0 THEN 0.0 ELSE
+              ln(1 + (CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5))
+              * (tf_{i} * ({BM25_K1} + 1.0))
+              / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dl / (CAST(dl_total AS DOUBLE) / n_docs)))
+            END)"""
+        for i in range(len(t))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS dl_total
+      FROM documents
+    ), dstats AS (
+      SELECT {df_cols} FROM toks WHERE tok IN ({terms_in})
+    ), per_doc AS (
+      SELECT doc_id, {tf_cols}
+      FROM toks WHERE tok IN ({terms_in}) GROUP BY doc_id
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    )
+    SELECT p.doc_id, round({score_terms}, 9) AS bm25_score
+    FROM per_doc p
+    JOIN dl USING (doc_id)
+    CROSS JOIN corpus CROSS JOIN dstats
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@query("bm25_search_docs", oracle=_bm25_sql())
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval for the suite's fixed query terms — the
+    DISJUNCTIVE ranked complement of ``keyword_search_docs``'s
+    conjunctive intersection (Robertson/Spärck Jones probabilistic
+    weighting, the default first-stage ranker in every search stack):
+    idf saturating in df, tf saturating at k1, document-length
+    normalization at b.
+
+    Determinism: tf/df/dl/avgdl all derive from exact integer counts;
+    the only floats are the per-term BM25 expressions, combined in a
+    FIXED left-to-right order in both engines (float addition is not
+    associative) and rounded to 9 decimals before ranking with a
+    doc_id tiebreak — the ``tfidf_top_terms`` discipline.
+
+    Scale: the term filter kills non-query tokens inside the exploded
+    projection before any shuffle; per-doc tfs are a doc-grain
+    conditional aggregate (|terms| columns wide, no pivot shuffle); df
+    and corpus stats are two 1-row broadcast crossJoins (whitelisted);
+    the head is a TakeOrdered. With a stored inverted index this is
+    |terms| posting scans + a WAND-style top-k — ``token_postings_
+    stats``'s max_tf is exactly the impact bound that upgrade needs.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = toks.filter(F.col("tok").isin(*SEARCH_TERMS))
+    tf_aggs = [
+        F.sum(F.when(F.col("tok") == x, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"tf_{i}")
+        for i, x in enumerate(SEARCH_TERMS)
+    ]
+    per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
+    df_aggs = [
+        F.count_distinct(
+            F.when(F.col("tok") == x, F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias(f"df_{i}")
+        for i, x in enumerate(SEARCH_TERMS)
+    ]
+    dstats = hits.agg(*df_aggs)
+    corpus = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("dl_total"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    scored = (
+        per_doc.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dstats))
+    )
+    avgdl = F.col("dl_total").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(SEARCH_TERMS)):
+        tf = F.col(f"tf_{i}")
+        dfq = F.col(f"df_{i}")
+        idf = F.log(
+            1
+            + (F.col("n_docs").cast("double") - dfq + 0.5) / (dfq + 0.5)
+        )
+        term = F.when(tf == 0, F.lit(0.0)).otherwise(
+            idf
+            * (tf * (BM25_K1 + 1.0))
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", F.round(score, 9).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )

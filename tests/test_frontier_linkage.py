@@ -1,0 +1,207 @@
+"""Semantic pins for the round-8 additions: skyline, record linkage,
+BM25 ranking, forecast backtest, level-shift screen, correlation
+matrix. The oracle suite proves cross-engine equality; these tests pin
+the DEFINITIONS (dominance, blocking completeness, metric identities)
+against independent in-Python recomputation."""
+
+import math
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators.frontier import _metrics
+from kafka_consumer_2_clickhouse_spark.operators.linkage import (
+    MAX_EDIT_DISTANCE,
+)
+from kafka_consumer_2_clickhouse_spark.operators.temporal import (
+    LEVEL_SHIFT_MIN_RATIO,
+    LEVEL_SHIFT_WINDOW,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """The two-phase distributed skyline returns EXACTLY the
+    non-dominated supplier set a quadratic in-Python scan finds."""
+    metrics = {
+        r["l_suppkey"]: (r["avg_delay_days"], r["revenue"])
+        for r in _metrics(spark, sf_dir).collect()
+    }
+
+    def dominated(k):
+        d, rev = metrics[k]
+        return any(
+            (d2 <= d and r2 >= rev and (d2 < d or r2 > rev))
+            for k2, (d2, r2) in metrics.items()
+            if k2 != k
+        )
+
+    expect = {k for k in metrics if not dominated(k)}
+    got = {
+        r["s_suppkey"]
+        for r in ops.QUERIES["supplier_pareto_frontier"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "frontier can never be empty on non-empty input"
+
+
+def test_linkage_pairs_complete_and_sound(spark, sf_dir):
+    """Every reported pair verifies (distance <= MAX, shared block,
+    a < b) and NO qualifying in-block pair is missed."""
+    rows = ops.QUERIES["part_name_neardup"](spark, sf_dir).collect()
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    names = {}
+    for r in load_table(spark, sf_dir, "part").select("p_name").collect():
+        names[r["p_name"]] = names.get(r["p_name"], 0) + 1
+    got = set()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+        d = _lev(r["name_a"], r["name_b"])
+        assert d == r["edit_distance"] and d <= MAX_EDIT_DISTANCE
+        assert r["n_parts_a"] == names[r["name_a"]]
+        assert r["n_parts_b"] == names[r["name_b"]]
+        got.add((r["name_a"], r["name_b"]))
+    expect = {
+        (a, b)
+        for a in names
+        for b in names
+        if a < b
+        and a.split(" ")[-1] == b.split(" ")[-1]
+        and _lev(a, b) <= MAX_EDIT_DISTANCE
+    }
+    assert got == expect
+
+
+def test_bm25_ranking_definition(spark, sf_dir):
+    """Scores recompute exactly from corpus statistics (Robertson
+    BM25, k1=1.2 b=0.75), are positive, and arrive rank-ordered."""
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_TOP_K,
+        SEARCH_TERMS,
+    )
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in SEARCH_TERMS
+    }
+
+    def score(doc_id):
+        toks = docs[doc_id]
+        s = 0.0
+        for t in SEARCH_TERMS:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl))
+            )
+        return round(s, 9)
+
+    rows = ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    prev = None
+    for r in rows:
+        assert r["bm25_score"] > 0
+        assert abs(r["bm25_score"] - score(r["doc_id"])) < 1e-6
+        if prev is not None:
+            assert r["bm25_score"] <= prev
+        prev = r["bm25_score"]
+    # the head really is the global top-k
+    kth = rows[-1]["bm25_score"]
+    better = sorted((score(d) for d in docs), reverse=True)[: len(rows)]
+    assert abs(better[-1] - kth) < 1e-6
+
+
+def test_forecast_eval_identities(spark, sf_dir):
+    """n_days pins the lag horizons exactly; rmse >= mae >= 0; the
+    seasonal model evaluates on 6 fewer days than the naive one."""
+    rows = {
+        r["model"]: r
+        for r in ops.QUERIES["events_forecast_eval"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"naive", "seasonal_naive"}
+    assert rows["naive"]["n_days"] - rows["seasonal_naive"]["n_days"] == 6
+    for r in rows.values():
+        assert r["rmse"] >= r["mae"] >= 0
+        assert r["mape"] >= 0
+        assert abs(r["mean_bias"]) <= r["mae"]
+
+
+def test_level_shifts_frames_and_flag(spark, sf_dir):
+    """Every emitted day carries full frames; the flag is exactly the
+    rounded-ratio threshold test; frame means recompute from the raw
+    daily counts."""
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    daily = {
+        r["day"]: r["c"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    rows = ops.QUERIES["events_level_shifts"](spark, sf_dir).collect()
+    assert rows, "a month of synthetic data must yield full frames"
+    for r in rows:
+        i = idx[r["day"]]
+        assert i >= LEVEL_SHIFT_WINDOW
+        assert i + LEVEL_SHIFT_WINDOW <= len(days)
+        pre = [daily[days[j]] for j in range(i - LEVEL_SHIFT_WINDOW, i)]
+        post = [daily[days[j]] for j in range(i, i + LEVEL_SHIFT_WINDOW)]
+        assert abs(r["pre_avg"] - round(sum(pre) / len(pre), 6)) < 1e-9
+        assert abs(r["post_avg"] - round(sum(post) / len(post), 6)) < 1e-9
+        assert r["is_shift"] == (
+            abs(r["shift_ratio"]) >= LEVEL_SHIFT_MIN_RATIO
+        )
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    """corr recomputes (to float tolerance) against numpy's corrcoef
+    on the raw doubles, and the matrix is the full upper triangle."""
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.operators.profile import _CORR_PAIRS
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    data = (
+        load_table(spark, sf_dir, "lineitem").select(*cols).toPandas()
+    )
+    rows = {
+        (r["col_x"], r["col_y"]): r
+        for r in ops.QUERIES["lineitem_correlation_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(_CORR_PAIRS)
+    n = len(data)
+    for (a, b), r in rows.items():
+        assert r["n_rows"] == n
+        expect = np.corrcoef(data[a], data[b])[0, 1]
+        assert abs(r["corr"] - expect) < 1e-6, (a, b, r["corr"], expect)

@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "events_psi_drift",  # 1-row range + 1-row totals crossJoins
     "join_selectivity_estimate",  # 1-row stats crossJoins per edge
     "lineitem_analyze_stats",  # 4x 1-row ndv crossJoins (Expand avoidance)
+    "bm25_search_docs",  # 1-row corpus-stats + 1-row df-stats crossJoins
 }
 
 
@@ -92,6 +93,15 @@ GLOBAL_WINDOW_ALLOWED = {
     # rank window over the LIMIT-128 vocabulary head only (TakeOrdered
     # bounds it before the window), never the vocabulary
     "token_coverage_curve",
+    # lag + metric windows over the DAY-GRAIN count aggregate only —
+    # bounded by calendar days, never fact-table rows
+    "events_forecast_eval",
+    # both mean-shift frames run on the same DAY-GRAIN aggregate
+    "events_level_shifts",
+    # phase-2 skyline window runs over phase-1's bucket-local skyline
+    # SURVIVORS only (the bucketed phase-1 window IS partitioned);
+    # worst case = the frontier itself, typical case O(log n)/bucket
+    "supplier_pareto_frontier",
 }
 
 
