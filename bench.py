@@ -217,6 +217,11 @@ EXTRA = [
     "events_forecast_eval",
     "events_level_shifts",
     "lineitem_correlation_matrix",
+    "events_attribution_report",
+    "events_markov_perplexity",
+    "copurchase_khop_reach",
+    "lineitem_chi2_independence",
+    "orders_weighted_sample",
 ]
 
 

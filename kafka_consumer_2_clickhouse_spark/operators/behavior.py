@@ -8,7 +8,7 @@ multiplication beyond per-user step states.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.tables import load_table
 from .analytics import query
@@ -885,4 +885,270 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias(
             "backlog"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion attribution and next-event modeling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_report",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       > {SESSION_GAP_S}::BIGINT * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), touched AS (
+      SELECT event_type, value,
+             first_value(event_type) OVER s AS first_type,
+             lag(event_type) OVER s AS prev_type
+      FROM numbered
+      WINDOW s AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), conv AS (
+      SELECT first_type, coalesce(prev_type, event_type) AS last_type, value
+      FROM touched WHERE event_type = 'purchase'
+    ), melted AS (
+      SELECT 'first_touch' AS model, first_type AS channel, value FROM conv
+      UNION ALL
+      SELECT 'last_touch' AS model, last_type AS channel, value FROM conv
+    )
+    SELECT model, channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS revenue
+    FROM melted GROUP BY model, channel
+    """,
+)
+def events_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over 30-min-gap sessions: every purchase
+    credits its session's FIRST event type (first-touch) and the
+    event type immediately PRECEDING it (last-touch; the purchase
+    itself when it opens the session) — the two bookend models whose
+    disagreement is the whole attribution debate, reported side by
+    side per channel with conversion counts and exact-decimal revenue.
+
+    Scale: ONE user_id shuffle computes session numbering and both
+    touch windows (same partitioning, Spark reuses the sort); the melt
+    is a map-side 2x explode of purchase rows only; the report
+    aggregate partial-combines on a |models| x |types| key space.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    s = (
+        W.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touched = numbered.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(s).alias("first_type"),
+        F.lag("event_type").over(
+            W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    conv = touched.filter(F.col("event_type") == "purchase").select(
+        "first_type",
+        F.coalesce("prev_type", "event_type").alias("last_type"),
+        "value",
+    )
+    melted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_type").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_type").alias("channel"),
+                ),
+            )
+        ).alias("m"),
+        "value",
+    ).select("m.model", "m.channel", "value")
+    return melted.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 6
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "events_markov_perplexity",
+    oracle="""
+    WITH trans AS (
+      SELECT user_id, ts, event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    ), t AS (
+      SELECT src, dst, epoch_us(ts) AS us FROM trans WHERE src IS NOT NULL
+    ), bounds AS (
+      SELECT min(us) + ((max(us) - min(us)) * 4) // 5 AS cutoff
+      FROM (SELECT epoch_us(ts) AS us FROM events)
+    ), train AS (
+      SELECT src, dst FROM t CROSS JOIN bounds WHERE us < cutoff
+    ), test AS (
+      SELECT src, dst FROM t CROSS JOIN bounds WHERE us >= cutoff
+    ), pair_c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM train
+      GROUP BY src, dst
+    ), src_t AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS tot FROM train GROUP BY src
+    ), uni_c AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY dst
+    ), stats AS (
+      SELECT CAST(count(DISTINCT dst) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_train
+      FROM train
+    ), scored AS (
+      SELECT
+        -ln((coalesce(pair_c.c, 0) + 1.0)
+            / (coalesce(src_t.tot, 0) + stats.v)) AS nll_markov,
+        -ln((coalesce(uni_c.c, 0) + 1.0)
+            / (stats.n_train + stats.v)) AS nll_unigram
+      FROM test
+      LEFT JOIN pair_c ON test.src = pair_c.src AND test.dst = pair_c.dst
+      LEFT JOIN src_t ON test.src = src_t.src
+      LEFT JOIN uni_c ON test.dst = uni_c.dst
+      CROSS JOIN stats
+    ), melted AS (
+      SELECT 'markov' AS model, nll_markov AS nll FROM scored
+      UNION ALL
+      SELECT 'unigram' AS model, nll_unigram AS nll FROM scored
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(CAST(sum(CAST(nll AS DECIMAL(27,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_nll,
+           round(exp(round(CAST(sum(CAST(nll AS DECIMAL(27,12))) AS DOUBLE)
+                           / count(*), 6)), 6) AS perplexity
+    FROM melted GROUP BY model
+    """,
+)
+def events_markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order next-event-type model:
+    train add-one-smoothed transition probabilities on the first 80%
+    of the time span, score the last 20% with average negative
+    log-likelihood and perplexity, against the unigram baseline — the
+    eval the `events_type_transitions` matrix needs before anyone
+    ships it as a predictor (a Markov model that can't beat unigram
+    perplexity has no sequential signal).
+
+    Determinism: the split cutoff is exact integer microsecond
+    arithmetic (*4//5 — no float-cast rounding divergence); counts are
+    exact; per-transition ln terms sum through the order-insensitive
+    decimal idiom; perplexity exponentiates the ROUNDED avg_nll so
+    both engines publish identical values.
+
+    Scale: transitions come from one user_id window shuffle; the model
+    is |types|^2 rows and broadcasts back over the test split; the
+    corpus stats are 1-row broadcast crossJoins (whitelisted); both
+    models score in one melt-explode pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst", F.unix_micros("ts").alias("us"))
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    ).selectExpr(
+        # integer DIV — exact on both engines, no float-rounding hazard
+        "min_us + ((max_us - min_us) * 4) DIV 5 AS cutoff"
+    )
+    with_cut = trans.crossJoin(F.broadcast(bounds))
+    train = with_cut.filter(F.col("us") < F.col("cutoff")).select("src", "dst")
+    test = with_cut.filter(F.col("us") >= F.col("cutoff")).select("src", "dst")
+    pair_c = train.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    src_t = train.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("tot")
+    )
+    uni_c = (
+        train.groupBy("dst")
+        .agg(F.count("*").cast("bigint").alias("uc"))
+    )
+    stats = train.agg(
+        F.count_distinct("dst").cast("bigint").alias("v"),
+        F.count("*").cast("bigint").alias("n_train"),
+    )
+    scored = (
+        test.join(F.broadcast(pair_c), ["src", "dst"], "left")
+        .join(F.broadcast(src_t), "src", "left")
+        .join(F.broadcast(uni_c), "dst", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("tot"), F.lit(0)) + F.col("v"))
+                )
+            ).alias("nll_markov"),
+            (
+                -F.log(
+                    (F.coalesce(F.col("uc"), F.lit(0)) + 1.0)
+                    / (F.col("n_train") + F.col("v"))
+                )
+            ).alias("nll_unigram"),
+        )
+    )
+    melted = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("markov").alias("model"),
+                    F.col("nll_markov").alias("nll"),
+                ),
+                F.struct(
+                    F.lit("unigram").alias("model"),
+                    F.col("nll_unigram").alias("nll"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.model", "m.nll")
+    n = F.count("*")
+    avg_nll = F.round(
+        F.sum(F.col("nll").cast("decimal(27,12)")).cast("double") / n, 6
+    )
+    return melted.groupBy("model").agg(
+        n.cast("bigint").alias("n_test"),
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 6).alias("perplexity"),
     )

@@ -979,3 +979,109 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clustering_coeff"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (unrolled BFS) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: BFS depth — unrolled identically in the SQL oracle
+KHOP_MAX_HOPS = 3
+
+
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg, n) of the support-thresholded co-purchase graph —
+    the same construction ``copurchase_pagerank`` inlines (kept
+    textually identical to `_PR_EDGES_CTE`so both queries hash against
+    one graph). Edges persist: BFS reuses them every level."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= PAGERANK_MIN_SUPPORT)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    return edges, deg, nn
+
+
+def _khop_oracle() -> str:
+    body = _PR_EDGES_CTE
+    body += """, seed AS (
+      SELECT u AS node FROM deg ORDER BY d DESC, u ASC LIMIT 1
+    ), h0 AS (
+      SELECT node FROM seed
+    )"""
+    reached = "SELECT node FROM h0"
+    for k in range(1, KHOP_MAX_HOPS + 1):
+        body += f""", h{k} AS (
+      SELECT DISTINCT e.v AS node
+      FROM edges e JOIN h{k - 1} f ON e.u = f.node
+      WHERE e.v NOT IN ({reached})
+    )"""
+        reached += f" UNION SELECT node FROM h{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT node AS part_id, {k} AS hops FROM h{k}"
+        for k in range(KHOP_MAX_HOPS + 1)
+    )
+    return f"{body} {selects}"
+
+
+@query("copurchase_khop_reach", oracle=_khop_oracle())
+def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability: every part within KHOP_MAX_HOPS
+    hops of the highest-degree hub part (tiebreak: smallest partkey)
+    over the same support-thresholded co-purchase graph PageRank uses,
+    labeled with its exact hop distance — the "customers who bought X
+    eventually reach Y" neighborhood query, and the building block of
+    ego-network features.
+
+    BFS level k is an equi-join of the edge list against frontier k-1
+    plus an anti-join against everything already reached — the
+    standard unrolled-iteration shape (exactly how GraphFrames'
+    ``bfs`` lowers to DataFrame joins); the oracle unrolls the same
+    levels as chained CTEs, so hop labels are hash-verified exactly.
+
+    Scale: per level ONE node-keyed equi-join + one anti-join, both
+    broadcast-eligible while the frontier is small (it always is for
+    bounded k on a hub seed); edge relation persists once. Distances
+    are exact set algebra — no floats anywhere.
+    """
+    edges, deg, _nn = _copurchase_graph(spark, sf_dir)
+    seed = deg.orderBy(F.desc("d"), F.asc("u")).limit(1).select(
+        F.col("u").alias("node")
+    )
+    levels = [seed.select("node")]
+    reached = seed.select("node")
+    for _ in range(KHOP_MAX_HOPS):
+        frontier = levels[-1]
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(F.broadcast(reached), "node", "left_anti")
+        )
+        levels.append(nxt)
+        reached = reached.union(nxt.select("node"))
+    out = None
+    for k, lvl in enumerate(levels):
+        part = lvl.select(
+            F.col("node").alias("part_id"), F.lit(k).cast("int").alias("hops")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 #: HLL++ precision for the approx profile. rsd=0.02 costs ~3x less than
@@ -1118,4 +1118,103 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(F.explode(rows).alias("r")).select(
         "r.col_x", "r.col_y", "r.n_rows", "r.corr"
+    )
+
+
+@query(
+    "lineitem_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(count(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY rf, ls
+    ), rowm AS (
+      SELECT rf, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY rf
+    ), colm AS (
+      SELECT ls, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY ls
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT rf) AS BIGINT) AS r,
+             CAST(count(DISTINCT ls) AS BIGINT) AS c
+      FROM cells
+    ), grid AS (
+      SELECT rowm.rf, colm.ls, rowm.rt, colm.ct,
+             coalesce(cells.o, 0) AS o
+      FROM rowm CROSS JOIN colm
+      LEFT JOIN cells ON cells.rf = rowm.rf AND cells.ls = colm.ls
+    ), terms AS (
+      SELECT (o - CAST(rt AS DOUBLE) * ct / tot.n)
+             * (o - CAST(rt AS DOUBLE) * ct / tot.n)
+             / (CAST(rt AS DOUBLE) * ct / tot.n) AS term,
+             tot.n, tot.r, tot.c
+      FROM grid CROSS JOIN tot
+    )
+    SELECT n AS n_rows,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(CAST(sum(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6)
+             AS chi2,
+           round(sqrt(CAST(sum(CAST(term AS DECIMAL(27,12))) AS DOUBLE)
+                      / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM terms GROUP BY n, r, c
+    """,
+)
+def lineitem_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between l_returnflag
+    and l_linestatus, with Cramér's V effect size — the categorical
+    counterpart of ``lineitem_correlation_matrix``: the statistic that
+    tells an optimizer (or a feature auditor) that two categorical
+    columns are NOT independent, including structurally-zero cells
+    (the full marginal cross grid is scored, not just observed cells).
+
+    Determinism: observed/expected derive from exact integer counts;
+    per-cell terms are identical double expressions summed through the
+    order-insensitive decimal idiom; V uses the pre-rounding sum.
+
+    Scale: ONE partial-aggregated groupBy collapses the fact table to
+    |rf| x |ls| cells; everything after runs on that tiny grid.
+    """
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rowm = cells.groupBy("rf").agg(F.sum("o").cast("bigint").alias("rt"))
+    colm = cells.groupBy("ls").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("rf").cast("bigint").alias("r"),
+        F.count_distinct("ls").cast("bigint").alias("c"),
+    )
+    grid = (
+        rowm.crossJoin(colm)
+        .join(cells, ["rf", "ls"], "left")
+        .select("rf", "ls", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    chi2_sum = F.sum(F.col("term").cast("decimal(27,12)")).cast("double")
+    return (
+        grid.select("n", "r", "c", term.alias("term"))
+        .groupBy("n", "r", "c")
+        .agg(
+            F.round(chi2_sum, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2_sum
+                    / (
+                        F.col("n")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+            "cramers_v",
+        )
     )

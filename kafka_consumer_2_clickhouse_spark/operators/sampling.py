@@ -406,3 +406,55 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(needed / F.col("n_tokens_avail"), 6).alias("epochs"),
         (needed / F.col("n_tokens_avail") > 1.0).alias("repeated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+#: weighted-sample size
+WEIGHTED_SAMPLE_K = 100
+
+
+@query(
+    "orders_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             round(ln(({_bucket_sql('o_orderkey')} + 0.5) / 65536.0)
+                   / o_totalprice, 12) AS es_key
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, o_totalprice-
+    proportional: the Efraimidis–Spirakis A-ES scheme (IPL 2006) —
+    each row gets key u^(1/w) for uniform u, and the top-K keys are
+    the sample. Ranking on ln(u)/w (the same order, float-safer) with
+    u derived from the suite's deterministic md5 bucket makes the
+    sample REPRODUCIBLE across engines, partitionings, and reruns —
+    the property `events_deterministic_sample` pins for the uniform
+    case, extended to weights.
+
+    Determinism: u is exact ((bucket + 0.5)/65536); the key rounds to
+    12 decimals before ranking with an orderkey tiebreak (ln ulp
+    discipline, as `tfidf_top_terms`).
+
+    Scale: pure map-side key computation + TakeOrderedAndProject
+    (per-partition partial top-K, no global sort, no shuffle of the
+    table). THE way to draw a price-weighted eval slice from 100 TB
+    of orders in one pass.
+    """
+    o = _t(spark, sf_dir, "orders")
+    u = (_bucket(F.col("o_orderkey")) + 0.5) / 65536.0
+    key = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    return (
+        o.select("o_orderkey", "o_totalprice", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )

@@ -1,0 +1,161 @@
+"""Semantic pins for round-8 batch B: attribution, Markov perplexity,
+k-hop BFS, chi-square independence, weighted sampling — each checked
+against an independent in-Python recomputation (the oracle suite
+already proves cross-engine hash equality)."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def test_attribution_conserves_conversions_and_revenue(spark, sf_dir):
+    """Both models distribute the SAME purchase set: per-model totals
+    (conversions and revenue) must match exactly, and equal the raw
+    purchase count."""
+    rows = ops.QUERIES["events_attribution_report"](spark, sf_dir).collect()
+    models = {"first_touch", "last_touch"}
+    assert {r["model"] for r in rows} == models
+    totals = {m: [0, 0.0] for m in models}
+    for r in rows:
+        totals[r["model"]][0] += r["n_conversions"]
+        totals[r["model"]][1] += r["revenue"]
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert totals["first_touch"][0] == totals["last_touch"][0] == n_purchases
+    assert abs(totals["first_touch"][1] - totals["last_touch"][1]) < 1e-6
+
+
+def test_markov_perplexity_shape(spark, sf_dir):
+    """Both models score the same test split; perplexity is exactly
+    exp(avg_nll) after rounding; values live in the sane range for a
+    |V|-way smoothed predictor."""
+    rows = {
+        r["model"]: r
+        for r in ops.QUERIES["events_markov_perplexity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"markov", "unigram"}
+    assert rows["markov"]["n_test"] == rows["unigram"]["n_test"] > 0
+    for r in rows.values():
+        assert r["avg_nll"] > 0
+        assert abs(r["perplexity"] - round(math.exp(r["avg_nll"]), 6)) < 1e-9
+        # 5 event types, add-one smoothing: perplexity can't leave (1, 25)
+        assert 1.0 < r["perplexity"] < 25.0
+
+
+def test_khop_matches_python_bfs(spark, sf_dir):
+    """Hop labels equal an independent BFS over the same
+    support-thresholded co-purchase edge list."""
+    from kafka_consumer_2_clickhouse_spark.operators.graph import (
+        KHOP_MAX_HOPS,
+        PAGERANK_MIN_SUPPORT,
+    )
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = {}
+    for r in items:
+        by_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    support = {}
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] = support.get((a, b), 0) + 1
+    adj = {}
+    for (a, b), s in support.items():
+        if s >= PAGERANK_MIN_SUPPORT:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    assert adj, "sf data must yield a non-empty copurchase graph"
+    seed = min(
+        adj, key=lambda u: (-len(adj[u]), u)
+    )  # max degree, tiebreak min id
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, KHOP_MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = {
+        r["part_id"]: r["hops"]
+        for r in ops.QUERIES["copurchase_khop_reach"](spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+def test_chi2_matches_python(spark, sf_dir):
+    """chi2 / dof / Cramér's V recompute from raw cell counts."""
+    cells = {
+        (r["rf"], r["ls"]): r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rfs = sorted({k[0] for k in cells})
+    lss = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    chi2 = 0.0
+    for a in rfs:
+        rt = sum(v for (x, _), v in cells.items() if x == a)
+        for b in lss:
+            ct = sum(v for (_, y), v in cells.items() if y == b)
+            e = rt * ct / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    [row] = ops.QUERIES["lineitem_chi2_independence"](spark, sf_dir).collect()
+    assert row["n_rows"] == n
+    assert row["dof"] == (len(rfs) - 1) * (len(lss) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-4
+    v = math.sqrt(chi2 / (n * min(len(rfs) - 1, len(lss) - 1)))
+    assert abs(row["cramers_v"] - v) < 1e-6
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_weighted_sample_matches_python_aes(spark, sf_dir):
+    """The sample is exactly the top-K Efraimidis–Spirakis keys under
+    the md5-bucket uniform, recomputed row by row in Python."""
+    from kafka_consumer_2_clickhouse_spark.operators.sampling import (
+        WEIGHTED_SAMPLE_K,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+
+    def key(okey, price):
+        bucket = int(hashlib.md5(str(okey).encode()).hexdigest()[:4], 16)
+        return round(math.log((bucket + 0.5) / 65536.0) / price, 12)
+
+    expect = sorted(
+        ((key(r["o_orderkey"], r["o_totalprice"]), -r["o_orderkey"]) for r in orders),
+        reverse=True,
+    )[:WEIGHTED_SAMPLE_K]
+    expect_keys = [(-k2, k1) for k1, k2 in expect]
+    got = ops.QUERIES["orders_weighted_sample"](spark, sf_dir).collect()
+    assert len(got) == min(WEIGHTED_SAMPLE_K, len(orders))
+    assert [(r["o_orderkey"], r["es_key"]) for r in got] == expect_keys
+    # heavier orders should dominate: the sample's mean price must
+    # exceed the population's (weight-proportional selection)
+    pop_mean = sum(r["o_totalprice"] for r in orders) / len(orders)
+    samp_mean = sum(r["o_totalprice"] for r in got) / len(got)
+    assert samp_mean > pop_mean
