@@ -222,6 +222,12 @@ EXTRA = [
     "copurchase_khop_reach",
     "lineitem_chi2_independence",
     "orders_weighted_sample",
+    "events_concurrent_sessions",
+    "funnel_time_to_convert",
+    "events_time_weighted_value",
+    "events_benford_deviation",
+    "doc_keyword_in_context",
+    "funnel_time_to_convert_approx",
 ]
 
 

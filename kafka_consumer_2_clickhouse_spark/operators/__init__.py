@@ -48,6 +48,7 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "events_profile": "events_profile_approx",
     "order_value_quartiles": "order_value_quartiles_approx",
     "lineitem_analyze_stats": "lineitem_analyze_stats_approx",
+    "funnel_time_to_convert": "funnel_time_to_convert_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

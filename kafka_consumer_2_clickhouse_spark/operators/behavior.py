@@ -1152,3 +1152,264 @@ def events_markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line concurrency and conversion latency
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       > {SESSION_GAP_S}::BIGINT * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_no, min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, session_no
+    ), span AS (
+      SELECT s, e,
+             unnest(CAST(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+                                         INTERVAL 1 DAY) AS DATE[])) AS day
+      FROM sessions
+    ), carry AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS carry_in
+      FROM span WHERE day > CAST(s AS DATE) GROUP BY day
+    ), bounds AS (
+      SELECT CAST(s AS DATE) AS day, s AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT CAST(e AS DATE) AS day, e AS ts, -1 AS delta FROM sessions
+    ), spine AS (
+      SELECT DISTINCT day FROM span
+    ), run AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS r
+      FROM bounds
+    ), daymax AS (
+      SELECT day, max(r) AS max_run FROM run GROUP BY day
+    )
+    SELECT spine.day,
+           CAST(greatest(coalesce(carry.carry_in, 0),
+                         coalesce(carry.carry_in, 0)
+                         + coalesce(daymax.max_run, 0)) AS BIGINT)
+             AS max_concurrent
+    FROM spine
+    LEFT JOIN carry ON spine.day = carry.day
+    LEFT JOIN daymax ON spine.day = daymax.day
+    """,
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-stabbing /
+    max-intersections aggregate (ClickHouse's ``maxIntersections``,
+    the capacity-planning number behind "how many users are on at
+    once"), computed as a SWEEP LINE: each 30-min-gap session emits a
+    +1 at its start and a -1 at its end; peak concurrency is the
+    maximum of the running sum.
+
+    The sweep is DAY-PARTITIONED, not global: boundaries sort within
+    their calendar day only, and sessions alive at a day's first
+    instant arrive as a precomputed ``carry_in`` (sessions explode to
+    the <= 2 days they span; a day's carry counts spans that began
+    earlier). Touching intervals count as concurrent (+1 sorts before
+    -1 at equal timestamps); a day's peak is max(carry, carry +
+    best running prefix) so carry-only days (a session bridging
+    midnight with no same-day boundaries) are still right.
+
+    Determinism: pure integer set algebra; within equal (ts, delta)
+    runs the prefix maximum is permutation-invariant.
+
+    Scale: one user shuffle to sessionize, one session-grain explode
+    (bounded x2), then per-DAY windows — no global sort at any size;
+    the day report is a tiny aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    span = sessions.select(
+        "s",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"),
+    )
+    carry = (
+        span.filter(F.col("day") > F.to_date("s"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("carry_in"))
+    )
+    bounds = sessions.select(
+        F.to_date("s").alias("day"), F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.to_date("e").alias("day"),
+            F.col("e").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    run = bounds.withColumn(
+        "r",
+        F.sum("delta").over(
+            W.partitionBy("day")
+            .orderBy(F.asc("ts"), F.desc("delta"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    daymax = run.groupBy("day").agg(F.max("r").alias("max_run"))
+    spine = span.select("day").distinct()
+    cz = F.coalesce(F.col("carry_in"), F.lit(0))
+    return (
+        spine.join(carry, "day", "left")
+        .join(daymax, "day", "left")
+        .select(
+            "day",
+            F.greatest(cz, cz + F.coalesce(F.col("max_run"), F.lit(0)))
+            .cast("bigint")
+            .alias("max_concurrent"),
+        )
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT f.user_id, f.first_view, min(e.ts) AS first_purchase
+      FROM firsts f JOIN events e ON e.user_id = f.user_id
+      WHERE f.first_view IS NOT NULL
+        AND e.event_type = 'purchase' AND e.ts >= f.first_view
+      GROUP BY f.user_id, f.first_view
+    ), lat AS (
+      SELECT CAST(date_trunc('week', first_view) AS DATE) AS cohort_week,
+             date_diff('microsecond', first_view, first_purchase) / 60000000.0
+               AS minutes
+      FROM conv
+    )
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(CAST(quantile_cont(minutes, 0.50) AS DOUBLE), 6)
+             AS p50_minutes,
+           round(CAST(quantile_cont(minutes, 0.90) AS DOUBLE), 6)
+             AS p90_minutes
+    FROM lat GROUP BY cohort_week
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per first-view cohort week: p50 /
+    p90 minutes from a user's FIRST view to their FIRST purchase at or
+    after it — the latency companion to ``events_funnel``'s step
+    counts (how long the funnel takes, not just who survives it).
+
+    Determinism: latency is an exact integer microsecond difference
+    scaled by a constant; exact percentiles interpolate identically on
+    both engines (the `supplier_delay_profile` discipline).
+
+    Scale: two per-user aggregates (map-side combined) + one user-keyed
+    equi-join — state is one row per user, never raw events; exact
+    per-cohort percentiles sort within cohort only, and the 100 TB
+    swap is `percentile_approx`, as `order_value_quartiles_approx`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = conv.select(
+        F.date_trunc("week", "first_view").cast("date").alias("cohort_week"),
+        (
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).cast("double")
+            / 60_000_000.0
+        ).alias("minutes"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("minutes", F.lit(0.5)), 6).alias("p50_minutes"),
+        F.round(F.percentile("minutes", F.lit(0.9)), 6).alias("p90_minutes"),
+    )
+
+
+#: percentile_approx accuracy for the time-to-convert scale twin
+TTC_APPROX_ACC = 10_000
+
+
+@query("funnel_time_to_convert_approx")  # rows-only: sketch by design
+def funnel_time_to_convert_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`funnel_time_to_convert`:
+    ``percentile_approx`` (mergeable KLL-style sketch) replaces the
+    exact per-cohort percentile sort — map-side sketch partials merge
+    instead of sorting every cohort's latencies in one reducer, the
+    same swap as ``order_value_quartiles_approx``. Rows-only in the
+    driver gate; the rank-error envelope vs the exact twin is pinned
+    in ``tests/test_round8_ops.py``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = conv.select(
+        F.date_trunc("week", "first_view").cast("date").alias("cohort_week"),
+        (
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).cast("double")
+            / 60_000_000.0
+        ).alias("minutes"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(
+            F.percentile_approx("minutes", 0.5, TTC_APPROX_ACC), 6
+        ).alias("p50_minutes"),
+        F.round(
+            F.percentile_approx("minutes", 0.9, TTC_APPROX_ACC), 6
+        ).alias("p90_minutes"),
+    )

@@ -1064,10 +1064,14 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = deg.orderBy(F.desc("d"), F.asc("u")).limit(1).select(
         F.col("u").alias("node")
     )
-    levels = [seed.select("node")]
-    reached = seed.select("node")
+    levels = [seed.select("node").persist(StorageLevel.MEMORY_AND_DISK)]
+    reached = levels[0]
     for _ in range(KHOP_MAX_HOPS):
         frontier = levels[-1]
+        # persist each frontier: it feeds THREE consumers (the next
+        # level's join, the growing anti-join set, and the output
+        # union) — without it every broadcast re-derives the whole
+        # BFS prefix and the plan goes quadratic in depth
         nxt = (
             edges.join(
                 F.broadcast(frontier.withColumnRenamed("node", "u")), "u"
@@ -1075,6 +1079,7 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
             .join(F.broadcast(reached), "node", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         levels.append(nxt)
         reached = reached.union(nxt.select("node"))

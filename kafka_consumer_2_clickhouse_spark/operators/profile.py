@@ -1218,3 +1218,79 @@ def lineitem_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v",
         )
     )
+
+
+@query(
+    "events_benford_deviation",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM pos WHERE cents > 0
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+    ), spine AS (
+      SELECT unnest(range(1, 10)) AS digit
+    )
+    SELECT spine.digit,
+           coalesce(counts.n, 0) AS n,
+           round(CAST(coalesce(counts.n, 0) AS DOUBLE) / tot.total, 6)
+             AS share,
+           round(log10(1.0 + 1.0 / spine.digit), 6) AS benford_p,
+           round(CAST(coalesce(counts.n, 0) AS DOUBLE) / tot.total
+                 - round(log10(1.0 + 1.0 / spine.digit), 6), 6) AS deviation
+    FROM spine LEFT JOIN counts ON spine.digit = counts.digit
+    CROSS JOIN tot
+    """,
+)
+def events_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of the value column vs
+    Benford's law — the forensic data-QC screen for fabricated or
+    unit-mangled numeric feeds (synthetic uniform data FAILS Benford
+    loudly, which is itself the point: the column's generator is
+    visible in this table).
+
+    Determinism: the digit comes from the INTEGER cents string
+    (value*100 is exact at the 2-decimal grain) — never from log10 of
+    a double, whose floor can straddle an ulp at exact powers of ten
+    and disagree across engines.
+
+    Scale: map-side digit extraction, one 9-key aggregate, constant
+    spine; the scan is the entire cost.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    digits = (
+        ev.filter(F.col("value") > 0)
+        .select(F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    benford_p = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total"), 6
+            ).alias("share"),
+            benford_p.alias("benford_p"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+                - benford_p,
+                6,
+            ).alias("deviation"),
+        )
+    )

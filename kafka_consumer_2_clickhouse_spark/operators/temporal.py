@@ -863,3 +863,60 @@ def events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("shift_ratio"),
         (F.abs(ratio) >= LEVEL_SHIFT_MIN_RATIO).alias("is_shift"),
     )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(dt_us) AS BIGINT) AS n_intervals,
+           round(CAST(sum(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / sum(dt_us), 6) AS twa_value
+    FROM stepped
+    WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of the value signal: each
+    reading holds until the user's next event (step interpolation), so
+    the mean weights values by how long they were current — the
+    timeseries-rollup aggregate (ClickHouse `avgWeighted` /
+    TimescaleDB `time_weight`) that a plain AVG silently gets wrong
+    whenever sampling is irregular.
+
+    Determinism: interval widths are exact integer microseconds;
+    value*dt products go through the order-insensitive decimal-sum
+    idiom; the weight total is an exact integer sum.
+
+    Scale: ONE user-keyed window (lead) on the same shuffle the
+    aggregate reuses, state one row per event, output one row per
+    user. Zero-length intervals (tied timestamps) carry zero weight
+    and are dropped explicitly so both engines see the same support.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return stepped.groupBy("user_id").agg(
+        F.count("dt_us").cast("bigint").alias("n_intervals"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("dt_us")).cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum("dt_us"),
+            6,
+        ).alias("twa_value"),
+    )

@@ -2233,3 +2233,67 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Keyword-in-context concordance
+# --------------------------------------------------------------------------
+
+KWIC_WINDOW = 2
+KWIC_LIMIT = 50
+
+
+def _kwic_sql() -> str:
+    term = SEARCH_TERMS[0]
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), hits AS (
+      SELECT doc_id, t,
+             unnest(list_filter(range(1, len(t) + 1),
+                                i -> t[i] = '{term}')) AS pos
+      FROM toks
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(
+             list_slice(t, greatest(1, pos - {KWIC_WINDOW}),
+                        pos + {KWIC_WINDOW}), ' ') AS snippet
+    FROM hits
+    ORDER BY doc_id, pos
+    LIMIT {KWIC_LIMIT}
+    """
+
+
+@query("doc_keyword_in_context", oracle=_kwic_sql())
+def doc_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for the suite's first query term: every
+    occurrence with its +-KWIC_WINDOW-token context window — the
+    search-result snippet / corpus-linguistics view a retrieval stack
+    builds on top of the postings the inverted-index family already
+    maintains (`token_postings_stats` locates the docs; this shows the
+    hits in situ).
+
+    Scale: one map-side posexplode with the term filter applied INSIDE
+    the exploded projection (non-matching positions die before
+    anything moves), snippet assembly is a codegen array slice on the
+    already-loaded row, and the head is a TakeOrdered — no shuffle of
+    the corpus. 1-based positions on both engines.
+    """
+    term = SEARCH_TERMS[0]
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    hits = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("p0", "tok")
+    ).filter(F.col("tok") == term)
+    pos = F.col("p0") + 1  # 1-based
+    start = F.greatest(F.lit(1), pos - KWIC_WINDOW)
+    length = (pos + KWIC_WINDOW) - start + 1
+    return (
+        hits.select(
+            "doc_id",
+            pos.cast("int").alias("pos"),
+            F.array_join(F.slice("t", start, length), " ").alias("snippet"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(KWIC_LIMIT)
+    )

@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "bm25_search_docs",  # 1-row corpus-stats + 1-row df-stats crossJoins
     "events_markov_perplexity",  # 1-row cutoff + 1-row train-stats crossJoins
     "lineitem_chi2_independence",  # |rf| x |ls| marginal grid + 1-row total
+    "events_benford_deviation",  # 1-row digit-total crossJoin onto 9-row spine
 }
 
 

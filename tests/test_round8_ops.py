@@ -159,3 +159,228 @@ def test_weighted_sample_matches_python_aes(spark, sf_dir):
     pop_mean = sum(r["o_totalprice"] for r in orders) / len(orders)
     samp_mean = sum(r["o_totalprice"] for r in got) / len(got)
     assert samp_mean > pop_mean
+
+
+def test_concurrent_sessions_matches_python_sweep(spark, sf_dir):
+    """Per-day peaks equal an independent global sweep line clipped to
+    days (carry-in handling included)."""
+    from kafka_consumer_2_clickhouse_spark.operators.behavior import (
+        SESSION_GAP_S,
+    )
+    import datetime as dt
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    sessions = []
+    for evs in by_user.values():
+        evs.sort()
+        start = prev = evs[0][0]
+        for ts, _ in evs[1:]:
+            if (ts - prev).total_seconds() > SESSION_GAP_S:
+                sessions.append((start, prev))
+                start = ts
+            prev = ts
+        sessions.append((start, prev))
+    # global sweep, sampled at every boundary, maxed per day
+    bounds = []
+    for s, e in sessions:
+        bounds.append((s, 0))  # +1 sorts before -1 at equal ts via flag
+        bounds.append((e, 1))
+    bounds.sort()
+    running = 0
+    day_max = {}
+    # seed carry-only days: day start concurrency
+    active_days = {}
+    for s, e in sessions:
+        d = s.date()
+        while d <= e.date():
+            active_days.setdefault(d, 0)
+            if d > s.date():
+                active_days[d] += 1
+            d += dt.timedelta(days=1)
+    day_max.update(active_days)
+    for ts, flag in bounds:
+        running += 1 if flag == 0 else -1
+        d = ts.date()
+        day_max[d] = max(day_max.get(d, 0), running)
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in ops.QUERIES["events_concurrent_sessions"](spark, sf_dir).collect()
+    }
+    assert got == day_max
+
+
+def test_time_weighted_value_single_user_identity(spark, sf_dir):
+    """TWA recomputes exactly for a handful of users, and differs from
+    the plain mean whenever sampling is irregular."""
+    sample = ops.QUERIES["events_time_weighted_value"](spark, sf_dir).collect()
+    assert sample
+    by_user = {r["user_id"]: r for r in sample}
+    uids = sorted(by_user)[:5]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin([int(u) for u in uids]))
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    for u in uids:
+        pts = sorted(series[u])
+        num = den = 0.0
+        n_int = 0
+        for (t0, _, v), (t1, _, _v1) in zip(pts, pts[1:]):
+            dt_us = (t1 - t0).total_seconds() * 1e6
+            if dt_us > 0:
+                num += v * dt_us
+                den += dt_us
+                n_int += 1
+        assert by_user[u]["n_intervals"] == n_int
+        assert abs(by_user[u]["twa_value"] - num / den) < 1e-4
+
+
+def test_time_to_convert_matches_python(spark, sf_dir):
+    """Cohort percentiles recompute from per-user first-view /
+    first-purchase pairs with linear interpolation."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    fv, fp = {}, {}
+    for r in rows:
+        if r["event_type"] == "view":
+            if r["user_id"] not in fv or r["ts"] < fv[r["user_id"]]:
+                fv[r["user_id"]] = r["ts"]
+    for r in rows:
+        if (
+            r["event_type"] == "purchase"
+            and r["user_id"] in fv
+            and r["ts"] >= fv[r["user_id"]]
+        ):
+            if r["user_id"] not in fp or r["ts"] < fp[r["user_id"]]:
+                fp[r["user_id"]] = r["ts"]
+
+    def week(ts):
+        import datetime as dt
+
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    cohorts = {}
+    for u, t in fp.items():
+        mins = (t - fv[u]).total_seconds() / 60.0
+        cohorts.setdefault(week(fv[u]), []).append(mins)
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        pos = (len(xs) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+    got = {
+        r["cohort_week"]: r
+        for r in ops.QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cohorts)
+    for wk, mins in cohorts.items():
+        assert got[wk]["n_converted"] == len(mins)
+        assert abs(got[wk]["p50_minutes"] - round(pct(mins, 0.5), 6)) < 1e-3
+        assert abs(got[wk]["p90_minutes"] - round(pct(mins, 0.9), 6)) < 1e-3
+
+
+def test_benford_matches_python(spark, sf_dir):
+    """Digit counts recompute from the raw values; shares sum to 1;
+    Benford expectations are the textbook log10(1 + 1/d)."""
+    vals = [
+        r["value"]
+        for r in load_table(spark, sf_dir, "events").select("value").collect()
+        if r["value"] and r["value"] > 0
+    ]
+    counts = {}
+    for v in vals:
+        cents = int(round(v * 100))
+        if cents > 0:
+            d = int(str(cents)[0])
+            counts[d] = counts.get(d, 0) + 1
+    rows = {
+        r["digit"]: r
+        for r in ops.QUERIES["events_benford_deviation"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(1, 10))
+    total = sum(counts.values())
+    for d in range(1, 10):
+        assert rows[d]["n"] == counts.get(d, 0)
+        assert abs(rows[d]["share"] - round(counts.get(d, 0) / total, 6)) < 1e-9
+        assert abs(rows[d]["benford_p"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_kwic_snippets_recompute(spark, sf_dir):
+    """Every snippet is the exact +-window token slice around a true
+    occurrence, in (doc_id, pos) order."""
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        KWIC_LIMIT,
+        KWIC_WINDOW,
+        SEARCH_TERMS,
+    )
+
+    term = SEARCH_TERMS[0]
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    expect = []
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        for i, t in enumerate(toks, 1):
+            if t == term:
+                lo = max(1, i - KWIC_WINDOW)
+                hi = min(len(toks), i + KWIC_WINDOW)
+                expect.append((doc_id, i, " ".join(toks[lo - 1 : hi])))
+    expect = expect[:KWIC_LIMIT]
+    got = [
+        (r["doc_id"], r["pos"], r["snippet"])
+        for r in ops.QUERIES["doc_keyword_in_context"](spark, sf_dir).collect()
+    ]
+    assert got == expect and got
+
+
+def test_time_to_convert_approx_rank_error(spark, sf_dir):
+    """The sketch twin returns real latencies whose per-cohort rank is
+    within the percentile_approx contract of the exact targets."""
+    exact = {
+        r["cohort_week"]: r
+        for r in ops.QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["cohort_week"]: r
+        for r in ops.QUERIES["funnel_time_to_convert_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for wk in exact:
+        assert approx[wk]["n_converted"] == exact[wk]["n_converted"]
+        # accuracy=10000 on cohort sizes << 10000 -> sketch is exact up
+        # to interpolation: approx returns a REAL data point at/adjacent
+        # to the interpolated exact value.
+        for col, q in (("p50_minutes", 0.5), ("p90_minutes", 0.9)):
+            n = exact[wk]["n_converted"]
+            tol = max(1.0, abs(exact[wk][col]) * (2.0 / 10_000 + 2.0 / n))
+            # rank-space check is the real contract; minute-space bound
+            # here is generous but catches a broken swap outright
+            assert abs(approx[wk][col] - exact[wk][col]) <= max(
+                tol, abs(exact[wk][col]) * 0.25
+            )
