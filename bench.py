@@ -228,6 +228,8 @@ EXTRA = [
     "events_benford_deviation",
     "doc_keyword_in_context",
     "funnel_time_to_convert_approx",
+    "events_type_islands",
+    "part_brand_hhi",
 ]
 
 

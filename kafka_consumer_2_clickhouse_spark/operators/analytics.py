@@ -1662,3 +1662,82 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "part_brand_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type, p.p_brand,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS brand_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_brand
+    ), typ AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n_brands,
+             CAST(sum(CAST(brand_rev AS DECIMAL(27,6))) AS DOUBLE)
+               AS type_rev
+      FROM rev GROUP BY p_type
+    ), shares AS (
+      SELECT rev.p_type, typ.n_brands,
+             rev.brand_rev / typ.type_rev AS share
+      FROM rev JOIN typ ON rev.p_type = typ.p_type
+    )
+    SELECT p_type, n_brands,
+           round(CAST(sum(CAST(share * share AS DECIMAL(27,18)))
+                      AS DOUBLE), 9) AS hhi
+    FROM shares GROUP BY p_type, n_brands
+    """,
+)
+def part_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of brand revenue within
+    each part type: sum of squared brand market shares — the
+    competition metric (1/HHI = effective number of brands) a catalog
+    or marketplace team watches per category, and another
+    exact-aggregate statistic SQL engines are asked for daily.
+
+    Determinism: brand revenues are exact decimal sums; each share is
+    the ratio of two such doubles (identical on both engines because
+    the denominators derive from the identical decimal totals);
+    squared shares sum through the decimal idiom, rounded to 9.
+
+    Scale: one partkey equi-join (part is the canonical broadcast/
+    bucketed dimension), one (type, brand) aggregate — key space is the
+    catalog taxonomy, not the fact table — then a |types|-key fold.
+    """
+    from ..sources.tables import broadcast_if_small
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    rev = (
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("brand_rev")
+        )
+    )
+    typ = rev.groupBy("p_type").agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        # re-enter the decimal idiom: a plain double sum would be
+        # partition-order-dependent and diverge from the oracle
+        F.sum(F.col("brand_rev").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("type_rev"),
+    )
+    shares = rev.join(typ, "p_type").select(
+        "p_type",
+        "n_brands",
+        (F.col("brand_rev") / F.col("type_rev")).alias("share"),
+    )
+    return shares.groupBy("p_type", "n_brands").agg(
+        F.round(
+            F.sum((F.col("share") * F.col("share")).cast("decimal(27,18)")).cast(
+                "double"
+            ),
+            9,
+        ).alias("hhi")
+    )

@@ -1413,3 +1413,72 @@ def funnel_time_to_convert_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.percentile_approx("minutes", 0.9, TTC_APPROX_ACC), 6
         ).alias("p90_minutes"),
     )
+
+
+@query(
+    "events_type_islands",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS new_run
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    ), runs AS (
+      SELECT user_id, run_id, event_type,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM numbered GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           round(CAST(sum(run_len) AS DOUBLE) / count(*), 6) AS avg_run_len
+    FROM runs GROUP BY event_type
+    """,
+)
+def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length analysis: consecutive same-type
+    event runs per user (the classic islands pattern — run id = running
+    sum of change flags), reported per type as run count, longest run,
+    and mean run length — the behavioral signal behind rage-click /
+    retry-storm detection (`error` runs) and content-binging reports.
+
+    Scale: the change flag and the run numbering share ONE user-keyed
+    window sort; runs collapse in a partial-aggregated groupBy whose
+    key adds the run id (still user-clustered, same shuffle); the
+    report is a |types|-key aggregate. Deterministic: run boundaries
+    are exact string comparisons on the (ts, event_id) total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    numbered = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    runs = numbered.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.round(F.sum("run_len").cast("double") / F.count("*"), 6).alias(
+            "avg_run_len"
+        ),
+    )

@@ -1572,6 +1572,45 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_EXACT_SPINE_MEMO = None  # lazily constructed SessionMemo
+
+
+def _exact_topk_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, persisted copy of the exact brute-force top-k
+    relation (<= N_QUERY x TOP_K rows). The whole tuning family
+    (``ann_recall_report``, ``ivf_nprobe_sweep``, ``pq_m_sweep``) joins
+    against this spine AND counts it — without the memo every consumer
+    re-pays the all-pairs exact scoring per action. Same
+    :class:`~.._memo.SessionMemo` discipline as the Lloyd's-run memo:
+    the persisted result is the dependency, so a ``clearCache()``
+    evicts the entry instead of leaving a silently-recomputing plan.
+    """
+    global _EXACT_SPINE_MEMO
+    from pyspark import StorageLevel
+
+    from ._memo import SessionMemo
+
+    if _EXACT_SPINE_MEMO is None:
+        _EXACT_SPINE_MEMO = SessionMemo()
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    cached = _EXACT_SPINE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    spine = embedding_cosine_topk(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _EXACT_SPINE_MEMO.put(key, spine, deps=(spine,))
+    return spine
+
+
 def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Recall@k + rank displacement of every approximate variant vs the
     exact operator — see :func:`ann_recall_report`. ``k <= TOP_K``
@@ -1581,7 +1620,7 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     if not 1 <= k <= TOP_K:
         raise ValueError(f"k must be in [1, {TOP_K}], got {k}")
     exact = (
-        embedding_cosine_topk(spark, sf_dir)
+        _exact_topk_spine(spark, sf_dir)
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -1694,7 +1733,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     cents = _train_centroids(raw)
     exact = (
-        embedding_cosine_topk(spark, sf_dir)
+        _exact_topk_spine(spark, sf_dir)
         .select(
             "query_id",
             "cand_id",
@@ -1769,7 +1808,7 @@ def pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = load_table(spark, sf_dir, "embeddings")
     exact = (
-        embedding_cosine_topk(spark, sf_dir)
+        _exact_topk_spine(spark, sf_dir)
         .select(
             "query_id",
             "cand_id",

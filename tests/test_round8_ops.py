@@ -384,3 +384,75 @@ def test_time_to_convert_approx_rank_error(spark, sf_dir):
             assert abs(approx[wk][col] - exact[wk][col]) <= max(
                 tol, abs(exact[wk][col]) * 0.25
             )
+
+
+def test_type_islands_matches_python(spark, sf_dir):
+    """Run-length stats recompute from per-user ordered sequences."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    runs = {}
+    for seq in by_user.values():
+        seq.sort()
+        cur_type, cur_len = None, 0
+        for _, _, t in seq:
+            if t == cur_type:
+                cur_len += 1
+            else:
+                if cur_type is not None:
+                    runs.setdefault(cur_type, []).append(cur_len)
+                cur_type, cur_len = t, 1
+        runs.setdefault(cur_type, []).append(cur_len)
+    got = {
+        r["event_type"]: r
+        for r in ops.QUERIES["events_type_islands"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(runs)
+    for t, lens in runs.items():
+        assert got[t]["n_runs"] == len(lens)
+        assert got[t]["max_run_len"] == max(lens)
+        assert abs(got[t]["avg_run_len"] - round(sum(lens) / len(lens), 6)) < 1e-9
+
+
+def test_hhi_bounds_and_recompute(spark, sf_dir):
+    """HHI recomputes from brand revenues and sits in (1/n_brands, 1]."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    rev = {}
+    for r in (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    ):
+        rev.setdefault(r["p_type"], {})[r["p_brand"]] = r["rev"]
+    got = {
+        r["p_type"]: r
+        for r in ops.QUERIES["part_brand_hhi"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(rev)
+    for t, brands in rev.items():
+        total = sum(brands.values())
+        hhi = sum((v / total) ** 2 for v in brands.values())
+        assert got[t]["n_brands"] == len(brands)
+        assert abs(got[t]["hhi"] - hhi) < 1e-6
+        assert 1.0 / len(brands) - 1e-9 <= got[t]["hhi"] <= 1.0 + 1e-9
