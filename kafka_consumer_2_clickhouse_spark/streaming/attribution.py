@@ -1,0 +1,167 @@
+"""Streaming touch attribution: per-user session state emitting one
+attributed row per purchase AS IT ARRIVES ([EXT] — the online twin of
+the batch ``events_attribution_report``, `operators/behavior.py`).
+
+The batch operator replays history and aggregates; a marketing stack
+also wants each conversion attributed the moment it lands. Per user,
+the state is just the open session's bookkeeping:
+
+- ``last_us``: timestamp of the user's latest event — a gap larger
+  than ``gap_s`` (default 1800, the suite's sessionization constant)
+  closes the session; the next event opens a new one.
+- ``first_type``: the open session's FIRST event type (first-touch
+  channel, frozen at session open).
+- ``prev_type``: the type of the event immediately before the current
+  one within the session (last-touch channel; a purchase that OPENS a
+  session is credited to itself on both models, exactly the batch
+  ``coalesce(prev, own)`` rule).
+
+Each purchase emits (user_id, p_ts, first_touch, last_touch, value);
+aggregating emissions by model/channel reproduces the batch report —
+pinned in tests under in-order replay. Out-of-order delivery ACROSS
+micro-batches keeps the online property (no retroactive
+re-attribution), the same contract as ``streaming/funnel.py``.
+
+State boundedness — better than the funnel's, for free: session state
+is SEMANTICALLY DEAD once the gap has passed (the next event starts a
+fresh session whether or not state survives), so with a watermark the
+operator sets an event-time timeout at ``last_us + gap`` and drops the
+row when the watermark passes it. State is bounded by sessions OPEN
+within one watermark horizon — expiry can never change any output.
+
+Scale: one user_id shuffle per micro-batch (the standard stateful
+partitioning); state is 1 long + 2 small strings per ACTIVE session;
+the per-user ordered scan touches only that user's rows in the batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: session gap — matches operators/behavior.py SESSION_GAP_S
+GAP_S = 1800
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),  # -1 = no open session
+        T.StructField("first_type", T.StringType()),
+        T.StructField("prev_type", T.StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("p_ts", T.TimestampType()),
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _make_stepper(gap_us: int, expire: bool):
+    def _step(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if expire and state.hasTimedOut:
+            # the session gap has passed the watermark: any future
+            # event opens a new session regardless — dropping state
+            # cannot change any output
+            state.remove()
+            return
+        last_us, first_type, prev_type = (
+            state.get if state.exists else (-1, "", "")
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if last_us >= 0:
+                state.update((last_us, first_type, prev_type))
+                if expire:
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max((last_us + gap_us) // 1000 + 1, wm + 1)
+                    )
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        out_user, out_ts, out_first, out_last, out_val = [], [], [], [], []
+        for typ, ts, val in zip(
+            batch["event_type"], batch["ts_us"], batch["value"]
+        ):
+            ts = int(ts)
+            if last_us < 0 or ts - last_us > gap_us:
+                first_type, prev_type = typ, ""
+            if typ == "purchase":
+                out_user.append(key[0])
+                out_ts.append(pd.Timestamp(ts, unit="us"))
+                out_first.append(first_type)
+                out_last.append(prev_type if prev_type else typ)
+                out_val.append(float(val) if val is not None else None)
+            prev_type = typ
+            last_us = ts
+        state.update((last_us, first_type, prev_type))
+        if expire:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((last_us + gap_us) // 1000 + 1, wm + 1)
+            )
+        if out_user:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_user,
+                    "p_ts": out_ts,
+                    "first_touch": out_first,
+                    "last_touch": out_last,
+                    "value": out_val,
+                }
+            )
+
+    return _step
+
+
+def touch_attribution(
+    events: DataFrame,
+    gap_s: int = GAP_S,
+    expire_sessions: bool = False,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming first/last-touch attribution over (user_id, event_id,
+    event_type, ts, value); one output row per purchase; output mode
+    ``update``. See module docstring.
+
+    ``expire_sessions=True`` watermarks the stream and expires session
+    state once the gap passes the watermark — the production bound;
+    safe by construction (an expired session could only ever be
+    REPLACED, never resumed).
+    """
+    if expire_sessions:
+        events = events.withWatermark("ts", watermark_delay)
+    keyed = events.selectExpr(
+        "cast(user_id as long) as user_id",
+        "cast(event_id as long) as event_id",
+        "cast(event_type as string) as event_type",
+        "cast(value as double) as value",
+        "ts",
+        "unix_micros(ts) as ts_us",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_stepper(gap_s * 1_000_000, expire_sessions),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if expire_sessions
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,199 @@
+"""Streaming touch attribution: per-purchase emission semantics,
+batch-auditor replay equality, restart exactly-once, and the
+session-expiry safety property."""
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from kafka_consumer_2_clickhouse_spark.streaming.attribution import (
+    touch_attribution,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _ts(s):
+    return pd.Timestamp(f"2026-01-01 {s}").to_pydatetime()
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, path, name, checkpoint=None, **kwargs):
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    w = (
+        touch_attribution(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_touch_semantics(spark, tmp_path):
+    path = str(tmp_path / "s")
+    rows = [
+        # user 1: view -> click -> purchase in one session
+        (1, 1, "view", _ts("09:00:00"), 1.0),
+        (1, 2, "click", _ts("09:10:00"), 2.0),
+        (1, 3, "purchase", _ts("09:20:00"), 30.0),
+        # same user, NEW session (>30 min gap): purchase opens it
+        (1, 4, "purchase", _ts("11:00:00"), 40.0),
+        # user 2: two purchases in one session — both attributed,
+        # last-touch differs (prev event type advances)
+        (2, 5, "signup", _ts("09:00:00"), 0.0),
+        (2, 6, "purchase", _ts("09:05:00"), 10.0),
+        (2, 7, "purchase", _ts("09:06:00"), 11.0),
+    ]
+    _write_batch(spark, path, rows)
+    got = {
+        (r["user_id"], r["p_ts"]): r for r in _run(spark, path, "attr_t1")
+    }
+    assert len(got) == 4
+    r = got[(1, _ts("09:20:00"))]
+    assert (r["first_touch"], r["last_touch"], r["value"]) == (
+        "view",
+        "click",
+        30.0,
+    )
+    r = got[(1, _ts("11:00:00"))]  # session-opening purchase: self-credited
+    assert (r["first_touch"], r["last_touch"]) == ("purchase", "purchase")
+    r = got[(2, _ts("09:05:00"))]
+    assert (r["first_touch"], r["last_touch"]) == ("signup", "signup")
+    r = got[(2, _ts("09:06:00"))]
+    assert (r["first_touch"], r["last_touch"]) == ("signup", "purchase")
+
+
+def test_replay_equals_batch_report(spark, sf_dir, tmp_path):
+    """Aggregating the stream's emissions reproduces the registered
+    batch report exactly (in-order replay; same rounding idiom)."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    path = str(tmp_path / "replay")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    # two micro-batches split by time, each internally in-order
+    cutoff = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    first = ev.filter(F.unix_micros("ts") <= int(cutoff))
+    second = ev.filter(F.unix_micros("ts") > int(cutoff))
+    first.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(path)
+    second.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(path)
+    emitted = _run(spark, path, "attr_replay")
+    agg = {}
+    for r in emitted:
+        for model, ch in (
+            ("first_touch", r["first_touch"]),
+            ("last_touch", r["last_touch"]),
+        ):
+            k = (model, ch)
+            n, v = agg.get(k, (0, 0.0))
+            agg[k] = (n + 1, v + r["value"])
+    batch = {
+        (r["model"], r["channel"]): r
+        for r in ops.QUERIES["events_attribution_report"](spark, sf_dir).collect()
+    }
+    assert set(agg) == set(batch)
+    for k, (n, v) in agg.items():
+        assert batch[k]["n_conversions"] == n
+        assert abs(batch[k]["revenue"] - v) < 1e-4
+
+
+def test_restart_exactly_once(spark, tmp_path):
+    """A second availableNow run from the same checkpoint over new data
+    does not re-emit prior conversions; state survives the restart.
+    (foreachBatch parquet sink — the memory sink can't recover from a
+    checkpoint.)"""
+    import os
+
+    path = str(tmp_path / "s")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(path)
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            touch_attribution(stream)
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, 1, "view", _ts("09:00:00"), 1.0),
+            (1, 2, "purchase", _ts("09:10:00"), 10.0),
+        ],
+    )
+    run_once()
+    got1 = spark.read.parquet(sink).collect() if os.path.isdir(sink) else []
+    assert len(got1) == 1 and got1[0]["first_touch"] == "view"
+    # same session continues after restart: purchase at 09:20 must see
+    # first_touch=view (state carried), and the old row must not re-emit
+    _write_batch(spark, path, [(1, 3, "purchase", _ts("09:20:00"), 20.0)])
+    run_once()
+    got2 = sorted(
+        spark.read.parquet(sink).collect(), key=lambda r: r["p_ts"]
+    )
+    assert len(got2) == 2  # old row exactly once + the new one
+    assert got2[1]["p_ts"] == _ts("09:20:00")
+    assert got2[1]["first_touch"] == "view"
+    assert got2[1]["last_touch"] == "purchase"
+
+
+def test_session_expiry_is_semantically_free(spark, tmp_path):
+    """With expire_sessions=True, a purchase arriving after the gap
+    horizon gets a fresh session either way — expiry changes nothing
+    in the output (the safety property that makes the bound free)."""
+    rows = [
+        (1, 1, "view", _ts("09:00:00"), 1.0),
+        # far beyond gap + watermark: state for 09:00 session may have
+        # been dropped — but this purchase opens a new session anyway
+        (7, 2, "view", _ts("13:00:00"), 1.0),  # advances the watermark
+        (1, 3, "purchase", _ts("13:30:00"), 5.0),
+    ]
+    outs = {}
+    for mode in (False, True):
+        path = str(tmp_path / f"s{mode}")
+        for r in rows:
+            _write_batch(spark, path, [r])
+        outs[mode] = sorted(
+            (
+                (r["user_id"], r["p_ts"], r["first_touch"], r["last_touch"])
+                for r in _run(
+                    spark, path, f"attr_e{mode}", expire_sessions=mode
+                )
+            )
+        )
+    assert outs[False] == outs[True]
+    assert outs[True] == [(1, _ts("13:30:00"), "purchase", "purchase")]
