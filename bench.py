@@ -230,6 +230,8 @@ EXTRA = [
     "funnel_time_to_convert_approx",
     "events_type_islands",
     "part_brand_hhi",
+    "customer_revenue_gini",
+    "customer_order_interarrival",
 ]
 
 

@@ -1741,3 +1741,154 @@ def part_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("hhi")
     )
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rev
+    ), sums AS (
+      SELECT n,
+             CAST(sum(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS total,
+             CAST(sum(CAST(r * i AS DECIMAL(38,6))) AS DOUBLE) AS weighted,
+             CAST(sum(CASE WHEN i > n - n // 5
+                           THEN CAST(r AS DECIMAL(27,6))
+                           ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+               AS top20_rev
+      FROM ranked GROUP BY n
+    )
+    SELECT n AS n_customers,
+           round(total, 2) AS total_revenue,
+           round((2.0 * weighted) / (n * total) - (n + 1.0) / n, 9) AS gini,
+           round(top20_rev / total, 9) AS top20pct_share
+    FROM sums
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration summary over customers: the exact Gini
+    coefficient (Lorenz-curve area via the rank-weighted identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending ranks) and the
+    literal 80/20 readout (revenue share of the top 20% of customers) —
+    the inequality statistic behind every "whale analysis", and the
+    customer-side sibling of ``part_brand_hhi``.
+
+    Determinism: per-customer revenue is an exact decimal sum; ranks
+    total-order on (revenue, custkey); the rank-weighted sum and the
+    top-20% slice re-enter the decimal idiom, so both engines derive
+    the statistic from bit-identical sums.
+
+    Scale: one order-grain aggregate to customer rows, then a
+    customer-grain global ranking window (whitelisted — same class as
+    ``customer_revenue_deciles``'s exact twin; the 100 TB shape
+    replaces the exact ranks with quantile-sketch Lorenz points, the
+    documented ``percentile_approx`` swap family).
+    """
+    from ..sources.tables import spread
+
+    rev = (
+        spread(_t(spark, sf_dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    w = W.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    sums = ranked.groupBy("n").agg(
+        F.sum(F.col("r").cast("decimal(27,6)")).cast("double").alias("total"),
+        F.sum((F.col("r") * F.col("i")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("weighted"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("n DIV 5"),
+                F.col("r").cast("decimal(27,6)"),
+            ).otherwise(F.lit(0).cast("decimal(27,6)"))
+        )
+        .cast("double")
+        .alias("top20_rev"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round("total", 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.col("weighted")) / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            9,
+        ).alias("gini"),
+        F.round(F.col("top20_rev") / F.col("total"), 9).alias("top20pct_share"),
+    )
+
+
+#: minimum orders for a customer to appear in the cadence report
+INTERARRIVAL_MIN_ORDERS = 3
+
+
+@query(
+    "customer_order_interarrival",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           round(CAST(quantile_cont(gap_days, 0.50) AS DOUBLE), 6)
+             AS median_gap_days,
+           round(CAST(sum(gap_days) AS DOUBLE) / count(gap_days), 6)
+             AS mean_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING count(gap_days) >= {INTERARRIVAL_MIN_ORDERS - 1}
+    """,
+)
+def customer_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: median / mean / max days between
+    consecutive orders, for customers with at least
+    INTERARRIVAL_MIN_ORDERS orders — the repeat-purchase-rhythm table
+    behind churn-risk scoring ("customer is 3x past their usual gap")
+    and inventory-demand smoothing.
+
+    Determinism: gaps are exact integer day differences over the
+    (orderdate, orderkey) total order; exact percentiles interpolate
+    identically (the ``supplier_delay_profile`` discipline).
+
+    Scale: ONE customer-keyed window (lag) whose shuffle the aggregate
+    reuses; state one row per order, output one row per qualifying
+    customer; the extreme-cardinality swap is ``percentile_approx``.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias(
+                "median_gap_days"
+            ),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count("gap_days"), 6
+            ).alias("mean_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= INTERARRIVAL_MIN_ORDERS - 1)
+    )

@@ -105,6 +105,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # SURVIVORS only (the bucketed phase-1 window IS partitioned);
     # worst case = the frontier itself, typical case O(log n)/bucket
     "supplier_pareto_frontier",
+    # exact Lorenz/Gini ranking over the CUSTOMER-GRAIN aggregate only
+    # — same class as customer_revenue_deciles' exact cutpoints; the
+    # documented 100 TB swap is sketch-based Lorenz points
+    "customer_revenue_gini",
 }
 
 

@@ -456,3 +456,76 @@ def test_hhi_bounds_and_recompute(spark, sf_dir):
         assert got[t]["n_brands"] == len(brands)
         assert abs(got[t]["hhi"] - hhi) < 1e-6
         assert 1.0 / len(brands) - 1e-9 <= got[t]["hhi"] <= 1.0 + 1e-9
+
+
+def test_gini_matches_python(spark, sf_dir):
+    """Gini and the 80/20 share recompute from per-customer revenue."""
+    rev = sorted(
+        (r["r"], r["o_custkey"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("r")
+        )
+        .collect()
+    )
+    n = len(rev)
+    total = sum(r for r, _ in rev)
+    weighted = sum(r * i for i, (r, _) in enumerate(rev, 1))
+    gini = 2 * weighted / (n * total) - (n + 1) / n
+    top20 = sum(r for r, _ in rev[n - n // 5 :])
+    [row] = ops.QUERIES["customer_revenue_gini"](spark, sf_dir).collect()
+    assert row["n_customers"] == n
+    assert abs(row["gini"] - gini) < 1e-6
+    assert abs(row["top20pct_share"] - top20 / total) < 1e-6
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["top20pct_share"] >= 0.2 - 1e-9  # top quintile can't under-earn
+
+
+def test_interarrival_matches_python(spark, sf_dir):
+    """Cadence stats recompute from per-customer ordered order dates."""
+    from kafka_consumer_2_clickhouse_spark.operators.analytics import (
+        INTERARRIVAL_MIN_ORDERS,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    got = {
+        r["o_custkey"]: r
+        for r in ops.QUERIES["customer_order_interarrival"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        pos = (len(xs) - 1) * q
+        lo = int(pos)
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (pos - lo)
+
+    expect_keys = set()
+    for ck, orders in by_cust.items():
+        orders.sort()
+        gaps = [
+            (b[0] - a[0]).days for a, b in zip(orders, orders[1:])
+        ]
+        if len(gaps) >= INTERARRIVAL_MIN_ORDERS - 1:
+            expect_keys.add(ck)
+            assert got[ck]["n_gaps"] == len(gaps)
+            assert abs(got[ck]["median_gap_days"] - round(pct(gaps, 0.5), 6)) < 1e-9
+            assert abs(
+                got[ck]["mean_gap_days"] - round(sum(gaps) / len(gaps), 6)
+            ) < 1e-9
+            assert got[ck]["max_gap_days"] == max(gaps)
+    assert set(got) == expect_keys
