@@ -992,7 +992,7 @@ KHOP_MAX_HOPS = 3
 def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """(edges, deg, n) of the support-thresholded co-purchase graph —
     the same construction ``copurchase_pagerank`` inlines (kept
-    textually identical to `_PR_EDGES_CTE`so both queries hash against
+    textually identical to `_PR_EDGES_CTE` so both queries hash against
     one graph). Edges persist: BFS reuses them every level."""
     items = (
         load_table(spark, sf_dir, "lineitem")

@@ -822,7 +822,7 @@ def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changepoint screen on the daily event count: for every day with
-    a full {window}-day history and horizon, compare the trailing
+    a full LEVEL_SHIFT_WINDOW-day history and horizon, compare the trailing
     window's mean against the window starting that day; a relative
     jump past LEVEL_SHIFT_MIN_RATIO flags a level shift. The
     mean-shift scan that catches pipeline regressions (a source went
