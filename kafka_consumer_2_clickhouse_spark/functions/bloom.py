@@ -154,11 +154,19 @@ def bloom_might_contain(
         if not len(pos_arrays):
             return pd.Series(np.empty(0, dtype=bool))
         bits = np.frombuffer(bitmap, dtype=np.uint8)
-        # every row carries exactly k positions -> stack to one (n, k)
-        # int64 matrix and test all bits with a single gather; no
-        # per-row Python inside the Arrow batch
-        p = np.array(pos_arrays.tolist(), dtype=np.int64)
-        hit = ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+        # a NULL key yields a NULL position array; a NULL was never
+        # inserted, so it is a definite miss — mask it out rather than
+        # letting one ragged row fail the whole Arrow batch
+        null = pos_arrays.isna().to_numpy()
+        hit = np.zeros(len(pos_arrays), dtype=bool)
+        if (~null).any():
+            # every non-null row carries exactly k positions -> stack
+            # to one (n, k) int64 matrix and test all bits with a
+            # single gather; no per-row Python inside the Arrow batch
+            p = np.array(pos_arrays[~null].tolist(), dtype=np.int64)
+            hit[~null] = (
+                (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+            ).all(axis=1)
         return pd.Series(hit)
 
     return df.withColumn(

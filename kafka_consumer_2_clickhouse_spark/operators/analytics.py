@@ -565,7 +565,11 @@ def _session_stats_salted(numbered: DataFrame) -> DataFrame:
         ts_us,
         keys,
         {
-            "n_events": ("event_id", "count"),
+            # count a literal, not event_id: the exact path counts *,
+            # and a NULL event_id (the contract violation
+            # operators/expectations.py gates on) must count in BOTH
+            # paths or approx-mode silently diverges from its oracle
+            "n_events": (F.lit(1), "count"),
             "min_us": ("ts_us", "min"),
             "max_us": ("ts_us", "max"),
         },

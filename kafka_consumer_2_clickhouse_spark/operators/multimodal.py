@@ -540,7 +540,11 @@ def _fixed_chunks(docs: DataFrame) -> DataFrame:
     slice, hash."""
     n_chunks = F.ceil(F.length("text") / CHUNK_K).cast("int")
     chunk = f"substring(text, ci * {CHUNK_K} + 1, {CHUNK_K})"
-    return docs.select(
+    # empty text => n_chunks = 0, and sequence(0, -1) descends by its
+    # default step to [0, -1] — two phantom zero-length chunks the
+    # DuckDB oracle's range(0) never emits. An empty doc produces no
+    # chunks, period.
+    return docs.where(F.length("text") > 0).select(
         _modality_col().alias("modality"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
         F.col("text"),

@@ -53,6 +53,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 CLICK_WINDOW_S = 3600
 PURCHASE_WINDOW_S = 86400
 
+#: NOTE: this schema grew from 3 to 4 fields (``p_us`` appended) when
+#: the done-retention timeout landed. Spark persists state rows in the
+#: checkpoint with the OLD struct, so a stream restarted from a
+#: pre-change checkpoint hands ``_step`` a 3-tuple — handled
+#: defensively below (``p_us`` defaults to -1, i.e. "conversion time
+#: unknown", which only delays the done-retention expiry by one
+#: journey window; it never corrupts output).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("v_us", T.LongType()),  # -1 = unset
@@ -106,9 +113,14 @@ def _make_stepper(
             # never change the output again — drop it
             state.remove()
             return
-        v_us, c_us, done, p_us = (
-            state.get if state.exists else (-1, -1, False, -1)
-        )
+        if state.exists:
+            stored = tuple(state.get)
+            # legacy 3-field checkpoints (pre-p_us) restore with the
+            # conversion time unknown — see STATE_SCHEMA note
+            v_us, c_us, done = stored[:3]
+            p_us = stored[3] if len(stored) > 3 else -1
+        else:
+            v_us, c_us, done, p_us = -1, -1, False, -1
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             state.update((v_us, c_us, done, p_us))

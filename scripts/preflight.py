@@ -77,7 +77,7 @@ def main() -> int:
 
     if artifact and os.path.exists(artifact):
         data = json.load(open(artifact))
-        names = set(data.get("results", data) if isinstance(data, dict) else [])
+        names = set(data.get("results", data)) if isinstance(data, dict) else set(data)
         names.discard("n_queries")
         names.discard("n_failed")
         names.discard("sf_dir")

@@ -164,3 +164,22 @@ def test_no_false_negatives_property(spark):
         assert hits == len(keys)
 
     run()
+
+
+def test_null_key_is_definite_miss(spark):
+    """A NULL key was never inserted, so it must probe False — and it
+    must not fail the Arrow batch (the positions array is NULL for a
+    NULL key, which would otherwise stack ragged)."""
+    inserted = [f"in-{i}" for i in range(64)]
+    m = bloom.bloom_m_bits(len(inserted))
+    bm = bloom.bloom_build(_keys_df(spark, inserted), "bkey", m)
+
+    probe = spark.createDataFrame(
+        [("in-0",), (None,), ("in-1",), (None,)], "bkey string"
+    )
+    rows = {
+        r["bkey"]: r["bloom_hit"]
+        for r in bloom.bloom_might_contain(probe, "bkey", bm, m).collect()
+    }
+    assert rows["in-0"] and rows["in-1"]
+    assert rows[None] is False

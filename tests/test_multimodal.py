@@ -161,3 +161,20 @@ def test_cdc_survives_byte_shift_fixed_does_not(spark, sf_dir):
     assert cdc_overlap > 0.6, cdc_overlap
     assert fix_overlap < 0.2, fix_overlap
     assert cdc_overlap > fix_overlap + 0.5
+
+
+def test_fixed_chunks_empty_text_emits_nothing(spark):
+    """An empty doc must produce ZERO chunks — sequence(0, -1) with the
+    default descending step would otherwise emit two phantom
+    zero-length chunks that the DuckDB oracle's range(0) never does."""
+    from kafka_consumer_2_clickhouse_spark.operators.multimodal import (
+        _fixed_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello world, a non-empty payload")],
+        "doc_id bigint, text string",
+    )
+    out = _fixed_chunks(docs)
+    assert out.count() >= 1  # d2 chunks
+    assert out.where("chunk_len = 0").count() == 0
