@@ -49,6 +49,13 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "order_value_quartiles": "order_value_quartiles_approx",
     "lineitem_analyze_stats": "lineitem_analyze_stats_approx",
     "funnel_time_to_convert": "funnel_time_to_convert_approx",
+    # sketch-based Lorenz points instead of the customer-grain global
+    # ranking window (the swap the exact docstring promises)
+    "customer_revenue_gini": "customer_revenue_gini_approx",
+    # percentile_approx decile cutpoints instead of exact percentile
+    "customer_revenue_deciles": "customer_revenue_deciles_approx",
+    # per-supplier KLL sketch percentiles instead of exact buffers
+    "supplier_delay_profile": "supplier_delay_profile_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:
@@ -136,4 +143,8 @@ def release_intermediate_caches(spark) -> None:
     clustering._PAIRS_MEMO.clear()
     clustering._SEM_COMP_MEMO.clear()
     embedding_qc._DRIVER_MEMO.clear()
+    if quality_model._DESIGN_MEMO is not None:
+        quality_model._DESIGN_MEMO.clear()
+    # _COEF_MEMO entries are plain numpy values (no lazy plan, no
+    # persisted dependency) — they stay valid across cache clears
     spark.catalog.clearCache()

@@ -1384,6 +1384,66 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx accuracy for the customer-revenue / supplier-delay
+#: sketch twins: rank error <= 1/accuracy, so a customer (shipment) can
+#: only change decile (percentile value) if its rank sits within
+#: n/accuracy of a cutpoint. 10000 -> 0.01% rank error.
+REVENUE_APPROX_ACC = 10_000
+
+
+@query("customer_revenue_deciles_approx")  # rows-only: approx by design
+def customer_revenue_deciles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`customer_revenue_deciles`: identical
+    downstream plan (broadcast cutpoints + map-side bucket assignment),
+    but the 9 decile CUTPOINTS come from one mergeable
+    ``percentile_approx`` aggregate (KLL-style sketch, map-side
+    combine) instead of Spark's exact ``percentile``, whose final merge
+    buffers every distinct revenue value in one aggregation buffer.
+
+    Registered rows-only (approx by design); the exact variant stays
+    the oracle twin. Error envelope — per-decile headcount deviates
+    from exact by at most 2·ceil(n/accuracy) customers (one sketch
+    rank-error band each side of a boundary), totals conserved exactly
+    — pinned at two accuracy settings in ``tests/test_sketches.py``.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    cuts = rev.agg(
+        F.percentile_approx(
+            "revenue",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            REVENUE_APPROX_ACC,
+        ).alias("c")
+    )
+    tot = rev.agg(dsum("revenue").alias("t"))
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "revenue",
+        (
+            1
+            + F.size(F.filter(F.col("c"), lambda x: F.col("revenue") > x))
+        ).cast("bigint").alias("decile"),
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dsum("revenue").alias("revenue"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
+        )
+    )
+
+
 @query(
     "orders_monthly_growth",
     oracle="""
@@ -1482,6 +1542,45 @@ def supplier_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_shipments"),
         F.percentile("delay_days", F.lit(0.5)).alias("p50_delay_days"),
         F.percentile("delay_days", F.lit(0.95)).alias("p95_delay_days"),
+        F.max("delay_days").cast("bigint").alias("max_delay_days"),
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+
+
+@query("supplier_delay_profile_approx")  # rows-only: approx by design
+def supplier_delay_profile_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`supplier_delay_profile`: per-supplier
+    p50/p95 from ``percentile_approx`` (mergeable KLL-style sketch with
+    bounded buffer per group, map-side combine) instead of exact
+    ``percentile``, whose aggregation buffer holds every distinct delay
+    value of a supplier — unbounded for a mega-supplier at scale.
+
+    Registered rows-only; the exact variant stays the oracle twin.
+    Error envelope — each reported percentile is a REAL data point
+    whose rank is within 1/accuracy + 1/n of the target — pinned at
+    two accuracy settings in ``tests/test_sketches.py`` (the
+    ``order_value_quartiles_approx`` discipline). Counts and max are
+    exact in both variants.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return d.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_shipments"),
+        F.percentile_approx(
+            "delay_days", F.lit(0.5), REVENUE_APPROX_ACC
+        ).cast("double").alias("p50_delay_days"),
+        F.percentile_approx(
+            "delay_days", F.lit(0.95), REVENUE_APPROX_ACC
+        ).cast("double").alias("p95_delay_days"),
         F.max("delay_days").cast("bigint").alias("max_delay_days"),
     ).withColumnRenamed("l_suppkey", "s_suppkey")
 
@@ -1830,6 +1929,120 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
         F.round(F.col("top20_rev") / F.col("total"), 9).alias("top20pct_share"),
+    )
+
+
+#: Lorenz-curve resolution for the sketch-based Gini: the curve is
+#: sampled at LORENZ_BUCKETS quantile cutpoints, so the trapezoid
+#: integral's discretization error is bounded by ~1/LORENZ_BUCKETS
+#: (within-bucket inequality collapses to the chord).
+LORENZ_BUCKETS = 100
+
+
+@query("customer_revenue_gini_approx")  # rows-only: approx by design
+def customer_revenue_gini_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`customer_revenue_gini`: Gini from
+    LORENZ POINTS instead of exact ranks — exactly the swap the exact
+    twin's docstring promises.
+
+    Plan: ONE customer-grain aggregate (same as exact), then ONE
+    mergeable ``percentile_approx`` aggregate yields LORENZ_BUCKETS-1
+    revenue cutpoints (KLL-style sketch, map-side combine, broadcast
+    as a 1-row scalar); bucket membership assigns MAP-SIDE; the
+    bucket histogram (<= LORENZ_BUCKETS rows regardless of corpus
+    size) integrates the Lorenz curve by trapezoid:
+    ``G = 1 - sum_i (p_i - p_{i-1}) * (L_i + L_{i-1})`` over cumulative
+    population share p and revenue share L. NO customer-grain ranking
+    window anywhere — the cumulative windows run over the bounded
+    bucket-grain relation only (whitelisted bounded-input class, like
+    ``orders_monthly_growth``).
+
+    Registered rows-only; the exact rank-weighted variant stays the
+    oracle twin. Semantics deltas (documented, bounded): (a) the
+    trapezoid underestimates within-bucket inequality by at most
+    ~1/LORENZ_BUCKETS of Gini mass; (b) ``top20pct_share`` reads the
+    revenue above the 0.8 quantile CUTPOINT rather than the exact
+    top-n//5 rank slice — they differ only by ties and sketch rank
+    error at that boundary. Both envelopes pinned at two resolutions
+    in ``tests/test_sketches.py``. Totals (n_customers,
+    total_revenue) are exact and identical to the exact twin.
+    """
+    from ..sources.tables import spread
+
+    rev = (
+        spread(_t(spark, sf_dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    b = LORENZ_BUCKETS
+    cuts = rev.agg(
+        F.percentile_approx(
+            "r",
+            F.array(*[F.lit(i / b) for i in range(1, b)]),
+            REVENUE_APPROX_ACC,
+        ).alias("c")
+    )
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "r",
+        (
+            1 + F.size(F.filter(F.col("c"), lambda x: F.col("r") > x))
+        ).cast("int").alias("bucket"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("r").alias("rev"),
+    )
+    # everything below runs on <= LORENZ_BUCKETS rows: cumulative
+    # population / revenue, then the trapezoid terms via lag
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        dsum("rev").alias("t"),
+    )
+    lorenz = (
+        hist.select(
+            "bucket",
+            "rev",
+            F.sum("n").over(wcum).alias("cum_n"),
+            F.sum(F.col("rev").cast("decimal(27,6)"))
+            .over(wcum)
+            .cast("double")
+            .alias("cum_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "rev",
+            "n_total",
+            "t",
+            (F.col("cum_n") / F.col("n_total")).alias("p"),
+            (F.col("cum_rev") / F.col("t")).alias("lz"),
+        )
+    )
+    wlag = W.orderBy("bucket")
+    terms = lorenz.select(
+        "n_total",
+        "t",
+        (
+            (F.col("p") - F.coalesce(F.lag("p").over(wlag), F.lit(0.0)))
+            * (F.col("lz") + F.coalesce(F.lag("lz").over(wlag), F.lit(0.0)))
+        ).alias("trap"),
+        # revenue strictly above the 0.8-quantile cutpoint: buckets
+        # whose index exceeds 80% of the grid
+        F.when(
+            F.col("bucket") > F.lit(int(b * 0.8)), F.col("rev")
+        ).otherwise(F.lit(0.0)).alias("top_rev"),
+    )
+    return terms.groupBy("n_total", "t").agg(
+        F.sum("trap").alias("trap_sum"),
+        dsum("top_rev").alias("top20_rev"),
+    ).select(
+        F.col("n_total").alias("n_customers"),
+        F.round("t", 2).alias("total_revenue"),
+        F.round(1.0 - F.col("trap_sum"), 9).alias("gini"),
+        F.round(F.col("top20_rev") / F.col("t"), 9).alias("top20pct_share"),
     )
 
 

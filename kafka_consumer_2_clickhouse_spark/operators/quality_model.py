@@ -67,22 +67,77 @@ TARGET = "avg_neg_logprob"
 RIDGE = 1e-8
 
 
+_DESIGN_MEMO = None  # lazily constructed SessionMemo
+_COEF_MEMO: dict[tuple, object] = {}  # (appId, sf_dir, stamp) -> np coef
+
+
+def _corpus_stamp(sf_dir: str):
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, _corpus_stamp(sf_dir))
+
+
 def _design(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(split, y, x_0..x_d) with x_0 = 1.0 (intercept), all doubles."""
+    """(split, y, x_0..x_d) with x_0 = 1.0 (intercept), all doubles.
+
+    Session-memoized AND persisted: the design matrix is the most
+    expensive relation in the curation family (five doc_id joins over
+    the tokenized corpus) and it feeds BOTH the fit's Gram aggregate
+    and the eval's residual scan — without the memo each consumer
+    re-pays the whole chain per action. Same
+    :class:`~.._memo.SessionMemo` liveness discipline as the ANN exact
+    spine (``similarity.py``): a ``clearCache()`` evicts the entry so
+    callers recompute + re-persist instead of silently losing sharing.
+    """
+    global _DESIGN_MEMO
+    from pyspark import StorageLevel
+
+    from ._memo import SessionMemo
+
+    if _DESIGN_MEMO is None:
+        _DESIGN_MEMO = SessionMemo()
+    key = _memo_key(spark, sf_dir)
+    cached = _DESIGN_MEMO.get(key)
+    if cached is not None:
+        return cached
     fv = doc_feature_vector(spark, sf_dir)
     cols = [F.lit(1.0).alias("x0")] + [
         F.col(c).cast("double").alias(f"x{i + 1}")
         for i, c in enumerate(FEATURES)
     ]
-    return fv.select(
-        "split", F.col(TARGET).cast("double").alias("y"), *cols
-    ).na.drop()
+    design = (
+        fv.select("split", F.col(TARGET).cast("double").alias("y"), *cols)
+        .na.drop()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _DESIGN_MEMO.put(key, design, deps=(design,))
+    return design
 
 
 def _fit_coefficients(spark: SparkSession, sf_dir: str):
     """Solve the normal equations from one TRAIN-split aggregate pass;
-    returns the (d+1,) coefficient vector (index 0 = intercept)."""
+    returns the (d+1,) coefficient vector (index 0 = intercept).
+
+    The solved vector is memoized per (session, corpus): it is a plain
+    (d+1,) numpy value — no lazy plan, no persisted dependency — so
+    ``quality_regressor_eval`` reuses the fit instead of re-running the
+    TRAIN Gram aggregate that ``quality_regressor_fit`` already paid
+    (the double-pay the round-8 review flagged)."""
     import numpy as np
+
+    key = _memo_key(spark, sf_dir)
+    hit = _COEF_MEMO.get(key)
+    if hit is not None:
+        return hit
 
     d1 = len(FEATURES) + 1
     design = _design(spark, sf_dir).filter(F.col("split") == "train")
@@ -101,7 +156,9 @@ def _fit_coefficients(spark: SparkSession, sf_dir: str):
         for j in range(i, d1):
             gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"]
         b[i] = row[f"b_{i}"]
-    return np.linalg.solve(gram + RIDGE * np.eye(d1), b)
+    coef = np.linalg.solve(gram + RIDGE * np.eye(d1), b)
+    _COEF_MEMO[key] = coef
+    return coef
 
 
 def _prediction_expr(coef) -> F.Column:

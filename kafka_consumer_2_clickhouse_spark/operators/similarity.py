@@ -485,6 +485,100 @@ def append_to_ivf_index(
     return index_dir
 
 
+def _append_tombstones(
+    spark: SparkSession, index_dir: str, removed: DataFrame
+) -> str:
+    """Record deletions WITHOUT touching data files — the faiss
+    ``remove_ids`` analog for a parquet-backed index: append the
+    removed vec_ids under ``<index_dir>/tombstones/``. O(batch) write;
+    the cell/code directories (the 100 TB part) are never rewritten.
+    Searches anti-join the tombstone set until :func:`_compact_index`
+    folds the deletes into the data files.
+    """
+    import os
+
+    removed.select(F.col("vec_id").cast("long")).write.mode("append").parquet(
+        os.path.join(index_dir, "tombstones")
+    )
+    return index_dir
+
+
+def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The pending-delete set, or None if the index has none."""
+    import os
+
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    df = spark.read.parquet(path).select("vec_id").distinct()
+    return df
+
+
+def _anti_tombstones(
+    spark: SparkSession, index_dir: str, scan: DataFrame
+) -> DataFrame:
+    """Filter pending deletes out of an index scan. The tombstone set
+    between compactions is delete-batch-sized (compaction is the
+    pressure valve), so it broadcasts; the scan side never shuffles."""
+    ts = _read_tombstones(spark, index_dir)
+    if ts is None:
+        return scan
+    return scan.join(F.broadcast(ts), "vec_id", "left_anti")
+
+
+def _compact_index(spark: SparkSession, index_dir: str, data_subdir: str) -> str:
+    """Fold pending tombstones into the data files: rewrite
+    ``<index_dir>/<data_subdir>/`` without the deleted rows (keeping
+    the cell partitioning), then drop the tombstone set — the
+    faiss-compaction / Iceberg rewrite-data-files analog.
+
+    The rewrite stages into a sibling directory and swaps by rename so
+    a crashed compaction never leaves a half-written live tree (on an
+    object store the swap becomes a manifest commit — the
+    ``streaming/state_store.py`` seam's discipline). Cost is one scan
+    + one write of the SURVIVING rows only; quantizers/codebooks are
+    untouched, so probes before and after compaction return the same
+    results (pinned in tests/test_similarity.py).
+    """
+    import os
+    import shutil
+
+    ts = _read_tombstones(spark, index_dir)
+    if ts is None:
+        return index_dir
+    data = os.path.join(index_dir, data_subdir)
+    staged = data + ".compact"
+    partitioned = "cell" in spark.read.parquet(data).columns
+    kept = spark.read.parquet(data).join(
+        F.broadcast(ts), "vec_id", "left_anti"
+    )
+    writer = kept.write.mode("overwrite")
+    if partitioned:
+        writer = writer.partitionBy("cell")
+    writer.parquet(staged)
+    old = data + ".old"
+    os.rename(data, old)
+    os.rename(staged, data)
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    return index_dir
+
+
+def remove_from_ivf_index(
+    spark: SparkSession, index_dir: str, removed: DataFrame
+) -> str:
+    """Delete vectors from a persisted IVF index (GDPR erasure,
+    dedup-driven drops): tombstone now, compact later — see
+    :func:`_append_tombstones`. ``removed``: (vec_id) rows."""
+    return _append_tombstones(spark, index_dir, removed)
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> str:
+    """Rewrite the IVF cell files without tombstoned vectors and clear
+    the tombstone set. Probe results are identical before/after."""
+    return _compact_index(spark, index_dir, "cells")
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,
@@ -522,8 +616,12 @@ def ivf_search(
     bc_q = spark.sparkContext.broadcast((qids, qmat, probe))
     top_k = k
 
-    scan = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
-        F.col("cell").isin(probed_cells)
+    scan = _anti_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+            F.col("cell").isin(probed_cells)
+        ),
     )
 
     def score(batches):
@@ -1491,6 +1589,21 @@ def append_to_ivfpq_index(
     return index_dir
 
 
+def remove_from_ivfpq_index(
+    spark: SparkSession, index_dir: str, removed: DataFrame
+) -> str:
+    """Delete vectors from a persisted IVFADC index: tombstone now,
+    compact later — see :func:`_append_tombstones`. The ADC scan and
+    the exact re-rank both exclude pending deletes."""
+    return _append_tombstones(spark, index_dir, removed)
+
+
+def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> str:
+    """Rewrite the IVFADC code files without tombstoned vectors and
+    clear the tombstone set. Probe results identical before/after."""
+    return _compact_index(spark, index_dir, "codes")
+
+
 def ivfpq_search(
     spark: SparkSession,
     index_dir: str,
@@ -1512,7 +1625,9 @@ def ivfpq_search(
     for r in crows:
         cents[r["cell"]] = r["centroid"]
     books = _load_pq_codebooks(spark, index_dir)
-    encoded = spark.read.parquet(os.path.join(index_dir, "codes"))
+    encoded = _anti_tombstones(
+        spark, index_dir, spark.read.parquet(os.path.join(index_dir, "codes"))
+    )
     qids, qmat = _query_matrix(queries)
     return _ivfpq_adc_rerank(
         spark, vectors, encoded, cents, books, qids, qmat, n_probe, top_k

