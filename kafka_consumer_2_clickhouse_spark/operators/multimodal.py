@@ -395,37 +395,19 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_phash_neardup", oracle=_phash_sql())
-def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup pairs per modality — the NEAR twin of
-    ``media_dedup_exact``: re-encoded/lightly-edited media share a
-    close perceptual hash while differing in bytes (the crawl
-    pathology exact md5 dedup cannot see; at training scale this is
-    the image/audio analog of shingle near-dup). Candidates via the
-    Manku C(8,4) block-combination keys (pigeonhole-perfect recall at
-    Hamming <= 4 — the `simhash_near_pairs` scheme with modality added
-    to the bucket key so cross-modality pairs never generate), verify
-    by two XOR+popcounts inside the join.
-
-    Scale: |media| x 70 narrow key rows into ONE equi-join shuffle,
-    fingerprints travel as two 32-bit halves; payloads never leave the
-    map side. A hot bucket is AQE-skew territory, same guard as the
-    text path.
+def _manku_band_pairs(fp: DataFrame) -> DataFrame:
+    """Near-dup pairs from a 64-bit fingerprint relation
+    ``(media_id, modality, v0, v1)`` (two 32-bit halves as longs):
+    Manku C(8,4) block-combination keys — pigeonhole-perfect recall at
+    Hamming <= SIMHASH_MAX_HAMMING — with modality in the bucket key,
+    XOR+popcount verify inside the one equi-join. Fingerprint-agnostic:
+    the simhash stand-in and the DCT pHash share this exact plan.
     """
     from itertools import combinations
-
-    from pyspark import StorageLevel
 
     from .dedup import SIMHASH_BLOCKS, SIMHASH_CLEAN_BLOCKS, SIMHASH_MAX_HAMMING
 
     width = 64 // SIMHASH_BLOCKS
-    sh = media_phash(spark, sf_dir)
-    fp = sh.select(
-        "media_id",
-        "modality",
-        F.conv(F.substring("phash64", 1, 32), 2, 10).cast("long").alias("v0"),
-        F.conv(F.substring("phash64", 33, 32), 2, 10).cast("long").alias("v1"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def block(b: int):
         word = F.col("v0") if b < SIMHASH_BLOCKS // 2 else F.col("v1")
@@ -476,6 +458,173 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@query("media_phash_neardup", oracle=_phash_sql())
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs per modality — the NEAR twin of
+    ``media_dedup_exact``: re-encoded/lightly-edited media share a
+    close perceptual hash while differing in bytes (the crawl
+    pathology exact md5 dedup cannot see; at training scale this is
+    the image/audio analog of shingle near-dup). Candidates via the
+    Manku C(8,4) block-combination keys (pigeonhole-perfect recall at
+    Hamming <= 4 — the `simhash_near_pairs` scheme with modality added
+    to the bucket key so cross-modality pairs never generate), verify
+    by two XOR+popcounts inside the join.
+
+    Scale: |media| x 70 narrow key rows into ONE equi-join shuffle,
+    fingerprints travel as two 32-bit halves; payloads never leave the
+    map side. A hot bucket is AQE-skew territory, same guard as the
+    text path.
+    """
+    from pyspark import StorageLevel
+
+    sh = media_phash(spark, sf_dir)
+    fp = sh.select(
+        "media_id",
+        "modality",
+        F.conv(F.substring("phash64", 1, 32), 2, 10).cast("long").alias("v0"),
+        F.conv(F.substring("phash64", 33, 32), 2, 10).cast("long").alias("v1"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _manku_band_pairs(fp)
+
+
+# ---------------------------------------------------------------------------
+# REAL DCT pHash — the classic perceptual hash, pure numpy (no Pillow)
+# ---------------------------------------------------------------------------
+
+#: pHash working resolution (classic: 32x32 grayscale -> 8x8 low-freq)
+PHASH_SIZE = 32
+PHASH_LOWFREQ = 8
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix: ``D @ x`` transforms columns."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _resize_gray(px, size: int = PHASH_SIZE):
+    """Deterministic nearest-index downsample/upsample to size x size —
+    the Pillow-free stand-in for antialiased resize (good enough for
+    the hash: pHash is robust to resampling kernel choice by design).
+    """
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    if px.shape == (size, size):
+        return px
+    ri = np.linspace(0, px.shape[0] - 1, size).round().astype(int)
+    ci = np.linspace(0, px.shape[1] - 1, size).round().astype(int)
+    return px[np.ix_(ri, ci)]
+
+
+def phash64_from_pixels(px) -> int:
+    """THE classic DCT perceptual hash (pHash): grayscale -> 32x32 ->
+    2-D DCT-II -> 64 DC-free low-frequency coefficients -> median
+    threshold -> 64 bits.
+
+    Invariances (property-tested): brightness shifts (``px + c``) move
+    only the DC coefficient, which is excluded; positive contrast
+    scaling (``a * px``) scales all retained coefficients AND their
+    median by ``a``, leaving every comparison unchanged. Small local
+    edits perturb few low-frequency coefficients -> small Hamming
+    distance — the property the Manku banded join exploits.
+    """
+    import numpy as np
+
+    g = _resize_gray(px)
+    d = _dct_matrix(PHASH_SIZE)
+    coef = d @ g @ d.T
+    lf = PHASH_LOWFREQ
+    # 64 DC-free low-frequency values: the top row's next 8 bins plus
+    # the remaining 7x8 block — same spectral corner as classic pHash
+    # with the DC term dropped instead of median-averaged out
+    vals = np.concatenate([coef[0, 1:lf + 1], coef[1:lf, :lf].ravel()])
+    med = np.median(vals)
+    bits = vals > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def decode_pixels_fake(payload: bytes, size: int = PHASH_SIZE):
+    """DETERMINISTIC FAKE pixel decode — tiles the payload bytes into a
+    size x size grayscale grid. Stands in for ``decode_image_real``
+    (Pillow absent in this container) with the property the pipeline
+    needs: similar payloads yield similar grids, so the downstream
+    DCT pHash is a genuine perceptual fingerprint of the bytes.
+    On a cluster with image libs, swap this call (and only this call)
+    for the real decode at the documented seam."""
+    import numpy as np
+
+    b = np.frombuffer(payload if payload else b"\x00", dtype=np.uint8)
+    need = size * size
+    reps = -(-need // len(b))
+    return np.tile(b, reps)[:need].reshape(size, size).astype(np.float64)
+
+
+def _phash_dct_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, modality, payload) -> DCT pHash fingerprints
+    ``(media_id, modality, v0, v1)`` in one Arrow decode pass: bytes ->
+    fake pixel grid -> numpy DCT kernel -> two 32-bit halves. Payloads
+    never leave the map side."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hs = [
+                phash64_from_pixels(
+                    decode_pixels_fake(bytes(p) if p is not None else b"")
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "modality": pdf["modality"].values,
+                    "v0": [h >> 32 for h in hs],
+                    "v1": [h & 0xFFFFFFFF for h in hs],
+                }
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        run, schema="media_id long, modality string, v0 long, v1 long"
+    )
+
+
+def media_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide DCT pHash fingerprints over the media table."""
+    return _phash_dct_fingerprints(media_table(spark, sf_dir))
+
+
+@query("media_phash_dct_neardup")  # rows-only: the DCT kernel has no
+# portable SQL twin; kernel invariances + banded-join == brute-force
+# equality pinned in tests/test_multimodal.py
+def media_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs using the REAL classic pHash (32x32
+    DCT -> 64 low-freq bits, :func:`phash64_from_pixels`) instead of
+    the simhash stand-in — the round-8 brief's "real DCT pHash without
+    Pillow". Decode stays the documented fake seam
+    (:func:`decode_pixels_fake`); the kernel, the Arrow batch pass,
+    and the Manku banded join are all production-real and shared with
+    ``media_phash_neardup`` (:func:`_manku_band_pairs`).
+
+    Scale: identical to the simhash variant — fingerprints travel as
+    two longs, |media| x 70 narrow key rows into one equi-join
+    shuffle, pigeonhole-perfect recall at Hamming <= 4.
+    """
+    from pyspark import StorageLevel
+
+    fp = media_phash_dct(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _manku_band_pairs(fp)
 
 
 # --------------------------------------------------------------------------

@@ -178,3 +178,131 @@ def test_fixed_chunks_empty_text_emits_nothing(spark):
     out = _fixed_chunks(docs)
     assert out.count() >= 1  # d2 chunks
     assert out.where("chunk_len = 0").count() == 0
+
+
+def test_phash_dct_kernel_invariances():
+    """The classic-pHash contract: brightness shifts and positive
+    contrast scaling leave the hash bit-identical (DC excluded, median
+    threshold is scale-equivariant); small local edits move few bits;
+    independent random images are far apart."""
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.operators.multimodal import (
+        phash64_from_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        px = rng.rand(32, 32) * 255
+        h = phash64_from_pixels(px)
+        assert phash64_from_pixels(px + 40.0) == h  # brightness
+        assert phash64_from_pixels(px * 1.7) == h  # contrast
+        assert phash64_from_pixels(px * 0.35 + 12.0) == h  # both
+        # locality: perturb a 2x2 patch slightly -> small Hamming
+        edited = px.copy()
+        edited[5:7, 5:7] += 3.0
+        d_local = bin(phash64_from_pixels(edited) ^ h).count("1")
+        assert d_local <= 10, d_local
+        # discrimination: an independent image is far away
+        other = rng.rand(32, 32) * 255
+        d_other = bin(phash64_from_pixels(other) ^ h).count("1")
+        assert d_other >= 12, d_other
+
+
+def test_phash_dct_resize_and_shapes():
+    """Non-32x32 inputs resize deterministically; a constant image
+    (all-equal coefficients) still yields a well-defined hash."""
+    import numpy as np
+
+    from kafka_consumer_2_clickhouse_spark.operators.multimodal import (
+        phash64_from_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    big = rng.rand(64, 48) * 255
+    assert phash64_from_pixels(big) == phash64_from_pixels(big)  # deterministic
+    flat = np.full((32, 32), 128.0)
+    h = phash64_from_pixels(flat)
+    assert 0 <= h < 2**64
+
+
+def test_media_phash_dct_neardup_equals_brute_force(spark, sf_dir):
+    """The banded join must return EXACTLY the brute-force all-pairs
+    answer at Hamming <= SIMHASH_MAX_HAMMING (pigeonhole-perfect
+    recall; verify filter kills false candidates)."""
+    from itertools import combinations
+
+    from kafka_consumer_2_clickhouse_spark.operators import multimodal as mm
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+    )
+
+    fps = mm.media_phash_dct(spark, sf_dir).collect()
+    by_mod: dict = {}
+    for r in fps:
+        by_mod.setdefault(r["modality"], []).append(
+            (r["media_id"], (r["v0"] << 32) | r["v1"])
+        )
+    want = set()
+    for mod, rows in by_mod.items():
+        for (ia, ha), (ib, hb) in combinations(sorted(rows), 2):
+            d = bin(ha ^ hb).count("1")
+            if d <= SIMHASH_MAX_HAMMING:
+                want.add((mod, ia, ib, d))
+    got = {
+        (r["modality"], r["media_a"], r["media_b"], r["hamming"])
+        for r in mm.media_phash_dct_neardup(spark, sf_dir).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_phash_dct_neardup_finds_constructed_twins(spark):
+    """Non-vacuous near-dup pin (the corpus' near-dups are byte SHIFTS,
+    which pHash — like any aligned-pixel perceptual hash — correctly
+    does NOT match, so the corpus yields zero pairs): construct
+    brightness twins and a locally-edited twin, run the REAL banded
+    join over the REAL Arrow fingerprint pass, and require exactly the
+    brute-force pair set — which must be non-empty by construction."""
+    from itertools import combinations
+
+    from kafka_consumer_2_clickhouse_spark.operators import multimodal as mm
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+    )
+
+    base = bytes(range(60, 180)) * 9  # 1080 bytes, tiled to 32x32
+    bright = bytes(b + 20 for b in base)  # brightness twin: hamming 0
+    edited = bytearray(base)
+    for pos in (100, 101, 102):  # aligned local edit: small hamming
+        edited[pos] = (edited[pos] + 2) % 256
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    far = bytes(rng.randint(0, 256, 1080, dtype=np.uint8))  # unrelated
+    rows = [
+        (1, "image", base),
+        (2, "image", bright),
+        (3, "image", bytes(edited)),
+        (4, "image", far),
+        (5, "audio", base),  # same bytes, other modality: never pairs
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    fps = mm._phash_dct_fingerprints(media).collect()
+    fp = {r["media_id"]: (r["modality"], (r["v0"] << 32) | r["v1"]) for r in fps}
+    want = set()
+    for a, b in combinations(sorted(fp), 2):
+        if fp[a][0] != fp[b][0]:
+            continue
+        d = bin(fp[a][1] ^ fp[b][1]).count("1")
+        if d <= SIMHASH_MAX_HAMMING:
+            want.add((fp[a][0], a, b, d))
+    assert ("image", 1, 2, 0) in want  # brightness twin by construction
+    got = {
+        (r["modality"], r["media_a"], r["media_b"], r["hamming"])
+        for r in mm._manku_band_pairs(mm._phash_dct_fingerprints(media)).collect()
+    }
+    assert got == want
+    assert ("image", 1, 4, 0) not in got  # unrelated image never pairs
