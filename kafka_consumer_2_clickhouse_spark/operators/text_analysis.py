@@ -2005,6 +2005,166 @@ def _postings_sql() -> str:
     """
 
 
+# --- persisted inverted index: build / append / probe --------------------
+#
+# The signature-index treatment applied to text retrieval: postings
+# land once per ingest batch (df/max_tf merges are associative, so the
+# directory folds incrementally), searches read ONLY the probed terms'
+# postings. ``SPARK_GRAFT_POSTINGS_INDEX=<dir>`` flips the registered
+# queries to the persisted-index probe (same output, same oracle —
+# the SPARK_GRAFT_DEDUP_INDEX / SPARK_GRAFT_IVF_INDEX pattern).
+
+
+def _batch_postings(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, tf) for one document batch — the posting rows."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def _batch_directory(td: DataFrame) -> DataFrame:
+    """Per-token stats for one batch's postings. The champion document
+    (max tf, ties to the smallest doc_id) rides as the max of a
+    (max_tf, -doc_id) struct, so the SAME aggregate merges two
+    directories associatively in :func:`append_to_postings_index`."""
+    return (
+        td.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.max(
+                F.struct(F.col("tf").alias("max_tf"), (-F.col("doc_id")).alias("neg_doc"))
+            ).alias("champ"),
+        )
+        .select(
+            "tok",
+            "df",
+            "tf_total",
+            F.col("champ.max_tf").cast("bigint").alias("max_tf"),
+            (-F.col("champ.neg_doc")).cast("bigint").alias("top_doc_id"),
+        )
+    )
+
+
+def build_postings_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> str:
+    """Build and PERSIST an inverted index for a corpus relation.
+
+    Layout under ``index_dir``:
+    - ``postings/``  (tok, doc_id, tf), repartitioned + sorted by
+      token so a term probe prunes parquet row groups on the tok
+      min/max stats before any I/O.
+    - ``directory/``  (tok, df, tf_total, max_tf, top_doc_id) — the
+      statistics page rarest-first intersection and WAND-style early
+      termination consult; every column merges associatively, which is
+      what makes :func:`append_to_postings_index` possible.
+    """
+    import os
+
+    td = _batch_postings(docs)
+    td.repartition(F.col("tok")).sortWithinPartitions("tok").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "postings"))
+    _batch_directory(
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "directory"))
+    return index_dir
+
+
+def append_to_postings_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> str:
+    """Incremental index maintenance — the per-ingest-batch operation:
+    append the NEW batch's posting rows (existing posting files never
+    rewrite) and fold its per-token stats into the directory with the
+    associative merge (df/tf_total sum; the (max_tf, -doc_id) struct
+    max picks the global champion with the min-doc_id tiebreak).
+
+    The directory rewrite is vocabulary-sized (never corpus-sized) and
+    stages into a sibling directory before a rename swap, so a crashed
+    append never leaves a half-merged live directory. Contract: the
+    batch's doc_ids are not already indexed (caller-owned, same as the
+    signature index) — postings are doc-disjoint, so df never
+    double-counts.
+    """
+    import os
+    import shutil
+
+    new_td = _batch_postings(new_docs)
+    new_td.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    dir_path = os.path.join(index_dir, "directory")
+    merged = (
+        spark.read.parquet(dir_path)
+        .unionByName(_batch_directory(new_td))
+        .groupBy("tok")
+        .agg(
+            F.sum("df").cast("bigint").alias("df"),
+            F.sum("tf_total").cast("bigint").alias("tf_total"),
+            F.max(
+                F.struct(
+                    F.col("max_tf").alias("max_tf"),
+                    (-F.col("top_doc_id")).alias("neg_doc"),
+                )
+            ).alias("champ"),
+        )
+        .select(
+            "tok",
+            "df",
+            "tf_total",
+            F.col("champ.max_tf").cast("bigint").alias("max_tf"),
+            (-F.col("champ.neg_doc")).cast("bigint").alias("top_doc_id"),
+        )
+    )
+    staged = dir_path + ".merge"
+    merged.write.mode("overwrite").parquet(staged)
+    old = dir_path + ".old"
+    os.rename(dir_path, old)
+    os.rename(staged, dir_path)
+    shutil.rmtree(old)
+    return index_dir
+
+
+def postings_search(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple = SEARCH_TERMS,
+    top_k: int = SEARCH_TOP_K,
+) -> DataFrame:
+    """Conjunctive search against the PERSISTED index: reads the probed
+    terms' posting rows only (``tok IN (...)`` reaches the parquet scan
+    as a pushed filter over the tok-sorted files), intersects at the
+    doc grain, ranks by summed tf. Identical output to
+    :func:`keyword_search_docs` computed from the raw corpus."""
+    import os
+
+    p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("tok").isin(*terms)
+    )
+    per_doc = p.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_terms"),
+        F.sum("tf").cast("bigint").alias("tf_sum"),
+    )
+    return (
+        per_doc.filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "tf_sum")
+        .orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def postings_directory_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted directory page in ``token_postings_stats``'s
+    registered column order."""
+    import os
+
+    return spark.read.parquet(os.path.join(index_dir, "directory")).select(
+        "tok", "df", "tf_total", "max_tf", "top_doc_id"
+    )
+
+
 @query("token_postings_stats", oracle=_postings_sql())
 def token_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverted index's directory page: per token, document
@@ -2020,7 +2180,15 @@ def token_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     champion join is token-keyed against the (token, doc) relation —
     at web scale that relation IS the inverted index, stored
     doc-sorted per token; this directory is one aggregate over it.
+    ``SPARK_GRAFT_POSTINGS_INDEX=<dir>`` serves the PERSISTED directory
+    (:func:`build_postings_index` layout) instead — no explode, no
+    corpus scan; path equality pinned in tests/test_postings_index.py.
     """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
+    if index_dir:
+        return postings_directory_stats(spark, index_dir)
     docs = spread(load_table(spark, sf_dir, "documents"))
     td = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -2083,8 +2251,16 @@ def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, and the result head is a TakeOrdered over matching docs only.
     With a stored inverted index this becomes |terms| posting scans —
     the directory (`token_postings_stats`) tells the engine to
-    intersect rarest-first.
+    intersect rarest-first. ``SPARK_GRAFT_POSTINGS_INDEX=<dir>`` probes
+    the PERSISTED postings (:func:`postings_search`) instead — term
+    filter pushed to the tok-sorted parquet, corpus never re-tokenized;
+    path equality pinned in tests/test_postings_index.py.
     """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
+    if index_dir:
+        return postings_search(spark, index_dir)
     docs = spread(load_table(spark, sf_dir, "documents"))
     hits = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")

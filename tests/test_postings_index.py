@@ -1,0 +1,102 @@
+"""Persisted inverted index: build / append / probe.
+
+The signature-index pins applied to text retrieval: half-build +
+append must equal a single full build EXACTLY (df/tf_total/max_tf/
+champion merges are associative), the index probe must equal the
+from-scratch corpus queries, and the env-var switch must serve the
+persisted paths under the registered names.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators import text_analysis as tx
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+
+def _directory_rows(spark, index_dir):
+    return {
+        tuple(r)
+        for r in tx.postings_directory_stats(spark, index_dir).collect()
+    }
+
+
+def test_half_build_plus_append_equals_full_build(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    half = docs.filter(F.col("doc_id") < n // 2)
+    rest = docs.filter(F.col("doc_id") >= n // 2)
+
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full"))
+    inc = str(tmp_path / "inc")
+    tx.build_postings_index(spark, half, inc)
+    before = set(os.listdir(os.path.join(inc, "postings")))
+    tx.append_to_postings_index(spark, inc, rest)
+    after = set(os.listdir(os.path.join(inc, "postings")))
+    assert before - {"_SUCCESS"} <= after  # appends never rewrite postings
+
+    # directory identical to the single-pass build
+    assert _directory_rows(spark, inc) == _directory_rows(spark, full)
+    # postings identical as a multiset
+    a = spark.read.parquet(os.path.join(inc, "postings"))
+    b = spark.read.parquet(os.path.join(full, "postings"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_index_probe_matches_corpus_queries(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+
+    want_dir = {
+        tuple(r)
+        for r in ops.QUERIES["token_postings_stats"](spark, sf_dir).collect()
+    }
+    assert _directory_rows(spark, idx) == want_dir
+
+    want_search = [
+        tuple(r)
+        for r in ops.QUERIES["keyword_search_docs"](spark, sf_dir).collect()
+    ]
+    got_search = [
+        tuple(r) for r in tx.postings_search(spark, idx).collect()
+    ]
+    assert got_search == want_search
+
+
+def test_env_switch_serves_persisted_paths(spark, sf_dir, tmp_path, monkeypatch):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+
+    want_dir = {
+        tuple(r)
+        for r in ops.QUERIES["token_postings_stats"](spark, sf_dir).collect()
+    }
+    want_search = [
+        tuple(r)
+        for r in ops.QUERIES["keyword_search_docs"](spark, sf_dir).collect()
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", idx)
+    got_dir = {
+        tuple(r)
+        for r in ops.QUERIES["token_postings_stats"](spark, sf_dir).collect()
+    }
+    got_search = [
+        tuple(r)
+        for r in ops.QUERIES["keyword_search_docs"](spark, sf_dir).collect()
+    ]
+    assert got_dir == want_dir
+    assert got_search == want_search
+
+
+def test_probe_reads_only_probed_terms(spark, sf_dir, tmp_path):
+    """The scale contract: the search plan carries the term filter
+    into the parquet scan (PushedFilters), so only the probed terms'
+    row groups are read — never the whole postings relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+    plan = tx.postings_search(spark, idx)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "tok" in plan.split("PushedFilters")[1][:200]
