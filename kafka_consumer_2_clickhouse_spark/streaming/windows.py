@@ -25,12 +25,17 @@ def tumbling_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    history: DataFrame | None = None,
+    history_arrival_col: str = "event_id",
 ) -> DataFrame:
     """Tumbling-window count+sum per key with late-data handling.
 
     The streaming twin of the batch ``events_hourly_rollup`` query —
     identical output semantics once the watermark closes a window.
+    ``watermark="auto"`` derives the delay from ``history`` (a
+    representative landed batch) via :func:`watermark_from_history`.
     """
+    watermark = resolve_watermark(watermark, history, ts_col, history_arrival_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
@@ -54,8 +59,12 @@ def sliding_rates(
     slide: str = "5 minutes",
     watermark: str = "30 minutes",
     ts_col: str = "ts",
+    history: DataFrame | None = None,
+    history_arrival_col: str = "event_id",
 ) -> DataFrame:
-    """Sliding-window event rate (overlapping windows)."""
+    """Sliding-window event rate (overlapping windows); ``"auto"``
+    watermark derives from ``history``."""
+    watermark = resolve_watermark(watermark, history, ts_col, history_arrival_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).alias("w"))
@@ -74,13 +83,17 @@ def session_windows(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "user_id",
+    history: DataFrame | None = None,
+    history_arrival_col: str = "event_id",
 ) -> DataFrame:
     """Session windows: per-key sessions closed after ``gap`` idle time.
 
     Streaming twin of the batch ``events_sessionized`` query (which
     derives sessions with lag+cumsum); ``session_window`` is the
-    engine-native form with merge-on-update state.
+    engine-native form with merge-on-update state. ``watermark="auto"``
+    derives the delay from ``history``.
     """
+    watermark = resolve_watermark(watermark, history, ts_col, history_arrival_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
@@ -136,14 +149,119 @@ def streaming_dedup(
     keys: list[str] | None = None,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    history: DataFrame | None = None,
+    history_arrival_col: str = "event_id",
 ) -> DataFrame:
     """Exactly-one-per-key within the watermark horizon.
 
     This is the streaming form of the exact-dedup [EXT] operator and
     the read-side replay collapse in ``sinks.dedupe_replayed_batches``:
     state holds one entry per key only until the watermark passes it.
+    ``watermark="auto"`` derives the delay from ``history``.
     """
+    watermark = resolve_watermark(watermark, history, ts_col, history_arrival_col)
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+# --------------------------------------------------------------------------
+# auto-watermark: diagnosis -> prescription for late data
+# --------------------------------------------------------------------------
+
+#: number of arrival blocks the high-water estimate uses — the global
+#: running max runs over THIS many rows regardless of corpus size
+WATERMARK_BLOCKS = 1024
+
+#: default quantile (over LATE rows) and safety multiplier for "auto"
+WATERMARK_QUANTILE = 0.95
+WATERMARK_SAFETY = 2.0
+WATERMARK_FLOOR_S = 1.0
+
+
+def watermark_from_history(
+    history: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    quantile: float = WATERMARK_QUANTILE,
+    safety: float = WATERMARK_SAFETY,
+    floor_s: float = WATERMARK_FLOOR_S,
+) -> str:
+    """Derive a ``withWatermark`` delay from measured out-of-orderness
+    — the ``events_key_skew_report.suggested_salt -> functions/skew``
+    pattern applied to late data: ``events_lateness_profile`` is the
+    DIAGNOSIS; this is the PRESCRIPTION its docstring promises.
+
+    ``history`` is a representative BATCH of the stream (yesterday's
+    landed partition). Lateness here is measured against the GLOBAL
+    arrival high-water mark — what Spark's watermark actually compares
+    event times to — not the per-key mark the profile query reports
+    (the per-key number is a lower bound and under-provisions the
+    delay). The returned delay is the ``quantile`` of lateness over
+    LATE rows only, times ``safety``: by construction >= that fraction
+    of late rows clear the watermark on replay, and the real engine
+    admits strictly more (the watermark only advances at micro-batch
+    boundaries, never mid-batch).
+
+    Scale: an exact global running max is a total sort, so the
+    high-water mark is estimated block-wise: arrival order divides
+    into WATERMARK_BLOCKS blocks (1-row max-arrival aggregate, no
+    sort), per-block max event time aggregates map-side, and the
+    running max runs over the <= WATERMARK_BLOCKS block rows only.
+    Each row's lateness is measured against the PREVIOUS blocks' high
+    water — an underestimate bounded by one block span, absorbed by
+    ``safety`` (and pinned by the admission test, which simulates the
+    exact per-row rule).
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts_col))
+    h = history.select(
+        F.col(arrival_col).cast("long").alias("arr"), us.alias("ts_us")
+    )
+    span = h.agg(
+        F.ceil(
+            (F.max("arr") + 1).cast("double") / WATERMARK_BLOCKS
+        ).cast("long").alias("span")
+    )
+    blocks = h.crossJoin(F.broadcast(span)).select(
+        F.expr("arr DIV span").alias("blk"), "ts_us"
+    )
+    blk_max = blocks.groupBy("blk").agg(F.max("ts_us").alias("blk_max_us"))
+    wprev = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    hw = blk_max.select(
+        "blk", F.max("blk_max_us").over(wprev).alias("hw_us")
+    )
+    late = (
+        blocks.join(hw, "blk")
+        .select((F.col("hw_us") - F.col("ts_us")).alias("late_us"))
+        .filter(F.col("late_us") > 0)
+    )
+    row = late.agg(
+        F.percentile_approx("late_us", F.lit(quantile), 10_000).alias("p")
+    ).first()
+    p_us = row["p"] or 0
+    import math
+
+    delay_s = max(math.ceil(p_us * safety / 1e6), math.ceil(floor_s))
+    return f"{delay_s} seconds"
+
+
+def resolve_watermark(
+    watermark: str,
+    history: DataFrame | None,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> str:
+    """``"auto"`` -> :func:`watermark_from_history` over ``history``;
+    anything else passes through unchanged. ``arrival_col`` names the
+    column of ``history`` that carries ARRIVAL order (the ingest
+    sequence) — lateness is meaningless without it."""
+    if watermark != "auto":
+        return watermark
+    if history is None:
+        raise ValueError(
+            "watermark='auto' needs a representative batch via history="
+        )
+    return watermark_from_history(history, ts_col=ts_col, arrival_col=arrival_col)

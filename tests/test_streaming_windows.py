@@ -304,3 +304,103 @@ def test_latest_snapshots_state_survives_restart(spark, tmp_path):
     # row — the stale late arrival never wins
     for r in snaps:
         assert r.event_id == 10 and r.value == 1.0
+
+
+def _jittered_replay(spark, sf_dir):
+    """The real events corpus under a deterministic network-delay
+    model: the corpus's natural arrival order is perfectly in-order
+    (events_lateness_profile reports n_late = 0 everywhere), so the
+    replay delays a hash-chosen ~15% of rows by up to 4 h (several
+    times the corpus's mean inter-event gap, so rows genuinely
+    reorder) and re-derives arrival rank from the delayed arrival
+    instant — deterministic, and the real corpus's timestamps
+    throughout."""
+    from pyspark.sql import Window as W
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.abs(F.xxhash64("event_id"))
+    delay_us = F.when(
+        h % 100 < 15, (h % 14_400 + 60) * 1_000_000
+    ).otherwise(F.lit(0))
+    arrived = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        (F.unix_micros("ts") + delay_us).alias("arrival_us"),
+    )
+    w = W.orderBy("arrival_us", "event_id")  # test-only exact order
+    return arrived.select(
+        F.row_number().over(w).cast("long").alias("arrival_rank"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+    )
+
+
+def test_auto_watermark_admits_95pct_of_late_rows(spark, sf_dir):
+    """watermark='auto' closes the diagnosis->prescription loop: the
+    delay derived from a representative history batch must admit
+    >= 95% of LATE rows under the exact per-row watermark rule
+    (admitted iff global high-water before the row minus its event
+    time <= delay) — the real engine admits strictly more, since its
+    watermark only advances at batch boundaries."""
+    import numpy as np
+
+    history = _jittered_replay(spark, sf_dir)
+    wm = windows.watermark_from_history(history, arrival_col="arrival_rank")
+    assert wm.endswith(" seconds")
+    delay_us = int(wm.split()[0]) * 1_000_000
+
+    pdf = (
+        history.selectExpr("arrival_rank", "unix_micros(ts) AS ts_us")
+        .toPandas()
+        .sort_values("arrival_rank")
+    )
+    ts = pdf["ts_us"].to_numpy()
+    hw_prev = np.concatenate([[ts[0]], np.maximum.accumulate(ts)[:-1]])
+    late = hw_prev - ts
+    is_late = late > 0
+    assert is_late.sum() > 50  # the replay genuinely disorders rows
+    admitted = (late[is_late] <= delay_us).mean()
+    assert admitted >= 0.95, (wm, admitted)
+
+
+def test_windows_accept_auto_watermark(spark, sf_dir, tmp_path):
+    """The operators accept watermark='auto' end-to-end: a real
+    availableNow stream runs with the derived delay and produces the
+    same windows as an explicit equivalent delay string."""
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    history = _jittered_replay(spark, sf_dir)
+    wm = windows.watermark_from_history(history, arrival_col="arrival_rank")
+
+    path = str(tmp_path / "corpus_stream")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    src = read_stream(spark, path)
+    got = run_to_memory(
+        windows.tumbling_counts(
+            src,
+            watermark="auto",
+            history=history,
+            history_arrival_col="arrival_rank",
+        ),
+        "auto_wm_counts",
+        "append",
+    )
+    src2 = read_stream(spark, path)
+    want = run_to_memory(
+        windows.tumbling_counts(src2, watermark=wm),
+        "explicit_wm_counts",
+        "append",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="history"):
+        windows.tumbling_counts(src, watermark="auto")
