@@ -232,6 +232,13 @@ EXTRA = [
     "part_brand_hhi",
     "customer_revenue_gini",
     "customer_order_interarrival",
+    # round 9
+    "customer_revenue_gini_approx",
+    "customer_revenue_deciles_approx",
+    "supplier_delay_profile_approx",
+    "events_lateness_profile_approx",
+    "customer_order_interarrival_approx",
+    "media_phash_dct_neardup",
 ]
 
 

@@ -56,6 +56,10 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "customer_revenue_deciles": "customer_revenue_deciles_approx",
     # per-supplier KLL sketch percentiles instead of exact buffers
     "supplier_delay_profile": "supplier_delay_profile_approx",
+    # per-type lateness sketch instead of exact percentile buffers
+    "events_lateness_profile": "events_lateness_profile_approx",
+    # per-customer median-gap sketch instead of exact buffers
+    "customer_order_interarrival": "customer_order_interarrival_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

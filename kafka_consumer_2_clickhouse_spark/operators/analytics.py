@@ -2109,3 +2109,44 @@ def customer_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= INTERARRIVAL_MIN_ORDERS - 1)
     )
+
+
+@query("customer_order_interarrival_approx")  # rows-only: approx by design
+def customer_order_interarrival_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`customer_order_interarrival`: the
+    per-customer median gap from ``percentile_approx`` (mergeable
+    sketch, bounded buffer per customer) instead of exact
+    ``percentile`` — the swap the exact docstring documents. Window,
+    counts, mean, and max are unchanged and exact.
+
+    Registered rows-only; the exact variant stays the oracle twin.
+    Rank-error envelope pinned at two accuracies in
+    ``tests/test_sketches.py``.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.round(
+                F.percentile_approx(
+                    "gap_days", F.lit(0.5), REVENUE_APPROX_ACC
+                ).cast("double"),
+                6,
+            ).alias("median_gap_days"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count("gap_days"), 6
+            ).alias("mean_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= INTERARRIVAL_MIN_ORDERS - 1)
+    )

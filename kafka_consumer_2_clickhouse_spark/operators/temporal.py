@@ -402,6 +402,56 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx accuracy for the lateness sketch twin: rank error
+#: <= 1/accuracy per event type
+LATENESS_APPROX_ACC = 10_000
+
+
+@query("events_lateness_profile_approx")  # rows-only: approx by design
+def events_lateness_profile_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`events_lateness_profile`: per-type
+    lateness percentiles from ``percentile_approx`` (mergeable
+    KLL-style sketch, bounded buffer per type) instead of exact
+    ``percentile``, whose aggregation buffer holds every distinct
+    lateness value of a type — unbounded when one event type dominates
+    a 100 TB/day stream. The running-max window is unchanged (user-key
+    partitioned, the stream's natural partitioning).
+
+    Registered rows-only; the exact variant stays the oracle twin.
+    Rank-error envelope pinned at two accuracies in
+    ``tests/test_sketches.py``; counts and max are exact in both.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late_us = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("bigint")
+    arr = ev.select("event_type", late_us.alias("late_us"))
+    return arr.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(
+            F.percentile_approx("late_us", F.lit(0.5), LATENESS_APPROX_ACC)
+            / 1e6,
+            6,
+        ).alias("p50_late_s"),
+        F.round(
+            F.percentile_approx("late_us", F.lit(0.95), LATENESS_APPROX_ACC)
+            / 1e6,
+            6,
+        ).alias("p95_late_s"),
+        F.round(F.max("late_us").cast("double") / 1e6, 6).alias("max_late_s"),
+    )
+
+
 #: burst detection: a minute is a burst when its event count exceeds
 #: BURST_FACTOR x the trailing BURST_BASELINE_MIN-minute mean (exact
 #: decimal mean over the minute-grain relation)

@@ -2127,6 +2127,72 @@ def append_to_postings_index(
     return index_dir
 
 
+def remove_from_postings_index(
+    spark: SparkSession, index_dir: str, removed_docs: DataFrame
+) -> str:
+    """Delete documents from the persisted index — the Lucene
+    deleted-docs model: append the removed doc_ids as O(batch)
+    tombstone files; posting files and the directory are untouched
+    until :func:`compact_postings_index`. Searches anti-join the
+    tombstone set (broadcast — it is delete-batch-sized between
+    compactions), so results exclude deleted docs immediately; the
+    DIRECTORY retains pre-delete stats until compaction, exactly like
+    segment stats before a Lucene merge (df is an upper bound, which
+    rarest-first ordering and WAND pruning both tolerate).
+    ``removed_docs``: (doc_id) rows."""
+    import os
+
+    removed_docs.select(F.col("doc_id").cast("long")).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "tombstones"))
+    return index_dir
+
+
+def _postings_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    import os
+
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("doc_id").distinct()
+
+
+def compact_postings_index(spark: SparkSession, index_dir: str) -> str:
+    """Fold pending deletes into the index: rewrite ``postings/``
+    without the tombstoned docs (staged + rename swap, same crash
+    discipline as the ANN index compaction), rebuild the directory
+    from the surviving postings (one vocabulary-grain aggregate), and
+    drop the tombstone set. Post-compaction the index is
+    bit-equivalent to one built over the remaining corpus (pinned)."""
+    import os
+    import shutil
+
+    ts = _postings_tombstones(spark, index_dir)
+    if ts is None:
+        return index_dir
+    pdir = os.path.join(index_dir, "postings")
+    kept = spark.read.parquet(pdir).join(F.broadcast(ts), "doc_id", "left_anti")
+    staged = pdir + ".compact"
+    kept.select("tok", "doc_id", "tf").repartition(
+        F.col("tok")
+    ).sortWithinPartitions("tok").write.mode("overwrite").parquet(staged)
+    old = pdir + ".old"
+    os.rename(pdir, old)
+    os.rename(staged, pdir)
+    shutil.rmtree(old)
+    ddir = os.path.join(index_dir, "directory")
+    dstaged = ddir + ".compact"
+    _batch_directory(spark.read.parquet(pdir)).write.mode("overwrite").parquet(
+        dstaged
+    )
+    dold = ddir + ".old"
+    os.rename(ddir, dold)
+    os.rename(dstaged, ddir)
+    shutil.rmtree(dold)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    return index_dir
+
+
 def postings_search(
     spark: SparkSession,
     index_dir: str,
@@ -2137,12 +2203,17 @@ def postings_search(
     terms' posting rows only (``tok IN (...)`` reaches the parquet scan
     as a pushed filter over the tok-sorted files), intersects at the
     doc grain, ranks by summed tf. Identical output to
-    :func:`keyword_search_docs` computed from the raw corpus."""
+    :func:`keyword_search_docs` computed from the raw corpus. Pending
+    deletes (:func:`remove_from_postings_index`) are excluded via one
+    broadcast anti-join."""
     import os
 
     p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("tok").isin(*terms)
     )
+    ts = _postings_tombstones(spark, index_dir)
+    if ts is not None:
+        p = p.join(F.broadcast(ts), "doc_id", "left_anti")
     per_doc = p.groupBy("doc_id").agg(
         F.countDistinct("tok").alias("n_terms"),
         F.sum("tf").cast("bigint").alias("tf_sum"),

@@ -1,0 +1,137 @@
+"""Inverted index maintained AT INGEST: a ``foreachBatch`` sink that
+folds every landed micro-batch into the persisted postings index.
+
+The batch form (``operators/text_analysis.build_postings_index`` /
+``append_to_postings_index``) is the per-ingest-day operation; this is
+its continuous twin — the same idea as ``streaming/neardup.py``'s
+signature store and ``streaming/rollup_sink.py``'s state table: the
+expensive per-document work (tokenize, count) happens ONCE when the
+document lands, and every later search probes precomputed postings.
+
+Exactly-once across checkpoint replays, by construction:
+
+- posting rows land under ``postings/batch=<id>/`` with ``overwrite``
+  mode, so a replayed batch rewrites its own partition with identical
+  deterministic content instead of double-appending (df never
+  double-counts);
+- the vocabulary-sized directory is versioned by last-applied batch id
+  (``directory/batch=<id>``) and committed by rename — the
+  ``rollup_sink`` discipline exactly: a replayed batch id folds
+  nothing.
+
+Scale: each batch's postings are batch-sized; the directory fold is
+one vocabulary-grain associative merge (df/tf_total sum, champion =
+(max_tf, -doc_id) struct max — the same merge the batch appender
+uses); nothing ever rescans previously landed batches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.text_analysis import _batch_directory, _batch_postings
+from .state_store import DEFAULT_STORE, StateStore
+
+_PREFIX = "batch="
+
+
+def _committed(dir_path: str, store: StateStore) -> int | None:
+    if not os.path.isdir(dir_path):
+        return None
+    ids = [
+        int(d[len(_PREFIX):])
+        for d in store.listdir(dir_path)
+        if d.startswith(_PREFIX) and not d.endswith(".tmp")
+    ]
+    return max(ids) if ids else None
+
+
+def read_directory(
+    spark: SparkSession, index_dir: str, store: StateStore | None = None
+) -> DataFrame | None:
+    """The committed directory page, or None before the first batch."""
+    store = store or DEFAULT_STORE
+    ddir = os.path.join(index_dir, "directory")
+    b = _committed(ddir, store)
+    if b is None:
+        return None
+    return spark.read.parquet(os.path.join(ddir, f"{_PREFIX}{b}"))
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All landed posting rows (tok, doc_id, tf) across batches."""
+    return spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        "tok", "doc_id", "tf"
+    )
+
+
+def postings_maintainer(
+    index_dir: str, store: StateStore | None = None
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function maintaining the streamed postings
+    index. Batch rows need (doc_id, text); replayed batch ids rewrite
+    their own postings partition and skip the directory fold."""
+    st = store or DEFAULT_STORE
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ddir = os.path.join(index_dir, "directory")
+        last = _committed(ddir, st)
+        td = _batch_postings(batch_df).persist()
+        try:
+            # postings: idempotent per-batch partition overwrite
+            td.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "postings", f"{_PREFIX}{batch_id}")
+            )
+            if last is not None and batch_id <= last:
+                return  # replay: directory already folded this batch
+            delta = _batch_directory(td)
+            existing = read_directory(spark, index_dir, st)
+            if existing is None:
+                merged = delta
+            else:
+                merged = (
+                    existing.unionByName(delta)
+                    .groupBy("tok")
+                    .agg(
+                        F.sum("df").cast("bigint").alias("df"),
+                        F.sum("tf_total").cast("bigint").alias("tf_total"),
+                        F.max(
+                            F.struct(
+                                F.col("max_tf").alias("max_tf"),
+                                (-F.col("top_doc_id")).alias("neg_doc"),
+                            )
+                        ).alias("champ"),
+                    )
+                    .select(
+                        "tok",
+                        "df",
+                        "tf_total",
+                        F.col("champ.max_tf").cast("bigint").alias("max_tf"),
+                        (-F.col("champ.neg_doc")).cast("bigint").alias("top_doc_id"),
+                    )
+                )
+            final = os.path.join(ddir, f"{_PREFIX}{batch_id}")
+            tmp = final + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            st.rename(tmp, final)
+            for d in st.listdir(ddir):
+                if not d.startswith(_PREFIX):
+                    continue
+                if d.endswith(".tmp"):
+                    if d != os.path.basename(tmp):
+                        st.rmtree(os.path.join(ddir, d))
+                    continue
+                try:
+                    did = int(d[len(_PREFIX):])
+                except ValueError:
+                    continue
+                if did < batch_id:
+                    st.rmtree(os.path.join(ddir, d))
+        finally:
+            td.unpersist()
+
+    return maintain

@@ -100,3 +100,120 @@ def test_probe_reads_only_probed_terms(spark, sf_dir, tmp_path):
     plan = tx.postings_search(spark, idx)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "tok" in plan.split("PushedFilters")[1][:200]
+
+
+def test_postings_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
+    """Deletion lifecycle (the Lucene deleted-docs model): tombstoned
+    searches == searches over an index built WITHOUT the deleted docs;
+    compaction physically drops their postings, rebuilds the directory
+    to exactly the survivors' build, and clears the tombstone set."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    survivors = docs.filter(F.col("doc_id") < n // 2)
+    removed = docs.filter(F.col("doc_id") >= n // 2).select("doc_id")
+
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full"))
+    ref = tx.build_postings_index(spark, survivors, str(tmp_path / "ref"))
+    want_search = [tuple(r) for r in tx.postings_search(spark, ref).collect()]
+
+    tx.remove_from_postings_index(spark, full, removed)
+    got_tomb = [tuple(r) for r in tx.postings_search(spark, full).collect()]
+    assert got_tomb == want_search
+    # directory intentionally retains pre-delete stats until compaction
+    assert _directory_rows(spark, full) != _directory_rows(spark, ref)
+
+    tx.compact_postings_index(spark, full)
+    assert not os.path.isdir(os.path.join(full, "tombstones"))
+    assert _directory_rows(spark, full) == _directory_rows(spark, ref)
+    kept = spark.read.parquet(os.path.join(full, "postings"))
+    assert kept.filter(F.col("doc_id") >= n // 2).count() == 0
+    got_compact = [tuple(r) for r in tx.postings_search(spark, full).collect()]
+    assert got_compact == want_search
+    # idempotent no-op without tombstones
+    tx.compact_postings_index(spark, full)
+    assert _directory_rows(spark, full) == _directory_rows(spark, ref)
+
+
+def test_streaming_postings_maintainer(spark, sf_dir, tmp_path):
+    """The ingest-time index: two micro-batches fold to exactly the
+    single-pass batch build; a REPLAYED batch id changes nothing
+    (postings partition rewrites identically, directory fold skips)."""
+    from kafka_consumer_2_clickhouse_spark.streaming import postings_sink as ps
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    b0 = docs.filter(F.col("doc_id") < n // 2)
+    b1 = docs.filter(F.col("doc_id") >= n // 2)
+
+    idx = str(tmp_path / "stream_idx")
+    maintain = ps.postings_maintainer(idx)
+    maintain(b0, 0)
+    maintain(b1, 1)
+
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "batch_idx"))
+    want_dir = _directory_rows(spark, full)
+    got_dir = {
+        tuple(r) for r in ps.read_directory(spark, idx).select(
+            "tok", "df", "tf_total", "max_tf", "top_doc_id"
+        ).collect()
+    }
+    assert got_dir == want_dir
+
+    a = ps.read_postings(spark, idx)
+    b = spark.read.parquet(os.path.join(full, "postings"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # replay batch 1: nothing changes
+    maintain(b1, 1)
+    got_dir2 = {
+        tuple(r) for r in ps.read_directory(spark, idx).select(
+            "tok", "df", "tf_total", "max_tf", "top_doc_id"
+        ).collect()
+    }
+    assert got_dir2 == want_dir
+    assert ps.read_postings(spark, idx).count() == b.count()
+
+    # the streamed layout serves searches identically
+    want_search = [tuple(r) for r in tx.postings_search(spark, full).collect()]
+    got_search = [tuple(r) for r in tx.postings_search(spark, idx).collect()]
+    assert got_search == want_search
+
+
+def test_streaming_postings_through_real_stream(spark, sf_dir, tmp_path):
+    """End-to-end wiring: documents replayed through an availableNow
+    file stream into foreachBatch(postings_maintainer) land the same
+    directory as the batch build."""
+    from pyspark.sql import types as T
+
+    from kafka_consumer_2_clickhouse_spark.streaming import postings_sink as ps
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_path = str(tmp_path / "docs_stream")
+    docs.coalesce(2).write.mode("overwrite").parquet(src_path)
+
+    idx = str(tmp_path / "live_idx")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+        .writeStream.foreachBatch(ps.postings_maintainer(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "batch_idx"))
+    got = {
+        tuple(r) for r in ps.read_directory(spark, idx).select(
+            "tok", "df", "tf_total", "max_tf", "top_doc_id"
+        ).collect()
+    }
+    assert got == _directory_rows(spark, full)

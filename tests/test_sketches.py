@@ -254,3 +254,102 @@ def test_gini_approx_envelope_two_resolutions(spark, sf_dir, monkeypatch):
         # the 80% boundary exists on both grids (b*0.8 integral); share
         # differs only by ties + sketch rank error at that cutpoint
         assert abs(a["top20pct_share"] - e["top20pct_share"]) <= 0.05, buckets
+
+
+def _rank_envelope_ok(vals, got, q, eps):
+    """Two-sided rank check that is correct under ties: some rank
+    interpretation of ``got`` must lie within eps of the target."""
+    n = len(vals)
+    below = sum(1 for v in vals if v < got) / n
+    at_or_below = sum(1 for v in vals if v <= got) / n
+    return below <= q + eps and at_or_below >= q - eps
+
+
+def test_lateness_profile_approx_envelope_two_settings(spark, sf_dir, monkeypatch):
+    """events_lateness_profile_approx: counts/max EXACTLY equal the
+    exact twin; each sketch percentile is a real data point within the
+    rank envelope (two-sided, tie-correct — this corpus's lateness is
+    all-zero, where the naive one-sided rank check is wrong)."""
+    from kafka_consumer_2_clickhouse_spark.operators import temporal as tp
+
+    exact = {
+        r["event_type"]: r
+        for r in ops.QUERIES["events_lateness_profile"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late_s = (
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")))
+        / 1e6
+    )
+    pdf = ev.select("event_type", F.round(late_s, 6).alias("late_s")).toPandas()
+    by_type = {k: sorted(g["late_s"]) for k, g in pdf.groupby("event_type")}
+    for acc in (tp.LATENESS_APPROX_ACC, 50):
+        monkeypatch.setattr(tp, "LATENESS_APPROX_ACC", acc)
+        approx = {
+            r["event_type"]: r
+            for r in ops.QUERIES["events_lateness_profile_approx"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for et, a in approx.items():
+            e = exact[et]
+            assert a["n_events"] == e["n_events"], et
+            assert a["n_late"] == e["n_late"], et
+            assert a["max_late_s"] == e["max_late_s"], et
+            vals = by_type[et]
+            eps = 1.0 / acc + 1.0 / len(vals)
+            for got, q in ((a["p50_late_s"], 0.5), (a["p95_late_s"], 0.95)):
+                assert _rank_envelope_ok(vals, got, q, eps), (acc, et, q, got)
+
+
+def test_interarrival_approx_envelope_two_settings(spark, sf_dir, monkeypatch):
+    """customer_order_interarrival_approx: per-customer counts, mean,
+    and max EXACTLY equal the exact twin; the sketch median is a real
+    gap value within the rank envelope — at two accuracies."""
+    from kafka_consumer_2_clickhouse_spark.operators import analytics
+
+    exact = {
+        r["o_custkey"]: r
+        for r in ops.QUERIES["customer_order_interarrival"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pdf = (
+        orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .toPandas()
+    )
+    by_cust = {k: sorted(g["g"]) for k, g in pdf.groupby("o_custkey")}
+    for acc in (analytics.REVENUE_APPROX_ACC, 20):
+        monkeypatch.setattr(analytics, "REVENUE_APPROX_ACC", acc)
+        approx = {
+            r["o_custkey"]: r
+            for r in ops.QUERIES["customer_order_interarrival_approx"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for ck, a in approx.items():
+            e = exact[ck]
+            assert a["n_gaps"] == e["n_gaps"], ck
+            assert a["mean_gap_days"] == e["mean_gap_days"], ck
+            assert a["max_gap_days"] == e["max_gap_days"], ck
+            vals = by_cust[ck]
+            eps = 1.0 / acc + 1.0 / len(vals)
+            assert a["median_gap_days"] in vals, (acc, ck)
+            assert _rank_envelope_ok(
+                vals, a["median_gap_days"], 0.5, eps
+            ), (acc, ck, a["median_gap_days"])
