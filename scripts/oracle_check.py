@@ -45,14 +45,16 @@ def _package_import_graph() -> dict[str, set[str]]:
     """file relpath -> set of package-file relpaths it imports.
 
     Built by scanning relative-import statements (``from .x import``,
-    ``from ..functions import y`` ...) — cheap, no execution, and
-    enough to answer "which operator modules are affected by a change
-    to file F" via the reverse transitive closure.
+    ``from ..functions import y`` ...) at ANY indentation — the
+    operator modules import heavy deps function-locally, and missing
+    those edges would silently skip affected queries — cheap, no
+    execution, and enough to answer "which operator modules are
+    affected by a change to file F" via the reverse transitive closure.
     """
     import glob as _glob
 
     edges: dict[str, set[str]] = {}
-    pat = re.compile(r"^from\s+(\.+)([\w.]*)\s+import\s+(.+)$", re.M)
+    pat = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(.+)$", re.M)
     for path in _glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
         rel = os.path.relpath(path, REPO)
         src = open(path).read()

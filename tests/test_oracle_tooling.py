@@ -1,0 +1,73 @@
+"""scripts/oracle_check.py --changed machinery: the import graph, the
+reverse closure, and the re-run plan — pure-python (no Spark jobs), so
+the fast inner loop's correctness doesn't depend on running it."""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "oracle_check", os.path.join(REPO, "scripts", "oracle_check.py")
+)
+oc = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(oc)
+
+
+def test_import_graph_edges_exist():
+    edges = oc._package_import_graph()
+    pkg = "kafka_consumer_2_clickhouse_spark"
+    # curation composes from text_analysis via the registry; its module
+    # imports analytics (the registry host) at minimum
+    cur = edges[f"{pkg}/operators/curation.py"]
+    assert f"{pkg}/operators/analytics.py" in cur
+    # dedup uses the bloom functions
+    ded = edges[f"{pkg}/operators/dedup.py"]
+    assert f"{pkg}/functions/bloom.py" in ded
+
+
+def test_affected_files_reverse_closure():
+    pkg = "kafka_consumer_2_clickhouse_spark"
+    affected = oc._affected_files({f"{pkg}/functions/bloom.py"})
+    # bloom itself, dedup (imports bloom), and anything importing dedup
+    assert f"{pkg}/functions/bloom.py" in affected
+    assert f"{pkg}/operators/dedup.py" in affected
+    # a module with no path to bloom stays unaffected
+    assert f"{pkg}/jsonlog.py" not in affected
+
+
+def test_changed_files_outside_package_are_ignored():
+    affected = oc._affected_files({"SURVEY.md", "tests/test_bloom.py"})
+    assert affected == set()
+
+
+def test_changed_plan_reruns_new_and_module_changed(tmp_path, monkeypatch):
+    """A fabricated base artifact missing one query + a fabricated
+    changed-module set must re-run exactly: the missing query, plus
+    every query whose defining module is affected."""
+    qs = oc.entrymod.queries()
+    names = sorted(qs)
+    base = {
+        "sf_dir": "x",
+        "n_queries": len(names) - 1,
+        "n_failed": 0,
+        "results": {n: {"ok": True} for n in names if n != "q1_pricing_summary"},
+    }
+    path = tmp_path / "ORACLE_LOCAL_rX.json"
+    path.write_text(json.dumps(base))
+    # force the diff to a single leaf module nothing imports transitively
+    monkeypatch.setattr(
+        oc,
+        "_git",
+        lambda *a: "kafka_consumer_2_clickhouse_spark/operators/frontier.py\n"
+        if a[0] in ("diff", "ls-files", "log")
+        else "",
+    )
+    rerun, base_results = oc._changed_plan(qs, str(path))
+    assert "q1_pricing_summary" in rerun  # never-seen query
+    assert "supplier_pareto_frontier" in rerun  # frontier.py query
+    assert "q3_shipping_priority" not in rerun  # untouched module
+    assert "q1_pricing_summary" not in base_results
