@@ -71,11 +71,15 @@ def _package_import_graph() -> dict[str, set[str]]:
             if os.path.exists(os.path.join(REPO, cand)):
                 deps.add(cand)
                 continue
-            # `from . import a, b` / `from .pkg import mod`
-            for n in re.split(r"[,\s]+", names.replace("(", " ").replace(")", " ")):
-                n = n.strip()
-                if not n or n == "as":
+            # `from . import a, b as c` — each comma group's FIRST token
+            # is the imported name; `as` aliases are not modules (the
+            # earlier version fell back to the package __init__ for
+            # them, which made the closure swallow the whole package)
+            for group in names.replace("(", " ").replace(")", " ").split(","):
+                toks = group.split()
+                if not toks:
                     continue
+                n = toks[0]
                 c = os.path.join(target_dir, n + ".py")
                 if os.path.exists(os.path.join(REPO, c)):
                     deps.add(c)
@@ -85,15 +89,57 @@ def _package_import_graph() -> dict[str, set[str]]:
     return edges
 
 
-def _affected_files(changed: set[str]) -> set[str]:
+def _registry_edges(qs: dict) -> dict[str, set[str]]:
+    """Edges the import graph cannot see: modules that compose other
+    queries through the REGISTRY (``QUERIES['name']`` /
+    ``ORACLE_SQL['name']`` lookups — curation composes text_analysis's
+    oracles this way without importing the module). Each looked-up
+    name maps to the file defining its callable."""
+    import glob as _glob
+    import inspect
+
+    def_file = {}
+    for name, fn in qs.items():
+        try:
+            def_file[name] = os.path.relpath(inspect.getfile(fn), REPO)
+        except TypeError:
+            continue
+    pat = re.compile(r"(?:QUERIES|ORACLE_SQL)\[[\"']([a-z0-9_]+)[\"']\]")
+    edges: dict[str, set[str]] = {}
+    for path in _glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, REPO)
+        deps = {
+            def_file[n]
+            for n in pat.findall(open(path).read())
+            if n in def_file
+        }
+        deps.discard(rel)
+        if deps:
+            edges[rel] = deps
+    return edges
+
+
+def _affected_files(changed: set[str], qs: dict | None = None) -> set[str]:
     """Reverse transitive closure: every package file whose import
-    chain reaches a changed file (including the changed files)."""
+    chain (or registry-lookup chain) reaches a changed file."""
     edges = _package_import_graph()
+    if qs is not None:
+        for f, deps in _registry_edges(qs).items():
+            edges.setdefault(f, set()).update(deps)
     affected = {c for c in changed if c.startswith(PKG) or c == "__spark_entry__.py"}
+    # operators/__init__.py is the registry AGGREGATOR: it imports
+    # every operator module, and operator modules import it back for
+    # scale_mode(). Letting the closure flow INTO it would mark the
+    # whole package affected on any one-module change (and a direct
+    # change to it already forces a full re-run in _changed_plan), so
+    # it only counts when it changed itself.
+    aggregator = f"{PKG}/operators/__init__.py"
     grew = True
     while grew:
         grew = False
         for f, deps in edges.items():
+            if f == aggregator and f not in changed:
+                continue
             if f not in affected and deps & affected:
                 affected.add(f)
                 grew = True
@@ -117,11 +163,15 @@ def _changed_plan(qs: dict, base_path: str) -> tuple[set[str], dict]:
     diff_ref = base_commit or "HEAD"
     changed = set(_git("diff", "--name-only", diff_ref).split())
     changed |= set(_git("ls-files", "--others", "--exclude-standard").split())
-    affected = _affected_files(changed)
+    affected = _affected_files(changed, qs)
 
     rerun: set[str] = set()
-    if "__spark_entry__.py" in affected or f"{PKG}/operators/__init__.py" in affected:
-        # registry-shaping files: conservative full re-run
+    # registry-shaping files force a full re-run — but only when they
+    # CHANGED, not when the reverse closure merely reaches them
+    # (operators/__init__.py imports every operator module, so it is in
+    # the closure of ANY operator change; keying on the closure would
+    # make every --changed run a full run)
+    if "__spark_entry__.py" in changed or f"{PKG}/operators/__init__.py" in changed:
         rerun = set(qs)
     else:
         for name, fn in qs.items():

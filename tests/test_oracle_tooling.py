@@ -71,3 +71,39 @@ def test_changed_plan_reruns_new_and_module_changed(tmp_path, monkeypatch):
     assert "supplier_pareto_frontier" in rerun  # frontier.py query
     assert "q3_shipping_priority" not in rerun  # untouched module
     assert "q1_pricing_summary" not in base_results
+
+
+def test_registry_edges_catch_oracle_composition():
+    """curation composes text_analysis's oracles via registry lookups
+    (QUERIES['doc_quality_scores'] etc.) WITHOUT importing the module —
+    a text_analysis change must still mark curation queries affected."""
+    pkg = "kafka_consumer_2_clickhouse_spark"
+    qs = oc.entrymod.queries()
+    affected = oc._affected_files({f"{pkg}/operators/text_analysis.py"}, qs)
+    assert f"{pkg}/operators/curation.py" in affected
+    # and through curation, the quality model
+    assert f"{pkg}/operators/quality_model.py" in affected
+
+
+def test_init_in_closure_does_not_force_full_rerun(tmp_path, monkeypatch):
+    """operators/__init__.py imports every operator module, so it is in
+    the closure of ANY change — the full-rerun trigger must key on it
+    CHANGING, not on closure membership (else --changed is never
+    incremental)."""
+    qs = oc.entrymod.queries()
+    names = sorted(qs)
+    base = {
+        "results": {n: {"ok": True} for n in names},
+    }
+    path = tmp_path / "ORACLE_LOCAL_rX.json"
+    path.write_text(json.dumps(base))
+    monkeypatch.setattr(
+        oc,
+        "_git",
+        lambda *a: "kafka_consumer_2_clickhouse_spark/operators/frontier.py\n"
+        if a[0] in ("diff", "ls-files", "log")
+        else "",
+    )
+    rerun, _ = oc._changed_plan(qs, str(path))
+    assert rerun  # frontier's queries re-run
+    assert len(rerun) < len(qs) / 2  # ...but nowhere near a full re-run
