@@ -239,6 +239,7 @@ EXTRA = [
     "events_lateness_profile_approx",
     "customer_order_interarrival_approx",
     "media_phash_dct_neardup",
+    "quality_regressor_calibration",
 ]
 
 

@@ -219,3 +219,62 @@ def quality_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+#: calibration resolution: predictions bucket into this many
+#: equal-population bins by sketch cutpoints
+CALIBRATION_BINS = 10
+
+#: percentile_approx accuracy for the calibration cutpoints
+CALIBRATION_APPROX_ACC = 10_000
+
+
+@query("quality_regressor_calibration")  # rows-only: depends on the
+# solved coefficients; monotonicity + population/mass conservation and
+# gap identity pinned in tests/test_quality_model.py
+def quality_regressor_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration table for the distilled quality model — the reliability
+    diagram behind the sign-off: predictions bucket into
+    CALIBRATION_BINS equal-population bins (sketch cutpoints over
+    y_hat, broadcast, assigned map-side — the
+    ``doc_difficulty_buckets_approx`` shape), and each (split, bin)
+    reports mean predicted vs mean actual score plus the calibration
+    gap. A well-calibrated distillation shows gap ~ 0 across bins on
+    the VAL/TEST rows; a sloped gap means the cheap model's threshold
+    must be tuned per operating point before it gates documents.
+
+    Scale: coefficients come from the session-memoized fit (no extra
+    Gram pass); one mergeable cutpoint aggregate over the persisted
+    design relation; bucketing is map-side; the output is
+    splits x bins rows.
+    """
+    coef = _fit_coefficients(spark, sf_dir)
+    scored = _design(spark, sf_dir).withColumn("y_hat", _prediction_expr(coef))
+    b = CALIBRATION_BINS
+    cuts = scored.agg(
+        F.percentile_approx(
+            "y_hat",
+            F.array(*[F.lit(i / b) for i in range(1, b)]),
+            CALIBRATION_APPROX_ACC,
+        ).alias("c")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "split",
+        "y",
+        "y_hat",
+        (
+            1 + F.size(F.filter(F.col("c"), lambda x: F.col("y_hat") > x))
+        ).cast("int").alias("bin"),
+    )
+    return (
+        bucketed.groupBy("split", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("y_hat"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("mean_actual"),
+            F.round(F.avg(F.col("y") - F.col("y_hat")), 6).alias("gap"),
+        )
+        .orderBy("split", "bin")
+    )

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "pq_m_sweep",  # same inherited exact spine
     "quality_regressor_fit",  # inherits doc_feature_vector's 1-row crossJoin
     "quality_regressor_eval",  # same inherited design-matrix chain
+    "quality_regressor_calibration",  # same + 1-row cutpoints crossJoin
     "embedding_hard_negatives",  # same shape: label-inequality vs broadcast queries
     "knn_label_vote",  # same broadcast-queries scoring spine (vote stages after)
     "knn_accuracy",  # 1-row aggregate over knn_label_vote's chain

@@ -97,3 +97,47 @@ def test_fit_is_memo_shared_with_eval(spark, sf_dir):
     qm._COEF_MEMO[key] = sentinel
     assert qm._fit_coefficients(spark, sf_dir) is sentinel
     qm._COEF_MEMO.clear()
+
+
+def test_calibration_table_identities(spark, sf_dir):
+    """Calibration bins: population conserved against the design
+    relation, per-bin gap == mean_actual - mean_pred (rounding-
+    tolerant), bins ordered by mean_pred within each split, and the
+    population-weighted gap equals the split's mean residual."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators import quality_model as qm
+
+    rows = ops.QUERIES["quality_regressor_calibration"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == qm._design(spark, sf_dir).count()
+    by_split: dict = {}
+    for r in rows:
+        assert 1 <= r["bin"] <= qm.CALIBRATION_BINS
+        assert abs(r["gap"] - round(r["mean_actual"] - r["mean_pred"], 6)) <= 2e-6
+        by_split.setdefault(r["split"], []).append(r)
+    for split, rs in by_split.items():
+        rs = sorted(rs, key=lambda r: r["bin"])
+        preds = [r["mean_pred"] for r in rs]
+        assert preds == sorted(preds), (split, preds)  # monotone bins
+    # weighted gap == split mean residual (from the eval table)
+    ev = {
+        r["split"]: r
+        for r in ops.QUERIES["quality_regressor_eval"](spark, sf_dir).collect()
+    }
+    for split, rs in by_split.items():
+        w_gap = sum(r["n"] * r["gap"] for r in rs) / sum(r["n"] for r in rs)
+        # eval reports MAE/RMSE, not mean residual; recompute directly
+        from pyspark.sql import functions as F
+
+        coef = qm._fit_coefficients(spark, sf_dir)
+        scored = qm._design(spark, sf_dir).withColumn(
+            "y_hat", qm._prediction_expr(coef)
+        )
+        want = (
+            scored.filter(F.col("split") == split)
+            .agg(F.avg(F.col("y") - F.col("y_hat")))
+            .first()[0]
+        )
+        assert abs(w_gap - want) < 1e-4, (split, w_gap, want)
+    spark.catalog.clearCache()
