@@ -240,6 +240,7 @@ EXTRA = [
     "customer_order_interarrival_approx",
     "media_phash_dct_neardup",
     "quality_regressor_calibration",
+    "embedding_norm_outliers_approx",
 ]
 
 

@@ -60,6 +60,8 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "events_lateness_profile": "events_lateness_profile_approx",
     # per-customer median-gap sketch instead of exact buffers
     "customer_order_interarrival": "customer_order_interarrival_approx",
+    # sketch median/MAD instead of exact global percentile buffers
+    "embedding_norm_outliers": "embedding_norm_outliers_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

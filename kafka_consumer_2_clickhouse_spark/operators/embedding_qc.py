@@ -504,3 +504,61 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.5).alias("is_outlier"),
         )
     )
+
+
+#: percentile_approx accuracy for the norm-outlier sketch twin
+NORM_APPROX_ACC = 10_000
+
+
+@query("embedding_norm_outliers_approx")  # rows-only: approx by design
+def embedding_norm_outliers_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of :func:`embedding_norm_outliers`: the global
+    median and MAD come from ``percentile_approx`` (mergeable sketch,
+    bounded buffer) instead of exact ``percentile``, whose final merge
+    buffers every distinct norm in one task — the swap the exact
+    docstring documents. Norms, the robust-z formula, and the 3.5
+    threshold are unchanged.
+
+    Registered rows-only; the exact variant stays the oracle twin.
+    Envelope pinned at two accuracies in ``tests/test_sketches.py``:
+    the sketch med/MAD are real data points within the rank envelope,
+    and flag disagreements vs exact are confined to vectors whose
+    robust-z sits within the induced boundary band.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        "vec_id", F.explode("embedding").alias("v0")
+    ).select("vec_id", F.col("v0").cast("double").alias("v"))
+    norms = d.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("v") * F.col("v"), 6).cast("decimal(27,6)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("l2_norm")
+    )
+    med = norms.agg(
+        F.percentile_approx("l2_norm", F.lit(0.5), NORM_APPROX_ACC).alias("med")
+    )
+    with_med = norms.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile_approx(
+            F.abs(F.col("l2_norm") - F.col("med")), F.lit(0.5), NORM_APPROX_ACC
+        ).alias("mad")
+    ).filter(F.col("mad") > 0)
+    z = F.round(
+        0.6745 * (F.col("l2_norm") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            "l2_norm",
+            z.alias("robust_z"),
+            (F.abs(z) > 3.5).alias("is_outlier"),
+        )
+    )

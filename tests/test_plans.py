@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "customer_revenue_gini_approx",  # 1-row cutpoints + 1-row totals crossJoins
     "doc_bigram_logprob",  # 1-row vocabulary-size crossJoin
     "embedding_norm_outliers",  # 1-row median + 1-row MAD crossJoins
+    "embedding_norm_outliers_approx",  # same shape, sketch cutpoints
     "token_pmi_pairs",  # 1-row token-total + 1-row bigram-total crossJoins
     "corpus_datacard",  # 1-row kept-count + 1-row gate-count crossJoins
     "copurchase_lift_rules",  # 1-row order-total crossJoin (lift denominator)
