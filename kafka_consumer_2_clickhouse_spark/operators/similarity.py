@@ -390,6 +390,43 @@ def _train_centroids(raw: DataFrame, n_cells: int = N_CELLS, seed: int = 7):
     return cents
 
 
+def assign_cells(df: DataFrame, cents) -> DataFrame:
+    """(vec_id, embedding) -> + nearest-centroid ``cell``: one map-only
+    Arrow pass against the broadcast-by-closure centroid matrix — the
+    shared encode step of the batch build, the incremental append, and
+    the streaming maintainer (``streaming/ann_sink.py``)."""
+    import numpy as np
+
+    cents = np.asarray(cents, dtype=np.float64)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            yield pdf.assign(
+                cell=(cm @ cents.T).argmax(axis=1).astype("int32")
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cell int"
+    )
+
+
+def load_ivf_centroids(spark: SparkSession, index_dir: str):
+    """Driver-side read of the (cell, centroid) quantizer table."""
+    import os
+
+    import numpy as np
+
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), DIM), dtype=np.float64)
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    return cents
+
+
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, index_dir: str, n_cells: int = N_CELLS
 ) -> str:
@@ -413,24 +450,9 @@ def build_ivf_index(
 
     raw = load_table(spark, sf_dir, "embeddings")
     cents = _train_centroids(raw, n_cells)
-    bc = spark.sparkContext.broadcast(cents)
-
-    def assign(batches):
-        import numpy as np
-
-        for pdf in batches:
-            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            yield pdf.assign(cell=(cm @ bc.value.T).argmax(axis=1).astype("int32"))
-
-    assigned = (
-        spread(raw)
-        .select("vec_id", "embedding")
-        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "cells")
-    )
+    assign_cells(spread(raw), cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "cells"))
     spark.createDataFrame(
         [(int(c), [float(x) for x in cents[c]]) for c in range(n_cells)],
         "cell int, centroid array<double>",
@@ -455,33 +477,10 @@ def append_to_ivf_index(
     """
     import os
 
-    import numpy as np
-
-    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    cents = np.zeros((len(crows), DIM), dtype=np.float64)
-    for r in crows:
-        cents[r["cell"]] = r["centroid"]
-    bc = spark.sparkContext.broadcast(cents)
-
-    def assign(batches):
-        import numpy as np
-
-        for pdf in batches:
-            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            yield pdf.assign(
-                cell=(cm @ bc.value.T).argmax(axis=1).astype("int32")
-            )
-
-    (
-        new_vectors.select("vec_id", "embedding")
-        .mapInPandas(
-            assign, schema="vec_id long, embedding array<float>, cell int"
-        )
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "cells"))
-    )
+    cents = load_ivf_centroids(spark, index_dir)
+    assign_cells(new_vectors, cents).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "cells"))
     return index_dir
 
 
@@ -599,10 +598,7 @@ def ivf_search(
 
     import numpy as np
 
-    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    cents = np.zeros((len(crows), DIM), dtype=np.float64)
-    for r in crows:
-        cents[r["cell"]] = r["centroid"]
+    cents = load_ivf_centroids(spark, index_dir)
 
     qrows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)

@@ -1,0 +1,79 @@
+"""Embedding (IVF) index maintained AT INGEST: a ``foreachBatch`` sink
+that encodes every landed micro-batch of vectors against the stored
+coarse quantizer and appends them cell-partitioned.
+
+Completes the ANN index lifecycle alongside the batch operations in
+``operators/similarity.py`` (build / append / remove+compact): the
+production operating model is *train once on history, stream appends
+forever, retrain on drift* — exactly faiss's add-to-a-trained-index
+path driven by a stream.
+
+Exactly-once across checkpoint replays, by construction: each batch's
+encoded rows land under ``cells/batch=<id>/`` (partitioned by ``cell``
+inside) with ``overwrite`` mode, so a replayed batch rewrites its own
+partition with identical deterministic content instead of
+double-inserting. Probes need no changes: Spark prunes on ANY
+partition column, so ``ivf_search``'s ``cell IN (probed)`` filter
+skips unprobed ``cell=`` directories at the FileIndex inside every
+batch directory, and the extra ``batch`` column rides along ignored.
+Deletions compose too — the tombstone anti-join keys on ``vec_id``.
+
+Scale: the encode is one map-only Arrow pass per micro-batch against
+the closure-shipped centroid matrix; nothing ever rescans previously
+landed batches; the quantizer is read once per batch (rows = n_cells).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    N_CELLS,
+    _train_centroids,
+    assign_cells,
+    load_ivf_centroids,
+)
+
+_PREFIX = "batch="
+
+
+def init_ivf_stream_index(
+    spark: SparkSession,
+    history: DataFrame,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+) -> str:
+    """Train the coarse quantizer ONCE from a representative history
+    batch and persist it — the stream-maintained index's bootstrap.
+    Only ``centroids/`` is written; vectors arrive via the maintainer.
+    """
+    cents = _train_centroids(history, n_cells)
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    return index_dir
+
+
+def ivf_index_maintainer(
+    index_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function appending each micro-batch of
+    (vec_id, embedding) rows to the stream-maintained IVF index.
+    Requires ``centroids/`` to exist (:func:`init_ivf_stream_index`).
+    Replayed batch ids rewrite their own ``batch=<id>`` partition
+    idempotently."""
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = load_ivf_centroids(spark, index_dir)
+        assign_cells(batch_df, cents).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(index_dir, "cells", f"{_PREFIX}{batch_id}"))
+
+    return maintain

@@ -1,0 +1,108 @@
+"""Stream-maintained IVF index: init once, append per micro-batch,
+probe identically to the batch-built index; replay-idempotent; the
+deletion lifecycle composes on the streamed layout."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators import similarity
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+from kafka_consumer_2_clickhouse_spark.streaming import ann_sink
+
+
+def _search(spark, idx, queries):
+    return {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_search(spark, idx, queries).collect()
+    }
+
+
+def test_stream_maintained_index_matches_batch_build(spark, sf_dir, tmp_path):
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+
+    # reference: single-pass batch build (trains the same seed-pinned
+    # quantizer from the same corpus sample protocol)
+    full = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "full"))
+    want = _search(spark, full, queries)
+
+    # streamed: same quantizer (copied), vectors arrive in two batches
+    idx = str(tmp_path / "streamed")
+    spark.read.parquet(os.path.join(full, "centroids")).write.parquet(
+        os.path.join(idx, "centroids")
+    )
+    maintain = ann_sink.ivf_index_maintainer(idx)
+    maintain(raw.filter(F.col("vec_id") < n // 2), 0)
+    maintain(raw.filter(F.col("vec_id") >= n // 2), 1)
+    assert _search(spark, idx, queries) == want
+
+    # replay batch 1: identical content rewritten, identical answers
+    maintain(raw.filter(F.col("vec_id") >= n // 2), 1)
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    assert _search(spark, idx, queries) == want
+
+    # deletions compose on the streamed layout (tombstone anti-join
+    # keys on vec_id, layout-independent)
+    removed = raw.filter(F.col("vec_id") >= n // 2).select("vec_id")
+    similarity.remove_from_ivf_index(spark, idx, removed)
+    ref = str(tmp_path / "ref")
+    spark.read.parquet(os.path.join(full, "centroids")).write.parquet(
+        os.path.join(ref, "centroids")
+    )
+    similarity.append_to_ivf_index(
+        spark, ref, raw.filter(F.col("vec_id") < n // 2)
+    )
+    assert _search(spark, idx, queries) == _search(spark, ref, queries)
+
+
+def test_init_trains_quantizer_only(spark, sf_dir, tmp_path):
+    raw = load_table(spark, sf_dir, "embeddings")
+    idx = ann_sink.init_ivf_stream_index(spark, raw, str(tmp_path / "idx"))
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+    assert not os.path.isdir(os.path.join(idx, "cells"))
+    cents = similarity.load_ivf_centroids(spark, idx)
+    assert cents.shape == (similarity.N_CELLS, similarity.DIM)
+
+
+def test_through_real_stream(spark, sf_dir, tmp_path):
+    """End-to-end wiring: embeddings replayed through an availableNow
+    file stream into foreachBatch(ivf_index_maintainer) serve the same
+    searches as the batch-built index."""
+    from pyspark.sql import types as T
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    full = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "full"))
+    want = _search(spark, full, queries)
+
+    src_path = str(tmp_path / "vec_stream")
+    raw.select("vec_id", "embedding").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+    idx = str(tmp_path / "live")
+    import shutil
+
+    shutil.copytree(
+        os.path.join(full, "centroids"), os.path.join(idx, "centroids")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+        .writeStream.foreachBatch(ann_sink.ivf_index_maintainer(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _search(spark, idx, queries) == want
