@@ -414,6 +414,68 @@ def assign_cells(df: DataFrame, cents) -> DataFrame:
     )
 
 
+def _cell_residuals(df: DataFrame, cents, carry: tuple = ()) -> DataFrame:
+    """(vec_id, embedding[, carry...]) -> (vec_id[, carry...], cell,
+    resid): nearest-centroid assignment plus the spherical residual
+    ``1 - cos(x, c_cell)`` in ONE map-only Arrow pass — the measurement
+    kernel behind the index drift report (training profile at init,
+    per-batch profile at report time). ``carry`` columns (e.g. the
+    ``batch`` partition id) pass through untouched so no join is needed
+    to keep them."""
+    import numpy as np
+
+    cents = np.asarray(cents, dtype=np.float64)
+    carry = tuple(carry)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ cents.T
+            cell = sims.argmax(axis=1)
+            out = pdf[["vec_id", *carry]].assign(
+                cell=cell.astype("int32"),
+                resid=1.0 - sims[np.arange(len(cm)), cell],
+            )
+            yield out
+
+    carry_schema = "".join(f", {c} long" for c in carry)
+    return df.select("vec_id", "embedding", *carry).mapInPandas(
+        assign, schema=f"vec_id long{carry_schema}, cell int, resid double"
+    )
+
+
+def write_ivf_centroids(spark: SparkSession, cents, index_dir: str) -> None:
+    """Persist the (cell, centroid) coarse-quantizer table — shared by
+    the batch builders and the stream-index bootstraps."""
+    import os
+
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+
+
+def write_pq_codebooks(spark: SparkSession, books, index_dir: str) -> None:
+    """Persist the (m, k, centroid) residual-PQ codebook table."""
+    import os
+
+    spark.createDataFrame(
+        [
+            (mi, ki, [float(x) for x in books[mi, ki]])
+            for mi in range(books.shape[0])
+            for ki in range(books.shape[1])
+        ],
+        "m int, k int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+
+
 def load_ivf_centroids(spark: SparkSession, index_dir: str):
     """Driver-side read of the (cell, centroid) quantizer table."""
     import os
@@ -453,10 +515,7 @@ def build_ivf_index(
     assign_cells(spread(raw), cents).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(os.path.join(index_dir, "cells"))
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    write_ivf_centroids(spark, cents, index_dir)
     return index_dir
 
 
@@ -474,13 +533,23 @@ def append_to_ivf_index(
     only when drift accumulates — the standard IVF operating model.
     ``new_vectors``: (vec_id, embedding) rows not already in the index
     (caller-owned contract, same as the signature index's batches).
+
+    On a STREAM-MAINTAINED index (``cells/batch=<id>/cell=<k>`` —
+    ``streaming/ann_sink.py``) the rows land in the reserved
+    ``batch=-1`` partition instead, keeping the directory depth
+    uniform: streaming epoch ids are nonnegative so a checkpoint
+    replay can never overwrite manual appends, and every compactor
+    folds ``-1`` first (it sorts below any horizon).
     """
     import os
 
     cents = load_ivf_centroids(spark, index_dir)
+    cells = os.path.join(index_dir, "cells")
+    if _stream_batch_layout(cells):
+        cells = os.path.join(cells, "batch=-1")
     assign_cells(new_vectors, cents).write.mode("append").partitionBy(
         "cell"
-    ).parquet(os.path.join(index_dir, "cells"))
+    ).parquet(cells)
     return index_dir
 
 
@@ -525,11 +594,28 @@ def _anti_tombstones(
     return scan.join(F.broadcast(ts), "vec_id", "left_anti")
 
 
+def _stream_batch_layout(data_dir: str) -> bool:
+    """True when ``data_dir`` uses the stream-maintained two-level
+    layout (``batch=<id>/cell=<k>`` — see ``streaming/ann_sink.py``)
+    rather than the flat batch-built ``cell=<k>``. Parquet partition
+    discovery requires uniform directory depth, so every lifecycle
+    operation must preserve whichever layout it finds."""
+    import os
+
+    if not os.path.isdir(data_dir):
+        return False
+    return any(
+        d.startswith("batch=") for d in os.listdir(data_dir)
+    )
+
+
 def _compact_index(spark: SparkSession, index_dir: str, data_subdir: str) -> str:
     """Fold pending tombstones into the data files: rewrite
     ``<index_dir>/<data_subdir>/`` without the deleted rows (keeping
-    the cell partitioning), then drop the tombstone set — the
-    faiss-compaction / Iceberg rewrite-data-files analog.
+    the cell partitioning — and, on a stream-maintained index, the
+    outer ``batch=<id>`` partitioning, so a subsequent maintainer
+    write never mixes directory depths), then drop the tombstone set —
+    the faiss-compaction / Iceberg rewrite-data-files analog.
 
     The rewrite stages into a sibling directory and swaps by rename so
     a crashed compaction never leaves a half-written live tree (on an
@@ -538,6 +624,15 @@ def _compact_index(spark: SparkSession, index_dir: str, data_subdir: str) -> str
     + one write of the SURVIVING rows only; quantizers/codebooks are
     untouched, so probes before and after compaction return the same
     results (pinned in tests/test_similarity.py).
+
+    STREAM-MAINTAINED indexes: the rewrite preserves the outer
+    ``batch=<id>`` partitioning, but fold only when every batch
+    holding tombstoned rows is behind the stream's committed
+    checkpoint horizon — a replayed batch rewrites its ORIGINAL
+    content, and once the tombstone set is dropped nothing re-excludes
+    the resurrected rows (same horizon contract as
+    ``streaming/index_compact.py``; pinned in
+    tests/test_stream_index_compact.py).
     """
     import os
     import shutil
@@ -547,13 +642,14 @@ def _compact_index(spark: SparkSession, index_dir: str, data_subdir: str) -> str
         return index_dir
     data = os.path.join(index_dir, data_subdir)
     staged = data + ".compact"
-    partitioned = "cell" in spark.read.parquet(data).columns
+    cols = spark.read.parquet(data).columns
+    parts = [c for c in ("batch", "cell") if c in cols]
     kept = spark.read.parquet(data).join(
         F.broadcast(ts), "vec_id", "left_anti"
     )
     writer = kept.write.mode("overwrite")
-    if partitioned:
-        writer = writer.partitionBy("cell")
+    if parts:
+        writer = writer.partitionBy(*parts)
     writer.parquet(staged)
     old = data + ".old"
     os.rename(data, old)
@@ -576,6 +672,186 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> str:
     """Rewrite the IVF cell files without tombstoned vectors and clear
     the tombstone set. Probe results are identical before/after."""
     return _compact_index(spark, index_dir, "cells")
+
+
+# --------------------------------------------------------------------------
+# IVF index drift: is "train once, stream appends forever" still valid?
+# --------------------------------------------------------------------------
+
+DRIFT_TV_MAX = 0.25  # total-variation distance of cell occupancy
+DRIFT_RESID_RATIO_MAX = 1.5  # batch mean residual vs training mean
+
+
+def train_cell_profile(df: DataFrame, cents) -> DataFrame:
+    """The training-time reference distribution for drift detection:
+    per cell, the share of training vectors it absorbs and their mean
+    spherical residual — persisted as ``train_stats/`` by the stream
+    bootstraps (``streaming/ann_sink.py``)."""
+    n = df.count()
+    return (
+        _cell_residuals(df, cents)
+        .groupBy("cell")
+        .agg(
+            (F.count("*") / F.lit(float(n))).alias("train_share"),
+            F.avg("resid").alias("train_mean_resid"),
+        )
+    )
+
+
+def _ivf_drift_from(
+    per: DataFrame,
+    train: DataFrame,
+    tv_max: float = DRIFT_TV_MAX,
+    resid_ratio_max: float = DRIFT_RESID_RATIO_MAX,
+) -> DataFrame:
+    """The drift report core over ``per`` = (batch, cell, resid) rows
+    and ``train`` = (cell, train_share, train_mean_resid).
+
+    Per batch: total-variation distance between the batch's cell
+    occupancy and the training occupancy, the batch residual profile,
+    and ``suggested_retrain`` — the ``events_key_skew_report
+    .suggested_salt`` diagnosis->prescription pattern applied to the
+    ANN index: the flag trips when new vectors pile into cells the
+    quantizer wasn't trained to balance (TV) or sit far from every
+    centroid (residual ratio), the two ways IVF recall silently decays.
+
+    TV needs no batch x cell grid: matched cells contribute
+    ``|fill - train|`` through the left join, and the unmatched
+    training mass is ``1 - sum(matched train_share)`` exactly.
+
+    Scale: everything after the map-only residual pass runs on the
+    (batch, cell) grain — at most ``n_batches x N_CELLS`` rows.
+    """
+    # bounded driver pull: <= N_CELLS rows define the training scalar
+    trows = train.collect()
+    global_resid = sum(
+        r["train_share"] * r["train_mean_resid"] for r in trows
+    )
+    cellstats = per.groupBy("batch", "cell").agg(
+        F.count("*").alias("n"),
+        F.sum("resid").alias("sr"),
+        F.max("resid").alias("mr"),
+    )
+    wb = W.partitionBy("batch")
+    j = cellstats.withColumn("n_rows", F.sum("n").over(wb)).join(
+        F.broadcast(train), "cell", "left"
+    )
+    rep = j.groupBy("batch").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        (
+            0.5
+            * (
+                F.sum(
+                    F.abs(
+                        F.col("n") / F.col("n_rows")
+                        - F.coalesce(F.col("train_share"), F.lit(0.0))
+                    )
+                )
+                + (1.0 - F.sum(F.coalesce(F.col("train_share"), F.lit(0.0))))
+            )
+        ).alias("tv"),
+        (F.sum("sr") / F.max("n_rows")).alias("mean_r"),
+        F.max("mr").alias("max_r"),
+    )
+    ratio = (
+        (F.col("mean_r") / F.lit(global_resid))
+        if global_resid > 0
+        else F.lit(None).cast("double")
+    )
+    return (
+        rep.select(
+            F.col("batch").cast("long").alias("batch"),
+            "n_rows",
+            F.round("tv", 9).alias("tv_distance"),
+            F.round("mean_r", 9).alias("mean_resid"),
+            F.round("max_r", 9).alias("max_resid"),
+            F.round(ratio, 9).alias("resid_ratio"),
+        )
+        .withColumn(
+            "suggested_retrain",
+            (F.col("tv_distance") > tv_max)
+            | F.coalesce(
+                F.col("resid_ratio") > resid_ratio_max, F.lit(False)
+            ),
+        )
+        .orderBy("batch")
+    )
+
+
+def ivf_index_drift(
+    spark: SparkSession,
+    index_dir: str,
+    tv_max: float = DRIFT_TV_MAX,
+    resid_ratio_max: float = DRIFT_RESID_RATIO_MAX,
+) -> DataFrame:
+    """Drift report for a PERSISTED IVF index (stream-maintained or
+    batch-built): per landed ``batch``, cell-occupancy TV distance vs
+    the training profile (``train_stats/``, written by
+    ``init_ivf_stream_index``), residual trend, and the retrain flag —
+    closing the loop on the 'train once, retrain on drift' operating
+    model. One map-only Arrow pass over ``cells/``; tombstones are
+    deliberately included (they occupied the quantizer's geometry)."""
+    import os
+
+    stats = os.path.join(index_dir, "train_stats")
+    if not os.path.isdir(stats):
+        raise FileNotFoundError(
+            f"{index_dir!r} has no train_stats/ — bootstrap the index "
+            "with init_ivf_stream_index()/init_ivfpq_stream_index(), "
+            "which persist the training profile"
+        )
+    cents = load_ivf_centroids(spark, index_dir)
+    train = spark.read.parquet(stats)
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if "batch" in cells.columns:
+        cells = cells.withColumn("batch", F.col("batch").cast("long"))
+    else:  # flat batch-built layout: one pseudo-batch
+        cells = cells.withColumn("batch", F.lit(0).cast("long"))
+    per = _cell_residuals(
+        cells.select("vec_id", "embedding", "batch"), cents, carry=("batch",)
+    )
+    return _ivf_drift_from(per, train, tv_max, resid_ratio_max)
+
+
+@query("ivf_index_drift_report")  # no oracle: the quantizer is a
+# driver-side Lloyd's run (not SQL-expressible); flag semantics are
+# pinned on a constructed drifted stream in tests/test_ann_stream.py
+def ivf_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer drift report — the monitoring half of the stream
+    index's 'train once on history, stream appends forever, retrain on
+    drift' operating model (``streaming/ann_sink.py``): per arrived
+    batch of vectors, (a) the total-variation distance between its
+    cell-occupancy distribution and the training-time distribution,
+    (b) its mean/max spherical residual vs the training mean, and
+    (c) ``suggested_retrain`` when either exceeds its envelope
+    (TV > 0.25 or residual ratio > 1.5).
+
+    Inline derivation (self-contained at any sf): vectors with
+    ``vec_id % 4 <= 1`` are the training history, the rest arrive as
+    two pseudo-batches (``% 4 == 2`` then ``== 3``). With
+    ``SPARK_GRAFT_IVF_INDEX`` set to an index bootstrapped by
+    ``init_ivf_stream_index`` (so ``train_stats/`` exists), the report
+    runs against the PERSISTED index instead — the production path.
+
+    Scale: one map-only Arrow residual pass; every aggregate after it
+    is on the (batch, cell) grain — ``n_batches x N_CELLS`` rows, so
+    the report costs one scan of the monitored vectors regardless of
+    corpus size.
+    """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_IVF_INDEX")
+    if index_dir and os.path.isdir(os.path.join(index_dir, "train_stats")):
+        return ivf_index_drift(spark, index_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    hist = raw.filter(F.col("vec_id") % 4 <= 1)
+    cents = _train_centroids(hist)
+    train = train_cell_profile(hist, cents)
+    arrivals = spread(raw.filter(F.col("vec_id") % 4 >= 2)).withColumn(
+        "batch", (F.col("vec_id") % 4 - 2).cast("long")
+    )
+    per = _cell_residuals(arrivals, cents, carry=("batch",))
+    return _ivf_drift_from(per, train)
 
 
 def ivf_search(
@@ -1541,22 +1817,8 @@ def build_ivfpq_index(
     _ivfpq_encode(spread(raw), cents, books).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "codes"))
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids")
-    )
-    spark.createDataFrame(
-        [
-            (mi, ki, [float(x) for x in books[mi, ki]])
-            for mi in range(books.shape[0])
-            for ki in range(books.shape[1])
-        ],
-        "m int, k int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "codebooks")
-    )
+    write_ivf_centroids(spark, cents, index_dir)
+    write_pq_codebooks(spark, books, index_dir)
     return index_dir
 
 
@@ -1566,21 +1828,22 @@ def append_to_ivfpq_index(
     """Incremental IVFADC maintenance (see :func:`append_to_ivf_index`):
     encode new vectors against the STORED coarse quantizer and residual
     codebooks, append cell-partitioned codes; no retraining, existing
-    cell files untouched."""
+    cell files untouched. On a stream-maintained layout
+    (``codes/batch=<id>/cell=<k>`` — ``streaming/ann_sink.py``) the
+    rows land in the reserved ``batch=-1`` partition, preserving the
+    uniform directory depth exactly like :func:`append_to_ivf_index`."""
     import os
 
-    import numpy as np
-
-    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    cents = np.zeros((len(crows), DIM), dtype=np.float64)
-    for r in crows:
-        cents[r["cell"]] = r["centroid"]
+    cents = load_ivf_centroids(spark, index_dir)
     books = _load_pq_codebooks(spark, index_dir)
+    codes = os.path.join(index_dir, "codes")
+    if _stream_batch_layout(codes):
+        codes = os.path.join(codes, "batch=-1")
     (
         _ivfpq_encode(new_vectors.select("vec_id", "embedding"), cents, books)
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "codes"))
+        .parquet(codes)
     )
     return index_dir
 

@@ -2089,10 +2089,23 @@ def append_to_postings_index(
     batch's doc_ids are not already indexed (caller-owned, same as the
     signature index) — postings are doc-disjoint, so df never
     double-counts.
+
+    Refuses a STREAM-MAINTAINED index (``postings/batch=<id>`` layout,
+    ``streaming/postings_sink.py``): there the directory is VERSIONED
+    by last-applied stream batch id, and a manual fold would either
+    read every version at once or commit a version id that collides
+    with a future stream batch (whose fold would then silently skip) —
+    stream indexes append through the maintainer only.
     """
     import os
     import shutil
 
+    if _stream_postings_layout(os.path.join(index_dir, "postings")):
+        raise ValueError(
+            f"{index_dir!r} is stream-maintained (postings/batch=<id>); "
+            "append through streaming/postings_sink.postings_maintainer "
+            "— a manual directory fold would break its versioning"
+        )
     new_td = _batch_postings(new_docs)
     new_td.write.mode("append").parquet(os.path.join(index_dir, "postings"))
     dir_path = os.path.join(index_dir, "directory")
@@ -2125,6 +2138,16 @@ def append_to_postings_index(
     os.rename(staged, dir_path)
     shutil.rmtree(old)
     return index_dir
+
+
+def _stream_postings_layout(data_dir: str) -> bool:
+    """True when ``data_dir`` uses the stream-maintained
+    ``batch=<id>`` layout (``streaming/postings_sink.py``)."""
+    import os
+
+    if not os.path.isdir(data_dir):
+        return False
+    return any(d.startswith("batch=") for d in os.listdir(data_dir))
 
 
 def remove_from_postings_index(
@@ -2163,7 +2186,14 @@ def compact_postings_index(spark: SparkSession, index_dir: str) -> str:
     discipline as the ANN index compaction), rebuild the directory
     from the surviving postings (one vocabulary-grain aggregate), and
     drop the tombstone set. Post-compaction the index is
-    bit-equivalent to one built over the remaining corpus (pinned)."""
+    bit-equivalent to one built over the remaining corpus (pinned).
+
+    Refuses a STREAM-MAINTAINED index (see
+    :func:`append_to_postings_index` — rebuilding the versioned
+    directory would collide with the maintainer's versioning). Pending
+    deletes there stay correct indefinitely through the probe-time
+    anti-join; retention for the batch directories is
+    ``streaming/postings_sink.compact_postings_stream_index``."""
     import os
     import shutil
 
@@ -2171,6 +2201,12 @@ def compact_postings_index(spark: SparkSession, index_dir: str) -> str:
     if ts is None:
         return index_dir
     pdir = os.path.join(index_dir, "postings")
+    if _stream_postings_layout(pdir):
+        raise ValueError(
+            f"{index_dir!r} is stream-maintained (postings/batch=<id>); "
+            "its tombstones are applied at probe time — use "
+            "compact_postings_stream_index for directory retention"
+        )
     kept = spark.read.parquet(pdir).join(F.broadcast(ts), "doc_id", "left_anti")
     staged = pdir + ".compact"
     kept.select("tok", "doc_id", "tf").repartition(
@@ -2228,12 +2264,25 @@ def postings_search(
 
 def postings_directory_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """The persisted directory page in ``token_postings_stats``'s
-    registered column order."""
+    registered column order. On a STREAM-MAINTAINED index the
+    directory is versioned (``directory/batch=<id>``): route through
+    the sink's committed-version selection, so a crash-leftover
+    ``.tmp`` directory or an unswept older version is never served as
+    extra partition rows."""
     import os
 
-    return spark.read.parquet(os.path.join(index_dir, "directory")).select(
-        "tok", "df", "tf_total", "max_tf", "top_doc_id"
-    )
+    ddir = os.path.join(index_dir, "directory")
+    if _stream_postings_layout(ddir):
+        from ..streaming.postings_sink import read_directory
+
+        page = read_directory(spark, index_dir)
+        if page is None:
+            raise FileNotFoundError(
+                f"{index_dir!r} has no committed directory version yet"
+            )
+    else:
+        page = spark.read.parquet(ddir)
+    return page.select("tok", "df", "tf_total", "max_tf", "top_doc_id")
 
 
 @query("token_postings_stats", oracle=_postings_sql())

@@ -1,26 +1,39 @@
-"""Embedding (IVF) index maintained AT INGEST: a ``foreachBatch`` sink
-that encodes every landed micro-batch of vectors against the stored
-coarse quantizer and appends them cell-partitioned.
+"""Embedding ANN indexes maintained AT INGEST: ``foreachBatch`` sinks
+that encode every landed micro-batch of vectors against the stored
+quantizers and append them cell-partitioned — for the uncompressed IVF
+layout AND the production IVFADC (IVF+PQ) layout.
 
 Completes the ANN index lifecycle alongside the batch operations in
 ``operators/similarity.py`` (build / append / remove+compact): the
 production operating model is *train once on history, stream appends
 forever, retrain on drift* — exactly faiss's add-to-a-trained-index
-path driven by a stream.
+path driven by a stream. Drift itself is measured by
+``operators/similarity.ivf_index_drift`` against the training-time
+statistics the init functions persist under ``train_stats/``.
 
 Exactly-once across checkpoint replays, by construction: each batch's
-encoded rows land under ``cells/batch=<id>/`` (partitioned by ``cell``
-inside) with ``overwrite`` mode, so a replayed batch rewrites its own
-partition with identical deterministic content instead of
-double-inserting. Probes need no changes: Spark prunes on ANY
-partition column, so ``ivf_search``'s ``cell IN (probed)`` filter
-skips unprobed ``cell=`` directories at the FileIndex inside every
-batch directory, and the extra ``batch`` column rides along ignored.
+encoded rows land under ``cells/batch=<id>/`` (resp.
+``codes/batch=<id>/`` for IVFADC), partitioned by ``cell`` inside,
+with ``overwrite`` mode — a replayed batch rewrites its own partition
+with identical deterministic content instead of double-inserting.
+Probes need no changes: Spark prunes on ANY partition column, so
+``ivf_search``/``ivfpq_search``'s ``cell IN (probed)`` filter skips
+unprobed ``cell=`` directories at the FileIndex inside every batch
+directory, and the extra ``batch`` column rides along ignored.
 Deletions compose too — the tombstone anti-join keys on ``vec_id``.
 
+Retention: one directory per micro-batch is unbounded (~500k dirs a
+year at a batch a minute — FileIndex listing becomes the probe
+bottleneck). :func:`compact_ivf_stream_index` /
+:func:`compact_ivfpq_stream_index` merge every batch directory behind
+the stream's committed checkpoint horizon into the single highest
+merged id (crash-safe protocol in ``streaming/index_compact.py``), so
+the live count is bounded by the horizon while probe results stay
+identical.
+
 Scale: the encode is one map-only Arrow pass per micro-batch against
-the closure-shipped centroid matrix; nothing ever rescans previously
-landed batches; the quantizer is read once per batch (rows = n_cells).
+the closure-shipped quantizer tables; nothing ever rescans previously
+landed batches; the quantizers are read once per batch.
 """
 
 from __future__ import annotations
@@ -32,12 +45,51 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import (
     N_CELLS,
+    _ivfpq_encode,
+    _load_pq_codebooks,
     _train_centroids,
+    _train_residual_codebooks,
     assign_cells,
     load_ivf_centroids,
+    train_cell_profile,
+    write_ivf_centroids,
+    write_pq_codebooks,
 )
+from .index_compact import compact_stream_batches
+from .state_store import StateStore
 
 _PREFIX = "batch="
+
+
+def _write_train_stats(
+    spark: SparkSession, history: DataFrame, cents, index_dir: str
+) -> None:
+    """Persist the training-time per-cell occupancy + residual profile
+    (``train_stats/``: cell, train_share, train_mean_resid) — the
+    reference distribution :func:`~..operators.similarity
+    .ivf_index_drift` compares every landed batch against."""
+    train_cell_profile(history, cents).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "train_stats"))
+
+
+def _check_stream_layout(data_dir: str) -> None:
+    """Fail fast if ``data_dir`` holds a FLAT batch-built layout
+    (``cell=<k>`` directly): appending ``batch=<id>/cell=<k>`` next to
+    it would mix directory depths and break every subsequent read with
+    'Conflicting directory structures'. A batch-built index is adopted
+    by rebuilding (or by compacting it into a fresh stream index) —
+    never by streaming into it in place."""
+    if not os.path.isdir(data_dir):
+        return
+    flat = [d for d in os.listdir(data_dir) if d.startswith("cell=")]
+    if flat:
+        raise ValueError(
+            f"{data_dir} holds a flat batch-built layout ({flat[0]}, ...); "
+            "the stream maintainer writes batch=<id>/cell=<k> and cannot "
+            "mix depths — bootstrap a fresh index with "
+            "init_ivf_stream_index/init_ivfpq_stream_index instead"
+        )
 
 
 def init_ivf_stream_index(
@@ -47,16 +99,14 @@ def init_ivf_stream_index(
     n_cells: int = N_CELLS,
 ) -> str:
     """Train the coarse quantizer ONCE from a representative history
-    batch and persist it — the stream-maintained index's bootstrap.
-    Only ``centroids/`` is written; vectors arrive via the maintainer.
+    batch and persist it plus the training-time cell profile
+    (``train_stats/``, consumed by the drift report) — the
+    stream-maintained index's bootstrap. Only quantizer tables are
+    written; vectors arrive via the maintainer.
     """
     cents = _train_centroids(history, n_cells)
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids")
-    )
+    write_ivf_centroids(spark, cents, index_dir)
+    _write_train_stats(spark, history, cents, index_dir)
     return index_dir
 
 
@@ -71,9 +121,109 @@ def ivf_index_maintainer(
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cells = os.path.join(index_dir, "cells")
+        _check_stream_layout(cells)
         cents = load_ivf_centroids(spark, index_dir)
         assign_cells(batch_df, cents).write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(os.path.join(index_dir, "cells", f"{_PREFIX}{batch_id}"))
+        ).parquet(os.path.join(cells, f"{_PREFIX}{batch_id}"))
 
     return maintain
+
+
+def init_ivfpq_stream_index(
+    spark: SparkSession,
+    history: DataFrame,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+) -> str:
+    """Bootstrap for the stream-maintained IVFADC index: train the
+    coarse quantizer AND the residual PQ codebooks once from history,
+    persist both (plus ``train_stats/``); residual codes arrive via
+    :func:`ivfpq_index_maintainer`. This is the 100 TB layout —
+    coarse cells prune WHICH rows a probe scans, PQ codes compress
+    WHAT it scans (Jégou et al., TPAMI 2011 §IV)."""
+    cents = _train_centroids(history, n_cells)
+    books = _train_residual_codebooks(history, cents)
+    write_ivf_centroids(spark, cents, index_dir)
+    write_pq_codebooks(spark, books, index_dir)
+    _write_train_stats(spark, history, cents, index_dir)
+    return index_dir
+
+
+def ivfpq_index_maintainer(
+    index_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function appending each micro-batch's RESIDUAL
+    PQ codes to the stream-maintained IVFADC index: one Arrow encode
+    pass against the stored coarse quantizer + codebooks, landed under
+    ``codes/batch=<id>/cell=<k>`` with the same idempotent-overwrite
+    replay contract as :func:`ivf_index_maintainer`. Probes via
+    ``operators/similarity.ivfpq_search`` need no changes."""
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        codes = os.path.join(index_dir, "codes")
+        _check_stream_layout(codes)
+        cents = load_ivf_centroids(spark, index_dir)
+        books = _load_pq_codebooks(spark, index_dir)
+        _ivfpq_encode(
+            batch_df.select("vec_id", "embedding"), cents, books
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(codes, f"{_PREFIX}{batch_id}")
+        )
+
+    return maintain
+
+
+def compact_ivf_stream_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int,
+    store: StateStore | None = None,
+) -> int:
+    """Merge ``cells/batch=<id>`` directories with ``id < before_batch``
+    into the single highest merged id — retention for the
+    stream-maintained IVF index (``expire_signature_batches``
+    discipline; crash-safe protocol + contract in
+    ``streaming/index_compact.py``). ``before_batch`` must not exceed
+    the stream's committed checkpoint horizon. Tombstones are
+    untouched (probes keep anti-joining them; fold them any time with
+    ``compact_ivf_index``). Returns the number of directories merged
+    away."""
+
+    def write_merged(df: DataFrame, path: str) -> None:
+        df.select("vec_id", "embedding", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
+
+    return compact_stream_batches(
+        spark,
+        os.path.join(index_dir, "cells"),
+        before_batch,
+        write_merged,
+        store,
+    )
+
+
+def compact_ivfpq_stream_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int,
+    store: StateStore | None = None,
+) -> int:
+    """:func:`compact_ivf_stream_index` for the IVFADC code layout
+    (``codes/batch=<id>/cell=<k>``)."""
+
+    def write_merged(df: DataFrame, path: str) -> None:
+        df.select("vec_id", "codes", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
+
+    return compact_stream_batches(
+        spark,
+        os.path.join(index_dir, "codes"),
+        before_batch,
+        write_merged,
+        store,
+    )

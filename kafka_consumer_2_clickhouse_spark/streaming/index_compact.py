@@ -1,0 +1,183 @@
+"""Retention compaction for stream-maintained index layouts.
+
+The ingest-time index maintainers (``ann_sink.ivf_index_maintainer``,
+``postings_sink.postings_maintainer``) land one ``batch=<id>``
+directory per micro-batch — idempotent under checkpoint replay, but
+unbounded: at one micro-batch a minute that is ~500k directories a
+year, and FileIndex listing becomes the probe bottleneck long before
+the data does. This module applies the signature store's lifecycle
+discipline (``neardup.expire_signature_batches``) to those layouts:
+periodically MERGE every ``batch=<id>`` directory behind the stream's
+committed checkpoint horizon into the single highest merged id, so the
+directory count is bounded by the horizon while probe results stay
+bit-identical (rows only move; nothing is dropped — tombstones, which
+key on row ids, keep composing untouched).
+
+Contract (same as ``expire_signature_batches``): ``before_batch`` must
+be ``<=`` the stream's committed checkpoint horizon, so a merged id
+can never be replayed — a replay of id ``b >= before_batch`` rewrites
+its own untouched directory and composes with any compaction racing
+it. Single writer: run the compactor from the maintenance cadence, not
+concurrently with another compactor over the same index.
+
+Crash safety — every interruption point is recoverable because the
+staged and displaced directories carry the merge target in their NAME
+(``<data>.compacting.batch=<T>`` / ``<data>.old.batch=<T>``, siblings
+OUTSIDE the read root so partition discovery never sees them), and the
+protocol orders destructive steps so the on-disk combination of
+(staged, old, live target) identifies exactly how far the merge got:
+
+1. write staged  = union of all ``batch=<id>, id < before_batch``
+2. rename live target -> old          (crash: staged+old, no target)
+3. rename staged -> live target       (THE commit point)
+4. rmtree merged sources (< target)   (crash: old still present)
+5. rmtree old
+
+:func:`recover_compaction` (always run first) rolls a crashed merge
+forward from step 2 onward and discards pre-commit garbage from step 1
+— ``tests/test_stream_index_compact.py`` pins every ordering, the
+``test_streaming_neardup`` crash discipline applied here.
+
+All directory ops go through the :class:`~.state_store.StateStore`
+seam, so an object-store deployment swaps backends, not protocol.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .state_store import DEFAULT_STORE, StateStore
+
+_PREFIX = "batch="
+
+
+def _batch_ids(data_dir: str, store: StateStore) -> list[int]:
+    """Sorted committed batch ids under ``data_dir`` (non-``.tmp``)."""
+    ids = []
+    for d in store.listdir(data_dir):
+        if not d.startswith(_PREFIX) or d.endswith(".tmp"):
+            continue
+        try:
+            ids.append(int(d[len(_PREFIX):]))
+        except ValueError:
+            continue
+    return sorted(ids)
+
+
+def _sweep_below(data_dir: str, target: int, store: StateStore) -> int:
+    """Drop every ``batch=<id>`` with ``id < target`` — the merged
+    sources, whose rows now live in ``batch=<target>``. Ids only move
+    forward and the compactor is the single writer below the horizon,
+    so every id below a committed merge target was part of the merge."""
+    removed = 0
+    for i in _batch_ids(data_dir, store):
+        if i < target:
+            store.rmtree(os.path.join(data_dir, f"{_PREFIX}{i}"))
+            removed += 1
+    return removed
+
+
+def _side_dirs(data_dir: str, kind: str, store: StateStore) -> dict[int, str]:
+    """``{target_id: path}`` of ``<name>.<kind>.batch=*`` siblings."""
+    parent, name = os.path.split(data_dir.rstrip("/"))
+    tag = f"{name}.{kind}.{_PREFIX}"
+    out: dict[int, str] = {}
+    for sib in store.listdir(parent):
+        if not sib.startswith(tag):
+            continue
+        try:
+            out[int(sib[len(tag):])] = os.path.join(parent, sib)
+        except ValueError:
+            continue
+    return out
+
+
+def recover_compaction(
+    data_dir: str, store: StateStore | None = None
+) -> str | None:
+    """Finish (or discard) a compaction interrupted by a crash.
+
+    Decision per leftover merge target ``T`` on the on-disk triple
+    (staged, old, live ``batch=<T>``):
+
+    - staged only, target present  -> pre-commit garbage: drop staged
+    - staged + old, target absent  -> mid-swap: rename staged in, then
+      finish cleanup (sweep merged sources, drop old)
+    - old present, target present  -> post-commit: finish cleanup
+    - old only, target absent      -> not producible by the protocol,
+      but old holds the only copy of T's rows: restore it
+
+    Idempotent; returns ``'forward'`` / ``'back'`` / ``None`` so the
+    caller's metrics can distinguish a completed crash recovery from a
+    clean start.
+    """
+    st = store or DEFAULT_STORE
+    staged_t = _side_dirs(data_dir, "compacting", st)
+    old_t = _side_dirs(data_dir, "old", st)
+    outcome: str | None = None
+    for t in sorted(set(staged_t) | set(old_t)):
+        target = os.path.join(data_dir, f"{_PREFIX}{t}")
+        has_target = st.isdir(target)
+        if t in old_t:
+            if not has_target and t not in staged_t:
+                # old only: not producible by the protocol (old appears
+                # strictly while staged exists), but old holds the only
+                # copy of T's rows — restore, never sweep
+                st.rename(old_t[t], target)
+                outcome = outcome or "back"
+                continue
+            if not has_target:
+                st.rename(staged_t.pop(t), target)  # finish the commit
+            elif t in staged_t:  # alien leftover past the commit point
+                st.rmtree(staged_t.pop(t))
+            _sweep_below(data_dir, t, st)
+            st.rmtree(old_t[t])
+            outcome = "forward"
+        elif t in staged_t:
+            st.rmtree(staged_t[t])  # step-1 garbage: sources intact
+            outcome = outcome or "back"
+    return outcome
+
+
+def compact_stream_batches(
+    spark: SparkSession,
+    data_dir: str,
+    before_batch: int,
+    write_merged: Callable[[DataFrame, str], None],
+    store: StateStore | None = None,
+) -> int:
+    """Merge every ``batch=<id>`` directory with ``id < before_batch``
+    into the single ``batch=<max merged id>`` directory; returns how
+    many directories were merged away (0 if fewer than two qualify).
+
+    ``write_merged(df, path)`` writes the merged rows in the layout's
+    canonical shape (cell-partitioned for IVF/IVFPQ, token-sorted for
+    postings) — ``df`` carries the source partition columns (``batch``
+    included) for the writer to drop or keep.
+    """
+    st = store or DEFAULT_STORE
+    recover_compaction(data_dir, st)
+    if not st.isdir(data_dir):
+        return 0
+    ids = [i for i in _batch_ids(data_dir, st) if i < before_batch]
+    if len(ids) < 2:
+        return 0
+    target = ids[-1]
+    parent, name = os.path.split(data_dir.rstrip("/"))
+    staged = os.path.join(parent, f"{name}.compacting.{_PREFIX}{target}")
+    if st.isdir(staged):
+        st.rmtree(staged)
+    src = spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, f"{_PREFIX}{i}") for i in ids]
+    )
+    write_merged(src, staged)
+    live = os.path.join(data_dir, f"{_PREFIX}{target}")
+    old = os.path.join(parent, f"{name}.old.{_PREFIX}{target}")
+    st.rename(live, old)
+    st.rename(staged, live)  # THE commit point
+    _sweep_below(data_dir, target, st)
+    st.rmtree(old)
+    return len(ids) - 1

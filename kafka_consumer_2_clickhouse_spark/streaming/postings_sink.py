@@ -33,6 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.text_analysis import _batch_directory, _batch_postings
+from .index_compact import compact_stream_batches
 from .state_store import DEFAULT_STORE, StateStore
 
 _PREFIX = "batch="
@@ -41,11 +42,14 @@ _PREFIX = "batch="
 def _committed(dir_path: str, store: StateStore) -> int | None:
     if not os.path.isdir(dir_path):
         return None
-    ids = [
-        int(d[len(_PREFIX):])
-        for d in store.listdir(dir_path)
-        if d.startswith(_PREFIX) and not d.endswith(".tmp")
-    ]
+    ids = []
+    for d in store.listdir(dir_path):
+        if not d.startswith(_PREFIX) or d.endswith(".tmp"):
+            continue
+        try:
+            ids.append(int(d[len(_PREFIX):]))
+        except ValueError:
+            continue  # crash leftovers with suffixed names: not versions
     return max(ids) if ids else None
 
 
@@ -65,6 +69,41 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     """All landed posting rows (tok, doc_id, tf) across batches."""
     return spark.read.parquet(os.path.join(index_dir, "postings")).select(
         "tok", "doc_id", "tf"
+    )
+
+
+def compact_postings_stream_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int,
+    store: StateStore | None = None,
+) -> int:
+    """Merge ``postings/batch=<id>`` directories with ``id <
+    before_batch`` into the single highest merged id, rewritten in the
+    canonical token-sorted shape (``repartition(tok) + sort``), so term
+    probes regain row-group min/max pruning over the merged horizon AND
+    the directory count stays bounded — the
+    ``expire_signature_batches`` retention discipline applied to the
+    streamed inverted index (crash-safe protocol + the
+    before-the-checkpoint-horizon contract in
+    ``streaming/index_compact.py``).
+
+    The token DIRECTORY is untouched: postings rows only move, so
+    df/tf_total/champion stats are unchanged by construction.
+    Tombstones (Lucene-style deleted docs) also compose untouched —
+    probes keep anti-joining them. Returns directories merged away."""
+
+    def write_merged(df: DataFrame, path: str) -> None:
+        df.select("tok", "doc_id", "tf").repartition(
+            F.col("tok")
+        ).sortWithinPartitions("tok").write.mode("overwrite").parquet(path)
+
+    return compact_stream_batches(
+        spark,
+        os.path.join(index_dir, "postings"),
+        before_batch,
+        write_merged,
+        store,
     )
 
 

@@ -279,8 +279,13 @@ def main() -> int:
             payload["incremental"] = True
         with open(json_out, "w") as f:
             _json.dump(payload, f, indent=1)
+    carried = sorted(set(all_failed) - set(failed))
+    if carried:  # --changed merges base results: their failures still
+        # gate the exit code, or a partial re-run could print "0
+        # failures" while writing an artifact with n_failed > 0
+        print(f"{len(carried)} carried-over failures from base: {carried}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
-    return 1 if failed else 0
+    return 1 if all_failed else 0
 
 
 if __name__ == "__main__":

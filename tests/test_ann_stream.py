@@ -106,3 +106,162 @@ def test_through_real_stream(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert _search(spark, idx, queries) == want
+
+
+def _pq_search(spark, idx, queries, vectors):
+    return {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivfpq_search(spark, idx, queries, vectors).collect()
+    }
+
+
+def test_ivfpq_stream_matches_batch_build(spark, sf_dir, tmp_path):
+    """The production IVFADC layout maintained at ingest: residual PQ
+    codes per micro-batch == the single-pass batch build; replay
+    idempotent; tombstones and both compactors compose."""
+    from kafka_consumer_2_clickhouse_spark.streaming import index_compact  # noqa: F401
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+
+    full = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "full"))
+    want = _pq_search(spark, full, queries, raw)
+
+    # same training input => same seed-pinned quantizer + codebooks
+    idx = ann_sink.init_ivfpq_stream_index(spark, raw, str(tmp_path / "live"))
+    maintain = ann_sink.ivfpq_index_maintainer(idx)
+    third = n // 3 + 1
+    for b in range(3):
+        maintain(
+            raw.filter(
+                (F.col("vec_id") >= b * third) & (F.col("vec_id") < (b + 1) * third)
+            ),
+            b,
+        )
+    assert _pq_search(spark, idx, queries, raw) == want
+
+    # replay: identical content rewritten, identical answers
+    maintain(raw.filter(F.col("vec_id") >= 2 * third), 2)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == n
+    assert codes.select("vec_id").distinct().count() == n
+    assert _pq_search(spark, idx, queries, raw) == want
+
+    # retention compaction: dirs bounded, probes identical
+    assert ann_sink.compact_ivfpq_stream_index(spark, idx, before_batch=2) == 1
+    dirs = sorted(
+        d
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("batch=")
+    )
+    assert dirs == ["batch=1", "batch=2"]
+    assert _pq_search(spark, idx, queries, raw) == want
+
+    # deletions: tombstone anti-join on the streamed layout, then the
+    # layout-preserving fold (all batches behind the horizon now)
+    removed = raw.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    similarity.remove_from_ivfpq_index(spark, idx, removed)
+    got_del = _pq_search(spark, idx, queries, raw)
+    assert not any(
+        cand % 9 == 0 for (cand, _) in got_del.values()
+    )
+    similarity.compact_ivfpq_index(spark, idx)
+    post = spark.read.parquet(os.path.join(idx, "codes"))
+    assert "batch" in post.columns
+    assert post.count() == n - removed.count()
+    assert _pq_search(spark, idx, queries, raw) == got_del
+
+
+def test_ivfpq_through_real_stream(spark, sf_dir, tmp_path):
+    """availableNow file stream -> foreachBatch(ivfpq_index_maintainer)
+    serves the same probes as the batch-built IVFADC index."""
+    from pyspark.sql import types as T
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    full = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "full"))
+    want = _pq_search(spark, full, queries, raw)
+
+    src_path = str(tmp_path / "vec_stream")
+    raw.select("vec_id", "embedding").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+    idx = ann_sink.init_ivfpq_stream_index(spark, raw, str(tmp_path / "live"))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+        .writeStream.foreachBatch(ann_sink.ivfpq_index_maintainer(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _pq_search(spark, idx, queries, raw) == want
+
+
+def test_drift_report_flags_constructed_drift(spark, sf_dir, tmp_path):
+    """ivf_index_drift on a real stream-maintained index: a batch drawn
+    from the training distribution keeps the flag down; a constructed
+    drifted batch (every vector piling into one cell) trips it."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    idx = ann_sink.init_ivf_stream_index(spark, raw, str(tmp_path / "idx"))
+    maintain = ann_sink.ivf_index_maintainer(idx)
+    # batch 0: a uniform half of the training corpus — matched
+    maintain(raw.filter(F.col("vec_id") % 2 == 0), 0)
+    # batch 1: one real vector repeated — one-hot cell occupancy
+    base = raw.filter(F.col("vec_id") == 3).select("embedding").collect()[0][
+        "embedding"
+    ]
+    drifted = spark.createDataFrame(
+        [(2000 + i, base) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    maintain(drifted, 1)
+
+    rep = {
+        r["batch"]: r for r in similarity.ivf_index_drift(spark, idx).collect()
+    }
+    assert set(rep) == {0, 1}
+    assert rep[0]["suggested_retrain"] is False
+    assert rep[0]["tv_distance"] < similarity.DRIFT_TV_MAX
+    assert rep[1]["suggested_retrain"] is True
+    assert rep[1]["tv_distance"] > 0.5  # one-hot vs spread training mass
+    assert rep[1]["n_rows"] == 40
+
+
+def test_drift_report_requires_train_stats(spark, sf_dir, tmp_path):
+    import pytest
+
+    full = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "full"))
+    with pytest.raises(FileNotFoundError, match="train_stats"):
+        similarity.ivf_index_drift(spark, full)
+
+
+def test_registered_drift_report_inline(spark, sf_dir):
+    """The registry entry derives the report inline (history = vec_id
+    % 4 <= 1, two pseudo-batches): stable schema, one row per batch,
+    no drift flagged on a uniform mod-split of the real corpus."""
+    from kafka_consumer_2_clickhouse_spark.operators import QUERIES
+
+    df = QUERIES["ivf_index_drift_report"](spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "batch",
+        "n_rows",
+        "tv_distance",
+        "mean_resid",
+        "max_resid",
+        "resid_ratio",
+        "suggested_retrain",
+    ]
+    rows = df.collect()
+    assert [r["batch"] for r in rows] == [0, 1]
+    assert all(r["n_rows"] > 0 for r in rows)
+    assert all(not r["suggested_retrain"] for r in rows)

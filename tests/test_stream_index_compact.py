@@ -1,0 +1,327 @@
+"""Stream-index retention + lifecycle composition (round-10 brief):
+
+- ``compact_ivf_stream_index`` / ``compact_postings_stream_index``
+  bound the ``batch=<id>`` directory count while probe results stay
+  bit-identical, and compose with a checkpoint replay racing them;
+- the batch lifecycle ops (tombstone compaction, manual append) now
+  PRESERVE the stream layout instead of corrupting it (ADVICE r9);
+- every crash ordering of the merge protocol recovers
+  (``index_compact.recover_compaction`` — the
+  ``test_streaming_neardup`` crash discipline applied here).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark.operators import similarity, text_analysis
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+from kafka_consumer_2_clickhouse_spark.streaming import (
+    ann_sink,
+    index_compact,
+    postings_sink,
+)
+
+PREFIX = "batch="
+
+
+def _search(spark, idx, queries):
+    return {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.ivf_search(spark, idx, queries).collect()
+    }
+
+
+def _batch_dirs(idx, sub="cells"):
+    path = os.path.join(idx, sub)
+    return sorted(
+        d for d in os.listdir(path) if d.startswith(PREFIX)
+    )
+
+
+def _streamed_ivf(spark, sf_dir, tmp_path, n_batches=4):
+    """A stream-maintained IVF index fed by ``n_batches`` maintainer
+    calls over disjoint vec_id ranges, plus the query set."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    idx = ann_sink.init_ivf_stream_index(spark, raw, str(tmp_path / "idx"))
+    maintain = ann_sink.ivf_index_maintainer(idx)
+    step = n // n_batches + 1
+    for b in range(n_batches):
+        maintain(
+            raw.filter(
+                (F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)
+            ),
+            b,
+        )
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    return raw, idx, maintain, queries
+
+
+def test_ivf_stream_compaction_bounds_dirs_probe_identical(
+    spark, sf_dir, tmp_path
+):
+    raw, idx, maintain, queries = _streamed_ivf(spark, sf_dir, tmp_path)
+    n = raw.count()
+    want = _search(spark, idx, queries)
+    assert _batch_dirs(idx) == [f"{PREFIX}{b}" for b in range(4)]
+
+    # merge everything behind horizon 3 into batch=2
+    merged = ann_sink.compact_ivf_stream_index(spark, idx, before_batch=3)
+    assert merged == 2
+    assert _batch_dirs(idx) == [f"{PREFIX}2", f"{PREFIX}3"]
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    assert _search(spark, idx, queries) == want
+
+    # a replay RACING the compaction: batch 3 (>= horizon) rewrites its
+    # own untouched directory — still identical
+    step = n // 4 + 1
+    maintain(raw.filter(F.col("vec_id") >= 3 * step), 3)
+    assert _search(spark, idx, queries) == want
+
+    # compact again at a later horizon: single directory remains
+    assert ann_sink.compact_ivf_stream_index(spark, idx, before_batch=4) == 1
+    assert _batch_dirs(idx) == [f"{PREFIX}3"]
+    assert _search(spark, idx, queries) == want
+
+    # fewer than two qualifying dirs: no-op
+    assert ann_sink.compact_ivf_stream_index(spark, idx, before_batch=4) == 0
+
+
+def test_tombstone_compaction_preserves_stream_layout(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): compact_ivf_index on a stream-maintained
+    index must keep the batch=<id>/cell=<k> depth so the NEXT maintainer
+    write doesn't produce 'Conflicting directory structures'."""
+    raw, idx, maintain, queries = _streamed_ivf(spark, sf_dir, tmp_path, 3)
+    n = raw.count()
+    removed = raw.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_removed = removed.count()
+    similarity.remove_from_ivf_index(spark, idx, removed)
+    want = _search(spark, idx, queries)  # anti-join path
+
+    similarity.compact_ivf_index(spark, idx)  # fold tombstones
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.count() == n - n_removed
+    assert "batch" in cells.columns  # layout preserved
+    assert _search(spark, idx, queries) == want
+
+    # the regression scenario: a maintainer write AFTER compaction
+    # (a NEW batch — replaying a FOLDED batch would resurrect its
+    # tombstoned rows, which is why _compact_index's contract requires
+    # folded batches to be behind the checkpoint horizon), then
+    # reads/probes/compactions still work
+    step = n // 3 + 1
+    fresh = raw.filter(F.col("vec_id") < step).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    maintain(fresh, 3)
+    # reference: flat-layout index over survivors + the new batch
+    ref = str(tmp_path / "ref")
+    import shutil
+
+    shutil.copytree(
+        os.path.join(idx, "centroids"), os.path.join(ref, "centroids")
+    )
+    survivors = raw.join(removed, "vec_id", "left_anti").select(
+        "vec_id", "embedding"
+    )
+    similarity.append_to_ivf_index(spark, ref, survivors.unionByName(fresh))
+    want2 = _search(spark, ref, queries)
+    assert _search(spark, idx, queries) == want2
+    assert ann_sink.compact_ivf_stream_index(spark, idx, before_batch=4) > 0
+    assert _search(spark, idx, queries) == want2
+
+
+def test_manual_append_lands_in_reserved_batch(spark, sf_dir, tmp_path):
+    """append_to_ivf_index on a stream layout writes batch=-1 (depth
+    preserved, replay-collision-free) and compaction folds it."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    idx = ann_sink.init_ivf_stream_index(spark, raw, str(tmp_path / "idx"))
+    maintain = ann_sink.ivf_index_maintainer(idx)
+    maintain(raw.filter(F.col("vec_id") < n // 2), 0)
+    maintain(raw.filter((F.col("vec_id") >= n // 2) & (F.col("vec_id") < 3 * n // 4)), 1)
+    similarity.append_to_ivf_index(
+        spark, idx, raw.filter(F.col("vec_id") >= 3 * n // 4)
+    )
+    assert f"{PREFIX}-1" in _batch_dirs(idx)
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    full = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "full"))
+    want = _search(spark, full, queries)
+    assert _search(spark, idx, queries) == want
+    # -1 sorts below every horizon: first to be folded
+    assert ann_sink.compact_ivf_stream_index(spark, idx, before_batch=1) == 1
+    assert f"{PREFIX}-1" not in _batch_dirs(idx)
+    assert _search(spark, idx, queries) == want
+
+
+def test_maintainer_refuses_flat_layout(spark, sf_dir, tmp_path):
+    raw = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.build_ivf_index(spark, sf_dir, str(tmp_path / "flat"))
+    with pytest.raises(ValueError, match="flat batch-built layout"):
+        ann_sink.ivf_index_maintainer(idx)(raw.limit(5), 0)
+
+
+def test_crash_orderings_recover(spark, sf_dir, tmp_path):
+    """Every interruption point of the merge protocol: the on-disk
+    (staged, old, target) combination identifies the recovery action,
+    and content after recovery equals the uncrashed run."""
+    raw, idx, maintain, queries = _streamed_ivf(spark, sf_dir, tmp_path, 4)
+    n = raw.count()
+    want = _search(spark, idx, queries)
+    cells = os.path.join(idx, "cells")
+    parent = idx
+
+    def staged_path(t):
+        return os.path.join(parent, f"cells.compacting.{PREFIX}{t}")
+
+    def old_path(t):
+        return os.path.join(parent, f"cells.old.{PREFIX}{t}")
+
+    def write_staged(t, ids):
+        src = spark.read.option("basePath", cells).parquet(
+            *[os.path.join(cells, f"{PREFIX}{i}") for i in ids]
+        )
+        src.select("vec_id", "embedding", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(staged_path(t))
+
+    # --- crash after step 1 (staged written, nothing destructive) ----
+    write_staged(2, [0, 1, 2])
+    assert index_compact.recover_compaction(cells) == "back"
+    assert not os.path.isdir(staged_path(2))
+    assert _batch_dirs(idx) == [f"{PREFIX}{b}" for b in range(4)]
+    assert _search(spark, idx, queries) == want
+
+    # --- crash between steps 2 and 3 (old moved away, staged live) ---
+    write_staged(2, [0, 1, 2])
+    os.rename(os.path.join(cells, f"{PREFIX}2"), old_path(2))
+    assert index_compact.recover_compaction(cells) == "forward"
+    assert _batch_dirs(idx) == [f"{PREFIX}2", f"{PREFIX}3"]
+    assert not os.path.isdir(old_path(2))
+    assert spark.read.parquet(cells).count() == n
+    assert _search(spark, idx, queries) == want
+
+    # --- crash between steps 3 and 5 (committed, cleanup unfinished) -
+    # rebuild a two-dir state by replaying 0 and 1 as if never merged
+    # is impossible (ids moved forward); instead simulate on the
+    # CURRENT state: merge {2,3} -> staged(3), swap, keep old + source
+    write_staged(3, [2, 3])
+    os.rename(os.path.join(cells, f"{PREFIX}3"), old_path(3))
+    os.rename(staged_path(3), os.path.join(cells, f"{PREFIX}3"))
+    # crash: batch=2 (merged source) and old(3) both still present
+    assert index_compact.recover_compaction(cells) == "forward"
+    assert _batch_dirs(idx) == [f"{PREFIX}3"]
+    assert not os.path.isdir(old_path(3))
+    assert spark.read.parquet(cells).count() == n
+    assert _search(spark, idx, queries) == want
+
+    # --- old-only (not protocol-producible): restore, never sweep ----
+    os.rename(os.path.join(cells, f"{PREFIX}3"), old_path(3))
+    assert index_compact.recover_compaction(cells) == "back"
+    assert _batch_dirs(idx) == [f"{PREFIX}3"]
+    assert _search(spark, idx, queries) == want
+
+    # --- a full compactor run on a clean tree is a no-op ------------
+    assert ann_sink.compact_ivf_stream_index(spark, idx, before_batch=99) == 0
+    assert _search(spark, idx, queries) == want
+
+
+def test_postings_stream_compaction(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    idx = str(tmp_path / "pidx")
+    maintain = postings_sink.postings_maintainer(idx)
+    step = n // 3 + 1
+    for b in range(3):
+        maintain(
+            docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            ),
+            b,
+        )
+    want_dir = {
+        tuple(r)
+        for r in postings_sink.read_directory(spark, idx).collect()
+    }
+    want_hits = [
+        tuple(r) for r in text_analysis.postings_search(spark, idx).collect()
+    ]
+    n_postings = postings_sink.read_postings(spark, idx).count()
+
+    merged = postings_sink.compact_postings_stream_index(
+        spark, idx, before_batch=2
+    )
+    assert merged == 1
+    assert _batch_dirs(idx, "postings") == [f"{PREFIX}1", f"{PREFIX}2"]
+    assert postings_sink.read_postings(spark, idx).count() == n_postings
+    # directory (stats) untouched by moving postings rows
+    assert {
+        tuple(r)
+        for r in postings_sink.read_directory(spark, idx).collect()
+    } == want_dir
+    assert [
+        tuple(r) for r in text_analysis.postings_search(spark, idx).collect()
+    ] == want_hits
+
+    # replay racing it: batch 2 (>= horizon) rewrites itself, then a
+    # NEW batch lands, then another compaction — all still consistent
+    maintain(docs.filter((F.col("doc_id") >= 2 * step)), 2)
+    assert [
+        tuple(r) for r in text_analysis.postings_search(spark, idx).collect()
+    ] == want_hits
+    assert (
+        postings_sink.compact_postings_stream_index(spark, idx, before_batch=3)
+        == 1
+    )
+    assert _batch_dirs(idx, "postings") == [f"{PREFIX}2"]
+    assert [
+        tuple(r) for r in text_analysis.postings_search(spark, idx).collect()
+    ] == want_hits
+    assert {
+        tuple(r)
+        for r in postings_sink.read_directory(spark, idx).collect()
+    } == want_dir
+
+
+def test_postings_batch_ops_refuse_stream_layout(spark, sf_dir, tmp_path):
+    """Manual directory folds would break the maintainer's versioning
+    — they fail fast instead (ADVICE r9 family)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "pidx")
+    postings_sink.postings_maintainer(idx)(docs.filter(F.col("doc_id") < 50), 0)
+    with pytest.raises(ValueError, match="stream-maintained"):
+        text_analysis.append_to_postings_index(
+            spark, idx, docs.filter(F.col("doc_id") >= 50)
+        )
+    text_analysis.remove_from_postings_index(
+        spark, idx, docs.filter(F.col("doc_id") < 5).select("doc_id")
+    )
+    with pytest.raises(ValueError, match="stream-maintained"):
+        text_analysis.compact_postings_index(spark, idx)
+    # but the probe-time anti-join keeps serving correct results
+    hits = text_analysis.postings_search(spark, idx).collect()
+    assert all(r["doc_id"] >= 5 for r in hits)
+
+
+def test_directory_stats_uses_committed_version(spark, sf_dir, tmp_path):
+    """ADVICE r9 (low): postings_directory_stats on a stream index must
+    serve ONLY the committed directory version — a crash-leftover .tmp
+    or an unswept older version is never read as extra rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "pidx")
+    maintain = postings_sink.postings_maintainer(idx)
+    maintain(docs.filter(F.col("doc_id") < 100), 0)
+    maintain(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)), 1)
+    ddir = os.path.join(idx, "directory")
+    committed = postings_sink.read_directory(spark, idx)
+    want = {tuple(r) for r in committed.collect()}
+    # plant crash leftovers: a stale older version + a torn .tmp
+    committed.limit(3).write.parquet(os.path.join(ddir, f"{PREFIX}0"))
+    committed.limit(2).write.parquet(os.path.join(ddir, f"{PREFIX}2.tmp"))
+    got = text_analysis.postings_directory_stats(spark, idx)
+    assert {tuple(r) for r in got.collect()} == want
