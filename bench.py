@@ -241,6 +241,8 @@ EXTRA = [
     "media_phash_dct_neardup",
     "quality_regressor_calibration",
     "embedding_norm_outliers_approx",
+    # round 10
+    "ivf_index_drift_report",
 ]
 
 
@@ -313,6 +315,166 @@ def _env_fingerprint() -> dict:
     return fp
 
 
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)), text=True,
+        ).strip()
+    except (subprocess.CalledProcessError, OSError):
+        return ""
+
+
+def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, list[float]]:
+    """The bench protocol for a set of queries: one warm-up execution
+    each (JIT/worker-pool amortization), then three timed passes with
+    ``clearCache`` before each so one operator's persisted
+    intermediates can't warm or evict the next query's run."""
+    for name in names:
+        ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(3):
+        for name in names:
+            spark.catalog.clearCache()
+            fn = ops.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs[name].append(round(time.time() - t0, 3))
+    return runs
+
+
+def _changed_names(detail: dict) -> list[str]:
+    """Bench queries whose defining module (or any package module it
+    transitively imports / registry-looks-up) changed since the HEAD
+    recorded in ``bench_detail.json`` (the file is gitignored, so the
+    anchor travels INSIDE it) — plus queries the detail file has never
+    timed. Reuses the oracle checker's dependency closure so the two
+    fast loops can never disagree about 'changed'."""
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import oracle_check  # noqa: PLC0415
+
+    diff_ref = detail.get("head", "")
+    if not diff_ref:
+        # pre-round-10 detail file: fall back to the newest committed
+        # oracle artifact's commit (written at the same end-of-round
+        # point a full bench runs)
+        import glob as _glob
+
+        arts = sorted(
+            _glob.glob(os.path.join(repo, "ORACLE_LOCAL_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        if arts:
+            try:
+                diff_ref = subprocess.check_output(
+                    ["git", "log", "-1", "--format=%H", "--",
+                     os.path.relpath(arts[-1], repo)],
+                    cwd=repo, text=True,
+                ).strip()
+            except subprocess.CalledProcessError:
+                pass
+    diff_ref = diff_ref or "HEAD"
+    changed = set(
+        subprocess.check_output(
+            ["git", "diff", "--name-only", diff_ref], cwd=repo, text=True
+        ).split()
+    )
+    changed |= set(
+        subprocess.check_output(
+            ["git", "ls-files", "--others", "--exclude-standard"],
+            cwd=repo, text=True,
+        ).split()
+    )
+    bench_set = [n for n in HEADLINE + EXTRA if n in ops.QUERIES]
+    qs = {n: ops.QUERIES[n] for n in bench_set}
+    affected = oracle_check._affected_files(changed, qs)
+    seen = set(detail.get("runs", {})) | set(detail.get("extra_runs", {}))
+    out = []
+    for name in bench_set:
+        try:
+            mod_file = os.path.relpath(inspect.getfile(qs[name]), repo)
+        except TypeError:
+            out.append(name)
+            continue
+        if mod_file in affected or name not in seen:
+            out.append(name)
+    return out
+
+
+def _changed_main() -> None:
+    """``bench.py --changed``: re-time ONLY the affected queries and
+    merge into ``bench_detail.json`` (marked ``"incremental": true``)
+    — the fast inner perf loop. The end-of-round number must still
+    come from a full solo run, which clears the flag."""
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    if not os.path.exists(detail_path):
+        print("--changed: no bench_detail.json to merge into; run a full bench first")
+        raise SystemExit(1)
+    with open(detail_path) as f:
+        detail = json.load(f)
+    names = _changed_names(detail)
+    print(f"--changed: re-timing {len(names)} queries: {names}")
+    if not names:
+        print("nothing to do — bench_detail.json already covers HEAD")
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pre-round-10 detail files carry no sf_dir: they were sf0.1 runs
+    base_sf = detail.get("sf_dir", "/root/testdata/sf0.1")
+    if base_sf != sf_dir:
+        print(
+            f"--changed: refusing to merge {sf_dir} timings into a "
+            f"{base_sf} detail file (numbers would be incomparable)"
+        )
+        raise SystemExit(1)
+    env_start = _env_fingerprint()
+    spark = get_spark(app_name="bench_changed")
+    for t in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).count()
+    runs = _time_queries(spark, sf_dir, names)
+
+    detail.setdefault("runs", {})
+    detail.setdefault("extra_runs", {})
+    for name, ts in runs.items():
+        bucket = "runs" if name in HEADLINE else "extra_runs"
+        old = detail[bucket].get(name)
+        detail[bucket][name] = ts
+        print(
+            f"  {name:40s} {min(ts):7.3f}s"
+            + (f"  (was {min(old):.3f}s)" if old else "  (new)")
+        )
+    detail["extra_queries"] = {
+        n: min(ts) for n, ts in detail["extra_runs"].items()
+    }
+    detail["incremental"] = True
+    detail["sf_dir"] = sf_dir
+    detail["head"] = _git_head()
+    detail["env"] = {"start": env_start, "end": _env_fingerprint()}
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    timings = {n: min(ts) for n, ts in detail["runs"].items()}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "incremental": True,
+                "n_retimed": len(names),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -370,6 +532,8 @@ def main() -> None:
     env = {"start": env_start, "end": _env_fingerprint()}
     detail = {
         "bench_detail": True,
+        "sf_dir": sf_dir,
+        "head": _git_head(),
         "runs": runs,
         "extra_queries": extra,
         "extra_runs": extra_runs,
@@ -396,4 +560,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--changed" in sys.argv[1:]:
+        _changed_main()
+    else:
+        main()

@@ -54,12 +54,16 @@ CLICK_WINDOW_S = 3600
 PURCHASE_WINDOW_S = 86400
 
 #: NOTE: this schema grew from 3 to 4 fields (``p_us`` appended) when
-#: the done-retention timeout landed. Spark persists state rows in the
-#: checkpoint with the OLD struct, so a stream restarted from a
-#: pre-change checkpoint hands ``_step`` a 3-tuple — handled
-#: defensively below (``p_us`` defaults to -1, i.e. "conversion time
-#: unknown", which only delays the done-retention expiry by one
-#: journey window; it never corrupts output).
+#: the done-retention timeout landed. Restarting from a PRE-change
+#: checkpoint is rejected up front by Spark's state-schema
+#: compatibility validation (``spark.sql.streaming.stateStore
+#: .stateSchemaCheck``, default on) — the supported migration is a
+#: fresh checkpoint (replay the source), which is also the only
+#: exactly-correct one. Operators who instead disable the check hand
+#: ``_step`` a 3-tuple: the defensive ``p_us = -1`` default below
+#: ("conversion time unknown") keeps that best-effort path from
+#: corrupting output — it only delays the done-retention expiry by one
+#: journey window — but it is NOT the blessed restore path.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("v_us", T.LongType()),  # -1 = unset
@@ -115,8 +119,9 @@ def _make_stepper(
             return
         if state.exists:
             stored = tuple(state.get)
-            # legacy 3-field checkpoints (pre-p_us) restore with the
-            # conversion time unknown — see STATE_SCHEMA note
+            # 3-field tuples only reach here when an operator disabled
+            # stateSchemaCheck to force a legacy restore — see the
+            # STATE_SCHEMA note for why that is best-effort, not blessed
             v_us, c_us, done = stored[:3]
             p_us = stored[3] if len(stored) > 3 else -1
         else:

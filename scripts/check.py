@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""One-command pre-commit gate: the three fast loops in the order that
+keeps them green (round-9 brief #6).
+
+    python scripts/check.py [--no-pytest | --full-pytest]
+
+1. ``oracle_check --changed``   — re-runs only queries whose module
+   (or transitive dep) changed since the committed oracle artifact,
+   merging fresh evidence in FIRST (so a just-registered query doesn't
+   fail preflight as artifact-stale);
+2. ``preflight``                — registry == SURVEY §2d == artifact;
+3. targeted pytest              — every ``tests/test_*.py`` that
+   references an affected package module by name, plus changed test
+   files themselves (``--full-pytest`` forces the whole suite;
+   ``--no-pytest`` skips step 3 for doc-only iterations).
+
+Exit status is nonzero if ANY step fails — the round-7 drift class
+(registry/SURVEY/artifact disagreement discovered by the judge instead
+of the builder) stays mechanically impossible as the registry grows.
+The end-of-round sequence (clean solo bench → preflight → FULL oracle
+at final HEAD → full pytest) is unchanged; this gate is the inner
+loop, not the round artifact.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str]) -> int:
+    print(f"\n=== {' '.join(cmd)} ===", flush=True)
+    return subprocess.call(cmd, cwd=REPO)
+
+
+def _affected_test_files() -> list[str]:
+    """Test files referencing any package module affected by the diff
+    against the committed oracle artifact (same closure as
+    ``oracle_check --changed``), plus changed test files themselves."""
+    import oracle_check
+
+    arts = sorted(
+        glob.glob(os.path.join(REPO, "ORACLE_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    ref = "HEAD"
+    if arts:
+        try:
+            ref = (
+                oracle_check._git(
+                    "log", "-1", "--format=%H", "--",
+                    os.path.relpath(arts[-1], REPO),
+                ).strip()
+                or "HEAD"
+            )
+        except subprocess.CalledProcessError:
+            pass
+    changed = set(oracle_check._git("diff", "--name-only", ref).split())
+    changed |= set(
+        oracle_check._git("ls-files", "--others", "--exclude-standard").split()
+    )
+    affected = oracle_check._affected_files(changed)
+    mod_names = {
+        os.path.splitext(os.path.basename(f))[0]
+        for f in affected
+        if os.path.basename(f) != "__init__.py"
+    }
+    picked = {
+        os.path.relpath(t, REPO)
+        for t in (os.path.join(REPO, c) for c in changed)
+        if os.path.relpath(t, REPO).startswith("tests/test_")
+        and os.path.exists(t)
+    }
+    if mod_names:
+        pat = re.compile(
+            r"\b(" + "|".join(re.escape(m) for m in sorted(mod_names)) + r")\b"
+        )
+        for t in glob.glob(os.path.join(REPO, "tests", "test_*.py")):
+            if pat.search(open(t).read()):
+                picked.add(os.path.relpath(t, REPO))
+    return sorted(picked)
+
+
+def main() -> int:
+    args = set(sys.argv[1:])
+    rc = _run([sys.executable, "scripts/oracle_check.py", "--changed"])
+    rc |= _run([sys.executable, "scripts/preflight.py"])
+    if "--no-pytest" in args:
+        print("\n(pytest skipped: --no-pytest)")
+    elif "--full-pytest" in args:
+        rc |= _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    else:
+        tests = _affected_test_files()
+        if not tests:
+            print("\n(no affected test files)")
+        else:
+            print(f"\naffected test files ({len(tests)}): {tests}")
+            rc |= _run([sys.executable, "-m", "pytest", *tests, "-q"])
+    print("\nCHECK " + ("OK" if rc == 0 else "FAILED"))
+    return 1 if rc else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
