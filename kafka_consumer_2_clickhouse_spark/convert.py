@@ -45,6 +45,12 @@ if TYPE_CHECKING:
 DECODE_ERROR_COL = "_decode_error"
 #: Column holding the corrupt raw payload for the dead-letter sink.
 CORRUPT_FLAG_COL = "_corrupt_json"
+#: Column flagging messages whose JSON carried TOP-LEVEL keys outside
+#: the declared StructType (schema drift the silent-drop semantics of
+#: ``from_json`` would otherwise hide); null = not sampled / not an
+#: object. Added by :func:`parse_project_cast` when
+#: ``unknown_key_sample`` is set.
+UNKNOWN_KEYS_COL = "_unknown_keys"
 
 
 def make_snappy_decoder():
@@ -146,6 +152,7 @@ def parse_project_cast(
     target: T.StructType,
     json_col: str = "json_str",
     keep_meta: list[str] | None = None,
+    unknown_key_sample: int | None = None,
 ) -> DataFrame:
     """``from_json`` -> sorted-column projection -> typed cast.
 
@@ -159,6 +166,16 @@ def parse_project_cast(
 
     ``from_json`` parses strings as the declared type directly; numeric
     JSON values cast per field. All expressions are JVM-side Catalyst.
+
+    ``unknown_key_sample=N`` adds :data:`UNKNOWN_KEYS_COL`: on a
+    deterministic 1-in-N payload-hash sample, whether the message's
+    TOP-LEVEL JSON keys include any outside the declared schema —
+    the silent-drop semantics above, OBSERVED (a production feed wants
+    the drop RATE on a dashboard before the missing-column incident).
+    Cost: ``json_object_keys`` tokenizes only the sampled subset's
+    top level JVM-side; no second source scan, no Python. True =
+    drifted, False = clean, null = unsampled or not a JSON object
+    (corrupt rows are counted by the dead-letter metric already).
     """
     # Parse with all target fields as-declared; from_json handles
     # string->timestamp/date and numeric widening. Spark 4 returns an
@@ -185,8 +202,24 @@ def parse_project_cast(
     )
     cols = [F.col(f"_parsed.{n}").alias(n) for n in names]
     meta = [F.col(m) for m in (keep_meta or []) if m in df.columns]
+    drift: list = []
+    if unknown_key_sample is not None:
+        sampled = (
+            F.pmod(F.xxhash64(F.col(json_col)), F.lit(int(unknown_key_sample)))
+            == 0
+        )
+        keys = F.json_object_keys(F.col(json_col))
+        drift = [
+            F.when(
+                F.col(json_col).isNotNull() & sampled & keys.isNotNull(),
+                F.size(
+                    F.array_except(keys, F.array(*[F.lit(n) for n in names]))
+                )
+                > 0,
+            ).alias(UNKNOWN_KEYS_COL)
+        ]
     return parsed.select(
-        *cols, *meta, F.col(DECODE_ERROR_COL), F.col(CORRUPT_FLAG_COL)
+        *cols, *meta, F.col(DECODE_ERROR_COL), F.col(CORRUPT_FLAG_COL), *drift
     )
 
 

@@ -32,7 +32,13 @@ from typing import Any
 
 from pyspark.sql.streaming import StreamingQueryListener
 
-from .pipeline import OBS_ERROR, OBS_NAME, OBS_VALID
+from .pipeline import (
+    OBS_ERROR,
+    OBS_KEY_SAMPLED,
+    OBS_NAME,
+    OBS_UNKNOWN,
+    OBS_VALID,
+)
 
 #: reference histogram buckets: prometheus.LinearBuckets(0, 1, 60)
 INSERT_SECONDS_BUCKETS = [float(i) for i in range(60)]
@@ -49,6 +55,8 @@ class MetricsRegistry:
         self._lock = threading.Lock()
         self.msg: dict[str, int] = defaultdict(int)  # per query/topic
         self.msg_error: dict[str, int] = defaultdict(int)
+        self.unknown_keys: dict[str, int] = defaultdict(int)
+        self.key_sampled: dict[str, int] = defaultdict(int)
         self.insert_seconds: dict[str, list[float]] = defaultdict(list)
 
     def add_valid(self, name: str, n: int) -> None:
@@ -58,6 +66,21 @@ class MetricsRegistry:
     def add_error(self, name: str, n: int) -> None:
         with self._lock:
             self.msg_error[name] += n
+
+    def add_unknown_keys(self, name: str, unknown: int, sampled: int) -> None:
+        """Schema-drift counters: of ``sampled`` messages inspected
+        this batch, ``unknown`` carried top-level JSON keys outside the
+        declared schema. The rate estimate is ``unknown / sampled``."""
+        with self._lock:
+            self.unknown_keys[name] += unknown
+            self.key_sampled[name] += sampled
+
+    def unknown_key_rate(self, name: str) -> float | None:
+        """Fraction of sampled messages carrying undeclared keys —
+        None until a sample has been observed."""
+        with self._lock:
+            s = self.key_sampled.get(name, 0)
+            return (self.unknown_keys.get(name, 0) / s) if s else None
 
     def observe_insert(self, name: str, seconds: float) -> None:
         with self._lock:
@@ -76,6 +99,16 @@ class MetricsRegistry:
                 *(
                     f'kafka_consumer_msg_error{{query="{q}"}} {v}'
                     for q, v in sorted(self.msg_error.items())
+                ),
+                "# TYPE kafka_consumer_msg_unknown_keys counter",
+                *(
+                    f'kafka_consumer_msg_unknown_keys{{query="{q}"}} {v}'
+                    for q, v in sorted(self.unknown_keys.items())
+                ),
+                "# TYPE kafka_consumer_msg_key_sampled counter",
+                *(
+                    f'kafka_consumer_msg_key_sampled{{query="{q}"}} {v}'
+                    for q, v in sorted(self.key_sampled.items())
                 ),
                 "# TYPE dumps_time_insert histogram",
             ]
@@ -121,6 +154,12 @@ class IngestMetricsListener(StreamingQueryListener):
             row = obs[OBS_NAME]
             self.registry.add_valid(name, row[OBS_VALID] or 0)
             self.registry.add_error(name, row[OBS_ERROR] or 0)
+            try:  # pre-drift-metric queries observe only valid/error
+                unknown, sampled = row[OBS_UNKNOWN], row[OBS_KEY_SAMPLED]
+            except (KeyError, ValueError):
+                unknown = sampled = None
+            if sampled is not None:
+                self.registry.add_unknown_keys(name, unknown or 0, sampled or 0)
         durations = p.durationMs or {}
         add_batch = durations.get("addBatch")
         if add_batch is not None:
@@ -143,5 +182,6 @@ class IngestMetricsListener(StreamingQueryListener):
                 "inputRowsPerSecond": p.get("inputRowsPerSecond"),
                 "processedRowsPerSecond": p.get("processedRowsPerSecond"),
                 "addBatchMs": (p.get("durationMs") or {}).get("addBatch"),
+                "unknownKeyRate": self.registry.unknown_key_rate(name),
             }
         return out

@@ -52,6 +52,13 @@ _LOG = get_json_logger()
 OBS_NAME = "ingest"
 OBS_VALID = "kafka_consumer_msg"
 OBS_ERROR = "kafka_consumer_msg_error"
+OBS_UNKNOWN = "kafka_consumer_msg_unknown_keys"
+OBS_KEY_SAMPLED = "kafka_consumer_msg_key_sampled"
+
+#: 1-in-N deterministic payload sample for the unknown-key drift flag
+#: (convert.UNKNOWN_KEYS_COL) — the rate estimate a feed dashboard
+#: needs, at 1/N of the tokenize cost
+UNKNOWN_KEY_SAMPLE = 8
 
 
 @dataclass
@@ -87,7 +94,10 @@ def transform_topic(
         else C.with_plain_utf8(one_topic)
     )
     return C.parse_project_cast(
-        decoded, target, keep_meta=["topic", "partition", "offset"]
+        decoded,
+        target,
+        keep_meta=["topic", "partition", "offset"],
+        unknown_key_sample=UNKNOWN_KEY_SAMPLE,
     )
 
 
@@ -119,6 +129,10 @@ def start_topic_query(
         OBS_NAME,
         F.count(F.when(ok, 1)).alias(OBS_VALID),
         F.count(F.when(~ok, 1)).alias(OBS_ERROR),
+        # schema drift: unknown-key flags over the deterministic sample
+        # (SURVEY §1 "extra JSON keys dropped" — matched, but OBSERVED)
+        F.count(F.when(F.col(C.UNKNOWN_KEYS_COL), 1)).alias(OBS_UNKNOWN),
+        F.count(F.col(C.UNKNOWN_KEYS_COL)).alias(OBS_KEY_SAMPLED),
     )
     write_valid = sink or clickhouse_writer(cfg)
     write_dead = (

@@ -198,3 +198,68 @@ def test_csv_encode_golden_documented_divergence(spark):
         ',"comma, inside",0.1',  # ref would emit: "","comma, inside","0.1"
         "true,,1.0E300",  # ref would emit: "true","","1" + 300 zeros
     ]
+
+
+def test_unknown_key_flag_semantics(spark, target):
+    """UNKNOWN_KEYS_COL (schema-drift observability): true only for
+    TOP-LEVEL keys outside the declared StructType; nested objects and
+    JSON nulls under declared keys never flag; corrupt/non-object
+    payloads are null (the dead-letter metric owns those)."""
+    names = sorted(target.fieldNames())
+    base = {n: None for n in names}
+    payloads = [
+        snappy_compress(json.dumps(base).encode()),  # exact schema
+        snappy_compress(  # undeclared top-level key -> drifted
+            json.dumps({**base, "new_column": 1}).encode()
+        ),
+        snappy_compress(  # nested undeclared keys: NOT drift (from_json
+            # drops at the top level only)
+            json.dumps({**base, names[0]: None}).encode()
+        ),
+        snappy_compress(b"{definitely not json"),  # corrupt -> null
+        b"\xff\xff not snappy",  # decode failure -> json null -> null
+    ]
+    df = cv.decode_snappy(make_kafka_df(spark, payloads))
+    shaped = cv.parse_project_cast(
+        df, target, keep_meta=["offset"], unknown_key_sample=1
+    )
+    flags = {
+        r["offset"]: r[cv.UNKNOWN_KEYS_COL]
+        for r in shaped.select("offset", cv.UNKNOWN_KEYS_COL).collect()
+    }
+    assert flags == {0: False, 1: True, 2: False, 3: None, 4: None}
+
+
+def test_unknown_key_sampling_deterministic(spark, target):
+    """The 1-in-N sample keys on the payload hash: the same payload is
+    always in (or always out of) the sample, and sampled+flagged counts
+    agree with an exhaustive pass restricted to the sampled subset."""
+    payloads = [
+        snappy_compress(
+            json.dumps(
+                {"event_id": i, "event_type": "t", "value": 1.0,
+                 **({"drift": True} if i % 3 == 0 else {})}
+            ).encode()
+        )
+        for i in range(64)
+    ]
+    df = cv.decode_snappy(make_kafka_df(spark, payloads))
+    s8 = cv.parse_project_cast(
+        df, target, keep_meta=["offset"], unknown_key_sample=8
+    ).select("offset", F.col(cv.UNKNOWN_KEYS_COL).alias("f8"))
+    s1 = cv.parse_project_cast(
+        df, target, keep_meta=["offset"], unknown_key_sample=1
+    ).select("offset", F.col(cv.UNKNOWN_KEYS_COL).alias("f1"))
+    j = {r["offset"]: (r["f8"], r["f1"])
+         for r in s8.join(s1, "offset").collect()}
+    sampled = {o for o, (f8, _) in j.items() if f8 is not None}
+    assert 0 < len(sampled) < 64  # a real subset at N=8
+    for o, (f8, f1) in j.items():
+        if f8 is not None:
+            assert f8 == f1  # sampled rows agree with the full pass
+    # determinism: a second evaluation samples the identical subset
+    again = {
+        r["offset"]
+        for r in s8.filter(F.col("f8").isNotNull()).collect()
+    }
+    assert again == sampled

@@ -201,3 +201,57 @@ def test_checkpoint_recovery_exactly_once(spark, workdir):
         sinks={"events": parquet_writer(str(out))},
     )
     assert spark.read.parquet(str(out)).count() == 100
+
+
+def test_unknown_key_drift_metric(spark, workdir):
+    """Schema-drift observability end-to-end: the unknown-key counters
+    harvested by the listener equal a batch-mode pass of the SAME
+    transform over the same payloads (streamed == batch), and the
+    /status twin exposes the rate."""
+    from kafka_consumer_2_clickhouse_spark import convert as C
+    from kafka_consumer_2_clickhouse_spark.streaming.pipeline import (
+        transform_topic,
+    )
+
+    # every third message carries an undeclared key — the drifted feed
+    payloads = [
+        snappy_compress(
+            json.dumps(
+                {"event_id": i, "event_type": f"t{i % 3}", "value": i * 1.5,
+                 **({"new_col": "drift"} if i % 3 == 0 else {})}
+            ).encode()
+        )
+        for i in range(48)
+    ]
+
+    # expected: the same transform evaluated in batch mode
+    rows = [(None, p, "events", 0, i, None) for i, p in enumerate(payloads)]
+    from kafka_consumer_2_clickhouse_spark.sources.kafka import KAFKA_SHAPE
+    from kafka_consumer_2_clickhouse_spark.config import TopicConfig
+
+    batch_df = spark.createDataFrame(rows, KAFKA_SHAPE)
+    cfg = TopicConfig(topic="events", clickhouse=ClickHouseConfig(table="events"))
+    shaped = transform_topic(batch_df, cfg, TARGET)
+    exp_unknown = shaped.filter(F.col(C.UNKNOWN_KEYS_COL)).count()
+    exp_sampled = shaped.filter(F.col(C.UNKNOWN_KEYS_COL).isNotNull()).count()
+    assert exp_sampled > 0  # the fixture must actually exercise the sample
+
+    listener = observe.IngestMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        run_pipeline(spark, workdir, payloads)
+        deadline = time.time() + 30
+        while time.time() < deadline and not listener.registry.key_sampled:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    reg = listener.registry
+    assert reg.key_sampled.get("ingest_events") == exp_sampled
+    assert reg.unknown_keys.get("ingest_events") == exp_unknown
+    rate = reg.unknown_key_rate("ingest_events")
+    assert rate == pytest.approx(exp_unknown / exp_sampled)
+    assert 0.0 < rate <= 1.0
+    body = reg.render()
+    assert f'kafka_consumer_msg_unknown_keys{{query="ingest_events"}} {exp_unknown}' in body
+    assert f'kafka_consumer_msg_key_sampled{{query="ingest_events"}} {exp_sampled}' in body
+    assert listener.status()["ingest_events"]["unknownKeyRate"] == pytest.approx(rate)
