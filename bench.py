@@ -243,6 +243,17 @@ EXTRA = [
     "embedding_norm_outliers_approx",
     # round 10
     "ivf_index_drift_report",
+    "dsir_importance_weights",
+    "dsir_selection_summary",
+    "lsh_parameter_plan",
+    "events_snapshot_diff",
+    "corpus_heaps_fit",
+    "source_ngram_diversity",
+    "source_ngram_diversity_approx",
+    "hybrid_search_rrf",
+    "lineitem_hilbert_layout",
+    "hilbert_pruning_gain",
+    "postings_index_drift_report",
 ]
 
 

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     pii,
     profile,
     sampling,
+    selection,
     similarity,
     temporal,
     text_analysis,
@@ -62,6 +63,9 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     "customer_order_interarrival": "customer_order_interarrival_approx",
     # sketch median/MAD instead of exact global percentile buffers
     "embedding_norm_outliers": "embedding_norm_outliers_approx",
+    # HLL++ distinct sketches instead of exact two-phase distinct over
+    # the full (source, n, gram) key space
+    "source_ngram_diversity": "source_ngram_diversity_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

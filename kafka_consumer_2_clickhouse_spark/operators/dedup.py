@@ -1765,3 +1765,240 @@ def incremental_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_bloom.py``.
     """
     return _incremental_neardup(spark, sf_dir, use_bloom=True)
+
+
+# --------------------------------------------------------------------------
+# LSH parameter planner (the datasketch optimal-param recipe, made
+# empirical against this corpus's verified pair relation)
+# --------------------------------------------------------------------------
+
+#: candidate (n_bands, rows_per_band) configurations scored by the
+#: planner — the (b, r) grid a re-signing run would choose from.
+#: b*r is the signature width that config pays for.
+LSH_PLAN_CONFIGS: tuple[tuple[int, int], ...] = (
+    (2, 2),
+    (4, 2),  # the suite's current config (N_BANDS, N_MINHASH/N_BANDS)
+    (2, 4),
+    (8, 2),
+    (4, 4),
+    (8, 4),
+    (16, 2),
+)
+
+#: the Jaccard level the pipeline treats as "near-duplicate" — the
+#: S-curve should transition here (same cut the dedup sweeps probe)
+LSH_PLAN_THRESHOLD = 0.5
+
+#: midpoint-rule grid size for the FP/FN area integrals. A power of
+#: two so every grid point s_i = (2i+1)/(2M) is an EXACT double —
+#: both engines evaluate the identical multiplication chains on
+#: identical inputs, making the whole table value-hash-checkable.
+_LSH_PLAN_GRID = 256
+
+
+def _chain_pow_sql(base: str, k: int) -> str:
+    """``base**k`` as a left-associated literal multiplication chain —
+    IEEE-identical across engines (library ``pow`` is not)."""
+    out = base
+    for _ in range(k - 1):
+        out = f"({out} * {base})"
+    return out
+
+
+def _lsh_curve_sql(s_expr: str, b: int, r: int) -> str:
+    """round(P(s), 12) with P(s) = 1 - (1 - s^r)^b, chain-pow form."""
+    sr = _chain_pow_sql(s_expr, r)
+    return f"round(1 - {_chain_pow_sql(f'(1 - {sr})', b)}, 12)"
+
+
+def _chain_pow(col: Column, k: int) -> Column:
+    out = col
+    for _ in range(k - 1):
+        out = out * col
+    return out
+
+
+def _lsh_curve(col: Column, b: int, r: int) -> Column:
+    return F.round(1 - _chain_pow(1 - _chain_pow(col, r), b), 12)
+
+
+def _lsh_plan_oracle() -> str:
+    t = LSH_PLAN_THRESHOLD
+    m = _LSH_PLAN_GRID
+    curve_branches = "\n      UNION ALL ".join(
+        f"SELECT {b} AS n_bands, {r} AS rows_per_band, s, "
+        f"{_lsh_curve_sql('s', b, r)} AS p FROM pts"
+        for b, r in LSH_PLAN_CONFIGS
+    )
+    emp_branches = "\n      UNION ALL ".join(
+        f"SELECT {b} AS n_bands, {r} AS rows_per_band, "
+        f"{_lsh_curve_sql('jaccard', b, r)} AS p FROM tp"
+        for b, r in LSH_PLAN_CONFIGS
+    )
+    return f"""
+    WITH pts AS (
+      SELECT CAST(2 * i + 1 AS DOUBLE) / {2 * m} AS s
+      FROM generate_series(0, {m - 1}) AS g(i)
+    ), curves AS (
+      {curve_branches}
+    ), areas AS (
+      SELECT n_bands, rows_per_band,
+             CAST(sum(CASE WHEN s < {t} THEN CAST(p AS DECIMAL(27,12))
+                           ELSE CAST(0 AS DECIMAL(27,12)) END) AS DOUBLE)
+               / {m} AS fp_area,
+             CAST(sum(CASE WHEN s >= {t}
+                           THEN CAST(1 AS DECIMAL(27,12))
+                                - CAST(p AS DECIMAL(27,12))
+                           ELSE CAST(0 AS DECIMAL(27,12)) END) AS DOUBLE)
+               / {m} AS fn_area,
+             max(CASE WHEN p < 0.5 THEN s END) AS s_half_grid
+      FROM curves GROUP BY n_bands, rows_per_band
+    ), tp AS (
+      SELECT jaccard FROM ({{LSH}}) q WHERE jaccard >= {t}
+    ), emp AS (
+      {emp_branches}
+    ), empagg AS (
+      SELECT n_bands, rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_true_pairs,
+             CASE WHEN count(*) > 0
+                  THEN CAST(sum(CAST(p AS DECIMAL(27,12))) AS DOUBLE)
+                       / count(*) END AS expected_recall
+      FROM emp GROUP BY n_bands, rows_per_band
+    ), best AS (
+      SELECT min(fp_area + fn_area) AS min_err FROM areas
+    )
+    SELECT a.n_bands, a.rows_per_band,
+           CAST(a.n_bands * a.rows_per_band AS INT) AS n_hashes,
+           a.fp_area, a.fn_area, a.fp_area + a.fn_area AS total_error,
+           a.s_half_grid,
+           coalesce(e.n_true_pairs, 0) AS n_true_pairs,
+           e.expected_recall,
+           CAST(CASE WHEN a.fp_area + a.fn_area = best.min_err
+                     THEN 1 ELSE 0 END AS INT) AS recommended
+    FROM areas a
+      LEFT JOIN empagg e USING (n_bands, rows_per_band)
+      CROSS JOIN best
+    """.replace("{LSH}", _lsh_pairs_oracle())
+
+
+@query("lsh_parameter_plan", oracle=_lsh_plan_oracle())
+def lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows-per-band) tuning table a corpus owner reads
+    BEFORE paying to re-sign 100 TB with a different signature width.
+
+    For each candidate config the planner scores the LSH S-curve
+    P(s) = 1 - (1 - s^r)^b (Broder 1997 / Leskovec-Rajaraman-Ullman
+    ch. 3 — the datasketch ``_optimal_param`` recipe) two ways:
+
+    - ANALYTIC, against a uniform similarity prior: false-positive
+      area = integral of P below the near-dup threshold, false-negative
+      area = integral of (1 - P) above it, via a 256-point midpoint
+      rule; ``recommended`` marks the minimum-total-error config.
+      ``s_half_grid`` is the curve's transition point (last grid s
+      with P < 1/2) — it should sit near the threshold.
+    - EMPIRICAL, against THIS corpus: expected candidate recall
+      ``mean P(jaccard)`` over the verified near-dup pairs (jaccard >=
+      threshold) the current signing actually found. Caveat by
+      construction: those pairs are the CURRENT config's candidates,
+      so the column compares configs on known near-dups rather than
+      estimating absolute recall — exactly what a re-signing decision
+      needs.
+
+    Determinism: every power is a left-associated literal
+    multiplication chain (library ``pow`` differs across engines; IEEE
+    multiplication does not), every grid point (2i+1)/512 is an exact
+    double, and every curve value is rounded to 12 decimals before the
+    exact decimal area sums — the whole table value-hash-checks.
+
+    Scale: the analytic side is a 256-row literal spine fanned to
+    |configs| curve columns map-side; the empirical side is ONE pass
+    over the verified pair relation with |configs| extra map-only
+    columns (the expensive LSH chain is not re-run per config); every
+    aggregate is keyed on <= |configs| rows. Output: 7 rows.
+    """
+    t = LSH_PLAN_THRESHOLD
+    m = _LSH_PLAN_GRID
+    dec = "decimal(27,12)"
+
+    def _stacked(df: DataFrame, value_col: str) -> DataFrame:
+        branches = ", ".join(
+            f"{b}, {r}, p_{b}_{r}" for b, r in LSH_PLAN_CONFIGS
+        )
+        return df.selectExpr(
+            f"stack({len(LSH_PLAN_CONFIGS)}, {branches}) "
+            f"AS (n_bands, rows_per_band, {value_col})",
+            "*",
+        ).select("n_bands", "rows_per_band", value_col, *df.columns)
+
+    pts = spark.range(m).select(
+        ((F.col("id") * 2 + 1).cast("double") / (2 * m)).alias("s")
+    )
+    curve_cols = [
+        _lsh_curve(F.col("s"), b, r).alias(f"p_{b}_{r}")
+        for b, r in LSH_PLAN_CONFIGS
+    ]
+    curves = _stacked(pts.select("s", *curve_cols), "p").select(
+        "n_bands", "rows_per_band", "p", "s"
+    )
+    zero = F.lit(0).cast(dec)
+    areas = curves.groupBy("n_bands", "rows_per_band").agg(
+        (
+            F.sum(
+                F.when(F.col("s") < t, F.col("p").cast(dec)).otherwise(zero)
+            ).cast("double")
+            / m
+        ).alias("fp_area"),
+        (
+            F.sum(
+                F.when(
+                    F.col("s") >= t,
+                    F.lit(1).cast(dec) - F.col("p").cast(dec),
+                ).otherwise(zero)
+            ).cast("double")
+            / m
+        ).alias("fn_area"),
+        F.max(F.when(F.col("p") < 0.5, F.col("s"))).alias("s_half_grid"),
+    )
+
+    tp = lsh_candidate_pairs(spark, sf_dir).filter(F.col("jaccard") >= t)
+    emp_cols = [
+        _lsh_curve(F.col("jaccard"), b, r).alias(f"p_{b}_{r}")
+        for b, r in LSH_PLAN_CONFIGS
+    ]
+    emp = _stacked(tp.select("jaccard", *emp_cols), "p")
+    empagg = emp.groupBy("n_bands", "rows_per_band").agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.when(
+            F.count("*") > 0,
+            F.sum(F.col("p").cast(dec)).cast("double") / F.count("*"),
+        ).alias("expected_recall"),
+    )
+
+    best = areas.agg(
+        F.min(F.col("fp_area") + F.col("fn_area")).alias("min_err")
+    )
+    return (
+        areas.join(empagg, ["n_bands", "rows_per_band"], "left")
+        .crossJoin(F.broadcast(best))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            (F.col("n_bands") * F.col("rows_per_band")).cast("int").alias(
+                "n_hashes"
+            ),
+            "fp_area",
+            "fn_area",
+            (F.col("fp_area") + F.col("fn_area")).alias("total_error"),
+            "s_half_grid",
+            F.coalesce("n_true_pairs", F.lit(0)).cast("bigint").alias(
+                "n_true_pairs"
+            ),
+            "expected_recall",
+            F.when(
+                F.col("fp_area") + F.col("fn_area") == F.col("min_err"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("recommended"),
+        )
+    )

@@ -378,3 +378,195 @@ def pruned_read(
     if part_eq is not None:
         df = df.filter(F.col("part_bucket") == part_eq)
     return df, len(files), total
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout: the better-locality alternative to Z-order
+# ---------------------------------------------------------------------------
+
+#: grid side for the Hilbert transform (same 8-bit buckets as Z-order)
+_HGRID = 2 ** Z_BITS
+
+
+def _hilbert_ctes(engine: str, carry: tuple[str, ...]) -> str:
+    """CTE chain computing the 16-bit Hilbert index ``hd`` of
+    (day_bucket, part_bucket) — the classic iterative xy2d transform
+    (public-domain reference formulation, e.g. Wikipedia "Hilbert
+    curve"), UNROLLED into {B} rounds of identical integer arithmetic
+    so both engines evaluate it bit-for-bit the same. Per round at
+    scale s: rx/ry are the coordinates' s-bits, d grows by
+    s^2 * ((3*rx) XOR ry) — written as the pure-arithmetic
+    ``ry + rx*(3 - 2*ry)`` (no engine-specific XOR), then the frame
+    rotates: ry=0 flips (at rx=1) and swaps the coordinates.
+
+    ``carry`` columns ride through every round unchanged.
+    """
+    intdiv = " div " if engine == "spark" else " // "
+    keep = ", ".join(carry)
+    ctes = [
+        f"h0 AS (SELECT {keep}, day_bucket AS hx, part_bucket AS hy,"
+        f" 0 AS hd FROM keyed)"
+    ]
+    n1 = _HGRID - 1
+    for i in range(Z_BITS):
+        s = 1 << (Z_BITS - 1 - i)
+        rx = f"((hx{intdiv}{s}) % 2)"
+        ry = f"((hy{intdiv}{s}) % 2)"
+        ctes.append(
+            f"""h{i + 1} AS (
+      SELECT {keep},
+             CASE WHEN {ry} = 1 THEN hx
+                  WHEN {rx} = 1 THEN {n1} - hy
+                  ELSE hy END AS hx,
+             CASE WHEN {ry} = 1 THEN hy
+                  WHEN {rx} = 1 THEN {n1} - hx
+                  ELSE hx END AS hy,
+             hd + {s * s} * ({ry} + {rx} * (3 - 2 * {ry})) AS hd
+      FROM h{i})"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_hilbert_ctes.__doc__ = _hilbert_ctes.__doc__.replace("{B}", str(Z_BITS))
+
+
+def _hfile(engine: str) -> str:
+    if engine == "spark":
+        return f"CAST(shiftright(hd, {Z_FILE_SHIFT}) AS INT)"
+    return f"CAST((hd >> {Z_FILE_SHIFT}) AS INT)"
+
+
+def _hilbert_layout_sql(engine: str, table: str = "lineitem") -> str:
+    """Per-Hilbert-file stats + prunability flags (mirror of
+    :func:`_layout_sql` over the Hilbert file id)."""
+    carry = ("day_bucket", "part_bucket")
+    return f"""
+    WITH keyed AS ({_keyed(engine, table)}),
+    {_hilbert_ctes(engine, carry)}
+    SELECT {_hfile(engine)} AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(day_bucket) AS min_day, max(day_bucket) AS max_day,
+           min(part_bucket) AS min_part, max(part_bucket) AS max_part,
+           {_SCAN_DAY} AS scan_day_range,
+           {_SCAN_PART} AS scan_part_eq
+    FROM h{Z_BITS} GROUP BY {_hfile(engine)}
+    """
+
+
+def _hilbert_gain_sql(engine: str, table: str = "lineitem") -> str:
+    """The 3-layout x 2-probe pruning accounting: Z-order vs day-sort
+    vs Hilbert from ONE derivation pass."""
+    carry = ("day_bucket", "part_bucket", "zfile", "dfile")
+    if engine == "spark":
+        unpivot = (
+            "SELECT stack(3, 'zorder', zfile, 'daysort', dfile,"
+            f" 'hilbert', {_hfile(engine)})"
+            f" AS (layout, file_id), day_bucket, part_bucket FROM h{Z_BITS}"
+        )
+        sel_unpivot = (
+            "SELECT stack(2, 'day_range', sel_day, 'part_eq', sel_part)"
+            " AS (probe, rows_selected) FROM sel"
+        )
+    else:
+        unpivot = f"""
+            SELECT 'zorder' AS layout, zfile AS file_id,
+                   day_bucket, part_bucket FROM h{Z_BITS}
+            UNION ALL
+            SELECT 'daysort', dfile, day_bucket, part_bucket FROM h{Z_BITS}
+            UNION ALL
+            SELECT 'hilbert', {_hfile(engine)}, day_bucket, part_bucket
+            FROM h{Z_BITS}
+        """
+        sel_unpivot = """
+            SELECT 'day_range' AS probe, sel_day AS rows_selected FROM sel
+            UNION ALL SELECT 'part_eq', sel_part FROM sel
+        """
+    return f"""
+    WITH keyed AS ({_keyed(engine, table)}),
+    {_hilbert_ctes(engine, carry)},
+    tagged AS ({unpivot}),
+    files AS (
+      SELECT layout, file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(day_bucket) AS min_day, max(day_bucket) AS max_day,
+             min(part_bucket) AS min_part, max(part_bucket) AS max_part
+      FROM tagged GROUP BY layout, file_id
+    ),
+    per AS (
+      SELECT layout, 'day_range' AS probe,
+             CAST(count(*) AS BIGINT) AS files_total,
+             CAST(sum(CASE WHEN {_SCAN_DAY} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN {_SCAN_DAY} THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total
+      FROM files GROUP BY layout
+      UNION ALL
+      SELECT layout, 'part_eq',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN {_SCAN_PART} THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN {_SCAN_PART} THEN n_rows ELSE 0 END) AS BIGINT),
+             CAST(sum(n_rows) AS BIGINT)
+      FROM files GROUP BY layout
+    ),
+    sel AS (
+      SELECT CAST(sum(CASE WHEN day_bucket BETWEEN {PROBE_DAY_LO}
+                       AND {PROBE_DAY_HI} THEN 1 ELSE 0 END) AS BIGINT)
+               AS sel_day,
+             CAST(sum(CASE WHEN part_bucket = {PROBE_PART_BUCKET}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sel_part
+      FROM keyed
+    ),
+    selp AS ({sel_unpivot})
+    SELECT p.layout, p.probe, p.files_total, p.files_scanned,
+           p.rows_scanned, s.rows_selected,
+           round(CAST(p.rows_scanned AS DOUBLE) / p.rows_total, 6)
+             AS scan_fraction
+    FROM per p JOIN selp s ON p.probe = s.probe
+    """
+
+
+@query("lineitem_hilbert_layout", oracle=_hilbert_layout_sql("duckdb"))
+def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics of the 64-file HILBERT layout over
+    the same (ship-day bucket, part bucket) grid as
+    :func:`lineitem_zorder_layout`. The Hilbert curve is the
+    better-locality space-filling alternative to Morton order (no
+    Z-curve "seams": consecutive curve positions are always
+    grid-adjacent), which is why warehouse engines that support both
+    (e.g. Databricks liquid clustering literature, Moon et al., IEEE
+    TKDE 2001) prefer it for multi-dim clustering — each file covers a
+    more compact rectangle, so min/max pruning discards more files for
+    the same probe.
+
+    Determinism: the xy2d transform is {B} unrolled rounds of pure
+    integer arithmetic generated identically for both engines.
+
+    Scale: map-only integer derivation inside the scan -> 64-group
+    aggregate, exactly the Z-order audit's shape; ``file_id`` is the
+    ``repartitionByRange`` key the compaction job would write by.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return _sql_over(spark, lineitem, lambda t: _hilbert_layout_sql("spark", t))
+
+
+lineitem_hilbert_layout.__doc__ = lineitem_hilbert_layout.__doc__.replace(
+    "{B}", str(Z_BITS)
+)
+
+
+@query("hilbert_pruning_gain", oracle=_hilbert_gain_sql("duckdb"))
+def hilbert_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-layout x 2-probe pruning decision table: files and rows
+    scanned under min-max pruning for Z-order vs day-sorted vs Hilbert
+    layouts against the same two canonical probes — the complete
+    storage-layout sign-off (``zorder_pruning_gain`` stays the stable
+    2-layout audit; this table adds the Hilbert column a layout owner
+    compares before choosing a curve).
+
+    Scale: one derivation pass (the 3x layout fan-out is a projection
+    collapsed map-side into <=192 (layout, file) groups); everything
+    downstream is file-grain.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return _sql_over(spark, lineitem, lambda t: _hilbert_gain_sql("spark", t))

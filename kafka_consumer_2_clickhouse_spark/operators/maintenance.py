@@ -421,3 +421,114 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_dec").cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_snapshot_diff — CDC accounting between two FINAL snapshots
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_snapshot_diff",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+      FROM events
+    ), bounds AS (
+      SELECT min(us) + ((max(us) - min(us)) * {CUTOFF_NUM}) // {CUTOFF_DEN}
+               AS cutoff
+      FROM e
+    ), new_s AS (
+      SELECT user_id, event_type, event_id, value FROM e
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC
+      ) = 1
+    ), old_s AS (
+      SELECT user_id, event_type, event_id, value
+      FROM e CROSS JOIN bounds WHERE us <= cutoff
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC
+      ) = 1
+    ), classified AS (
+      SELECT n.event_type,
+             CASE WHEN o.event_id IS NULL THEN 'inserted'
+                  WHEN o.event_id <> n.event_id THEN 'updated'
+                  ELSE 'unchanged' END AS change_kind,
+             n.value - coalesce(o.value, 0) AS delta
+      FROM new_s n LEFT JOIN old_s o USING (user_id, event_type)
+    )
+    SELECT event_type, change_kind,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(delta AS DECIMAL(27,6))) AS DOUBLE)
+             AS value_delta_sum
+    FROM classified GROUP BY event_type, change_kind
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC accounting between two ReplacingMergeTree-FINAL snapshots:
+    resolve the ``latest_events_snapshot`` state at the 80%-of-span
+    cutoff ("yesterday's FINAL") and at the end of the corpus
+    ("today's"), and report per (event_type, change_kind) how many
+    (user_id, event_type) keys were inserted / updated / unchanged
+    between them plus the exact net value drift — the table a
+    downstream consumer reads to size an incremental re-export instead
+    of re-shipping the whole snapshot. An append-only event stream
+    cannot delete keys, so 'deleted' is structurally impossible here
+    (``orders_merge_upsert`` covers the delete path on a keyed CDC
+    batch).
+
+    Scale: the Spark side never materializes either snapshot — ONE
+    key-grain aggregate computes both states as conditional argmax
+    structs (``max(struct(ts_us, event_id, value))`` with the old
+    state's max filtered to the cutoff), so the fact table is scanned
+    once and shuffled once on the snapshot key; everything after is
+    key-grain. The oracle resolves both snapshots independently with
+    window functions and joins them — diff == independently-resolved
+    states is hash-verified on every oracle pass (the
+    merge==recompute discipline of ``incremental_rollup_merge``).
+
+    Determinism: argmax tie-break is (ts desc, event_id desc) with
+    event_id unique; the cutoff is exact integer-microsecond
+    arithmetic; value deltas are identical double subtractions summed
+    through decimal.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    rng = ev.agg(
+        (
+            F.min("ts_us")
+            + F.floor(
+                ((F.max("ts_us") - F.min("ts_us")) * CUTOFF_NUM) / CUTOFF_DEN
+            ).cast("bigint")
+        ).alias("cutoff_us")
+    )
+    st = F.struct("ts_us", "event_id", "value")
+    agg = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(st).alias("new_s"),
+            F.max(
+                F.when(F.col("ts_us") <= F.col("cutoff_us"), st)
+            ).alias("old_s"),
+        )
+    )
+    kind = (
+        F.when(F.col("old_s").isNull(), "inserted")
+        .when(F.col("old_s.event_id") != F.col("new_s.event_id"), "updated")
+        .otherwise("unchanged")
+    )
+    delta = F.col("new_s.value") - F.coalesce(F.col("old_s.value"), F.lit(0.0))
+    return (
+        agg.select(
+            "event_type",
+            kind.alias("change_kind"),
+            delta.alias("delta"),
+        )
+        .groupBy("event_type", "change_kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            dsum("delta").alias("value_delta_sum"),
+        )
+    )

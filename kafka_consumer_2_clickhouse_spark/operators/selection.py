@@ -1,0 +1,267 @@
+"""DSIR data selection: hashed n-gram importance resampling.
+
+Implements the DSIR recipe (Xie et al., NeurIPS 2023 — "Data Selection
+for Language Models via Importance Resampling") as exact-oracle-checkable
+relational operators:
+
+1. featurize every document as a bag of HASHED word bigrams (the
+   paper's hashed n-gram features — a fixed ``DSIR_BUCKETS``-dim count
+   vector, so the feature space is bounded no matter how large the
+   corpus vocabulary grows);
+2. fit two bag-of-hashed-ngrams unigram models from exact integer
+   bucket counts — ``p`` on the TARGET slice (here ``lang = 'en'``,
+   the high-quality-domain stand-in) and ``q`` on the full raw pool —
+   both Laplace-smoothed;
+3. score every document with the log importance weight
+   ``log w(d) = sum_b c_db * (ln p_b - ln q_b)``;
+4. select the top-K documents by weight (the paper samples
+   Gumbel-top-k; the deterministic top-k is the same selection rule at
+   temperature 0 and keeps the operator value-hash-checkable — the
+   A-ES pattern of ``orders_weighted_sample`` shows the randomized
+   variant separately).
+
+Cross-engine determinism: bucket ids come from the md5-prefix hash of
+``operators/sampling.py`` (identical hex on both engines); each
+bucket's log-ratio is ONE ``ln`` of an identically-computed double
+ratio, rounded to 6 decimals BEFORE the per-document decimal sum
+(the ``doc_unigram_logprob`` round-before-aggregate discipline), so
+document scores — and therefore the top-k selection — are bit-stable
+across engines, partitionings, and reruns.
+
+Scale: featurization is map-only (split + shingle + hash, no data
+moves); bucket counts collapse map-side to ``DSIR_BUCKETS`` rows; the
+scoring join broadcasts the bucket-ratio table (KBs) into a map-only
+probe, and the only fact-scale shuffle is the per-doc_id aggregate.
+Selection at 100 TB uses a weight THRESHOLD from one
+``percentile_approx`` sketch instead of a global rank — the registered
+top-k head here is a bounded ``TakeOrderedAndProject`` (never a global
+sort), the same pattern as ``corpus_bigram_merge_candidates``.
+
+Reference parity note: the reference system (Makasinov/
+kafka-consumer-2-clickhouse) has no selection surface; this module is
+part of the [EXT] LLM-training-data north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import textfns as X
+from ..sources.tables import load_table, spread
+from .analytics import query
+from .sampling import _bucket, _bucket_sql
+
+#: hashed feature-space size (the paper uses 10k; sized to the test
+#: corpus vocabulary — a real run raises it, every plan below is
+#: O(DSIR_BUCKETS) in state and unchanged in shape)
+DSIR_BUCKETS = 64
+
+#: the target-domain slice p is estimated on (the "formal text" /
+#: Wikipedia stand-in of the paper's experiments)
+DSIR_TARGET_LANG = "en"
+
+#: documents selected by dsir_selection_summary (temperature-0 top-k)
+DSIR_SELECT_K = 200
+
+_NGRAM_N = 2
+
+
+def dsir_weights_sql() -> str:
+    """DuckDB twin of :func:`dsir_importance_weights` (shared CTE)."""
+    grams = X.sql_shingles(X.sql_tokens("text"), _NGRAM_N)
+    b = _bucket_sql("gram")
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, lang, unnest({grams}) AS gram FROM documents
+    ), feat AS (
+      SELECT doc_id, lang, {b} % {DSIR_BUCKETS} AS bucket,
+             count(*) AS c
+      FROM grams GROUP BY doc_id, lang, bucket
+    ), buckets AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+               AS c_target,
+             sum(c) AS c_all
+      FROM feat GROUP BY bucket
+    ), totals AS (
+      SELECT sum(c_target) AS n_target, sum(c_all) AS n_all FROM buckets
+    ), ratios AS (
+      SELECT bucket,
+             round(ln((CAST(c_target AS DOUBLE) + 1)
+                      * (CAST(n_all AS DOUBLE) + {DSIR_BUCKETS})
+                      / ((CAST(c_all AS DOUBLE) + 1)
+                         * (CAST(n_target AS DOUBLE) + {DSIR_BUCKETS}))),
+                   6) AS lr
+      FROM buckets CROSS JOIN totals
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(sum(f.c) AS BIGINT) AS n_grams,
+             CAST(sum(CAST(f.c * r.lr AS DECIMAL(27,6))) AS DOUBLE)
+               AS log_weight
+      FROM feat f JOIN ratios r USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
+def _weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(X.shingles(X.tokens("text"), _NGRAM_N)).alias("gram"),
+    )
+    feat = grams.groupBy(
+        "doc_id", "lang", (_bucket(F.col("gram")) % DSIR_BUCKETS).alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    buckets = feat.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+        ).alias("c_target"),
+        F.sum("c").alias("c_all"),
+    )
+    totals = buckets.agg(
+        F.sum("c_target").alias("n_target"), F.sum("c_all").alias("n_all")
+    )
+    # ONE ln over an identically-assembled double ratio, rounded to 6
+    # before it multiplies any count (round-before-aggregate)
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c_target").cast("double") + 1)
+                * (F.col("n_all").cast("double") + DSIR_BUCKETS)
+                / (
+                    (F.col("c_all").cast("double") + 1)
+                    * (F.col("n_target").cast("double") + DSIR_BUCKETS)
+                )
+            ),
+            6,
+        ).alias("lr"),
+    )
+    scored = (
+        feat.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum((F.col("c") * F.col("lr")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=dsir_weights_sql(),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight (Xie et al. 2023).
+
+    ``log w(d) = sum_b c_db * round(ln(p_b / q_b), 6)`` over hashed
+    bigram buckets, ``p`` fit on the ``lang='en'`` target slice and
+    ``q`` on the raw pool, both Laplace-smoothed from exact integer
+    counts. Positive weight = looks more like the target domain than
+    the pool average; the selection pass keeps the high end.
+
+    Documents too short to produce a bigram carry weight 0 (an empty
+    feature bag is uninformative, matching the paper's featurization).
+
+    Scale: map-only featurization; bucket model = one
+    ``DSIR_BUCKETS``-row aggregate + a 1-row total; scoring joins the
+    broadcast ratio table; one doc_id shuffle. Nothing grows with
+    vocabulary size — that's the point of hashing the n-grams.
+    """
+    return _weights_df(spark, sf_dir)
+
+
+def dsir_selection_sql(k: int = DSIR_SELECT_K) -> str:
+    """DuckDB twin of :func:`dsir_selection_summary`, parameterized on
+    the selection size (pinned at a second k in tests)."""
+    return f"""
+    WITH w AS ({dsir_weights_sql()}),
+    sel AS (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk
+      FROM w
+    )
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT) AS n_pool,
+           CAST(count(*) FILTER (
+             WHERE w.doc_id IN (SELECT doc_id FROM sel WHERE rk <= {k})
+           ) AS BIGINT) AS n_selected,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM w), 6) AS pool_share,
+           round(CAST(count(*) FILTER (
+             WHERE w.doc_id IN (SELECT doc_id FROM sel WHERE rk <= {k})
+           ) AS DOUBLE) / {k}, 6) AS selected_share
+    FROM w GROUP BY w.lang
+    """
+
+
+def dsir_selection_summary_df(
+    spark: SparkSession, sf_dir: str, k: int = DSIR_SELECT_K
+) -> DataFrame:
+    """Parameterized body of :func:`dsir_selection_summary`."""
+    w = _weights_df(spark, sf_dir)
+    sel = (
+        w.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.lit(1).alias("is_sel"))
+    )
+    total = w.agg(F.count("*").alias("n_total"))  # 1-row, broadcast
+    return (
+        w.join(F.broadcast(sel), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pool"),
+            F.sum(F.coalesce("is_sel", F.lit(0))).cast("bigint").alias("n_selected"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_pool",
+            "n_selected",
+            F.round(F.col("n_pool").cast("double") / F.col("n_total"), 6).alias(
+                "pool_share"
+            ),
+            F.round(F.col("n_selected").cast("double") / k, 6).alias(
+                "selected_share"
+            ),
+        )
+    )
+
+
+@query(
+    "dsir_selection_summary",
+    oracle=dsir_selection_sql(),
+)
+def dsir_selection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection's effect table: per language, pool share vs
+    selected share under the temperature-0 top-``DSIR_SELECT_K``
+    selection — the sign-off that the importance weights actually pull
+    the mixture toward the target distribution (target-language share
+    must rise; pinned in tests).
+
+    Scale: the selection head is a bounded
+    ``TakeOrderedAndProject`` (K rows, never a global sort); the
+    summary joins that K-row broadcast against the doc-grain weight
+    relation once. A production run swaps the exact head for a weight
+    threshold from one ``percentile_approx`` sketch — same downstream
+    table, the ``doc_difficulty_buckets_approx`` pattern.
+    """
+    return dsir_selection_summary_df(spark, sf_dir, DSIR_SELECT_K)

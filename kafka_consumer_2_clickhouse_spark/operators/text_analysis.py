@@ -2593,3 +2593,682 @@ def doc_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "pos")
         .limit(KWIC_LIMIT)
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (the forward-planning complement of the
+# Zipf head fit: how much NEW vocabulary will the next 10 TB bring?)
+# --------------------------------------------------------------------------
+
+#: ingestion-order checkpoints the growth curve is sampled at
+HEAPS_CHECKPOINTS = 8
+
+
+@query(
+    "corpus_heaps_fit",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), fs AS (
+      SELECT tok, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ), b AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ), ct AS (
+      SELECT i, lo + ((hi - lo) * i) // {HEAPS_CHECKPOINTS} AS cut_doc_id,
+             CAST(sum(CASE WHEN nt.doc_id
+                                <= lo + ((hi - lo) * i) // {HEAPS_CHECKPOINTS}
+                           THEN nt.n_tokens ELSE 0 END) AS BIGINT)
+               AS cum_tokens
+      FROM generate_series(1, {HEAPS_CHECKPOINTS}) AS g(i)
+        CROSS JOIN b CROSS JOIN nt
+      GROUP BY i, cut_doc_id
+    ), cv AS (
+      SELECT i, CAST(count(*) FILTER (
+               WHERE fs.first_doc
+                     <= lo + ((hi - lo) * i) // {HEAPS_CHECKPOINTS}
+             ) AS BIGINT) AS cum_vocab
+      FROM generate_series(1, {HEAPS_CHECKPOINTS}) AS g(i)
+        CROSS JOIN b CROSS JOIN fs
+      GROUP BY i
+    ), pts AS (
+      SELECT ct.i, ct.cut_doc_id, ct.cum_tokens, cv.cum_vocab,
+             round(ln(CAST(ct.cum_tokens AS DOUBLE)), 6) AS x,
+             round(ln(CAST(cv.cum_vocab AS DOUBLE)), 6) AS y
+      FROM ct JOIN cv USING (i)
+      WHERE ct.cum_tokens > 0 AND cv.cum_vocab > 0
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT pts.i AS checkpoint, pts.cut_doc_id, pts.cum_tokens,
+           pts.cum_vocab,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 6) AS heaps_beta,
+           round((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                         / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 6)
+             AS heaps_ln_k
+    FROM pts CROSS JOIN s
+    WHERE s.n * s.sxx - s.sx * s.sx > 0
+    """,
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + fit (Heaps 1978; Herdan):
+    cumulative distinct-token count V(N) against cumulative token count
+    N, sampled at {C} ingestion-order (doc_id) checkpoints, with the
+    OLS fit of ln V = beta * ln N + ln k over those points. Natural
+    corpora grow V ~ k * N^beta with beta in (0.4, 0.8); beta near 0
+    means the crawl is re-reading itself (the corpus-level twin of
+    ``doc_ngram_novelty``'s per-doc signal), beta near 1 means
+    tokenizer-hostile noise (every token new). The fitted curve is the
+    capacity-planning answer to "how much new vocabulary — hence BPE
+    merge-table and embedding-row growth — will the next 10 TB bring".
+
+    Determinism: checkpoints are exact integer doc_id arithmetic; the
+    cumulative counts are exact bigints; ln terms and products round
+    to 6 decimals before the exact decimal OLS sums (the
+    ``corpus_zipf_fit`` discipline).
+
+    Scale: per-doc token counts are a map-only array length;
+    first-seen is ONE vocab-sized min-aggregate (the only token-grain
+    shuffle); the checkpoint fan-out is a Generate over {C} literals
+    on doc-grain / vocab-grain relations (never the exploded token
+    stream), and every aggregate after it is keyed on <= {C} rows.
+    The fit runs over the bounded checkpoint relation only.
+    """
+    C = HEAPS_CHECKPOINTS
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    nt = docs.select(
+        "doc_id", F.size(X.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    fs = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    iarr = F.array(*[F.lit(i) for i in range(1, C + 1)])
+    cut = (
+        F.col("lo")
+        + F.floor(((F.col("hi") - F.col("lo")) * F.col("i")) / C).cast("bigint")
+    ).alias("cut_doc_id")
+
+    ct = (
+        nt.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "n_tokens", F.explode(iarr).alias("i"), "lo", "hi")
+        .select("doc_id", "n_tokens", "i", cut)
+        .groupBy("i", "cut_doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("cut_doc_id"), F.col("n_tokens"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cum_tokens")
+        )
+    )
+    cv = (
+        fs.crossJoin(F.broadcast(bounds))
+        .select("first_doc", F.explode(iarr).alias("i"), "lo", "hi")
+        .select("first_doc", "i", cut)
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cut_doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cum_vocab")
+        )
+    )
+    pts = (
+        ct.join(cv, "i")
+        .filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+        .select(
+            "i",
+            "cut_doc_id",
+            "cum_tokens",
+            "cum_vocab",
+            F.round(F.log(F.col("cum_tokens").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return (
+        pts.crossJoin(F.broadcast(s))
+        .filter(den > 0)
+        .select(
+            F.col("i").alias("checkpoint"),
+            "cut_doc_id",
+            "cum_tokens",
+            "cum_vocab",
+            F.round(slope, 6).alias("heaps_beta"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "heaps_ln_k"
+            ),
+        )
+    )
+
+
+corpus_heaps_fit.__doc__ = corpus_heaps_fit.__doc__.replace(
+    "{C}", str(HEAPS_CHECKPOINTS)
+)
+
+
+# --------------------------------------------------------------------------
+# distinct-n diversity per source (Li et al. 2016's diversity metric,
+# applied as a per-feed templating/synthetic-content screen)
+# --------------------------------------------------------------------------
+
+#: n-gram orders scored by source_ngram_diversity
+DIVERSITY_NGRAM_ORDERS = (1, 2, 3)
+
+
+@query(
+    "source_ngram_diversity",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT source, {n} AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS distinct_ratio
+    FROM (SELECT source,
+                 unnest({X.sql_shingles(X.sql_tokens('text'), n)}) AS g
+          FROM documents)
+    GROUP BY source
+    """
+        for n in DIVERSITY_NGRAM_ORDERS
+    ),
+)
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-n diversity per source feed (Li et al. 2016's
+    distinct-1/2/3, the standard text-diversity metric): distinct
+    n-grams over total n-grams at n = 1, 2, 3. A templated, boilerplate,
+    or model-generated feed collapses distinct-2/3 long before its
+    unigram entropy moves — the cross-order complement of
+    ``source_token_entropy`` (within-source, n=1 only) and
+    ``doc_repetition_scores`` (within-doc).
+
+    Determinism: exact bigint counts; the ratio divides two identical
+    bigints in double.
+
+    Scale: shingling is map-only; each order is one (source, gram)
+    partial-count relation — Spark plans the exact distinct as a
+    two-phase aggregate whose first phase collapses map-side, and the
+    result grain is |sources| x 3. At web scale the registered swap is
+    ``approx_count_distinct`` per (source, n) — one pass, no Expand —
+    the ``events_profile_approx`` pattern; exact is kept here as the
+    oracle-checkable form.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    parts = []
+    for n in DIVERSITY_NGRAM_ORDERS:
+        rel = docs.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(X.shingles(X.tokens("text"), n)).alias("g"),
+        )
+        parts.append(
+            rel.groupBy("source", "n").agg(
+                F.count("*").cast("bigint").alias("total_ngrams"),
+                F.count_distinct("g").cast("bigint").alias("distinct_ngrams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+        ).alias("distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# --------------------------------------------------------------------------
+
+from .similarity import N_QUERY as _ANN_N_QUERY  # noqa: E402
+from .similarity import _dot_sql, _norm_sql  # noqa: E402
+
+#: the canonical RRF smoothing constant (Cormack et al. 2009 use 60)
+RRF_K = 60
+
+#: embedding row used as the dense query (its doc twin is excluded)
+RRF_QUERY_VEC = 0
+
+#: depth of each input rank list entering the fusion
+RRF_TOP_K = 20
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+                  AS INT) AS rank_lex
+      FROM ({{BM25}}) b
+    ), q AS (
+      SELECT embedding AS qe, {_norm_sql('embedding', 'duck')} AS qn
+      FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+    ), c AS (
+      SELECT vec_id AS doc_id, embedding AS ce,
+             {_norm_sql('embedding', 'duck')} AS cn
+      FROM embeddings WHERE vec_id <> {RRF_QUERY_VEC}
+    ), dense0 AS (
+      SELECT doc_id, {_dot_sql('qe', 'ce', 'duck')} / (qn * cn) AS cosine
+      FROM c CROSS JOIN q
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS INT) AS rank_sem
+      FROM dense0 ORDER BY cosine DESC, doc_id LIMIT {RRF_TOP_K}
+    ), fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.rank_lex, s.rank_sem,
+             round(coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.rank_lex), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + s.rank_sem), 0),
+                   9) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("hybrid_search_rrf", oracle=None)  # oracle attached below ({BM25})
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009) — the standard way a
+    modern search stack combines a BM25 first stage with an embedding
+    retriever without score calibration: each candidate scores
+    ``sum over lists of 1/(K + rank)``, missing from a list = no
+    contribution. Inputs here are the suite's two existing retrieval
+    spines: ``bm25_search_docs``'s top-{TK} for the fixed query terms,
+    and the exact-cosine top-{TK} against the corpus's query embedding
+    (vec_id = {QV}; the corpus stores one embedding row per document
+    at the matching id, so the dense list ranks doc_ids directly —
+    the ``embedding_cosine_topk`` scoring chain with a single query).
+
+    Determinism: both input ranks are integer row_numbers over
+    already-deterministic orderings (rounded BM25 score / bit-stable
+    cosine chain, doc_id tiebreaks); the fused score is a fixed-order
+    double sum rounded to 9 before the final rank.
+
+    Scale: each input list is a bounded TakeOrdered head (the
+    expensive sides — term-filtered postings scan, broadcast-query
+    cosine scan — keep their own documented shapes); the fusion is a
+    full-outer join and a rank window over <= 2·{TK} rows. At 100 TB
+    the inputs swap for the persisted-index probes
+    (``SPARK_GRAFT_POSTINGS_INDEX`` / ``SPARK_GRAFT_IVF_INDEX``)
+    feeding the same bounded fusion.
+    """
+    lex_w = W.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    lex = bm25_search_docs(spark, sf_dir).select(
+        "doc_id", F.row_number().over(lex_w).cast("int").alias("rank_lex")
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding", "spark")).alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_norm_sql("embedding", "spark")).alias("cn"),
+    )
+    dense0 = c.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        (
+            F.expr(_dot_sql("qe", "ce", "spark")) / (F.col("qn") * F.col("cn"))
+        ).alias("cosine"),
+    )
+    sem_w = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = (
+        dense0.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
+        .select(
+            "doc_id", F.row_number().over(sem_w).cast("int").alias("rank_sem")
+        )
+    )
+
+    one = F.lit(1).cast("double")
+    fused = (
+        lex.withColumnRenamed("doc_id", "l_id")
+        .join(
+            sem.withColumnRenamed("doc_id", "s_id"),
+            F.col("l_id") == F.col("s_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l_id", "s_id").alias("doc_id"),
+            "rank_lex",
+            "rank_sem",
+            F.round(
+                F.coalesce(one / (RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(one / (RRF_K + F.col("rank_sem")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    fused_w = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        "rrf_score",
+        F.row_number().over(fused_w).cast("int").alias("fused_rank"),
+    )
+
+
+hybrid_search_rrf.__doc__ = (
+    hybrid_search_rrf.__doc__.replace("{TK}", str(RRF_TOP_K))
+    .replace("{QV}", str(RRF_QUERY_VEC))
+    .replace("{K}", str(RRF_K))
+)
+ORACLE_SQL["hybrid_search_rrf"] = _rrf_sql().replace(
+    "{BM25}", ORACLE_SQL["bm25_search_docs"]
+)
+
+
+#: target relative standard deviation of the HLL++ distinct sketches
+DIVERSITY_APPROX_RSD = 0.05
+
+
+def source_ngram_diversity_approx_df(
+    spark: SparkSession, sf_dir: str, rsd: float = DIVERSITY_APPROX_RSD
+) -> DataFrame:
+    """Parameterized body of :func:`source_ngram_diversity_approx`."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    parts = []
+    for n in DIVERSITY_NGRAM_ORDERS:
+        rel = docs.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(X.shingles(X.tokens("text"), n)).alias("g"),
+        )
+        parts.append(
+            rel.groupBy("source", "n").agg(
+                F.count("*").cast("bigint").alias("total_ngrams"),
+                F.approx_count_distinct("g", rsd)
+                .cast("bigint")
+                .alias("distinct_ngrams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+        ).alias("distinct_ratio"),
+    )
+
+
+@query("source_ngram_diversity_approx")  # rows-only by design (HLL sketch)
+def source_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB shape of :func:`source_ngram_diversity`:
+    HLL++ ``approx_count_distinct`` per (source, n) — ONE pass, a
+    mergeable KB-sized sketch per group instead of the exact
+    distinct's second aggregate phase over the full (source, n, gram)
+    key space (at web scale the distinct-gram relation IS the corpus).
+    Wired into ``SCALE_MODE_SWAPS``; rows-only by design — the
+    relative-error envelope vs the exact twin is pinned at two rsd
+    settings in tests (the ``events_profile_approx`` discipline).
+    """
+    return source_ngram_diversity_approx_df(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Postings-index vocabulary drift (the text twin of ivf_index_drift)
+# --------------------------------------------------------------------------
+
+#: comparison-vocabulary size: drift is measured over the training
+#: corpus's top-V tokens + one 'other' bucket, so per-batch state is
+#: bounded at V+1 categories no matter how large either vocabulary is
+DRIFT_VOCAB_TOP = 32
+#: flag envelopes: TV distance over the bounded category distribution,
+#: and the share of occurrences whose token the training corpus has
+#: NEVER seen (new-vocabulary influx — language shift / spam / encoding
+#: breakage all spike it)
+POSTINGS_DRIFT_TV_MAX = 0.25
+POSTINGS_DRIFT_NOVEL_MAX = 0.30
+
+#: category label for tokens outside the comparison vocabulary
+_OTHER = "∅other"
+
+
+def _postings_drift_sql() -> str:
+    v = DRIFT_VOCAB_TOP
+    return f"""
+    WITH hist AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 4 <= 1
+    ), hvocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM hist GROUP BY tok
+    ), topv AS (
+      SELECT tok, c FROM hvocab ORDER BY c DESC, tok LIMIT {v}
+    ), htot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM hvocab
+    ), tshare AS (
+      SELECT cat, CAST(sum(c) AS DOUBLE) / max(n) AS share FROM (
+        SELECT CASE WHEN t.tok IS NOT NULL THEN h.tok
+                    ELSE '{_OTHER}' END AS cat,
+               h.c, ht.n
+        FROM hvocab h LEFT JOIN topv t ON h.tok = t.tok CROSS JOIN htot ht
+      ) GROUP BY cat
+    ), arr AS (
+      SELECT CAST(doc_id % 4 - 2 AS BIGINT) AS batch,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 4 >= 2
+    ), btot AS (
+      SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN hv.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM arr a LEFT JOIN hvocab hv ON a.tok = hv.tok
+      GROUP BY batch
+    ), bshare AS (
+      SELECT batch, cat, CAST(count(*) AS DOUBLE) / max(n_tokens) AS share
+      FROM (
+        SELECT a.batch,
+               CASE WHEN t.tok IS NOT NULL THEN a.tok
+                    ELSE '{_OTHER}' END AS cat,
+               bt.n_tokens
+        FROM arr a LEFT JOIN topv t ON a.tok = t.tok
+          JOIN btot bt ON bt.batch = a.batch
+      ) GROUP BY batch, cat
+    ), tv AS (
+      SELECT b.batch,
+             CAST(sum(CAST(round(abs(coalesce(bs.share, 0)
+                                     - coalesce(ts.share, 0)), 9)
+                           AS DECIMAL(27,9))) AS DOUBLE) / 2 AS tvd
+      FROM (SELECT DISTINCT batch FROM btot) b
+        CROSS JOIN (SELECT cat FROM tshare
+                    UNION SELECT '{_OTHER}' AS cat) cats
+        LEFT JOIN bshare bs ON bs.batch = b.batch AND bs.cat = cats.cat
+        LEFT JOIN tshare ts ON ts.cat = cats.cat
+      GROUP BY b.batch
+    )
+    SELECT bt.batch, bt.n_tokens,
+           round(CAST(bt.n_novel AS DOUBLE) / bt.n_tokens, 9) AS novel_rate,
+           round(tv.tvd, 9) AS tv_distance,
+           (round(CAST(bt.n_novel AS DOUBLE) / bt.n_tokens, 9)
+              > {POSTINGS_DRIFT_NOVEL_MAX}
+            OR round(tv.tvd, 9) > {POSTINGS_DRIFT_TV_MAX})
+             AS suggested_reindex
+    FROM btot bt JOIN tv ON tv.batch = bt.batch
+    """
+
+
+def postings_drift_from(
+    history: DataFrame,
+    arrivals: DataFrame,
+    top_v: int = DRIFT_VOCAB_TOP,
+    tv_max: float = POSTINGS_DRIFT_TV_MAX,
+    novel_max: float = POSTINGS_DRIFT_NOVEL_MAX,
+) -> DataFrame:
+    """Vocabulary-drift report: per arrival batch vs the history corpus.
+
+    ``history``: (text) rows the index was bootstrapped from.
+    ``arrivals``: (batch, text) rows landed since.
+
+    Two bounded drift signals per batch: ``novel_rate`` (share of token
+    occurrences whose token the history has NEVER seen — the
+    new-vocabulary influx a growing merge table / embedding vocabulary
+    pays for) and ``tv_distance`` (total-variation distance between the
+    batch's and the history's token distributions, both folded onto the
+    history's top-``top_v`` tokens + one 'other' bucket, so the
+    comparison state is V+1 categories regardless of vocabulary size —
+    the ``source_token_kl`` trick applied per batch).
+    """
+    hist = history.select(F.explode(X.tokens("text")).alias("tok"))
+    hvocab = hist.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    topv = hvocab.orderBy(F.desc("c"), F.asc("tok")).limit(top_v)
+    htot = hvocab.agg(F.sum("c").cast("bigint").alias("n"))
+    cat = F.when(F.col("t_tok").isNotNull(), F.col("tok")).otherwise(_OTHER)
+    tshare = (
+        hvocab.join(
+            F.broadcast(topv.select(F.col("tok").alias("t_tok"))),
+            F.col("tok") == F.col("t_tok"),
+            "left",
+        )
+        .crossJoin(F.broadcast(htot))
+        .select(cat.alias("cat"), "c", "n")
+        .groupBy("cat")
+        .agg((F.sum("c").cast("double") / F.max("n")).alias("share"))
+    )
+    arr = arrivals.select(
+        F.col("batch").cast("bigint").alias("batch"),
+        F.explode(X.tokens("text")).alias("tok"),
+    )
+    btot = (
+        arr.join(
+            hvocab.select(F.col("tok").alias("h_tok")),
+            F.col("tok") == F.col("h_tok"),
+            "left",
+        )
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("h_tok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    bshare = (
+        arr.join(
+            F.broadcast(topv.select(F.col("tok").alias("t_tok"))),
+            F.col("tok") == F.col("t_tok"),
+            "left",
+        )
+        .join(F.broadcast(btot), "batch")
+        .select("batch", cat.alias("cat"), "n_tokens")
+        .groupBy("batch", "cat")
+        .agg((F.count("*").cast("double") / F.max("n_tokens")).alias("share"))
+    )
+    cats = tshare.select("cat").union(
+        tshare.sparkSession.createDataFrame([(_OTHER,)], ["cat"])
+    ).distinct()
+    grid = btot.select("batch").distinct().crossJoin(F.broadcast(cats))
+    tv = (
+        grid.join(bshare, ["batch", "cat"], "left")
+        .join(
+            tshare.select("cat", F.col("share").alias("t_share")), "cat", "left"
+        )
+        .select(
+            "batch",
+            F.round(
+                F.abs(
+                    F.coalesce("share", F.lit(0.0))
+                    - F.coalesce("t_share", F.lit(0.0))
+                ),
+                9,
+            )
+            .cast("decimal(27,9)")
+            .alias("d"),
+        )
+        .groupBy("batch")
+        .agg((F.sum("d").cast("double") / 2).alias("tvd"))
+    )
+    novel_rate = F.round(
+        F.col("n_novel").cast("double") / F.col("n_tokens"), 9
+    )
+    return btot.join(tv, "batch").select(
+        "batch",
+        "n_tokens",
+        novel_rate.alias("novel_rate"),
+        F.round("tvd", 9).alias("tv_distance"),
+        (
+            (novel_rate > POSTINGS_DRIFT_NOVEL_MAX)
+            | (F.round("tvd", 9) > POSTINGS_DRIFT_TV_MAX)
+        ).alias("suggested_reindex"),
+    )
+
+
+@query("postings_index_drift_report", oracle=_postings_drift_sql())
+def postings_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift report for the ingest-time postings index —
+    the text twin of ``ivf_index_drift_report``, closing the same
+    monitoring loop for ``streaming/postings_sink.postings_maintainer``
+    ('bootstrap the directory from history, fold batches forever,
+    re-bootstrap on drift'): per arrived batch, the share of token
+    occurrences the bootstrap corpus never saw (``novel_rate``) and the
+    total-variation distance of the batch's token distribution vs the
+    bootstrap distribution over a bounded top-{V}+other category space,
+    with ``suggested_reindex`` when either exceeds its envelope
+    (novel > {NM} or TV > {TM}).
+
+    Unlike the quantizer twin this is pure relational arithmetic, so
+    the whole report — flags included — is hash-checked against the
+    DuckDB oracle. Inline derivation: documents with ``doc_id % 4 <=
+    1`` are the bootstrap history, the rest arrive as two
+    pseudo-batches; flag semantics on a CONSTRUCTED drifted stream are
+    additionally pinned in tests via :func:`postings_drift_from`.
+
+    Scale: history vocabulary is one vocab-grain aggregate; the top-V
+    head is a bounded TakeOrdered broadcast; novel detection is one
+    token-key join; every share/TV aggregate is keyed on (batch, <=V+1
+    categories). Nothing holds unbounded state.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    history = docs.filter(F.col("doc_id") % 4 <= 1)
+    arrivals = docs.filter(F.col("doc_id") % 4 >= 2).withColumn(
+        "batch", (F.col("doc_id") % 4 - 2).cast("bigint")
+    )
+    return postings_drift_from(history, arrivals)
+
+
+postings_index_drift_report.__doc__ = (
+    postings_index_drift_report.__doc__.replace("{V}", str(DRIFT_VOCAB_TOP))
+    .replace("{NM}", str(POSTINGS_DRIFT_NOVEL_MAX))
+    .replace("{TM}", str(POSTINGS_DRIFT_TV_MAX))
+)

@@ -174,3 +174,105 @@ def build_struct(
 def sorted_fields(schema: T.StructType) -> list[str]:
     """Alphabetical column order — the invariant from ``converter.go:65``."""
     return sorted(schema.fieldNames())
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution compatibility (restart-time drift triage)
+# ---------------------------------------------------------------------------
+
+#: widening lattice over the mapped Spark types: a value of the key
+#: type is exactly representable in every type it points to, so a
+#: target-table change along an edge can never corrupt landed data
+_WIDENS: dict[type, tuple[type, ...]] = {
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType, T.DecimalType, T.DoubleType),
+    T.ShortType: (T.IntegerType, T.LongType, T.DecimalType, T.DoubleType),
+    T.IntegerType: (T.LongType, T.DecimalType, T.DoubleType),
+    T.LongType: (T.DecimalType,),
+    T.FloatType: (T.DoubleType,),
+    T.DateType: (T.TimestampType,),
+}
+
+
+def _widens(old: T.DataType, new: T.DataType) -> bool:
+    if old == new:
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+        )
+    return isinstance(new, _WIDENS.get(type(old), ()))
+
+
+def schema_compat_report(
+    old: dict[str, str], new: dict[str, str]
+) -> list[dict[str, str | bool]]:
+    """Classify every column delta between two ``DESCRIBE`` snapshots
+    of the target table — the restart-time triage the reference never
+    does (it re-fetches DESCRIBE at startup, ``prepare-functions.go:
+    121-159``, and silently adopts whatever changed; a narrowed column
+    then fails or truncates at INSERT time, mid-stream).
+
+    Verdicts, per column (Avro/Protobuf-style compatibility rules
+    applied to the relay's direction — messages were shaped for OLD,
+    the sink now wants NEW):
+
+    - ``added``: messages don't carry the key -> lands NULL/default.
+      Compatible iff the new column is Nullable (else ClickHouse fills
+      its type default — flagged ``compatible_with_default``).
+    - ``removed``: the key becomes an unknown key and is dropped by
+      the projection (observable via the unknown-key-rate metric) —
+      ``compatible_drops_data``.
+    - ``type changed``: compatible iff the mapped Spark type widens
+      (Int32->Int64, Float32->Float64, Decimal scale/precision grows,
+      Date->DateTime, adding Nullable); anything else is ``breaking``
+      — the restart should fail FAST, not land garbage.
+
+    Returns one dict per changed column: {column, change, old_type,
+    new_type, verdict, breaking}. Unchanged columns are omitted.
+    """
+    report: list[dict[str, str | bool]] = []
+    for name in sorted(set(old) | set(new)):
+        if name in old and name not in new:
+            report.append(
+                {
+                    "column": name,
+                    "change": "removed",
+                    "old_type": old[name],
+                    "new_type": "",
+                    "verdict": "compatible_drops_data",
+                    "breaking": False,
+                }
+            )
+        elif name in new and name not in old:
+            _, nullable = ch_type_to_spark(new[name])
+            report.append(
+                {
+                    "column": name,
+                    "change": "added",
+                    "old_type": "",
+                    "new_type": new[name],
+                    "verdict": "compatible"
+                    if nullable
+                    else "compatible_with_default",
+                    "breaking": False,
+                }
+            )
+        elif old[name] != new[name]:
+            o_t, o_null = ch_type_to_spark(old[name])
+            n_t, n_null = ch_type_to_spark(new[name])
+            if _widens(o_t, n_t) and (n_null or not o_null):
+                verdict, breaking = "compatible_widens", False
+            else:
+                verdict, breaking = "breaking", True
+            report.append(
+                {
+                    "column": name,
+                    "change": "type_changed",
+                    "old_type": old[name],
+                    "new_type": new[name],
+                    "verdict": verdict,
+                    "breaking": breaking,
+                }
+            )
+    return report

@@ -74,6 +74,13 @@ BNLJ_ALLOWED = {
     "events_markov_perplexity",  # 1-row cutoff + 1-row train-stats crossJoins
     "lineitem_chi2_independence",  # |rf| x |ls| marginal grid + 1-row total
     "events_benford_deviation",  # 1-row digit-total crossJoin onto 9-row spine
+    "dsir_importance_weights",  # 1-row bucket-totals crossJoin (B-row ratios)
+    "dsir_selection_summary",  # same + 1-row pool-total crossJoin
+    "lsh_parameter_plan",  # 1-row min-error crossJoin onto the 7-config table
+    "corpus_heaps_fit",  # 1-row doc_id-bounds + 1-row OLS-sums crossJoins
+    "events_snapshot_diff",  # 1-row time-cutoff crossJoin
+    "hybrid_search_rrf",  # inherits bm25's 1-row stat crossJoins + 1-row query-vector crossJoin
+    "postings_index_drift_report",  # 1-row totals + <=V+1-category-spine crossJoins
 }
 
 
@@ -116,6 +123,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative/lag windows run over the <= LORENZ_BUCKETS
     # bucket-grain histogram only, never customer rows
     "customer_revenue_gini_approx",
+    # rank windows run over the two bounded TakeOrdered top-k heads
+    # (<= 2 * RRF_TOP_K rows), never the corpus
+    "hybrid_search_rrf",
 }
 
 

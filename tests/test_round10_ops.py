@@ -1,0 +1,539 @@
+"""Semantic pins for round-10 additions: DSIR importance resampling,
+the empirical LSH parameter planner, snapshot CDC diff, Heaps'-law
+vocabulary growth, and distinct-n diversity. The oracle suite proves
+cross-engine hash equality; these tests pin the SEMANTICS against
+independent in-Python recomputations and the documented invariants."""
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+from tests.oracle_utils import compare, duck_connect
+
+
+# --------------------------------------------------------------------------
+# DSIR (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def _py_bucket(s: str, buckets: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % buckets
+
+
+def _py_dsir_weights(rows, target_lang: str, buckets: int):
+    """Independent recomputation of the hashed-bigram importance
+    weights (exact integer counts, round-before-sum, like the op)."""
+    feat: dict[int, Counter] = {}
+    lang: dict[int, str] = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        feat[r["doc_id"]] = Counter(_py_bucket(g, buckets) for g in grams)
+        lang[r["doc_id"]] = r["lang"]
+    c_target: Counter = Counter()
+    c_all: Counter = Counter()
+    for d, c in feat.items():
+        c_all.update(c)
+        if lang[d] == target_lang:
+            c_target.update(c)
+    n_t, n_a = sum(c_target.values()), sum(c_all.values())
+    lr = {
+        b: round(
+            math.log(
+                (c_target[b] + 1.0)
+                * (n_a + buckets)
+                / ((c_all[b] + 1.0) * (n_t + buckets))
+            ),
+            6,
+        )
+        for b in c_all
+    }
+    return {
+        d: (sum(c.values()), round(sum(n * lr[b] for b, n in c.items()), 6))
+        for d, c in feat.items()
+    }
+
+
+def test_dsir_weights_match_python(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.selection import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    expected = _py_dsir_weights(docs.collect(), DSIR_TARGET_LANG, DSIR_BUCKETS)
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["log_weight"], 6))
+        for r in ops.QUERIES["dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    assert set(got) >= set(expected)
+    for d, (n, w) in expected.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - w) < 1e-6
+    # docs too short for a bigram carry weight 0 by contract
+    for d, (n, w) in got.items():
+        if d not in expected:
+            assert (n, w) == (0, 0.0)
+
+
+def test_dsir_selection_pulls_target_and_pins_second_k(spark, sf_dir):
+    """The whole point of DSIR: the selected mixture must over-represent
+    the target language vs the raw pool. Also pins the parameterized
+    oracle at a second (non-default) selection size."""
+    from kafka_consumer_2_clickhouse_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        dsir_selection_sql,
+        dsir_selection_summary_df,
+    )
+
+    k = 10
+    out = dsir_selection_summary_df(spark, sf_dir, k)
+    rows = {r["lang"]: r for r in out.collect()}
+    assert sum(r["n_selected"] for r in rows.values()) == k
+    tgt = rows[DSIR_TARGET_LANG]
+    assert tgt["selected_share"] > tgt["pool_share"]
+    # every selected_share is n_selected / k after rounding
+    for r in rows.values():
+        assert abs(r["selected_share"] - round(r["n_selected"] / k, 6)) < 1e-9
+
+    con = duck_connect(sf_dir)
+    compare(dsir_selection_summary_df(spark, sf_dir, 25), con, dsir_selection_sql(25))
+
+
+# --------------------------------------------------------------------------
+# LSH parameter planner
+# --------------------------------------------------------------------------
+
+
+def test_lsh_parameter_plan_matches_python_and_monotonicity(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.dedup import (
+        _LSH_PLAN_GRID,
+        LSH_PLAN_CONFIGS,
+        LSH_PLAN_THRESHOLD,
+    )
+
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in ops.QUERIES["lsh_parameter_plan"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(LSH_PLAN_CONFIGS)
+
+    def p_curve(s, b, r):
+        sr = s
+        for _ in range(r - 1):
+            sr = sr * s
+        q = 1 - sr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        return round(1 - qb, 12)
+
+    m, t = _LSH_PLAN_GRID, LSH_PLAN_THRESHOLD
+    for (b, r), row in rows.items():
+        pts = [(2 * i + 1) / (2 * m) for i in range(m)]
+        fp = sum(p_curve(s, b, r) for s in pts if s < t) / m
+        fn = sum(1 - p_curve(s, b, r) for s in pts if s >= t) / m
+        assert abs(row["fp_area"] - fp) < 1e-9
+        assert abs(row["fn_area"] - fn) < 1e-9
+        assert row["n_hashes"] == b * r
+        # the curve transition should straddle s_half_grid
+        assert p_curve(row["s_half_grid"], b, r) < 0.5
+        assert p_curve(row["s_half_grid"] + 1 / m, b, r) >= 0.5
+
+    # recommended == argmin of total_error, and it's unique
+    best = min(rows.values(), key=lambda r: r["total_error"])
+    assert [r["recommended"] for r in rows.values()].count(1) == 1
+    assert best["recommended"] == 1
+
+    # all configs score the SAME observed pair set
+    n_pairs = {r["n_true_pairs"] for r in rows.values()}
+    assert len(n_pairs) == 1
+    if n_pairs != {0}:
+        # P(s) is pointwise increasing in b (fixed r), decreasing in r
+        assert rows[(8, 2)]["expected_recall"] >= rows[(4, 2)]["expected_recall"]
+        assert rows[(4, 2)]["expected_recall"] >= rows[(2, 2)]["expected_recall"]
+        assert rows[(2, 2)]["expected_recall"] >= rows[(2, 4)]["expected_recall"]
+        for r in rows.values():
+            assert 0.0 < r["expected_recall"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# events_snapshot_diff
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_diff_matches_python_resolution(spark, sf_dir):
+    """Classifications equal an independent two-snapshot resolution,
+    and the key accounting closes: every current key appears exactly
+    once, old-snapshot keys = updated + unchanged, 'deleted' is
+    structurally absent on an append-only stream."""
+    from kafka_consumer_2_clickhouse_spark.operators.maintenance import (
+        CUTOFF_DEN,
+        CUTOFF_NUM,
+    )
+
+    ev = [
+        (r["user_id"], r["event_type"], r["ts"], r["event_id"], r["value"])
+        for r in load_table(spark, sf_dir, "events").collect()
+    ]
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    all_us = [us(t) for _, _, t, _, _ in ev]
+    cutoff = min(all_us) + ((max(all_us) - min(all_us)) * CUTOFF_NUM) // CUTOFF_DEN
+
+    def resolve(rows):
+        best = {}
+        for u, et, t, eid, v in rows:
+            k = (u, et)
+            cand = (us(t), eid, v)
+            if k not in best or cand > best[k]:
+                best[k] = cand
+        return best
+
+    new_s = resolve(ev)
+    old_s = resolve([r for r in ev if us(r[2]) <= cutoff])
+    expected = defaultdict(lambda: [0, 0.0])
+    for k, (_, eid, v) in new_s.items():
+        if k not in old_s:
+            kind = "inserted"
+            d = v
+        elif old_s[k][1] != eid:
+            kind = "updated"
+            d = v - old_s[k][2]
+        else:
+            kind = "unchanged"
+            d = 0.0
+        cell = expected[(k[1], kind)]
+        cell[0] += 1
+        cell[1] += d
+
+    rows = ops.QUERIES["events_snapshot_diff"](spark, sf_dir).collect()
+    got = {(r["event_type"], r["change_kind"]): r for r in rows}
+    assert set(got) == set(expected)
+    for key, (n, d) in expected.items():
+        assert got[key]["n_keys"] == n
+        assert abs(got[key]["value_delta_sum"] - d) < 1e-5
+
+    assert all(r["change_kind"] != "deleted" for r in rows)
+    assert sum(r["n_keys"] for r in rows) == len(new_s)
+    n_old = sum(
+        r["n_keys"] for r in rows if r["change_kind"] in ("updated", "unchanged")
+    )
+    assert n_old == len(old_s)
+
+
+# --------------------------------------------------------------------------
+# corpus_heaps_fit + source_ngram_diversity
+# --------------------------------------------------------------------------
+
+
+def test_heaps_fit_matches_python(spark, sf_dir):
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        HEAPS_CHECKPOINTS,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    lo = min(d for d, _ in docs)
+    hi = max(d for d, _ in docs)
+    first_seen = {}
+    for d, toks in sorted(docs):
+        for t in toks:
+            first_seen.setdefault(t, d)
+    exp = {}
+    for i in range(1, HEAPS_CHECKPOINTS + 1):
+        cut = lo + ((hi - lo) * i) // HEAPS_CHECKPOINTS
+        n_cum = sum(len(toks) for d, toks in docs if d <= cut)
+        v_cum = sum(1 for fd in first_seen.values() if fd <= cut)
+        if n_cum > 0 and v_cum > 0:
+            exp[i] = (cut, n_cum, v_cum)
+    pts = [
+        (round(math.log(n), 6), round(math.log(v), 6))
+        for _, n, v in exp.values()
+    ]
+    n = len(pts)
+    sx = round(sum(x for x, _ in pts), 6)
+    sy = round(sum(y for _, y in pts), 6)
+    sxy = round(sum(round(x * y, 6) for x, y in pts), 6)
+    sxx = round(sum(round(x * x, 6) for x, _ in pts), 6)
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    rows = {
+        r["checkpoint"]: r
+        for r in ops.QUERIES["corpus_heaps_fit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(exp)
+    for i, (cut, ncum, vcum) in exp.items():
+        assert rows[i]["cut_doc_id"] == cut
+        assert rows[i]["cum_tokens"] == ncum
+        assert rows[i]["cum_vocab"] == vcum
+        assert abs(rows[i]["heaps_beta"] - beta) < 1e-5
+    # the last checkpoint covers the whole corpus
+    last = rows[HEAPS_CHECKPOINTS]
+    assert last["cum_tokens"] == sum(len(t) for _, t in docs)
+    assert last["cum_vocab"] == len(first_seen)
+    # both cumulatives are monotone in the checkpoint index
+    ordered = [rows[i] for i in sorted(rows)]
+    assert all(
+        a["cum_tokens"] <= b["cum_tokens"] and a["cum_vocab"] <= b["cum_vocab"]
+        for a, b in zip(ordered, ordered[1:])
+    )
+    # sub-linear vocabulary growth; the synthetic corpus's small fixed
+    # vocabulary saturates at the first checkpoint, so beta lands at 0
+    # exactly — the "crawl re-reading itself" signal, correctly fired
+    assert 0.0 <= last["heaps_beta"] < 1.0
+
+
+def test_source_ngram_diversity_matches_python(spark, sf_dir):
+    docs = [
+        (r["source"], r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    exp = {}
+    for n in (1, 2, 3):
+        per = defaultdict(lambda: [0, set()])
+        for src, toks in docs:
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            per[src][0] += len(grams)
+            per[src][1].update(grams)
+        for src, (tot, dst) in per.items():
+            if tot:
+                exp[(src, n)] = (tot, len(dst))
+    rows = {
+        (r["source"], r["n"]): r
+        for r in ops.QUERIES["source_ngram_diversity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(exp)
+    for k, (tot, dst) in exp.items():
+        assert rows[k]["total_ngrams"] == tot
+        assert rows[k]["distinct_ngrams"] == dst
+        assert abs(rows[k]["distinct_ratio"] - dst / tot) < 1e-12
+        assert 0.0 < rows[k]["distinct_ratio"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# hybrid_search_rrf + source_ngram_diversity_approx
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fuses_component_rankings(spark, sf_dir):
+    """The fused table recomputes exactly from the two component
+    queries' rankings, and fused_rank is a clean permutation."""
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        RRF_K,
+        RRF_QUERY_VEC,
+        RRF_TOP_K,
+        hybrid_search_rrf,
+    )
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import _dot_sql
+
+    bm = ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    lex = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["bm25_score"], r["doc_id"]))
+        )
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_dot_sql("embedding", "embedding", "spark")).alias("sq"),
+        "embedding",
+    ).collect()
+    qv = next(r for r in emb if r["vec_id"] == RRF_QUERY_VEC)
+    import numpy as np
+
+    def cos(a, b, an, bn):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s / (an * bn)
+
+    qn = math.sqrt(qv["sq"])
+    scored = [
+        (cos(qv["embedding"], r["embedding"], qn, math.sqrt(r["sq"])), r["vec_id"])
+        for r in emb
+        if r["vec_id"] != RRF_QUERY_VEC
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    sem = {vid: i + 1 for i, (_, vid) in enumerate(scored[:RRF_TOP_K])}
+
+    expected = {}
+    for d in set(lex) | set(sem):
+        s = 0.0
+        if d in lex:
+            s += 1.0 / (RRF_K + lex[d])
+        if d in sem:
+            s += 1.0 / (RRF_K + sem[d])
+        expected[d] = (lex.get(d), sem.get(d), round(s, 9))
+
+    rows = {r["doc_id"]: r for r in hybrid_search_rrf(spark, sf_dir).collect()}
+    assert set(rows) == set(expected)
+    for d, (rl, rs, sc) in expected.items():
+        assert rows[d]["rank_lex"] == rl
+        assert rows[d]["rank_sem"] == rs
+        assert abs(rows[d]["rrf_score"] - sc) < 2e-9
+    ranks = sorted(r["fused_rank"] for r in rows.values())
+    assert ranks == list(range(1, len(rows) + 1))
+    # fused order follows the recomputed scores (doc_id tiebreak)
+    by_rank = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    resorted = sorted(
+        expected.items(), key=lambda kv: (-kv[1][2], kv[0])
+    )
+    assert [r["doc_id"] for r in by_rank] == [d for d, _ in resorted]
+
+
+def test_diversity_approx_envelope_two_rsds(spark, sf_dir):
+    """HLL++ distinct estimates stay inside a generous multiple of the
+    configured rsd at two settings, on every (source, n) cell."""
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        source_ngram_diversity_approx_df,
+    )
+
+    exact = {
+        (r["source"], r["n"]): r
+        for r in ops.QUERIES["source_ngram_diversity"](spark, sf_dir).collect()
+    }
+    for rsd in (0.05, 0.02):
+        approx = {
+            (r["source"], r["n"]): r
+            for r in source_ngram_diversity_approx_df(
+                spark, sf_dir, rsd
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for k, er in exact.items():
+            ar = approx[k]
+            assert ar["total_ngrams"] == er["total_ngrams"]  # exact column
+            rel = abs(ar["distinct_ngrams"] - er["distinct_ngrams"]) / max(
+                er["distinct_ngrams"], 1
+            )
+            assert rel <= 4 * rsd, (k, rsd, rel)
+
+
+# --------------------------------------------------------------------------
+# Hilbert layout
+# --------------------------------------------------------------------------
+
+
+def _xy2d(n, x, y):
+    """Public-domain reference xy2d (Wikipedia 'Hilbert curve')."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_transform_bijective_and_matches_reference():
+    """The generated DuckDB chain equals the classic xy2d on EVERY cell
+    of the 256x256 grid and is a bijection onto 0..65535 (the Spark
+    twin is the same generator; cross-engine equality is the oracle
+    check's job)."""
+    import duckdb
+
+    from kafka_consumer_2_clickhouse_spark.operators import layout
+
+    sql = layout._hilbert_ctes("duckdb", ("day_bucket", "part_bucket"))
+    q = f"""WITH keyed AS (
+        SELECT a.i AS day_bucket, b.i AS part_bucket
+        FROM generate_series(0,255) a(i) CROSS JOIN generate_series(0,255) b(i)),
+    {sql}
+    SELECT day_bucket, part_bucket, hd FROM h{layout.Z_BITS}"""
+    rows = duckdb.sql(q).fetchall()
+    assert len(rows) == 65536
+    seen = set()
+    for x, y, d in rows:
+        assert d == _xy2d(256, x, y)
+        seen.add(d)
+    assert seen == set(range(65536))
+
+
+def test_hilbert_gain_consistent_with_zorder_audit(spark, sf_dir):
+    """The 3-layout table agrees with the stable 2-layout audit on the
+    shared cells, covers all 6 (layout, probe) cells, and scanned rows
+    always bound the selected rows from above."""
+    three = ops.QUERIES["hilbert_pruning_gain"](spark, sf_dir).collect()
+    two = ops.QUERIES["zorder_pruning_gain"](spark, sf_dir).collect()
+    t3 = {(r["layout"], r["probe"]): r for r in three}
+    t2 = {(r["layout"], r["probe"]): r for r in two}
+    assert set(t3) == {
+        (l, p)
+        for l in ("zorder", "daysort", "hilbert")
+        for p in ("day_range", "part_eq")
+    }
+    for k, r2 in t2.items():
+        r3 = t3[k]
+        for c in ("files_scanned", "rows_scanned", "rows_selected",
+                  "scan_fraction", "files_total"):
+            assert r3[c] == r2[c], (k, c)
+    for r in three:
+        assert r["rows_scanned"] >= r["rows_selected"]
+        assert 0.0 <= r["scan_fraction"] <= 1.0
+    # the day-sorted layout is the worst possible shape for a part
+    # probe (at scale it scans ~100%; on the tiny fixture a few sparse
+    # files still drop out) — both curves must beat-or-match it, and
+    # both must genuinely prune
+    ds = t3[("daysort", "part_eq")]["scan_fraction"]
+    assert t3[("hilbert", "part_eq")]["scan_fraction"] < min(1.0, ds + 1e-9)
+    assert t3[("zorder", "part_eq")]["scan_fraction"] < min(1.0, ds + 1e-9)
+
+
+# --------------------------------------------------------------------------
+# postings_index_drift_report
+# --------------------------------------------------------------------------
+
+
+def test_postings_drift_flags_on_constructed_stream(spark):
+    """A batch drawn from the bootstrap distribution stays quiet; a
+    batch of mostly never-seen vocabulary trips both signals. TV and
+    novel_rate recompute by hand."""
+    from kafka_consumer_2_clickhouse_spark.operators.text_analysis import (
+        postings_drift_from,
+    )
+
+    history = spark.createDataFrame(
+        [("alpha beta gamma alpha beta alpha",)] * 4, ["text"]
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta alpha"),  # bootstrap-like
+            (1, "zork quux blorp zork quux blorp"),  # all novel
+        ],
+        ["batch", "text"],
+    )
+    rows = {r["batch"]: r for r in postings_drift_from(history, arrivals).collect()}
+    quiet, loud = rows[0], rows[1]
+    assert quiet["novel_rate"] == 0.0
+    assert quiet["tv_distance"] < 1e-9  # identical distribution
+    assert not quiet["suggested_reindex"]
+    assert loud["novel_rate"] == 1.0
+    # all mass moved off the bootstrap categories onto 'other': TV = 1
+    assert abs(loud["tv_distance"] - 1.0) < 1e-9
+    assert loud["suggested_reindex"]
+
+    # hand-check a partial shift: half the tokens novel
+    arrivals2 = spark.createDataFrame(
+        [(0, "alpha beta alpha zork zork zork")], ["batch", "text"]
+    )
+    r = postings_drift_from(history, arrivals2).collect()[0]
+    assert abs(r["novel_rate"] - 0.5) < 1e-9
+    # batch shares: alpha 2/6, beta 1/6, other 3/6; hist: 3/6, 2/6, 1/6, 0
+    expected_tv = 0.5 * (abs(2 / 6 - 3 / 6) + abs(1 / 6 - 2 / 6)
+                         + abs(0 - 1 / 6) + abs(3 / 6 - 0))
+    assert abs(r["tv_distance"] - expected_tv) < 1e-8
+    assert r["suggested_reindex"]

@@ -113,3 +113,53 @@ def test_load_config_reference_shape():
     assert opts["kafka.bootstrap.servers"] == "k1:9092"
     # Spark checkpointing owns offsets: auto-commit never passes through
     assert "kafka.enable.auto.commit" not in opts
+
+
+def test_schema_compat_report_classifies_deltas():
+    from kafka_consumer_2_clickhouse_spark.schema import schema_compat_report
+
+    old = {
+        "a": "Int32",
+        "b": "Float32",
+        "c": "String",
+        "d": "Int64",
+        "e": "Decimal(10, 2)",
+        "f": "Nullable(Int32)",
+    }
+    new = {
+        "a": "Int64",  # widened
+        "b": "Float64",  # widened
+        "c": "Int32",  # breaking: string -> int
+        # d removed
+        "e": "Decimal(8, 2)",  # breaking: precision shrank
+        "f": "Int32",  # breaking: nullability dropped
+        "g": "Nullable(String)",  # added nullable
+        "h": "UInt16",  # added non-nullable
+    }
+    rep = {r["column"]: r for r in schema_compat_report(old, new)}
+    assert rep["a"]["verdict"] == "compatible_widens" and not rep["a"]["breaking"]
+    assert rep["b"]["verdict"] == "compatible_widens"
+    assert rep["c"]["verdict"] == "breaking" and rep["c"]["breaking"]
+    assert rep["d"]["change"] == "removed"
+    assert rep["d"]["verdict"] == "compatible_drops_data"
+    assert rep["e"]["breaking"]
+    assert rep["f"]["breaking"]  # Nullable -> non-null narrows
+    assert rep["g"]["verdict"] == "compatible"
+    assert rep["h"]["verdict"] == "compatible_with_default"
+    # unchanged columns never appear
+    assert set(rep) == {"a", "b", "c", "d", "e", "f", "g", "h"}
+
+
+def test_schema_compat_report_decimal_and_date_widening():
+    from kafka_consumer_2_clickhouse_spark.schema import schema_compat_report
+
+    rep = {
+        r["column"]: r
+        for r in schema_compat_report(
+            {"x": "Decimal(10, 2)", "y": "Date", "z": "Int32"},
+            {"x": "Decimal(20, 4)", "y": "DateTime('UTC')", "z": "Nullable(Int64)"},
+        )
+    }
+    assert rep["x"]["verdict"] == "compatible_widens"  # scale+int digits grow
+    assert rep["y"]["verdict"] == "compatible_widens"  # Date -> DateTime
+    assert rep["z"]["verdict"] == "compatible_widens"  # widen + add Nullable
