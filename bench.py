@@ -254,6 +254,7 @@ EXTRA = [
     "lineitem_hilbert_layout",
     "hilbert_pruning_gain",
     "postings_index_drift_report",
+    "dsir_gumbel_sample",
 ]
 
 

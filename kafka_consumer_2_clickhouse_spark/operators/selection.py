@@ -265,3 +265,61 @@ def dsir_selection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, the ``doc_difficulty_buckets_approx`` pattern.
     """
     return dsir_selection_summary_df(spark, sf_dir, DSIR_SELECT_K)
+
+
+# --------------------------------------------------------------------------
+# Gumbel-top-k DSIR sampling (the paper's actual sampler, derandomized)
+# --------------------------------------------------------------------------
+
+
+def dsir_gumbel_sql(k: int = DSIR_SELECT_K) -> str:
+    """DuckDB twin of :func:`dsir_gumbel_sample` (parameterized k)."""
+    from .sampling import _bucket_sql as _bs
+
+    u = f"(({_bs('doc_id')} + 0.5) / 65536.0)"
+    return f"""
+    WITH w AS ({dsir_weights_sql()})
+    SELECT doc_id, lang, log_weight,
+           round(log_weight - ln(-ln({u})), 6) AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {k}
+    """
+
+
+def dsir_gumbel_sample_df(
+    spark: SparkSession, sf_dir: str, k: int = DSIR_SELECT_K
+) -> DataFrame:
+    """Parameterized body of :func:`dsir_gumbel_sample`."""
+    w = _weights_df(spark, sf_dir)
+    u = (_bucket(F.col("doc_id")) + 0.5) / 65536.0
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    return (
+        w.select("doc_id", "lang", "log_weight", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@query("dsir_gumbel_sample", oracle=dsir_gumbel_sql())
+def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule — Gumbel-top-k sampling without
+    replacement (Xie et al. 2023 sample proportionally to importance
+    weights; Vieira 2014's Gumbel-max trick makes that a top-k over
+    perturbed scores): each document's key is ``log w(d) + G_d`` with
+    ``G_d = -ln(-ln(u_d))`` standard Gumbel noise at temperature 1.
+    Unlike the temperature-0 head (:func:`dsir_selection_summary`),
+    low-weight documents keep a nonzero chance — the diversity the
+    paper's resampling needs — while the selection remains REPRODUCIBLE:
+    ``u_d`` derives from the suite's deterministic md5 bucket of the
+    doc_id (the ``orders_weighted_sample`` A-ES idiom), so the same
+    sample lands on every engine, partitioning, and rerun, and the
+    whole table is value-hash-checked.
+
+    Determinism: u is exact ((bucket + 0.5)/65536); the perturbed key
+    rounds to 6 decimals before ranking with a doc_id tiebreak.
+
+    Scale: the weight relation's one doc_id shuffle, then a pure
+    map-side key + ``TakeOrderedAndProject`` — no global sort.
+    """
+    return dsir_gumbel_sample_df(spark, sf_dir)

@@ -537,3 +537,45 @@ def test_postings_drift_flags_on_constructed_stream(spark):
                          + abs(0 - 1 / 6) + abs(3 / 6 - 0))
     assert abs(r["tv_distance"] - expected_tv) < 1e-8
     assert r["suggested_reindex"]
+
+
+# --------------------------------------------------------------------------
+# dsir_gumbel_sample
+# --------------------------------------------------------------------------
+
+
+def test_dsir_gumbel_sample_reproducible_and_pulls_weight(spark, sf_dir):
+    """The Gumbel-top-k sample recomputes exactly from the weight
+    relation + the deterministic uniform; it diverges from the
+    temperature-0 argmax head (noise matters) yet still pulls the
+    selected mean weight above the pool mean; second-k oracle pinned."""
+    from kafka_consumer_2_clickhouse_spark.operators.selection import (
+        dsir_gumbel_sample_df,
+        dsir_gumbel_sql,
+    )
+
+    k = 25
+    w = {
+        r["doc_id"]: (r["lang"], r["log_weight"])
+        for r in ops.QUERIES["dsir_importance_weights"](spark, sf_dir).collect()
+    }
+
+    def ukey(d):
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+        u = (b + 0.5) / 65536.0
+        return round(w[d][1] - math.log(-math.log(u)), 6)
+
+    expected = sorted(w, key=lambda d: (-ukey(d), d))[:k]
+    got = dsir_gumbel_sample_df(spark, sf_dir, k).collect()
+    assert [r["doc_id"] for r in got] == expected
+    for r in got:
+        assert abs(r["gumbel_key"] - ukey(r["doc_id"])) < 1e-9
+
+    argmax = sorted(w, key=lambda d: (-w[d][1], d))[:k]
+    assert set(expected) != set(argmax)  # noise genuinely perturbs
+    pool_mean = sum(v[1] for v in w.values()) / len(w)
+    sel_mean = sum(w[d][1] for d in expected) / k
+    assert sel_mean > pool_mean  # ...but weight still pulls selection
+
+    con = duck_connect(sf_dir)
+    compare(dsir_gumbel_sample_df(spark, sf_dir, 40), con, dsir_gumbel_sql(40))
