@@ -269,8 +269,9 @@ def materialize_layout(
     LANDED parquet footers (not from the plan — the manifest proves
     what's physically on disk).
 
-    ``layout``: ``"zorder"`` (Morton file ids) or ``"daysort"`` (the
-    day-bucket comparison layout).
+    ``layout``: ``"zorder"`` (Morton file ids), ``"daysort"`` (the
+    day-bucket comparison layout), or ``"hilbert"`` (curve positions
+    via the broadcast cell lookup of :func:`with_hilbert_file`).
 
     Plan: the keyed projection is map-only; ``repartition(N, file_id)``
     is the ONE shuffle (hash on file id, so each file id lands whole in
@@ -284,13 +285,19 @@ def materialize_layout(
 
     import pyarrow.parquet as pq
 
-    if layout not in ("zorder", "daysort"):
+    if layout not in ("zorder", "daysort", "hilbert"):
         raise ValueError(f"unknown layout {layout!r}")
-    file_col = "zfile" if layout == "zorder" else "dfile"
+    file_col = {"zorder": "zfile", "daysort": "dfile", "hilbert": "hfile"}[
+        layout
+    ]
     ex = _key_exprs("spark")
     keyed = lineitem.selectExpr(
         "*", *[f"{e} AS {name}" for name, e in ex.items()]
-    ).drop("zfile" if file_col == "dfile" else "dfile")
+    )
+    if layout == "hilbert":
+        keyed = with_hilbert_file(keyed).drop("zfile", "dfile")
+    else:
+        keyed = keyed.drop("zfile" if file_col == "dfile" else "dfile")
     (
         keyed.repartition(N_FILES, file_col)
         .sortWithinPartitions("day_bucket", "part_bucket")
@@ -401,30 +408,69 @@ def _hilbert_ctes(engine: str, carry: tuple[str, ...]) -> str:
 
     ``carry`` columns ride through every round unchanged.
     """
-    intdiv = " div " if engine == "spark" else " // "
     keep = ", ".join(carry)
     ctes = [
         f"h0 AS (SELECT {keep}, day_bucket AS hx, part_bucket AS hy,"
         f" 0 AS hd FROM keyed)"
     ]
-    n1 = _HGRID - 1
     for i in range(Z_BITS):
-        s = 1 << (Z_BITS - 1 - i)
-        rx = f"((hx{intdiv}{s}) % 2)"
-        ry = f"((hy{intdiv}{s}) % 2)"
+        nx, ny, nd = _hilbert_round(engine, i)
         ctes.append(
             f"""h{i + 1} AS (
       SELECT {keep},
-             CASE WHEN {ry} = 1 THEN hx
-                  WHEN {rx} = 1 THEN {n1} - hy
-                  ELSE hy END AS hx,
-             CASE WHEN {ry} = 1 THEN hy
-                  WHEN {rx} = 1 THEN {n1} - hx
-                  ELSE hx END AS hy,
-             hd + {s * s} * ({ry} + {rx} * (3 - 2 * {ry})) AS hd
+             {nx} AS hx,
+             {ny} AS hy,
+             {nd} AS hd
       FROM h{i})"""
         )
     return ",\n    ".join(ctes)
+
+
+def _hilbert_round(engine: str, i: int) -> tuple[str, str, str]:
+    """Round ``i``'s (hx, hy, hd) update expressions in terms of the
+    previous round's columns — shared by the SQL CTE chain and the
+    DataFrame lookup builder so the two can't drift."""
+    intdiv = " div " if engine == "spark" else " // "
+    s = 1 << (Z_BITS - 1 - i)
+    n1 = _HGRID - 1
+    rx = f"((hx{intdiv}{s}) % 2)"
+    ry = f"((hy{intdiv}{s}) % 2)"
+    nx = (
+        f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {n1} - hy "
+        f"ELSE hy END"
+    )
+    ny = (
+        f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {n1} - hx "
+        f"ELSE hx END"
+    )
+    nd = f"hd + {s * s} * ({ry} + {rx} * (3 - 2 * {ry}))"
+    return nx, ny, nd
+
+
+def with_hilbert_file(keyed: DataFrame) -> DataFrame:
+    """Attach the Hilbert file id to a row-grain keyed relation via a
+    broadcast cell lookup: the 8-round chain runs over the DISTINCT
+    (day_bucket, part_bucket) cells only (<= 2^{2*Z_BITS} rows, in
+    practice the populated grid), and rows pick up their ``hfile``
+    through one broadcast-hash join — the write path never pays the
+    per-row chain, mirroring the audit queries' cell-grain shape."""
+    cells = keyed.select("day_bucket", "part_bucket").distinct()
+    cur = cells.selectExpr(
+        "day_bucket", "part_bucket",
+        "day_bucket AS hx", "part_bucket AS hy", "0 AS hd",
+    )
+    for i in range(Z_BITS):
+        nx, ny, nd = _hilbert_round("spark", i)
+        cur = cur.selectExpr(
+            "day_bucket", "part_bucket",
+            f"{nx} AS hx", f"{ny} AS hy", f"{nd} AS hd",
+        )
+    lut = cur.selectExpr(
+        "day_bucket", "part_bucket", f"{_hfile('spark')} AS hfile"
+    )
+    from pyspark.sql import functions as F
+
+    return keyed.join(F.broadcast(lut), ["day_bucket", "part_bucket"])
 
 
 _hilbert_ctes.__doc__ = _hilbert_ctes.__doc__.replace("{B}", str(Z_BITS))

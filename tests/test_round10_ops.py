@@ -579,3 +579,34 @@ def test_dsir_gumbel_sample_reproducible_and_pulls_weight(spark, sf_dir):
 
     con = duck_connect(sf_dir)
     compare(dsir_gumbel_sample_df(spark, sf_dir, 40), con, dsir_gumbel_sql(40))
+
+
+def test_hilbert_materialized_layout_prunes_for_real(spark, sf_dir, tmp_path):
+    """Write the HILBERT layout as real parquet files and verify the
+    LANDED footer stats prune exactly as `hilbert_pruning_gain`
+    predicted — the write path (broadcast cell lookup, one shuffle on
+    hfile) is audited by the same prediction discipline as Z-order."""
+    from kafka_consumer_2_clickhouse_spark.operators import layout as L
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hdir = str(tmp_path / "h")
+    hman = L.materialize_layout(lineitem, hdir, layout="hilbert")
+    ids = [e["file_id"] for e in hman["files"]]
+    assert len(ids) == len(set(ids)) <= L.N_FILES
+
+    gain = {
+        (r["layout"], r["probe"]): r
+        for r in ops.QUERIES["hilbert_pruning_gain"](spark, sf_dir).collect()
+    }
+    day_probe = (L.PROBE_DAY_LO, L.PROBE_DAY_HI)
+    for probe, kw in (
+        ("day_range", {"day_range": day_probe}),
+        ("part_eq", {"part_eq": L.PROBE_PART_BUCKET}),
+    ):
+        files, total = L.manifest_pruned_files(hdir, **kw)
+        want = gain[("hilbert", probe)]
+        assert len(files) == want["files_scanned"], probe
+        assert total == want["files_total"], probe
+        df, n_scan, n_total = L.pruned_read(spark, hdir, **kw)
+        assert (n_scan, n_total) == (len(files), total)
+        assert df.count() == want["rows_selected"], probe
