@@ -610,3 +610,18 @@ def test_hilbert_materialized_layout_prunes_for_real(spark, sf_dir, tmp_path):
         df, n_scan, n_total = L.pruned_read(spark, hdir, **kw)
         assert (n_scan, n_total) == (len(files), total)
         assert df.count() == want["rows_selected"], probe
+
+
+def test_hilbert_curve_adjacency_property():
+    """THE defining Hilbert property (and why it beats Z-order for
+    min/max pruning): consecutive curve positions are always
+    grid-ADJACENT (Manhattan distance exactly 1) — no Z-curve seams.
+    Checked over the full 65536-cell traversal of the reference
+    transform the SQL chain is pinned against."""
+    pos = {}
+    for x in range(256):
+        for y in range(256):
+            pos[_xy2d(256, x, y)] = (x, y)
+    for d in range(65535):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
