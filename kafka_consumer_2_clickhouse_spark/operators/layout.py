@@ -274,11 +274,16 @@ def materialize_layout(
     via the broadcast cell lookup of :func:`with_hilbert_file`).
 
     Plan: the keyed projection is map-only; ``repartition(N, file_id)``
-    is the ONE shuffle (hash on file id, so each file id lands whole in
-    one task); ``partitionBy(file_id)`` then writes exactly one file
-    per id. At 100 TB this is the compaction job verbatim — the
-    shuffle is the one-time rewrite cost :func:`zorder_pruning_gain`
-    justifies. Returns the manifest dict.
+    is the one FACT-SCALE shuffle (hash on file id, so each file id
+    lands whole in one task); ``partitionBy(file_id)`` then writes
+    exactly one file per id. The ``"hilbert"`` path adds one extra
+    exchange before it: :func:`with_hilbert_file`'s ``distinct()`` over
+    the populated (day_bucket, part_bucket) cells — map-side it
+    collapses to <=65536 cell rows feeding the broadcast lookup, so its
+    cost is bounded by the grid, not the table. At 100 TB this is the
+    compaction job verbatim — the repartition is the one-time rewrite
+    cost :func:`zorder_pruning_gain` justifies. Returns the manifest
+    dict.
     """
     import json
     import os

@@ -3228,8 +3228,7 @@ def postings_drift_from(
         novel_rate.alias("novel_rate"),
         F.round("tvd", 9).alias("tv_distance"),
         (
-            (novel_rate > POSTINGS_DRIFT_NOVEL_MAX)
-            | (F.round("tvd", 9) > POSTINGS_DRIFT_TV_MAX)
+            (novel_rate > novel_max) | (F.round("tvd", 9) > tv_max)
         ).alias("suggested_reindex"),
     )
 

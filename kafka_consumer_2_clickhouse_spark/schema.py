@@ -184,12 +184,21 @@ def sorted_fields(schema: T.StructType) -> list[str]:
 #: type is exactly representable in every type it points to, so a
 #: target-table change along an edge can never corrupt landed data
 _WIDENS: dict[type, tuple[type, ...]] = {
-    T.ByteType: (T.ShortType, T.IntegerType, T.LongType, T.DecimalType, T.DoubleType),
-    T.ShortType: (T.IntegerType, T.LongType, T.DecimalType, T.DoubleType),
-    T.IntegerType: (T.LongType, T.DecimalType, T.DoubleType),
-    T.LongType: (T.DecimalType,),
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType, T.DoubleType),
+    T.ShortType: (T.IntegerType, T.LongType, T.DoubleType),
+    T.IntegerType: (T.LongType, T.DoubleType),
     T.FloatType: (T.DoubleType,),
     T.DateType: (T.TimestampType,),
+}
+
+#: max decimal digits an integer type can need — the integer->Decimal
+#: edge is only a widening when the target's integral capacity
+#: (precision - scale) covers every value of the source type
+_INT_DIGITS: dict[type, int] = {
+    T.ByteType: 3,  # 127
+    T.ShortType: 5,  # 32767
+    T.IntegerType: 10,  # 2147483647
+    T.LongType: 19,  # 9223372036854775807
 }
 
 
@@ -201,6 +210,8 @@ def _widens(old: T.DataType, new: T.DataType) -> bool:
             new.scale >= old.scale
             and new.precision - new.scale >= old.precision - old.scale
         )
+    if isinstance(new, T.DecimalType) and type(old) in _INT_DIGITS:
+        return new.precision - new.scale >= _INT_DIGITS[type(old)]
     return isinstance(new, _WIDENS.get(type(old), ()))
 
 

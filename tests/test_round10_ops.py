@@ -538,6 +538,18 @@ def test_postings_drift_flags_on_constructed_stream(spark):
     assert abs(r["tv_distance"] - expected_tv) < 1e-8
     assert r["suggested_reindex"]
 
+    # custom envelopes are honored by the flag, not just the defaults:
+    # loosening both above the observed values un-trips the flag,
+    # tightening novel_max below 0.5 trips it
+    calm = postings_drift_from(
+        history, arrivals2, novel_max=0.9, tv_max=0.9
+    ).collect()[0]
+    assert not calm["suggested_reindex"]
+    hot = postings_drift_from(
+        history, arrivals2, novel_max=0.1, tv_max=0.9
+    ).collect()[0]
+    assert hot["suggested_reindex"]
+
 
 # --------------------------------------------------------------------------
 # dsir_gumbel_sample

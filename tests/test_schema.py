@@ -163,3 +163,37 @@ def test_schema_compat_report_decimal_and_date_widening():
     assert rep["x"]["verdict"] == "compatible_widens"  # scale+int digits grow
     assert rep["y"]["verdict"] == "compatible_widens"  # Date -> DateTime
     assert rep["z"]["verdict"] == "compatible_widens"  # widen + add Nullable
+
+
+def test_schema_compat_report_int_to_decimal_needs_capacity():
+    # integer -> Decimal is only a widening when precision - scale covers
+    # every value of the source type (Byte 3, Short 5, Int 10, Long 19)
+    from kafka_consumer_2_clickhouse_spark.schema import schema_compat_report
+
+    rep = {
+        r["column"]: r
+        for r in schema_compat_report(
+            {
+                "a": "Int64",
+                "b": "Int64",
+                "c": "Int32",
+                "d": "Int32",
+                "e": "Int16",
+                "f": "Int8",
+            },
+            {
+                "a": "Decimal(10, 2)",  # 8 integral digits < 19 -> overflow
+                "b": "Decimal(21, 2)",  # 19 integral digits -> ok
+                "c": "Decimal(9, 0)",  # 9 < 10 -> overflow
+                "d": "Decimal(12, 2)",  # 10 integral digits -> ok
+                "e": "Decimal(5, 0)",  # 5 >= 5 -> ok
+                "f": "Decimal(4, 2)",  # 2 < 3 -> overflow
+            },
+        )
+    }
+    assert rep["a"]["verdict"] == "breaking" and rep["a"]["breaking"]
+    assert rep["b"]["verdict"] == "compatible_widens"
+    assert rep["c"]["verdict"] == "breaking"
+    assert rep["d"]["verdict"] == "compatible_widens"
+    assert rep["e"]["verdict"] == "compatible_widens"
+    assert rep["f"]["verdict"] == "breaking"
