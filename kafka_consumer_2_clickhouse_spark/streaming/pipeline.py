@@ -198,13 +198,32 @@ def start_pipeline(
     source: DataFrame | None = None,
     sinks: dict[str, Callable[[DataFrame, int], None]] | None = None,
     trigger: dict | None = None,
+    describes: dict[str, dict[str, str]] | None = None,
 ) -> list[TopicPipeline]:
     """Start every configured topic's query (the whole ``main()``).
 
     ``schemas`` maps topic -> target StructType (built from config or a
     live ``DESCRIBE TABLE`` via ``schema.build_struct``). ``source``
     defaults to the real Kafka stream; tests inject a file stream.
+
+    ``describes`` maps topic -> the raw ``DESCRIBE`` dict (column ->
+    ClickHouse type string). When given, EVERY topic is gated through
+    :func:`.schema_guard.guard_topic_schema` before ANY query starts:
+    a breaking change on one topic raises ``SchemaCompatError`` with
+    zero batches planned anywhere (the reference instead silently
+    adopted the new schema and failed mid-stream,
+    ``prepare-functions.go:121-159``); compatible drift is logged and
+    the per-topic snapshot under ``{checkpoint_root}/_schemas/`` rolls
+    forward.
     """
+    if describes:
+        from .schema_guard import guard_topic_schema
+
+        for cfg in config.topics:
+            if cfg.topic in describes:
+                guard_topic_schema(
+                    config.checkpoint_root, cfg.topic, describes[cfg.topic]
+                )
     src = source if source is not None else kafka_stream(spark, config)
     out = []
     for cfg in config.topics:
@@ -233,6 +252,7 @@ def run_file_pipeline_once(
     schemas: dict[str, T.StructType],
     source_path: str,
     sinks: dict[str, Callable[[DataFrame, int], None]],
+    describes: dict[str, dict[str, str]] | None = None,
 ) -> None:
     """Service-free end-to-end run: Kafka-shaped parquet files in,
     availableNow trigger (process everything then stop). The test/CI
@@ -240,7 +260,7 @@ def run_file_pipeline_once(
     src = file_stream(spark, source_path, max_files_per_trigger=None)
     pipelines = start_pipeline(
         spark, config, schemas, source=src, sinks=sinks,
-        trigger={"availableNow": True},
+        trigger={"availableNow": True}, describes=describes,
     )
     for p in pipelines:
         p.query.awaitTermination()

@@ -1,0 +1,184 @@
+"""Restart-time schema-drift guard: persist the per-topic resolved
+``DESCRIBE`` snapshot next to the checkpoint and triage drift at
+startup, BEFORE any batch runs.
+
+The reference re-fetches ``DESCRIBE TABLE`` on every start
+(``cmd/kafka-consumer/prepare-functions.go:121-159``) and silently
+adopts whatever it returns — so a narrowed or retyped target column is
+discovered only when an INSERT fails (or, worse, truncates) mid-stream.
+This module is the fix the reference never had:
+
+1. every successful start persists the resolved per-topic schema
+   snapshot (the ``column -> ClickHouse type string`` dict) next to the
+   checkpoint, under ``{checkpoint_root}/_schemas/{topic}/v=<n>/``;
+2. the NEXT start diffs the fresh ``DESCRIBE`` against that snapshot
+   via :func:`..schema.schema_compat_report`;
+3. any ``breaking`` verdict raises :class:`SchemaCompatError` before a
+   single micro-batch is planned (the ``SinkUnavailableError``
+   fail-fast discipline, ``sinks.py:47``);
+4. compatible drift (widened types, added/removed columns) is logged
+   through the structured JSON logger — the same channel the
+   unknown-key drift metric uses — and the snapshot rolls forward.
+
+Persistence uses the same versioned-directory commit protocol as the
+other streaming state (``state_store.py``): write ``v=<n>.tmp``, rename
+to commit, sweep superseded versions; max id wins on read. The
+snapshot payload itself is one tiny JSON file written/read driver-side
+— like :class:`..streaming.state_store.ManifestStateStore`'s marker
+trio, ``_write_text``/``_read_text`` are the only two calls an
+object-store/HDFS deployment overrides (PUT / GET of a small object).
+
+Scale: the snapshot is O(columns) bytes and touched once per process
+start — never on the batch path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..jsonlog import get_json_logger, log_error, log_info
+from ..schema import schema_compat_report
+from .state_store import DEFAULT_STORE, StateStore
+
+_LOG = get_json_logger()
+
+#: sidecar directory under the pipeline's checkpoint root
+SNAPSHOT_ROOT = "_schemas"
+#: the one file inside each committed version dir
+SNAPSHOT_FILE = "snapshot.json"
+
+
+class SchemaCompatError(RuntimeError):
+    """The target table changed in a way landed messages can't satisfy
+    (narrowed / retyped / de-nulled column). Raised at startup so the
+    operator fixes the table or the config — instead of the reference's
+    behavior of landing garbage or dying mid-stream."""
+
+    def __init__(self, topic: str, breaking: list[dict]):
+        self.topic = topic
+        self.breaking = breaking
+        detail = "; ".join(
+            f"{r['column']}: {r['old_type'] or '(absent)'} -> "
+            f"{r['new_type'] or '(absent)'}"
+            for r in breaking
+        )
+        super().__init__(
+            f"breaking schema change on topic {topic!r}: {detail}"
+        )
+
+
+def _write_text(path: str, text: str) -> None:
+    """Small-file content write (override for object stores: one PUT)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def _read_text(path: str) -> str:
+    """Small-file content read (override for object stores: one GET)."""
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def _topic_dir(checkpoint_root: str, topic: str) -> str:
+    return os.path.join(checkpoint_root, SNAPSHOT_ROOT, topic)
+
+
+def _versions(store: StateStore, topic_dir: str) -> list[int]:
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in store.listdir(topic_dir)
+        if n.startswith("v=") and not n.endswith(".tmp")
+    )
+
+
+def load_schema_snapshot(
+    checkpoint_root: str, topic: str, store: StateStore | None = None
+) -> dict[str, str] | None:
+    """Latest committed snapshot for ``topic`` (max version id wins),
+    or ``None`` on first start."""
+    store = store or DEFAULT_STORE
+    d = _topic_dir(checkpoint_root, topic)
+    vs = _versions(store, d)
+    if not vs:
+        return None
+    return json.loads(
+        _read_text(os.path.join(d, f"v={vs[-1]}", SNAPSHOT_FILE))
+    )
+
+
+def save_schema_snapshot(
+    checkpoint_root: str,
+    topic: str,
+    describe: dict[str, str],
+    store: StateStore | None = None,
+) -> int:
+    """Commit ``describe`` as the topic's new snapshot version and sweep
+    superseded ones. Crash-safe: a ``.tmp`` dir that never renamed is
+    invisible to :func:`_versions` and overwritten by the next attempt.
+    Returns the committed version id."""
+    store = store or DEFAULT_STORE
+    d = _topic_dir(checkpoint_root, topic)
+    vs = _versions(store, d)
+    nxt = (vs[-1] + 1) if vs else 0
+    tmp = os.path.join(d, f"v={nxt}.tmp")
+    store.rmtree(tmp)  # leftover from a crashed attempt
+    os.makedirs(tmp, exist_ok=True)
+    _write_text(
+        os.path.join(tmp, SNAPSHOT_FILE), json.dumps(describe, sort_keys=True)
+    )
+    store.rename(tmp, os.path.join(d, f"v={nxt}"))
+    for v in vs:
+        store.rmtree(os.path.join(d, f"v={v}"))
+    return nxt
+
+
+def guard_topic_schema(
+    checkpoint_root: str,
+    topic: str,
+    describe: dict[str, str],
+    store: StateStore | None = None,
+    logger=None,
+) -> list[dict]:
+    """The startup gate: diff ``describe`` (the fresh ``DESCRIBE`` of
+    the topic's target table) against the previous run's snapshot.
+
+    - first start: snapshot initialized, ``[]`` returned;
+    - no drift: ``[]`` returned, snapshot untouched;
+    - compatible drift: every delta logged (INFO, structured), snapshot
+      rolled forward, the report returned so callers can surface it;
+    - any ``breaking`` delta: logged (ERROR) and
+      :class:`SchemaCompatError` raised — the snapshot is NOT rolled
+      forward, so the same breakage trips every restart until fixed.
+    """
+    logger = logger or _LOG
+    prev = load_schema_snapshot(checkpoint_root, topic, store)
+    if prev is None:
+        save_schema_snapshot(checkpoint_root, topic, describe, store)
+        log_info(
+            logger,
+            "schema snapshot initialized",
+            f"topic={topic} columns={len(describe)}",
+        )
+        return []
+    report = schema_compat_report(prev, describe)
+    breaking = [r for r in report if r["breaking"]]
+    if breaking:
+        for r in breaking:
+            log_error(
+                logger,
+                "breaking schema change — refusing to start",
+                f"topic={topic} column={r['column']} "
+                f"{r['old_type'] or '(absent)'}->{r['new_type'] or '(absent)'}",
+            )
+        raise SchemaCompatError(topic, breaking)
+    for r in report:
+        log_info(
+            logger,
+            "schema drift (compatible)",
+            f"topic={topic} column={r['column']} change={r['change']} "
+            f"verdict={r['verdict']}",
+        )
+    if report:
+        save_schema_snapshot(checkpoint_root, topic, describe, store)
+    return report

@@ -1,0 +1,181 @@
+"""Restart-time schema-drift guard (streaming/schema_guard.py): the
+startup gate the reference never had (``prepare-functions.go:121-159``
+silently adopts whatever DESCRIBE returns). Pins:
+
+- snapshot persistence: versioned-dir commit, max-id wins, superseded
+  sweep, crash-sim leftover ``.tmp`` overwritten;
+- guard semantics: first-start init, no-drift no-op, compatible drift
+  logged + snapshot rolls forward, breaking drift raises BEFORE any
+  batch and leaves the snapshot pinned to the old schema;
+- end-to-end: a file pipeline restarted against a WIDENED describe
+  proceeds and lands rows; restarted against a NARROWED describe fails
+  fast with the sink never invoked.
+"""
+
+import io
+import json
+
+import pyarrow as pa
+import pytest
+
+from kafka_consumer_2_clickhouse_spark.config import (
+    ClickHouseConfig,
+    PipelineConfig,
+    TopicConfig,
+)
+from kafka_consumer_2_clickhouse_spark.jsonlog import get_json_logger
+from kafka_consumer_2_clickhouse_spark.schema import build_struct
+from kafka_consumer_2_clickhouse_spark.sinks import parquet_writer
+from kafka_consumer_2_clickhouse_spark.sources.kafka import KAFKA_SHAPE
+from kafka_consumer_2_clickhouse_spark.streaming import pipeline
+from kafka_consumer_2_clickhouse_spark.streaming.schema_guard import (
+    SchemaCompatError,
+    guard_topic_schema,
+    load_schema_snapshot,
+    save_schema_snapshot,
+)
+
+DESCRIBE_V1 = {"event_id": "Int64", "event_type": "String", "value": "Float32"}
+#: value widened Float32->Float64, one nullable column added
+DESCRIBE_WIDER = {
+    "event_id": "Int64",
+    "event_type": "String",
+    "value": "Float64",
+    "note": "Nullable(String)",
+}
+#: event_id narrowed Int64->Int32 — breaking
+DESCRIBE_NARROWER = {
+    "event_id": "Int32",
+    "event_type": "String",
+    "value": "Float32",
+}
+#: e2e widening keeps value Float32 (the parquet TEST sink can't merge
+#: FLOAT/DOUBLE part files — the JDBC sink has no such constraint) and
+#: exercises the added-nullable-column verdict instead
+DESCRIBE_WIDER_E2E = {
+    "event_id": "Int64",
+    "event_type": "String",
+    "value": "Float32",
+    "note": "Nullable(String)",
+}
+
+
+def test_snapshot_roundtrip_versioning_and_crash_sim(tmp_path):
+    root = str(tmp_path / "ckpt")
+    assert load_schema_snapshot(root, "events") is None
+    v0 = save_schema_snapshot(root, "events", DESCRIBE_V1)
+    assert v0 == 0
+    assert load_schema_snapshot(root, "events") == DESCRIBE_V1
+    # crash-sim: a leftover .tmp from a died attempt is invisible to the
+    # reader and silently replaced by the next commit
+    leftover = tmp_path / "ckpt" / "_schemas" / "events" / "v=1.tmp"
+    leftover.mkdir(parents=True)
+    (leftover / "snapshot.json").write_text('{"junk": "Int8"}')
+    assert load_schema_snapshot(root, "events") == DESCRIBE_V1
+    v1 = save_schema_snapshot(root, "events", DESCRIBE_WIDER)
+    assert v1 == 1
+    assert load_schema_snapshot(root, "events") == DESCRIBE_WIDER
+    # superseded version swept: only v=1 remains committed
+    children = sorted(
+        p.name for p in (tmp_path / "ckpt" / "_schemas" / "events").iterdir()
+    )
+    assert children == ["v=1"]
+
+
+def _capture_logger(name):
+    out, err = io.StringIO(), io.StringIO()
+    return get_json_logger(name, info_stream=out, error_stream=err), out, err
+
+
+def test_guard_first_start_drift_and_breaking(tmp_path):
+    root = str(tmp_path / "ckpt")
+    logger, out, err = _capture_logger("schema-guard-test")
+    # first start: snapshot initialized
+    assert guard_topic_schema(root, "events", DESCRIBE_V1, logger=logger) == []
+    assert "schema snapshot initialized" in out.getvalue()
+    # identical describe: no drift, version untouched
+    assert guard_topic_schema(root, "events", DESCRIBE_V1, logger=logger) == []
+    # compatible widening: logged, snapshot rolls forward
+    report = guard_topic_schema(root, "events", DESCRIBE_WIDER, logger=logger)
+    verdicts = {r["column"]: r["verdict"] for r in report}
+    assert verdicts == {"value": "compatible_widens", "note": "compatible"}
+    assert "schema drift (compatible)" in out.getvalue()
+    assert load_schema_snapshot(root, "events") == DESCRIBE_WIDER
+    # narrowing vs the NEW baseline: fail fast, snapshot NOT rolled
+    with pytest.raises(SchemaCompatError) as exc:
+        guard_topic_schema(root, "events", DESCRIBE_NARROWER, logger=logger)
+    assert "event_id" in str(exc.value)
+    assert "breaking schema change" in err.getvalue()
+    assert load_schema_snapshot(root, "events") == DESCRIBE_WIDER
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: restart the file pipeline against widened / narrowed targets
+# ---------------------------------------------------------------------------
+
+
+def _payloads(n):
+    codec = pa.Codec("snappy")
+    return [
+        bytes(
+            codec.compress(
+                json.dumps(
+                    {"event_id": i, "event_type": f"t{i % 3}", "value": i * 1.5}
+                ).encode()
+            )
+        )
+        for i in range(n)
+    ]
+
+
+def _run_once(spark, tmp_path, describe, offset0):
+    # append a fresh batch of Kafka-shaped files into the SAME source
+    # dir each "restart": already-seen files stay in the checkpoint's
+    # seen-files map, only the new ones process
+    src = tmp_path / "src"
+    rows = [
+        (None, p, "events", 0, offset0 + i, None)
+        for i, p in enumerate(_payloads(8))
+    ]
+    spark.createDataFrame(rows, KAFKA_SHAPE).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    cfg = PipelineConfig(
+        topics=[
+            TopicConfig(topic="events", clickhouse=ClickHouseConfig(table="events"))
+        ],
+        checkpoint_root=str(tmp_path / "ckpt"),
+        dead_letter_path=str(tmp_path / "dead"),
+    )
+    out = tmp_path / "landed"
+    pipeline.run_file_pipeline_once(
+        spark,
+        cfg,
+        {"events": build_struct(describe)},
+        str(src),
+        sinks={"events": parquet_writer(str(out))},
+        describes={"events": describe},
+    )
+    return out
+
+
+def test_pipeline_restart_widened_proceeds_narrowed_fails_fast(spark, tmp_path):
+    out = _run_once(spark, tmp_path, DESCRIBE_V1, offset0=0)
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first == 8
+    # restart against a WIDENED target: proceeds, more rows land,
+    # snapshot rolled forward
+    out = _run_once(spark, tmp_path, DESCRIBE_WIDER_E2E, offset0=8)
+    landed = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert landed.count() == 16
+    assert "note" in landed.columns  # new nullable column rode through
+    root = str(tmp_path / "ckpt")
+    assert load_schema_snapshot(root, "events") == DESCRIBE_WIDER_E2E
+    # restart against a NARROWED target: fails fast — no query starts,
+    # the sink is never invoked, nothing new lands
+    with pytest.raises(SchemaCompatError):
+        _run_once(spark, tmp_path, DESCRIBE_NARROWER, offset0=16)
+    assert (
+        spark.read.option("mergeSchema", "true").parquet(str(out)).count() == 16
+    )
+    assert load_schema_snapshot(root, "events") == DESCRIBE_WIDER_E2E
