@@ -2024,6 +2024,14 @@ def _batch_postings(docs: DataFrame) -> DataFrame:
     )
 
 
+def _batch_norms(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) token lengths for one document batch — the norms
+    sidecar rows (map-only; dl == sum of the doc's posting tfs)."""
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+
+
 def _batch_directory(td: DataFrame) -> DataFrame:
     """Per-token stats for one batch's postings. The champion document
     (max tf, ties to the smallest doc_id) rides as the max of a
@@ -2061,6 +2069,9 @@ def build_postings_index(
       statistics page rarest-first intersection and WAND-style early
       termination consult; every column merges associatively, which is
       what makes :func:`append_to_postings_index` possible.
+    - ``norms/``  (doc_id, dl) — per-document token length, the Lucene
+      norms file: what :func:`bm25_postings_search` needs for length
+      normalization without ever re-tokenizing the corpus.
     """
     import os
 
@@ -2071,6 +2082,9 @@ def build_postings_index(
     _batch_directory(
         spark.read.parquet(os.path.join(index_dir, "postings"))
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "directory"))
+    _batch_norms(docs).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "norms")
+    )
     return index_dir
 
 
@@ -2108,6 +2122,9 @@ def append_to_postings_index(
         )
     new_td = _batch_postings(new_docs)
     new_td.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    _batch_norms(new_docs).write.mode("append").parquet(
+        os.path.join(index_dir, "norms")
+    )
     dir_path = os.path.join(index_dir, "directory")
     merged = (
         spark.read.parquet(dir_path)
@@ -2225,6 +2242,16 @@ def compact_postings_index(spark: SparkSession, index_dir: str) -> str:
     os.rename(ddir, dold)
     os.rename(dstaged, ddir)
     shutil.rmtree(dold)
+    ndir = os.path.join(index_dir, "norms")
+    if os.path.isdir(ndir):
+        nstaged = ndir + ".compact"
+        spark.read.parquet(ndir).join(
+            F.broadcast(ts), "doc_id", "left_anti"
+        ).write.mode("overwrite").parquet(nstaged)
+        nold = ndir + ".old"
+        os.rename(ndir, nold)
+        os.rename(nstaged, ndir)
+        shutil.rmtree(nold)
     shutil.rmtree(os.path.join(index_dir, "tombstones"))
     return index_dir
 
@@ -2455,6 +2482,109 @@ def _bm25_sql() -> str:
     """
 
 
+def _bm25_rank(
+    hits: DataFrame,
+    dl: DataFrame,
+    corpus: DataFrame,
+    terms: tuple = SEARCH_TERMS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """The BM25 scoring chain, shared verbatim by the inline and the
+    persisted-index paths (so their equality pin is structural, not
+    coincidental). Inputs:
+
+    - ``hits``: (doc_id, tok, tf) rows for the QUERY TERMS only —
+      exploded occurrences with ``tf == 1`` (inline) or aggregated
+      posting rows (index probe); the conditional sums below are
+      indifferent to the grain;
+    - ``dl``: (doc_id, dl double) document lengths;
+    - ``corpus``: one row (n_docs bigint, dl_total bigint).
+
+    Per-term expressions combine in a FIXED left-to-right order (float
+    addition is not associative) and round to 9 decimals before the
+    doc_id-tiebroken TakeOrdered head — the determinism discipline of
+    the registered query.
+    """
+    tf_aggs = [
+        F.sum(F.when(F.col("tok") == x, F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias(f"tf_{i}")
+        for i, x in enumerate(terms)
+    ]
+    per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
+    df_aggs = [
+        F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
+        .cast("bigint")
+        .alias(f"df_{i}")
+        for i, x in enumerate(terms)
+    ]
+    dstats = hits.agg(*df_aggs)
+    scored = (
+        per_doc.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dstats))
+    )
+    avgdl = F.col("dl_total").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        dfq = F.col(f"df_{i}")
+        idf = F.log(
+            1 + (F.col("n_docs").cast("double") - dfq + 0.5) / (dfq + 0.5)
+        )
+        term = F.when(tf == 0, F.lit(0.0)).otherwise(
+            idf
+            * (tf * (BM25_K1 + 1.0))
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", F.round(score, 9).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def bm25_postings_search(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple = SEARCH_TERMS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 against the PERSISTED index — the 100 TB path: only the
+    probed terms' posting rows are read (``tok IN (...)`` pushed into
+    the tok-sorted parquet scan), document lengths come from the
+    ``norms/`` sidecar (one 2-column relation — the corpus text is
+    never re-tokenized), df/n_docs/avgdl derive from those two index
+    artifacts alone. Pending deletes are excluded on BOTH sides (the
+    postings anti-join removes deleted candidates; the norms anti-join
+    keeps n_docs and avgdl exact post-delete). Output identical to the
+    inline :func:`bm25_search_docs` over the same corpus — pinned in
+    tests/test_postings_index.py."""
+    import os
+
+    ndir = os.path.join(index_dir, "norms")
+    if not os.path.isdir(ndir):
+        raise FileNotFoundError(
+            f"{index_dir!r} has no norms/ sidecar — rebuild with "
+            "build_postings_index() (BM25 needs per-doc lengths)"
+        )
+    hits = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("tok").isin(*terms)
+    )
+    norms = spark.read.parquet(ndir)
+    ts = _postings_tombstones(spark, index_dir)
+    if ts is not None:
+        hits = hits.join(F.broadcast(ts), "doc_id", "left_anti")
+        norms = norms.join(F.broadcast(ts), "doc_id", "left_anti")
+    corpus = norms.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("dl_total"),
+    )
+    dl = norms.select("doc_id", F.col("dl").cast("double").alias("dl"))
+    return _bm25_rank(hits, dl, corpus, terms, top_k)
+
+
 @query("bm25_search_docs", oracle=_bm25_sql())
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked retrieval for the suite's fixed query terms — the
@@ -2474,29 +2604,21 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection before any shuffle; per-doc tfs are a doc-grain
     conditional aggregate (|terms| columns wide, no pivot shuffle); df
     and corpus stats are two 1-row broadcast crossJoins (whitelisted);
-    the head is a TakeOrdered. With a stored inverted index this is
-    |terms| posting scans + a WAND-style top-k — ``token_postings_
-    stats``'s max_tf is exactly the impact bound that upgrade needs.
+    the head is a TakeOrdered. ``SPARK_GRAFT_POSTINGS_INDEX=<dir>``
+    serves :func:`bm25_postings_search` instead — |terms| pushed
+    posting scans + the norms sidecar, corpus never re-tokenized; path
+    equality pinned in tests/test_postings_index.py.
     """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
+    if index_dir:
+        return bm25_postings_search(spark, index_dir)
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    hits = toks.filter(F.col("tok").isin(*SEARCH_TERMS))
-    tf_aggs = [
-        F.sum(F.when(F.col("tok") == x, 1).otherwise(0))
-        .cast("bigint")
-        .alias(f"tf_{i}")
-        for i, x in enumerate(SEARCH_TERMS)
-    ]
-    per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
-    df_aggs = [
-        F.count_distinct(
-            F.when(F.col("tok") == x, F.col("doc_id"))
-        )
-        .cast("bigint")
-        .alias(f"df_{i}")
-        for i, x in enumerate(SEARCH_TERMS)
-    ]
-    dstats = hits.agg(*df_aggs)
+    hits = toks.filter(F.col("tok").isin(*SEARCH_TERMS)).withColumn(
+        "tf", F.lit(1).cast("bigint")
+    )
     corpus = docs.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("dl_total"),
@@ -2504,31 +2626,7 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
     )
-    scored = (
-        per_doc.join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(dstats))
-    )
-    avgdl = F.col("dl_total").cast("double") / F.col("n_docs")
-    score = None
-    for i in range(len(SEARCH_TERMS)):
-        tf = F.col(f"tf_{i}")
-        dfq = F.col(f"df_{i}")
-        idf = F.log(
-            1
-            + (F.col("n_docs").cast("double") - dfq + 0.5) / (dfq + 0.5)
-        )
-        term = F.when(tf == 0, F.lit(0.0)).otherwise(
-            idf
-            * (tf * (BM25_K1 + 1.0))
-            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
-        )
-        score = term if score is None else score + term
-    return (
-        scored.select("doc_id", F.round(score, 9).alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-        .limit(BM25_TOP_K)
-    )
+    return _bm25_rank(hits, dl, corpus)
 
 
 # --------------------------------------------------------------------------
@@ -2923,39 +3021,63 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive sides — term-filtered postings scan, broadcast-query
     cosine scan — keep their own documented shapes); the fusion is a
     full-outer join and a rank window over <= 2·{TK} rows. At 100 TB
-    the inputs swap for the persisted-index probes
-    (``SPARK_GRAFT_POSTINGS_INDEX`` / ``SPARK_GRAFT_IVF_INDEX``)
-    feeding the same bounded fusion.
+    the inputs swap for the persisted-index probes: the lexical side
+    follows ``bm25_search_docs``'s own ``SPARK_GRAFT_POSTINGS_INDEX``
+    switch, and ``SPARK_GRAFT_IVF_INDEX=<dir>`` serves the dense side
+    via :func:`..similarity.ivf_search` (partition-pruned probed-cell
+    scan; ``SPARK_GRAFT_IVF_NPROBE`` overrides the probe width —
+    n_probe == N_CELLS is exact, which is how the path-equality test
+    pins the swap) — the same bounded fusion either way.
     """
+    import os
+
     lex_w = W.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
     lex = bm25_search_docs(spark, sf_dir).select(
         "doc_id", F.row_number().over(lex_w).cast("int").alias("rank_lex")
     )
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        F.col("embedding").alias("qe"),
-        F.expr(_norm_sql("embedding", "spark")).alias("qn"),
-    )
-    c = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("ce"),
-        F.expr(_norm_sql("embedding", "spark")).alias("cn"),
-    )
-    dense0 = c.crossJoin(F.broadcast(q)).select(
-        "doc_id",
-        (
-            F.expr(_dot_sql("qe", "ce", "spark")) / (F.col("qn") * F.col("cn"))
-        ).alias("cosine"),
-    )
-    sem_w = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
-    sem = (
-        dense0.orderBy(F.desc("cosine"), F.asc("doc_id"))
-        .limit(RRF_TOP_K)
-        .select(
-            "doc_id", F.row_number().over(sem_w).cast("int").alias("rank_sem")
+    ivf_dir = os.environ.get("SPARK_GRAFT_IVF_INDEX")
+    if ivf_dir:
+        from .similarity import ivf_search
+
+        q_df = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+            "vec_id", "embedding"
         )
-    )
+        kwargs = {}
+        np_env = os.environ.get("SPARK_GRAFT_IVF_NPROBE")
+        if np_env:
+            kwargs["n_probe"] = int(np_env)
+        sem = ivf_search(spark, ivf_dir, q_df, k=RRF_TOP_K, **kwargs).select(
+            F.col("cand_id").alias("doc_id"),
+            F.col("rank").alias("rank_sem"),
+        )
+    else:
+        q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+            F.col("embedding").alias("qe"),
+            F.expr(_norm_sql("embedding", "spark")).alias("qn"),
+        )
+        c = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_norm_sql("embedding", "spark")).alias("cn"),
+        )
+        dense0 = c.crossJoin(F.broadcast(q)).select(
+            "doc_id",
+            (
+                F.expr(_dot_sql("qe", "ce", "spark"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+        sem_w = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        sem = (
+            dense0.orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(RRF_TOP_K)
+            .select(
+                "doc_id",
+                F.row_number().over(sem_w).cast("int").alias("rank_sem"),
+            )
+        )
 
     one = F.lit(1).cast("double")
     fused = (

@@ -44,6 +44,11 @@ def test_half_build_plus_append_equals_full_build(spark, sf_dir, tmp_path):
     b = spark.read.parquet(os.path.join(full, "postings"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+    # norms sidecar identical as a multiset
+    na = spark.read.parquet(os.path.join(inc, "norms"))
+    nb = spark.read.parquet(os.path.join(full, "norms"))
+    assert na.exceptAll(nb).count() == 0
+    assert nb.exceptAll(na).count() == 0
 
 
 def test_index_probe_matches_corpus_queries(spark, sf_dir, tmp_path):
@@ -132,6 +137,95 @@ def test_postings_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
     # idempotent no-op without tombstones
     tx.compact_postings_index(spark, full)
     assert _directory_rows(spark, full) == _directory_rows(spark, ref)
+
+
+def test_bm25_index_probe_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """BM25 over the persisted index (postings + norms sidecar) equals
+    the inline corpus form, both directly and through the registered
+    query's env switch; the probe plan pushes the term filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+
+    want = [
+        tuple(r) for r in ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    ]
+    got = [tuple(r) for r in tx.bm25_postings_search(spark, idx).collect()]
+    assert got == want
+
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", idx)
+    got_env = [
+        tuple(r) for r in ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    ]
+    assert got_env == want
+
+    plan = (
+        tx.bm25_postings_search(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "tok" in plan.split("PushedFilters")[1][:200]
+
+
+def test_bm25_index_delete_lifecycle(spark, sf_dir, tmp_path):
+    """Tombstoned BM25 == BM25 over an index built WITHOUT the deleted
+    docs (df, n_docs and avgdl all shift — the norms anti-join keeps
+    them exact), and compaction preserves the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    survivors = docs.filter(F.col("doc_id") < n // 2)
+    removed = docs.filter(F.col("doc_id") >= n // 2).select("doc_id")
+
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full"))
+    ref = tx.build_postings_index(spark, survivors, str(tmp_path / "ref"))
+    want = [tuple(r) for r in tx.bm25_postings_search(spark, ref).collect()]
+
+    tx.remove_from_postings_index(spark, full, removed)
+    got_tomb = [tuple(r) for r in tx.bm25_postings_search(spark, full).collect()]
+    assert got_tomb == want
+
+    tx.compact_postings_index(spark, full)
+    norms = spark.read.parquet(os.path.join(full, "norms"))
+    assert norms.filter(F.col("doc_id") >= n // 2).count() == 0
+    got_compact = [
+        tuple(r) for r in tx.bm25_postings_search(spark, full).collect()
+    ]
+    assert got_compact == want
+
+
+def test_hybrid_rrf_honors_both_index_switches(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """hybrid_search_rrf with BOTH persisted indexes wired (postings
+    for the lexical side, IVF for the dense side at n_probe == N_CELLS
+    exactness) equals the inline form row-for-row; at the default probe
+    width the fused head still substantially overlaps."""
+    from kafka_consumer_2_clickhouse_spark.operators import similarity as sim
+
+    docs = load_table(spark, sf_dir, "documents")
+    pidx = tx.build_postings_index(spark, docs, str(tmp_path / "pidx"))
+    vidx = sim.build_ivf_index(spark, sf_dir, str(tmp_path / "vidx"))
+
+    want = [
+        tuple(r)
+        for r in ops.QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", pidx)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_INDEX", vidx)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", str(sim.N_CELLS))
+    got = [
+        tuple(r)
+        for r in ops.QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_NPROBE")
+    approx = ops.QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    want_ids = {r[0] for r in want}
+    approx_ids = {r["doc_id"] for r in approx}
+    overlap = len(want_ids & approx_ids) / len(want_ids)
+    assert overlap >= 0.5, overlap
 
 
 def test_streaming_postings_maintainer(spark, sf_dir, tmp_path):
