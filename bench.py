@@ -77,185 +77,14 @@ HEADLINE = [
     "ingest_roundtrip_events",
 ]
 
-#: operators added after the round-1 baseline: timed and reported under
+#: everything registered that isn't headline: GENERATED from the query
+#: registry (not hand-maintained — VERDICT r10 found 62 registered
+#: queries a stale hand list never timed), timed and reported under
 #: "extra_queries" but NOT in "value"/"queries", so the 31-query
-#: headline stays comparable round-over-round.
-EXTRA = [
-    "simhash_near_pairs",
-    "embedding_near_dup_lsh",
-    "near_dup_components",
-    "tfidf_top_terms",
-    "events_stratified_sample",
-    # round 3
-    "doc_repetition_scores",
-    "benchmark_decontamination",
-    "doc_text_normalize",
-    "latest_events_snapshot",
-    "events_user_reservoir",
-    "pq_cosine_topk",
-    "events_profile_approx",
-    # round 4
-    "kmeans_clusters",
-    "corpus_mixture_sample",
-    "doc_pii_redact",
-    "curated_corpus",
-    "doc_unigram_logprob",
-    "events_active_users",
-    # round 5
-    "doc_difficulty_buckets_approx",
-    "doc_boilerplate_fraction",
-    "doc_ngram_novelty",
-    "near_dup_source_matrix",
-    "events_session_stats",
-    "customer_rfm_segments",
-    "semantic_dedup_pairs",
-    "corpus_token_budget",
-    "dedup_survivorship_by_source",
-    "embedding_hard_negatives",
-    "pack_efficiency_report",
-    "source_token_entropy",
-    "embedding_dim_stats",
-    "embedding_covariance",
-    "doc_duplicate_spans",
-    "doc_despan_text",
-    "corpus_bigram_merge_candidates",
-    "media_dedup_exact",
-    "media_modality_summary",
-    "source_quality_report",
-    "split_exact_leakage",
-    "embedding_pca_projection",
-    "events_type_share_drift",
-    "doc_winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "embedding_centroid_distances",
-    "curation_funnel",
-    "ivfpq_cosine_topk",
-    "copurchase_pagerank",
-    "events_anomaly_mad",
-    "doc_gopher_quality",
-    "token_oov_rate",
-    "events_session_paths",
-    "minhash_jaccard_estimates",
-    "events_lateness_profile",
-    "customer_revenue_deciles",
-    "orders_monthly_growth",
-    "split_neardup_leakage",
-    "doc_bigram_logprob",
-    "embedding_norm_outliers",
-    "corpus_zipf_fit",
-    "events_conversion_funnel",
-    "mixture_epoch_plan",
-    "dedup_cluster_size_histogram",
-    "supplier_delay_profile",
-    "part_return_rates",
-    "supplier_rank_report",
-    "incremental_neardup_pairs",
-    # round 6
-    "copurchase_lift_rules",
-    "token_coverage_curve",
-    "dedup_threshold_sensitivity",
-    "semantic_dedup_keep_docs",
-    "orders_fulfillment_lag",
-    "events_user_churn",
-    # round 7
-    "bpe_apply_merges",
-    "bpe_corpus_compression",
-    "dedup_keep_best_docs",
-    "token_pmi_pairs",
-    "events_burst_minutes",
-    "corpus_datacard",
-    "nation_revenue_yoy",
-    "component_aware_splits",
-    "split_strategy_leakage",
-    "knn_label_vote",
-    "knn_accuracy",
-    "incremental_neardup_bloom",
-    "bpe_learn_merges",
-    "bpe_compression_by_lang",
-    "split_semantic_leakage",
-    "doc_logprob_threshold_sweep",
-    "neardup_containment_pairs",
-    "embedding_whitened_projection",
-    "pack_epoch_order",
-    "curated_release_receipt",
-    "doc_feature_vector",
-    # round 8
-    "ann_recall_report",
-    "ivf_nprobe_sweep",
-    "source_token_kl",
-    "semantic_dedup_threshold_sweep",
-    "media_phash_neardup",
-    "lineitem_zorder_layout",
-    "zorder_pruning_gain",
-    "events_key_skew_report",
-    "events_ewma_hourly",
-    "dedup_cost_preflight",
-    "pq_m_sweep",
-    "quality_regressor_eval",
-    "events_expectations_report",
-    "referential_orphans",
-    "join_cardinality_preflight",
-    "incremental_rollup_merge",
-    "orders_merge_upsert",
-    "events_scd2_history",
-    "events_psi_drift",
-    "events_seasonal_residuals",
-    "events_contract_quarantine",
-    "copurchase_triangles",
-    "lineitem_analyze_stats",
-    "token_postings_stats",
-    "keyword_search_docs",
-    "media_chunk_dedup_report",
-    "media_cdc_dedup_report",
-    "join_selectivity_estimate",
-    "shuffle_partition_advisor",
-    "incremental_join_merge",
-    "lineitem_analyze_stats_approx",
-    "supplier_pareto_frontier",
-    "part_name_neardup",
-    "bm25_search_docs",
-    "events_forecast_eval",
-    "events_level_shifts",
-    "lineitem_correlation_matrix",
-    "events_attribution_report",
-    "events_markov_perplexity",
-    "copurchase_khop_reach",
-    "lineitem_chi2_independence",
-    "orders_weighted_sample",
-    "events_concurrent_sessions",
-    "funnel_time_to_convert",
-    "events_time_weighted_value",
-    "events_benford_deviation",
-    "doc_keyword_in_context",
-    "funnel_time_to_convert_approx",
-    "events_type_islands",
-    "part_brand_hhi",
-    "customer_revenue_gini",
-    "customer_order_interarrival",
-    # round 9
-    "customer_revenue_gini_approx",
-    "customer_revenue_deciles_approx",
-    "supplier_delay_profile_approx",
-    "events_lateness_profile_approx",
-    "customer_order_interarrival_approx",
-    "media_phash_dct_neardup",
-    "quality_regressor_calibration",
-    "embedding_norm_outliers_approx",
-    # round 10
-    "ivf_index_drift_report",
-    "dsir_importance_weights",
-    "dsir_selection_summary",
-    "lsh_parameter_plan",
-    "events_snapshot_diff",
-    "corpus_heaps_fit",
-    "source_ngram_diversity",
-    "source_ngram_diversity_approx",
-    "hybrid_search_rrf",
-    "lineitem_hilbert_layout",
-    "hilbert_pruning_gain",
-    "postings_index_drift_report",
-    "dsir_gumbel_sample",
-]
+#: headline stays comparable round-over-round. Sorted for a stable
+#: timing order; scripts/preflight.py pins timed-set == registry.
+EXTRA = sorted(n for n in ops.QUERIES if n not in set(HEADLINE))
+
 
 
 def _env_fingerprint() -> dict:

@@ -68,6 +68,20 @@ def main() -> int:
     if orphans:
         errs.append(f"oracle_sql() keys with no registered query: {orphans}")
 
+    # bench coverage: HEADLINE must be registered names and
+    # HEADLINE + EXTRA must equal the registry exactly (EXTRA is
+    # generated from the registry, so this can only fail if a headline
+    # name goes stale or the generation logic breaks — VERDICT r10
+    # found 62 registered queries a hand-maintained list never timed)
+    import bench  # noqa: PLC0415
+
+    stale_headline = sorted(set(bench.HEADLINE) - qs)
+    if stale_headline:
+        errs.append(f"bench HEADLINE names not in registry: {stale_headline}")
+    untimed = sorted(qs - set(bench.HEADLINE) - set(bench.EXTRA))
+    if untimed:
+        errs.append(f"registered queries the bench never times: {untimed}")
+
     m = re.search(r"Exactly (\d+) are rows-only", sec)
     if m and int(m.group(1)) != len(qs) - len(oracles):
         errs.append(
