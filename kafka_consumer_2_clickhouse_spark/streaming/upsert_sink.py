@@ -88,6 +88,9 @@ def upsert_maintainer(
     order: tuple[str, ...] = ("ts", "event_id"),
     delete_col: str | None = None,
     store: StateStore | None = None,
+    diff_dir: str | None = None,
+    type_col: str = "event_type",
+    value_col: str = "value",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function maintaining the latest-row-per-key
     state table (default key/version match
@@ -98,8 +101,30 @@ def upsert_maintainer(
     key's latest version hides the key from :func:`read_latest`; a
     LATER live row resurrects it) — exactly ReplacingMergeTree's
     ``is_deleted`` semantics.
+
+    ``diff_dir``: optional CDC diff accounting — the STREAMING twin of
+    ``operators/maintenance.events_snapshot_diff``. Once a baseline is
+    snapshotted there (:func:`snapshot_cdc_baseline`), every commit
+    also folds the batch's per-key transitions into a cumulative
+    (``type_col``, change_kind) table of key counts and net value
+    drift vs the baseline, so "what changed since yesterday's FINAL"
+    is readable at all times without resolving either snapshot.
+    Mutually exclusive with ``delete_col`` (the diff's change kinds
+    mirror the append-only batch query — 'deleted' is structurally
+    impossible there).
     """
     st = store or DEFAULT_STORE
+    if diff_dir is not None and delete_col is not None:
+        raise ValueError(
+            "CDC diff accounting mirrors the append-only "
+            "events_snapshot_diff (no 'deleted' kind) — it cannot track "
+            "a tombstoned stream"
+        )
+    if diff_dir is not None and type_col not in keys:
+        raise ValueError(
+            f"type_col {type_col!r} must be one of the state keys {keys} "
+            "(the diff table is keyed on it)"
+        )
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         last = committed_batch(state_dir, st)
@@ -120,6 +145,16 @@ def upsert_maintainer(
                 os.path.join(state_dir, f"{_PREFIX}{b}")
             )
         )
+        if diff_dir is not None:
+            # diff commits BEFORE the state fold (both computed from the
+            # PRE-fold state): a crash between the two leaves diff at
+            # batch_id and state at batch_id-1, and the replay skips the
+            # diff fold while re-running the state fold against the
+            # same pre-fold state the committed diff was derived from
+            _fold_cdc_diff(
+                batch_df.sparkSession, diff_dir, existing, delta,
+                batch_id, keys, order, type_col, value_col, st,
+            )
         merged = (
             delta
             if existing is None
@@ -148,3 +183,188 @@ def upsert_maintainer(
                 st.rmtree(os.path.join(state_dir, d))
 
     return maintain
+
+
+# ---------------------------------------------------------------------------
+# CDC diff accounting — the streaming twin of events_snapshot_diff
+# ---------------------------------------------------------------------------
+
+#: exact-accumulation type for the net value drift: per-key double
+#: deltas cast to decimal ONCE, so a later removal (-same decimal)
+#: telescopes exactly — the ``dsum`` discipline of the batch query
+_DEC = "decimal(27,6)"
+
+
+def snapshot_cdc_baseline(
+    spark: SparkSession,
+    state_dir: str,
+    diff_dir: str,
+    type_col: str = "event_type",
+    store: StateStore | None = None,
+) -> int:
+    """Begin CDC diff tracking: freeze the CURRENT committed upsert
+    state under ``diff_dir/baseline/`` ("yesterday's FINAL" — the old
+    snapshot of ``events_snapshot_diff``) and commit the initial
+    cumulative table at the state's batch id: every baseline key
+    'unchanged', zero drift. From the next batch on,
+    :func:`upsert_maintainer` (constructed with ``diff_dir=``) keeps
+    the table current. Returns the baseline batch id.
+
+    Crash-safe: baseline commits first; a crash before the initial
+    table commit leaves ``committed_batch(diff_dir)`` None (tracking
+    simply not started — re-run the snapshot)."""
+    st = store or DEFAULT_STORE
+    b = committed_batch(state_dir, st)
+    if b is None:
+        raise ValueError("no committed upsert state to baseline")
+    state = spark.read.parquet(os.path.join(state_dir, f"{_PREFIX}{b}"))
+    if DELETE_COL in state.columns:
+        state = state.filter(~F.col(DELETE_COL)).drop(DELETE_COL)
+    base_path = os.path.join(diff_dir, "baseline")
+    tmp = base_path + ".tmp"
+    state.write.mode("overwrite").parquet(tmp)
+    st.rmtree(base_path)
+    st.rename(tmp, base_path)
+    init = (
+        state.groupBy(type_col)
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+        .select(
+            type_col,
+            F.lit("unchanged").alias("change_kind"),
+            "n_keys",
+            F.lit(0).cast(_DEC).alias("delta_dec"),
+        )
+    )
+    final = os.path.join(diff_dir, f"{_PREFIX}{b}")
+    tmp2 = final + ".tmp"
+    init.write.mode("overwrite").parquet(tmp2)
+    st.rmtree(final)
+    st.rename(tmp2, final)
+    return b
+
+
+def _fold_cdc_diff(
+    spark: SparkSession,
+    diff_dir: str,
+    existing: DataFrame | None,
+    delta: DataFrame,
+    batch_id: int,
+    keys: tuple[str, ...],
+    order: tuple[str, ...],
+    type_col: str,
+    value_col: str,
+    st: StateStore,
+) -> None:
+    """Fold one batch's per-key transitions into the cumulative diff.
+
+    For each TOUCHED key only (the batch's winners): classify its
+    state vs the baseline before and after the fold and emit a -1/+1
+    adjustment pair, so the per-commit cost is bounded by the batch's
+    key set — never the key space, never the stream. Classification
+    matches ``events_snapshot_diff`` exactly: absent from baseline ->
+    'inserted'; version struct differs -> 'updated'; else 'unchanged';
+    drift contribution is ``current value - baseline value`` (0 for a
+    missing baseline value contribution handled via coalesce). A key
+    re-touched later first RETRACTS its previous contribution — both
+    sides of the retraction are the same double cast to the same
+    decimal, so the telescoping is exact.
+    """
+    dlast = committed_batch(diff_dir, st)
+    if dlast is None:
+        return  # tracking not initialized: plain upsert behavior
+    if batch_id <= dlast:
+        return  # replayed diff fold (crash between diff and state commit)
+    key_cols = list(keys)
+    ver = F.struct(*order)
+    dn = delta.select(
+        *key_cols, ver.alias("ver_b"), F.col(value_col).alias("val_b")
+    )
+    if existing is not None:
+        pv = existing
+        if DELETE_COL in pv.columns:
+            pv = pv.drop(DELETE_COL)
+        pv = pv.select(
+            *key_cols, ver.alias("ver_p"), F.col(value_col).alias("val_p")
+        )
+        t = dn.join(pv, key_cols, "left")
+    else:
+        vtype = dn.schema["ver_b"].dataType
+        wtype = dn.schema["val_b"].dataType
+        t = dn.withColumn("ver_p", F.lit(None).cast(vtype)).withColumn(
+            "val_p", F.lit(None).cast(wtype)
+        )
+    base = spark.read.parquet(os.path.join(diff_dir, "baseline")).select(
+        *key_cols, ver.alias("ver_0"), F.col(value_col).alias("val_0")
+    )
+    t = t.join(base, key_cols, "left")
+
+    has_p = F.col("ver_p").isNotNull()
+    batch_wins = ~has_p | (F.col("ver_b") >= F.col("ver_p"))
+    new_ver = F.when(batch_wins, F.col("ver_b")).otherwise(F.col("ver_p"))
+    new_val = F.when(batch_wins, F.col("val_b")).otherwise(F.col("val_p"))
+
+    def _kind(ver_col):
+        return (
+            F.when(F.col("ver_0").isNull(), F.lit("inserted"))
+            .when(ver_col != F.col("ver_0"), F.lit("updated"))
+            .otherwise(F.lit("unchanged"))
+        )
+
+    base_val = F.coalesce(F.col("val_0"), F.lit(0.0))
+    minus = t.filter(has_p).select(
+        F.col(type_col),
+        _kind(F.col("ver_p")).alias("change_kind"),
+        F.lit(-1).cast("bigint").alias("n_keys"),
+        (-((F.col("val_p") - base_val).cast(_DEC))).alias("delta_dec"),
+    )
+    plus = t.select(
+        F.col(type_col),
+        _kind(new_ver).alias("change_kind"),
+        F.lit(1).cast("bigint").alias("n_keys"),
+        (new_val - base_val).cast(_DEC).alias("delta_dec"),
+    )
+    cum = spark.read.parquet(os.path.join(diff_dir, f"{_PREFIX}{dlast}"))
+    new_cum = (
+        cum.unionByName(minus)
+        .unionByName(plus)
+        .groupBy(type_col, "change_kind")
+        .agg(
+            F.sum("n_keys").cast("bigint").alias("n_keys"),
+            F.sum("delta_dec").cast(_DEC).alias("delta_dec"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+    final = os.path.join(diff_dir, f"{_PREFIX}{batch_id}")
+    tmp = final + ".tmp"
+    new_cum.write.mode("overwrite").parquet(tmp)
+    st.rename(tmp, final)
+    for d in st.listdir(diff_dir):
+        if not d.startswith(_PREFIX):
+            continue  # baseline/ stays
+        if d.endswith(".tmp"):
+            if d != os.path.basename(tmp):
+                st.rmtree(os.path.join(diff_dir, d))
+            continue
+        try:
+            did = int(d[len(_PREFIX):])
+        except ValueError:
+            continue
+        if did < batch_id:
+            st.rmtree(os.path.join(diff_dir, d))
+
+
+def read_cdc_report(
+    spark: SparkSession, diff_dir: str, store: StateStore | None = None
+) -> DataFrame | None:
+    """The committed cumulative diff vs the baseline, in
+    ``events_snapshot_diff``'s column shape: (type, change_kind,
+    n_keys, value_delta_sum double). None before tracking starts."""
+    st = store or DEFAULT_STORE
+    b = committed_batch(diff_dir, st)
+    if b is None:
+        return None
+    d = spark.read.parquet(os.path.join(diff_dir, f"{_PREFIX}{b}"))
+    keep = [c for c in d.columns if c != "delta_dec"]
+    return d.select(
+        *keep, F.col("delta_dec").cast("double").alias("value_delta_sum")
+    )

@@ -139,3 +139,112 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     # next id applies normally
     maintain(b0_evil, 1)
     assert read_latest(spark, str(state)).count() == 2
+
+# ---------------------------------------------------------------------------
+# CDC diff accounting — streaming twin of events_snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_diff_matches_batch_snapshot_diff(spark, sf_dir, tmp_path):
+    """Seed the state with everything at-or-before the batch query's
+    80%-of-span cutoff, snapshot it as the CDC baseline, stream the
+    remainder in-order in three micro-batches (with a simulated crash
+    between one batch's diff and state commits), and pin: the streamed
+    cumulative diff == the registered batch ``events_snapshot_diff``
+    row-for-row, exactly (both sides accumulate per-key double deltas
+    through decimal(27,6), so there is no tolerance to hide behind);
+    a replayed batch changes nothing."""
+    from kafka_consumer_2_clickhouse_spark.operators.maintenance import (
+        CUTOFF_DEN,
+        CUTOFF_NUM,
+    )
+    from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+        DELETE_COL,
+        _fold_cdc_diff,
+        _winners,
+        read_cdc_report,
+        snapshot_cdc_baseline,
+    )
+    from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+        DEFAULT_STORE,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cutoff = lo + (hi - lo) * CUTOFF_NUM // CUTOFF_DEN
+    state, diff = tmp_path / "state", tmp_path / "diff"
+
+    seed = upsert_maintainer(str(state))
+    seed(ev.filter(F.col("ts_us") <= cutoff).drop("ts_us"), 0)
+    b0 = snapshot_cdc_baseline(spark, str(state), str(diff))
+    assert b0 == 0
+    # initial report: every baseline key unchanged, zero drift
+    init = read_cdc_report(spark, str(diff))
+    assert {r["change_kind"] for r in init.collect()} == {"unchanged"}
+    assert all(r["value_delta_sum"] == 0.0 for r in init.collect())
+
+    maintain = upsert_maintainer(str(state), diff_dir=str(diff))
+    rest = ev.filter(F.col("ts_us") > cutoff)
+    step = (hi - cutoff) // 3 + 1
+    batches = [
+        rest.filter(
+            (F.col("ts_us") > cutoff + i * step)
+            & (F.col("ts_us") <= cutoff + (i + 1) * step)
+        ).drop("ts_us")
+        for i in range(3)
+    ]
+    maintain(batches[0], 1)
+    # crash sim for batch 2: the diff fold COMMITS, then the process
+    # dies before the state fold (the one ordering the protocol allows
+    # — diff always commits first). The replay must skip the diff fold
+    # (batch <= committed) while the state fold re-runs against the
+    # same pre-fold state the committed diff was derived from.
+    keys, order = ("user_id", "event_type"), ("ts", "event_id")
+    pre_fold = spark.read.parquet(str(state / "batch=1"))
+    delta2 = _winners(
+        batches[1].withColumn(DELETE_COL, F.lit(False)), keys, order
+    )
+    _fold_cdc_diff(
+        spark, str(diff), pre_fold, delta2, 2, keys, order,
+        "event_type", "value", DEFAULT_STORE,
+    )
+    maintain(batches[1], 2)  # the replay after the "crash"
+    maintain(batches[2], 3)
+    # replayed batch: nothing moves
+    before = sorted(tuple(r) for r in read_cdc_report(spark, str(diff)).collect())
+    maintain(batches[2], 3)
+    after = sorted(tuple(r) for r in read_cdc_report(spark, str(diff)).collect())
+    assert before == after
+
+    want = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_snapshot_diff"](spark, sf_dir).collect()
+    )
+    assert before == want
+    # and the maintained state still equals the batch latest snapshot
+    got_state = read_latest(spark, str(state))
+    want_state = ops.QUERIES["latest_events_snapshot"](spark, sf_dir)
+    assert got_state.exceptAll(want_state).count() == 0
+    assert want_state.exceptAll(got_state).count() == 0
+
+
+def test_cdc_diff_guards(spark, tmp_path):
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+        snapshot_cdc_baseline,
+    )
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        upsert_maintainer(
+            str(tmp_path / "s"), delete_col="is_deleted",
+            diff_dir=str(tmp_path / "d"),
+        )
+    with pytest.raises(ValueError, match="state keys"):
+        upsert_maintainer(
+            str(tmp_path / "s"), keys=("user_id",), diff_dir=str(tmp_path / "d"),
+        )
+    with pytest.raises(ValueError, match="no committed"):
+        snapshot_cdc_baseline(spark, str(tmp_path / "empty"), str(tmp_path / "d"))
