@@ -11,9 +11,10 @@ subcommands over the library:
               [--explain]             --explain prints the physical plan)
     curate SF_DIR OUT_DIR            full batch curation pipeline
     compact PATH [--target-mb N]     small-file compaction of a landing dir
-    build-index KIND OUT_DIR         persist an ANN/dedup index (KIND in
-              [--sf-dir DIR]          ivf|pq|ivfpq|dedup); prints the
-                                      SPARK_GRAFT_*_INDEX env var to set
+    build-index KIND OUT_DIR         persist an ANN/dedup/text index (KIND
+              [--sf-dir DIR]          in ivf|pq|opq|ivfpq|dedup|postings);
+                                      prints the SPARK_GRAFT_*_INDEX env
+                                      var to set
 
 Every subcommand honors the engine's env switches
 (``SPARK_GRAFT_SCALE_MODE``, ``SPARK_GRAFT_CC_ALGO``,
@@ -87,10 +88,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "the matching SPARK_GRAFT_*_INDEX env var at the output dir",
     )
     bi.add_argument(
-        "kind", choices=["ivf", "pq", "ivfpq", "dedup"],
+        "kind", choices=["ivf", "pq", "opq", "ivfpq", "dedup", "postings"],
         help="ivf: cell-partitioned vectors; pq: codes+codebooks; "
-        "ivfpq: cell-partitioned residual codes; dedup: LSH signature "
-        "index for incremental near-dup",
+        "opq: rotated codes+codebooks+rotation; ivfpq: cell-partitioned "
+        "residual codes; dedup: LSH signature index for incremental "
+        "near-dup; postings: inverted text index (postings+directory+"
+        "norms) for keyword/BM25 search",
     )
     bi.add_argument("out_dir")
     bi.add_argument("--sf-dir", default=None,
@@ -171,12 +174,21 @@ def main(argv: list[str] | None = None) -> int:
                 spark, load_table(spark, sf_dir, "documents"), args.out_dir
             )
             env = "SPARK_GRAFT_DEDUP_INDEX"
+        elif args.kind == "postings":
+            from .operators.text_analysis import build_postings_index
+            from .sources.tables import load_table
+
+            out = build_postings_index(
+                spark, load_table(spark, sf_dir, "documents"), args.out_dir
+            )
+            env = "SPARK_GRAFT_POSTINGS_INDEX"
         else:
             from .operators import similarity as sim
 
             builder = {
                 "ivf": sim.build_ivf_index,
                 "pq": sim.build_pq_index,
+                "opq": sim.build_opq_index,
                 "ivfpq": sim.build_ivfpq_index,
             }[args.kind]
             out = builder(spark, sf_dir, args.out_dir)

@@ -66,6 +66,9 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     # HLL++ distinct sketches instead of exact two-phase distinct over
     # the full (source, n, gram) key space
     "source_ngram_diversity": "source_ngram_diversity_approx",
+    # percentile_approx weight threshold instead of the exact top-K
+    # selection head (no global-rank shuffle at production K)
+    "dsir_selection_summary": "dsir_selection_summary_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

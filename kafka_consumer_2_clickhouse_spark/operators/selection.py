@@ -268,6 +268,83 @@ def dsir_selection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Threshold-based selection — the 100 TB scale path the exact head's
+# docstring promises (served under the exact name in approx scale mode)
+# --------------------------------------------------------------------------
+
+#: percentile_approx accuracy for the weight-threshold sketch (rank
+#: error <= n / accuracy rows around the cutpoint)
+DSIR_THRESHOLD_ACC = 10_000
+
+
+def dsir_selection_summary_approx_df(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DSIR_SELECT_K,
+    accuracy: int = DSIR_THRESHOLD_ACC,
+) -> DataFrame:
+    """Parameterized body of :func:`dsir_selection_summary_approx`."""
+    w = _weights_df(spark, sf_dir)
+    # bounded driver pull: ONE scalar (the pool size) to place the
+    # quantile; the weights relation itself never leaves the cluster
+    n_total = load_table(spark, sf_dir, "documents").count()
+    p = max(0.0, 1.0 - k / n_total)
+    thr = w.agg(
+        F.percentile_approx("log_weight", F.lit(p), F.lit(accuracy)).alias(
+            "thr"
+        )
+    )
+    flagged = w.crossJoin(F.broadcast(thr)).withColumn(
+        "is_sel", (F.col("log_weight") >= F.col("thr")).cast("int")
+    )
+    per_lang = flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pool"),
+        F.sum("is_sel").cast("bigint").alias("n_selected"),
+    )
+    tot = flagged.agg(
+        F.count("*").alias("n_total"), F.sum("is_sel").alias("n_sel_total")
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_pool",
+        "n_selected",
+        F.round(F.col("n_pool").cast("double") / F.col("n_total"), 6).alias(
+            "pool_share"
+        ),
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n_sel_total"), 6
+        ).alias("selected_share"),
+    )
+
+
+@query("dsir_selection_summary_approx")  # rows-only by design: the
+# sketch threshold's selected set is approximate; envelope vs the
+# exact top-K head pinned at two accuracies in tests/test_round11_ops.py
+def dsir_selection_summary_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dsir_selection_summary` with the selection head replaced
+    by a WEIGHT THRESHOLD from one ``percentile_approx`` sketch — the
+    production form the exact query's docstring points at (the
+    ``doc_difficulty_buckets_approx`` pattern), registered as
+    ``dsir_selection_summary``'s scale-mode twin in
+    ``SCALE_MODE_SWAPS``.
+
+    Why this is the 100 TB shape: the exact head is a
+    ``TakeOrderedAndProject`` over every document's weight — fine at
+    K=200, but a production selection keeps a FRACTION of the corpus
+    (K ~ billions of rows), where any global-rank head degenerates
+    into a full sort. The sketch threshold replaces it with one
+    mergeable aggregate (rank error <= n/accuracy around the
+    cutpoint) and a map-side ``>= thr`` flag — no rank shuffle at any
+    K. ``selected_share`` divides by the ACTUAL selected count, so the
+    table stays a probability mixture even when the threshold admits
+    K ± (n/accuracy) documents.
+    """
+    return dsir_selection_summary_approx_df(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # Gumbel-top-k DSIR sampling (the paper's actual sampler, derandomized)
 # --------------------------------------------------------------------------
 

@@ -1145,9 +1145,14 @@ def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int =
     return _lloyd_subspaces(sample, m, k, np.random.RandomState(seed))
 
 
-def _lloyd_subspaces(mat, m: int, k: int, rng):
+def _lloyd_subspaces(mat, m: int, k: int, rng, init_books=None):
     """Per-subspace Lloyd's over an in-memory matrix — shared by the
-    raw-vector PQ codebooks and the IVFADC residual codebooks."""
+    raw-vector PQ codebooks, the IVFADC residual codebooks, and OPQ's
+    alternating refit. ``init_books``: warm-start centroids (an
+    ``(m, k, sub)`` array) — OPQ needs this so each refit continues
+    from the previous iteration's codebooks (a fresh random init could
+    INCREASE distortion and break the alternating-minimization
+    monotonicity the OPQ pin relies on)."""
     import numpy as np
 
     dim = mat.shape[1]
@@ -1155,7 +1160,10 @@ def _lloyd_subspaces(mat, m: int, k: int, rng):
     books = np.zeros((m, k, sub))
     for mi in range(m):
         block = mat[:, mi * sub : (mi + 1) * sub]
-        cents = block[rng.choice(len(block), k, replace=False)]
+        if init_books is not None:
+            cents = init_books[mi].copy()
+        else:
+            cents = block[rng.choice(len(block), k, replace=False)]
         for _ in range(10):
             d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -1167,25 +1175,33 @@ def _lloyd_subspaces(mat, m: int, k: int, rng):
     return books
 
 
-def pq_encode(emb: DataFrame, books) -> DataFrame:
+def pq_encode(emb: DataFrame, books, rotation=None) -> DataFrame:
     """Assign each (normalized) vector its m-byte PQ code.
 
     Map-only Arrow pass against the broadcast codebooks — the 100 TB
     compression step: DIM float32 (256 B) -> PQ_M 4-bit codes
     (PQ_M/2 B), a 64x shrink that lets a 1000-executor cluster hold
     the whole corpus's codes IN MEMORY for ADC scans.
+
+    ``rotation``: optional (D, D) orthogonal matrix (OPQ) folded into
+    the SAME Arrow pass as one GEMM per batch — no extra scan, and
+    being orthogonal it preserves norms/cosines, so everything
+    downstream (ADC with a rotated LUT, exact re-rank on RAW vectors)
+    is unchanged.
     """
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(books)
+    bc = spark.sparkContext.broadcast((books, rotation))
 
     def assign(batches):
         import numpy as np
 
-        bk = bc.value
+        bk, rot = bc.value
         m, _, sub = bk.shape
         for pdf in batches:
             cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            if rot is not None:
+                cm = cm @ rot
             codes = np.zeros((len(cm), m), dtype=np.int32)
             for mi in range(m):
                 block = cm[:, mi * sub : (mi + 1) * sub]
@@ -1223,16 +1239,24 @@ def _pq_adc_rerank(
     qmat,
     top_k: int = TOP_K,
     shortlist_n: int = PQ_SHORTLIST,
+    qmat_adc=None,
 ) -> DataFrame:
     """The PQ query tail shared by the inline and persisted-index
     paths: per-query LUT -> ADC shortlist over the codes relation ->
     exact re-rank of only the shortlisted rows from ``vectors`` (the
-    full-precision relation, touched via a broadcast hash join)."""
+    full-precision relation, touched via a broadcast hash join).
+
+    ``qmat_adc``: the query matrix to build the ADC LUT from when it
+    differs from the re-rank matrix — OPQ passes the ROTATED queries
+    here (codes live in the rotated space) while ``qmat`` stays raw so
+    the exact re-rank scores original-space cosine (identical anyway:
+    the rotation is orthogonal)."""
     import numpy as np
 
     m, k, sub = books.shape
+    qm_adc = qmat if qmat_adc is None else qmat_adc
     # LUT[q, m, k]: dot of the query's m-th subvector with centroid k
-    lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
+    lut = np.einsum("qms,mks->qmk", qm_adc.reshape(len(qm_adc), m, sub), books)
     bc = spark.sparkContext.broadcast((qids, lut))
 
     def adc(batches):
@@ -1426,6 +1450,192 @@ def pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(spread(raw), books)
     qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
     return _pq_adc_rerank(spark, raw, codes, books, qids, qmat)
+
+
+# --------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR 2013)
+# --------------------------------------------------------------------------
+
+#: alternating-minimization rounds (codebook refit <-> Procrustes
+#: rotation update); Ge et al. report convergence well inside 10-50
+OPQ_ITERS = 10
+
+
+def _pq_reconstruct(mat, books):
+    """Nearest-centroid reconstruction of every row, per subspace —
+    the X-hat of the OPQ objective ||X R - X-hat||^2."""
+    import numpy as np
+
+    m, _, sub = books.shape
+    out = np.zeros_like(mat)
+    for mi in range(m):
+        block = mat[:, mi * sub : (mi + 1) * sub]
+        d2 = -2.0 * block @ books[mi].T + (books[mi] ** 2).sum(axis=1)[None, :]
+        out[:, mi * sub : (mi + 1) * sub] = books[mi][d2.argmin(axis=1)]
+    return out
+
+
+def train_opq(
+    raw: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 11,
+    n_iter: int = OPQ_ITERS,
+):
+    """Non-parametric OPQ (Ge, He, Ke & Sun, "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013 —
+    the standard production upgrade faiss's ``OPQx,...`` index string
+    implies): learn an ORTHOGONAL rotation R that re-mixes dimensions
+    before the subspace split so the per-subspace codebooks quantize
+    decorrelated, variance-balanced blocks.
+
+    Alternating minimization of ``||X R - X-hat||^2`` starting from
+    R = I — so iteration 0 trains EXACTLY the plain-PQ codebooks — then
+    alternately (a) refit the codebooks on the rotated sample
+    (warm-started Lloyd's: non-increasing), and (b) re-solve the
+    orthogonal Procrustes problem, ``R = U V^T`` from
+    ``svd(X^T X-hat)``, the closed-form distortion minimizer over
+    orthogonal matrices. Both half-steps are non-increasing, so the
+    learned pair can never quantize the training sample WORSE than
+    plain PQ — pinned at two m settings in tests/test_similarity.py.
+
+    Driver-side on the SAME bounded content-hash sample as every other
+    quantizer here (<= 2048 x D floats; the SVD is D x D). Returns
+    ``(R, books, distortion)`` with ``distortion`` the mean squared
+    reconstruction error on the normalized sample under (R, books).
+    """
+    import numpy as np
+
+    X = _hash_sample_matrix(raw, seed=seed)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    R = np.eye(dim)
+    books = None
+    for _ in range(n_iter):
+        Xr = X @ R
+        books = _lloyd_subspaces(
+            Xr, m, k, np.random.RandomState(seed), init_books=books
+        )
+        Y = _pq_reconstruct(Xr, books)
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    Xr = X @ R
+    Y = _pq_reconstruct(Xr, books)
+    dist = float(((Xr - Y) ** 2).sum(axis=1).mean())
+    return R, books, dist
+
+
+def build_opq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> str:
+    """Build and PERSIST an OPQ index: the :func:`build_pq_index`
+    layout plus a ``rotation/`` relation (D tiny rows — one per matrix
+    row), with ``codes/`` encoded in the ROTATED space. Same
+    train-once / probe-forever economics; the rotation costs one GEMM
+    inside the single encode pass and nothing at probe time beyond a
+    driver-side (n_q x D) @ (D x D)."""
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    R, books, _ = train_opq(raw, m, k)
+    pq_encode(spread(raw), books, rotation=R).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    write_pq_codebooks(spark, books, index_dir)
+    spark.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])],
+        "i int, row array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "rotation")
+    )
+    return index_dir
+
+
+def _load_opq_rotation(spark: SparkSession, index_dir: str):
+    """Driver-side read of the (D x D) rotation back into an ndarray."""
+    import os
+
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(index_dir, "rotation")).collect()
+    R = np.zeros((len(rows), len(rows[0]["row"])))
+    for r in rows:
+        R[r["i"]] = r["row"]
+    return R
+
+
+def opq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe a persisted OPQ index (:func:`build_opq_index` layout):
+    read codebooks + rotation to the driver, rotate the bounded query
+    matrix, ADC-scan the rotated-space codes, re-rank the shortlist
+    exactly against the RAW ``vectors`` (rotation is orthogonal, so
+    original-space cosine is the same quantity the ADC approximates)."""
+    import os
+
+    books = _load_pq_codebooks(spark, index_dir)
+    R = _load_opq_rotation(spark, index_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    qids, qmat = _query_matrix(queries)
+    return _pq_adc_rerank(
+        spark, vectors, codes, books, qids, qmat, top_k, qmat_adc=qmat @ R
+    )
+
+
+@query("opq_cosine_topk")  # rows-only: approximate by construction —
+# no portable SQL oracle; sample distortion <= plain PQ at two m
+# settings, rotation orthogonality, and recall floors pinned in
+# tests/test_similarity.py
+def opq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC shortlist + exact re-rank: :func:`pq_cosine_topk` with
+    the Ge et al. learned rotation in front of the subspace split.
+
+    The rotation is orthogonal, so it preserves norms and cosines —
+    the ADC scores approximate the SAME cosine, and the exact re-rank
+    stage scores RAW vectors exactly as before; only the codes (and
+    the query LUT) live in the rotated space.
+
+    Scale shape — identical to PQ's, because the rotation never costs
+    a pass of its own: training is driver-side on the bounded
+    content-hash sample (the D x D SVD is trivial); encoding folds the
+    rotation into the SAME one Arrow pass as normalization + code
+    assignment (one (batch x D) @ (D x D) GEMM); queries rotate
+    driver-side before the LUT. At 100 TB the marginal cost over plain
+    PQ is one GEMM per encode batch — for strictly better codebook
+    fit.
+
+    ``SPARK_GRAFT_OPQ_INDEX=<dir>``: probe a PREBUILT index
+    (:func:`build_opq_index` layout) via :func:`opq_search` instead of
+    re-training + re-encoding inline — train once, probe forever;
+    pinned equal to inline in tests/test_similarity.py.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.environ.get("SPARK_GRAFT_OPQ_INDEX")
+    if index_dir:
+        if not os.path.isdir(os.path.join(index_dir, "rotation")):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_OPQ_INDEX={index_dir!r} has no rotation/ dir "
+                "— build it with build_opq_index()"
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERY)
+        return opq_search(spark, index_dir, queries, raw)
+    R, books, _ = train_opq(raw)
+    codes = pq_encode(spread(raw), books, rotation=R)
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    return _pq_adc_rerank(
+        spark, raw, codes, books, qids, qmat, qmat_adc=qmat @ R
+    )
 
 
 @query(
@@ -2009,6 +2219,7 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         "ann": ann_cosine_topk,
         "ivf": ivf_cosine_topk,
         "pq": pq_cosine_topk,
+        "opq": opq_cosine_topk,
         "ivfpq": ivfpq_cosine_topk,
     }
     tagged = None

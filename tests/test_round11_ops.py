@@ -1,0 +1,82 @@
+"""Round-11 operator pins: the DSIR threshold-based selection scale
+path (the percentile_approx weight cutpoint serving as
+``dsir_selection_summary``'s approx-mode twin)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_consumer_2_clickhouse_spark import operators as ops
+from kafka_consumer_2_clickhouse_spark.operators import selection as sel
+
+
+def test_dsir_threshold_selection_envelope_at_two_accuracies(spark, sf_dir):
+    """The sketch-threshold selection vs the exact top-K head at two
+    percentile_approx accuracies: the exact top-K set is CONTAINED in
+    the threshold set (the sketch can only err by admitting a few
+    extra rows around the cutpoint, never by dropping a higher-weight
+    doc below a lower one), the overshoot stays inside the rank-error
+    envelope, pool columns match the exact table exactly, and the
+    DSIR sign-off holds — target-language share rises vs the pool."""
+    w = sel._weights_df(spark, sf_dir)
+    k = sel.DSIR_SELECT_K
+    exact_sel = {
+        r["doc_id"]
+        for r in w.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    }
+    exact_rows = {
+        r["lang"]: r for r in sel.dsir_selection_summary_df(spark, sf_dir).collect()
+    }
+    n_total = sum(r["n_pool"] for r in exact_rows.values())
+    for acc in (100, 10_000):
+        ap = {
+            r["lang"]: r
+            for r in sel.dsir_selection_summary_approx_df(
+                spark, sf_dir, accuracy=acc
+            ).collect()
+        }
+        # pool columns identical to the exact table
+        assert {
+            (r["lang"], r["n_pool"], r["pool_share"]) for r in ap.values()
+        } == {
+            (r["lang"], r["n_pool"], r["pool_share"])
+            for r in exact_rows.values()
+        }
+        # selected count: K <= n_sel <= K + rank-error envelope
+        n_sel = sum(r["n_selected"] for r in ap.values())
+        envelope = max(5, math.ceil(n_total / acc))
+        assert k <= n_sel <= k + envelope, (acc, n_sel, k, envelope)
+        # containment: every exact top-K doc clears the sketch threshold
+        thr = w.agg(
+            F.percentile_approx(
+                "log_weight", F.lit(max(0.0, 1 - k / n_total)), F.lit(acc)
+            ).alias("t")
+        ).collect()[0]["t"]
+        got_sel = {
+            r["doc_id"]
+            for r in w.filter(F.col("log_weight") >= thr).collect()
+        }
+        assert exact_sel <= got_sel, (acc, len(exact_sel - got_sel))
+        # the selection still pulls toward the target language
+        tgt = sel.DSIR_TARGET_LANG
+        assert ap[tgt]["selected_share"] > ap[tgt]["pool_share"]
+
+
+def test_dsir_threshold_swap_registered_and_mode_served(spark, sf_dir, monkeypatch):
+    """dsir_selection_summary_approx is registered rows-only and served
+    under the exact name in approx scale mode (the SCALE_MODE_SWAPS
+    contract); schemas agree so downstream consumers never notice."""
+    assert "dsir_selection_summary_approx" in ops.QUERIES
+    assert "dsir_selection_summary_approx" not in ops.ORACLE_SQL
+    assert (
+        ops.SCALE_MODE_SWAPS["dsir_selection_summary"]
+        == "dsir_selection_summary_approx"
+    )
+    exact_cols = ops.QUERIES["dsir_selection_summary"](spark, sf_dir).columns
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "approx")
+    served = ops.active_queries()["dsir_selection_summary"]
+    assert served is ops.QUERIES["dsir_selection_summary_approx"]
+    assert served(spark, sf_dir).columns == exact_cols
+    assert "dsir_selection_summary" not in ops.active_oracle_sql()

@@ -460,7 +460,7 @@ def test_ann_recall_report_floors_at_two_k(spark, sf_dir):
 
     for k, floor in ((TOP_K, 0.5), (2, 0.5)):
         rows = {r["variant"]: r for r in _ann_recall_report(spark, sf_dir, k).collect()}
-        assert set(rows) == {"ann", "ivf", "pq", "ivfpq"}
+        assert set(rows) == {"ann", "ivf", "pq", "opq", "ivfpq"}
         for v, r in rows.items():
             assert r["k"] == k
             assert r["n_expected"] == 10 * k  # N_QUERY x k exact pairs
@@ -642,3 +642,105 @@ def test_ivfpq_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
         for r in similarity.ivfpq_search(spark, full, queries, raw).collect()
     }
     assert got_compact == want
+
+
+def test_opq_rotation_distortion_and_recall(spark, sf_dir):
+    """OPQ (Ge et al. 2013) pins: the learned rotation is orthogonal;
+    sample quantization distortion never exceeds plain PQ's at two m
+    settings (alternating minimization from R=I guarantees it — each
+    half-step is non-increasing); and the RAW ADC ordering (no re-rank
+    slack) recovers at least as many true top-k pairs as plain PQ at
+    both settings on this corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.operators import similarity as sim
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    X = sim._hash_sample_matrix(raw, seed=11)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    want = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    qids, qmat = sim._query_matrix(raw.filter(F.col("vec_id") < sim.N_QUERY))
+    for m in (8, 16):
+        books_pq = sim.train_pq_codebooks(raw, m=m)
+        d_pq = float(
+            ((X - sim._pq_reconstruct(X, books_pq)) ** 2).sum(axis=1).mean()
+        )
+        R, books, d_opq = sim.train_opq(raw, m=m)
+        assert np.abs(R @ R.T - np.eye(X.shape[1])).max() < 1e-9
+        assert d_opq <= d_pq + 1e-12, (m, d_opq, d_pq)
+
+        def adc_recall(codes, qa):
+            t = sim._pq_adc_rerank(
+                spark, raw, codes, books_pq if qa is None else books,
+                qids, qmat, shortlist_n=sim.TOP_K, qmat_adc=qa,
+            )
+            got = {(r["query_id"], r["cand_id"]) for r in t.collect()}
+            return len(got & want) / len(want)
+
+        r_pq = adc_recall(sim.pq_encode(raw, books_pq), None)
+        r_opq = adc_recall(sim.pq_encode(raw, books, rotation=R), qmat @ R)
+        assert r_opq >= r_pq, (m, r_opq, r_pq)
+
+
+def test_opq_registered_query_exact_through_rerank(spark, sf_dir):
+    """The registered opq_cosine_topk (production shortlist + exact
+    re-rank) recovers the exact top-k on this corpus with exact cosine
+    scores — the same fidelity bar the pq twin clears, now with the
+    better-fitting rotated codebooks underneath."""
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+
+    got = sorted(
+        tuple(r) for r in ops.QUERIES["opq_cosine_topk"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ops.QUERIES["embedding_cosine_topk"](spark, sf_dir).collect()
+    )
+    assert {g[:2] for g in got} == {w[:2] for w in want}
+    # matched pairs carry the exact cosine (re-rank reads raw vectors)
+    gm = {g[:2]: g[2] for g in got}
+    for w in want:
+        assert abs(gm[w[:2]] - w[2]) < 1e-9
+
+
+def test_persisted_opq_index_matches_inline(spark, sf_dir, tmp_path):
+    """build_opq_index + opq_search == the inline opq_cosine_topk
+    (same seeds -> same rotation and codebooks), both directly and
+    through the registered query's SPARK_GRAFT_OPQ_INDEX switch; a
+    bogus dir fails loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    idx = similarity.build_opq_index(spark, sf_dir, str(tmp_path / "opq"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    inline = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.opq_cosine_topk(spark, sf_dir).collect()
+    }
+    direct = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in similarity.opq_search(spark, idx, queries, raw).collect()
+    }
+    assert direct == inline
+    os.environ["SPARK_GRAFT_OPQ_INDEX"] = idx
+    try:
+        switched = {
+            (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+            for r in similarity.opq_cosine_topk(spark, sf_dir).collect()
+        }
+        assert switched == inline
+        os.environ["SPARK_GRAFT_OPQ_INDEX"] = idx + "_nope"
+        with pytest.raises(FileNotFoundError):
+            similarity.opq_cosine_topk(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_OPQ_INDEX"]
