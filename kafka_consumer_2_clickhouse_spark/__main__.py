@@ -5,6 +5,11 @@ PySpark — mirroring how the reference ships a single binary with
 flag-driven behavior (``cmd/kafka-consumer/main.go``), re-expressed as
 subcommands over the library:
 
+    ingest CONFIG                    run the Kafka->ClickHouse relay (the
+           [--schemas FILE]           reference binary's job) from a
+           [--source-path DIR]        reference-shaped JSON config; see
+           [--land DIR]               the ingest section below
+           [--duration S]
     list-queries [--grep PAT]        registered query inventory
     run-query NAME [--sf-dir DIR]    run one registered query
               [--limit N] [--out P]  (prints a sample or writes parquet;
@@ -55,6 +60,38 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="run the streaming relay from a reference-shaped JSON config "
+        "(Kafka -> ClickHouse live, or parquet -> parquet service-free)",
+    )
+    ing.add_argument("config", help="reference-shaped JSON config file")
+    ing.add_argument(
+        "--schemas",
+        default=None,
+        help="JSON file {topic: {column: clickhouse_type}} — the target "
+        "schemas; omitted = fetch live via DESCRIBE over JDBC",
+    )
+    ing.add_argument(
+        "--source-path",
+        default=None,
+        help="service-free mode: read Kafka-SHAPED parquet files from this "
+        "dir (availableNow) instead of a live broker",
+    )
+    ing.add_argument(
+        "--land",
+        default=None,
+        help="service-free mode: land each topic as parquet under "
+        "LAND/<topic> instead of ClickHouse INSERTs",
+    )
+    ing.add_argument(
+        "--duration",
+        type=int,
+        default=None,
+        help="live mode: stop gracefully after S seconds (default: run "
+        "until interrupted)",
+    )
+
     lq = sub.add_parser("list-queries", help="registered query inventory")
     lq.add_argument("--grep", default=None, help="substring filter")
 
@@ -101,6 +138,97 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _run_ingest(args) -> int:
+    """The ``ingest`` subcommand: the whole reference binary
+    (``cmd/kafka-consumer/main.go``) as one CLI call, with the fixes
+    the library adds — restart-time schema-compat triage (fail fast on
+    a breaking target change instead of landing garbage), fail-fast
+    sink pings, checkpointed at-least-once delivery, dead-letter
+    routing.
+
+    Live mode (default): Kafka source from the config's
+    ``consumer_config``, ClickHouse JDBC sinks, target schemas fetched
+    via ``DESCRIBE`` over JDBC unless ``--schemas`` supplies them.
+    Service-free mode (``--source-path`` + ``--land``): Kafka-shaped
+    parquet in, per-topic parquet out, availableNow — the CI/test twin
+    (same transform plan, same guard, no services).
+    """
+    import json as _json
+
+    from .config import load_config
+    from .schema import build_struct
+    from .session import get_spark
+    from .streaming.pipeline import run_file_pipeline_once, start_pipeline, stop_all
+    from .streaming.schema_guard import SchemaCompatError
+
+    cfg = load_config(args.config)
+    if not cfg.topics:
+        print("config has no topics", file=sys.stderr)
+        return 2
+    service_free = args.source_path is not None
+    if service_free != (args.land is not None):
+        print(
+            "--source-path and --land come together (service-free mode)",
+            file=sys.stderr,
+        )
+        return 2
+
+    spark = get_spark(
+        app_name="cli-ingest", clickhouse_jdbc=not service_free
+    )
+    if args.schemas:
+        with open(args.schemas) as f:
+            describes = _json.load(f)
+        missing = [t.topic for t in cfg.topics if t.topic not in describes]
+        if missing:
+            print(f"--schemas file lacks topics {missing}", file=sys.stderr)
+            return 2
+    else:
+        from .sinks import fetch_describe
+
+        describes = {t.topic: fetch_describe(spark, t) for t in cfg.topics}
+    schemas = {
+        t.topic: build_struct(
+            describes[t.topic], ignore_columns=t.clickhouse.ignore_columns
+        )
+        for t in cfg.topics
+    }
+
+    try:
+        if service_free:
+            from .sinks import parquet_writer
+
+            sinks = {
+                t.topic: parquet_writer(os.path.join(args.land, t.topic))
+                for t in cfg.topics
+            }
+            run_file_pipeline_once(
+                spark, cfg, schemas, args.source_path, sinks,
+                describes=describes,
+            )
+            return 0
+        from .sinks import ping_clickhouse
+
+        for t in cfg.topics:  # pingCHServers discipline: fail fast
+            ping_clickhouse(spark, t)
+        pipelines = start_pipeline(spark, cfg, schemas, describes=describes)
+        try:
+            if args.duration is not None:
+                import time as _time
+
+                _time.sleep(args.duration)
+            else:
+                for p in pipelines:
+                    p.query.awaitTermination()
+        except KeyboardInterrupt:
+            pass
+        stop_all(pipelines)
+        return 0
+    except SchemaCompatError as exc:
+        print(f"refusing to start: {exc}", file=sys.stderr)
+        return 3
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
@@ -131,6 +259,9 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = _resolve_sf_dir(args.sf_dir)
 
     from .session import get_spark
+
+    if args.cmd == "ingest":
+        return _run_ingest(args)
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
 

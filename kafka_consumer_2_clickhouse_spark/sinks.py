@@ -92,6 +92,45 @@ def ping_clickhouse(spark: SparkSession, cfg: TopicConfig) -> bool:
     return True
 
 
+def fetch_describe(spark: SparkSession, cfg: TopicConfig) -> dict[str, str]:
+    """Live twin of ``schema.parse_describe_output``: read the target
+    table's column map from ``system.columns`` over JDBC (the modern
+    form of the reference's ``clickhouse-client --query 'describe
+    table t'`` subprocess, ``prepare-functions.go:121-159``), excluding
+    MATERIALIZED/ALIAS columns exactly like the TSV parser (ClickHouse
+    skips them on INSERT).
+
+    Requires a live server + the pinned JDBC driver
+    (``session.get_spark(clickhouse_jdbc=True)``); raises
+    :class:`SinkUnavailableError` with the target coordinates on any
+    connectivity failure so startup fails fast.
+    """
+    table = cfg.clickhouse.table
+    if "." in table:
+        db, tbl = table.split(".", 1)
+        where = f"database = '{db}' AND table = '{tbl}'"
+    else:
+        where = f"database = currentDatabase() AND table = '{table}'"
+    opts = clickhouse_jdbc_options(cfg)
+    opts["dbtable"] = (
+        f"(SELECT name, type, default_kind FROM system.columns "
+        f"WHERE {where}) AS cols"
+    )
+    try:
+        rows = spark.read.format("jdbc").options(**opts).load().collect()
+    except Exception as exc:
+        first_line = (str(exc).splitlines() or [""])[0]
+        raise SinkUnavailableError(
+            f"DESCRIBE fetch failed for {opts['url']} (table={table!r}): "
+            f"{type(exc).__name__}: {first_line[:300]}"
+        ) from exc
+    return {
+        r["name"]: r["type"]
+        for r in rows
+        if r["default_kind"] not in ("MATERIALIZED", "ALIAS")
+    }
+
+
 def clickhouse_writer(cfg: TopicConfig) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function appending each micro-batch to ClickHouse.
 

@@ -1,0 +1,115 @@
+"""The ``ingest`` CLI subcommand — the reference binary's whole job as
+one command — driven end-to-end in service-free mode: reference-shaped
+JSON config + schemas file + Kafka-shaped parquet in, per-topic parquet
+landed, dead letters routed, schema guard engaged across restarts."""
+
+import json
+
+import pyarrow as pa
+
+from kafka_consumer_2_clickhouse_spark.__main__ import main
+from kafka_consumer_2_clickhouse_spark.sources.kafka import KAFKA_SHAPE
+
+SCHEMAS = {
+    "events": {"event_id": "Int64", "event_type": "String", "value": "Float64"}
+}
+
+
+def _snappy(b: bytes) -> bytes:
+    return bytes(pa.Codec("snappy").compress(b))
+
+
+def _write_source(spark, src, offset0: int, n: int = 10):
+    rows = [
+        (
+            None,
+            _snappy(
+                json.dumps(
+                    {"event_id": offset0 + i, "event_type": f"t{i % 2}",
+                     "value": float(i)}
+                ).encode()
+            ),
+            "events",
+            0,
+            offset0 + i,
+            None,
+        )
+        for i in range(n)
+    ]
+    rows.append((None, b"\xff not snappy", "events", 0, offset0 + n, None))
+    spark.createDataFrame(rows, KAFKA_SHAPE).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+
+def _setup(tmp_path, schemas=SCHEMAS):
+    cfg = {
+        "topics": [
+            {
+                "topic": "events",
+                "clickhouse_config": {"table": "events"},
+                "flush_count": 1000,
+            }
+        ],
+        "checkpoint_root": str(tmp_path / "ckpt"),
+        "dead_letter_path": str(tmp_path / "dead"),
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    sch_path = tmp_path / "schemas.json"
+    sch_path.write_text(json.dumps(schemas))
+    return str(cfg_path), str(sch_path)
+
+
+def test_cli_ingest_service_free_end_to_end(spark, tmp_path):
+    cfg_path, sch_path = _setup(tmp_path)
+    src, land = tmp_path / "src", tmp_path / "land"
+    _write_source(spark, src, offset0=0)
+
+    rc = main(
+        ["ingest", cfg_path, "--schemas", sch_path,
+         "--source-path", str(src), "--land", str(land)]
+    )
+    assert rc == 0
+    landed = spark.read.parquet(str(land / "events"))
+    assert landed.count() == 10
+    assert {"event_id", "event_type", "value"} <= set(landed.columns)
+    # the corrupt payload went to the dead-letter dir, not the table
+    dead = spark.read.parquet(str(tmp_path / "dead" / "events"))
+    assert dead.count() == 1
+    assert dead.collect()[0]["error_type"] == "snappy"
+
+    # restart with MORE source files: checkpoint skips the seen ones
+    _write_source(spark, src, offset0=100)
+    rc = main(
+        ["ingest", cfg_path, "--schemas", sch_path,
+         "--source-path", str(src), "--land", str(land)]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(land / "events")).count() == 20
+
+    # restart against a NARROWED target schema: exit code 3, nothing new
+    narrowed = {
+        "events": {"event_id": "Int32", "event_type": "String",
+                   "value": "Float64"}
+    }
+    (tmp_path / "schemas.json").write_text(json.dumps(narrowed))
+    _write_source(spark, src, offset0=200)
+    rc = main(
+        ["ingest", cfg_path, "--schemas", sch_path,
+         "--source-path", str(src), "--land", str(land)]
+    )
+    assert rc == 3
+    assert spark.read.parquet(str(land / "events")).count() == 20
+
+
+def test_cli_ingest_arg_validation(tmp_path):
+    cfg_path, sch_path = _setup(tmp_path)
+    # --source-path without --land (and vice versa) is refused
+    assert main(["ingest", cfg_path, "--schemas", sch_path,
+                 "--source-path", str(tmp_path / "x")]) == 2
+    # schemas file missing a configured topic is refused
+    (tmp_path / "schemas.json").write_text(json.dumps({"other": {}}))
+    assert main(["ingest", cfg_path, "--schemas", sch_path,
+                 "--source-path", str(tmp_path / "x"),
+                 "--land", str(tmp_path / "y")]) == 2

@@ -75,6 +75,35 @@ def test_clickhouse_roundtrip_integration(spark):
     assert back.count() >= 100
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_CH_URL"),
+    reason="integration: set SPARK_GRAFT_CH_URL=host:port to a live ClickHouse",
+)
+def test_fetch_describe_integration(spark):
+    """Live DESCRIBE over JDBC: the system.columns fetch returns the
+    column->type map for a just-created table, excluding MATERIALIZED
+    columns (the parse_describe_output contract)."""
+    from kafka_consumer_2_clickhouse_spark.sinks import fetch_describe
+
+    cfg = _cfg(os.environ["SPARK_GRAFT_CH_URL"])
+    cfg.clickhouse.table = "spark_graft_roundtrip_test"
+    desc = fetch_describe(spark, cfg)
+    assert desc  # the roundtrip test's table: k, v integer columns
+    assert set(desc) >= {"k", "v"}
+
+
+def test_fetch_describe_fails_fast_without_server(spark):
+    from kafka_consumer_2_clickhouse_spark.sinks import (
+        SinkUnavailableError,
+        fetch_describe,
+    )
+
+    cfg = _cfg("127.0.0.1:1")  # nothing listens here
+    cfg.clickhouse.table = "t"
+    with pytest.raises(SinkUnavailableError, match="DESCRIBE fetch failed"):
+        fetch_describe(spark, cfg)
+
+
 def test_partitioned_landing_sink_prunes(spark, tmp_path):
     """The partitioned foreachBatch sink lands a queryable layout: a
     date filter on the read-back table carries a PartitionFilter."""
