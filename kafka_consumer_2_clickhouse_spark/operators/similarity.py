@@ -353,9 +353,27 @@ def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
     n-row pull — no global sort materialization.
 
     Returns a float64 (n, D) matrix of RAW (un-normalized) vectors.
+
+    Session-memoized on (applicationId, plan semantic hash, n, seed) —
+    the draw is a pure deterministic function of the input relation, so
+    every quantizer trained in one session (ivf/pq/opq/ivfpq + their
+    sweeps) shares ONE TakeOrdered pull instead of re-scanning the
+    corpus per variant; the production shape, where the sample is drawn
+    once per index build. The cache is a ~1 MB ndarray per distinct
+    input relation (same discipline as the exact-spine SessionMemo,
+    driver-side because the value is driver-side).
     """
     import numpy as np
 
+    key = (
+        raw.sparkSession.sparkContext.applicationId,
+        raw.semanticHash(),
+        n,
+        seed,
+    )
+    cached = _SAMPLE_MEMO.get(key)
+    if cached is not None:
+        return cached.copy()  # callers normalize in place
     rows = (
         raw.select(
             "embedding",
@@ -367,7 +385,15 @@ def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
         .limit(n)
         .collect()
     )
-    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if len(_SAMPLE_MEMO) > 32:  # bound: a handful of (relation, seed) pairs
+        _SAMPLE_MEMO.clear()
+    _SAMPLE_MEMO[key] = mat
+    return mat.copy()
+
+
+#: (applicationId, semanticHash, n, seed) -> raw sample matrix
+_SAMPLE_MEMO: dict = {}
 
 
 def _train_centroids(raw: DataFrame, n_cells: int = N_CELLS, seed: int = 7):
@@ -1164,9 +1190,18 @@ def _lloyd_subspaces(mat, m: int, k: int, rng, init_books=None):
             cents = init_books[mi].copy()
         else:
             cents = block[rng.choice(len(block), k, replace=False)]
+        prev = None
         for _ in range(10):
             d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            if prev is not None and np.array_equal(assign, prev):
+                # fixed point: the update below would recompute the
+                # exact centroids that produced this assignment, so
+                # breaking here is BIT-IDENTICAL to running out the
+                # loop — it only skips no-op rounds (warm-started OPQ
+                # refits usually stabilize in 1-2)
+                break
+            prev = assign
             for c in range(k):
                 members = block[assign == c]
                 if len(members):
@@ -1518,7 +1553,14 @@ def train_opq(
         )
         Y = _pq_reconstruct(Xr, books)
         U, _, Vt = np.linalg.svd(X.T @ Y)
-        R = U @ Vt
+        R_new = U @ Vt
+        if np.array_equal(R_new, R):
+            # fixed point: every later iteration recomputes these exact
+            # quantities — breaking is bit-identical to running out the
+            # budget, it only skips no-op rounds
+            R = R_new
+            break
+        R = R_new
     Xr = X @ R
     Y = _pq_reconstruct(Xr, books)
     dist = float(((Xr - Y) ** 2).sum(axis=1).mean())
