@@ -2558,9 +2558,13 @@ def bm25_postings_search(
     never re-tokenized), df/n_docs/avgdl derive from those two index
     artifacts alone. Pending deletes are excluded on BOTH sides (the
     postings anti-join removes deleted candidates; the norms anti-join
-    keeps n_docs and avgdl exact post-delete). Output identical to the
-    inline :func:`bm25_search_docs` over the same corpus — pinned in
-    tests/test_postings_index.py."""
+    keeps n_docs and avgdl exact post-delete). Works unchanged on a
+    STREAM-maintained index (``postings/batch=<id>`` +
+    ``norms/batch=<id>`` — the maintainer lands both per batch; the
+    partition column rides through partition discovery and dies at the
+    projections). Output identical to the inline
+    :func:`bm25_search_docs` over the same corpus — pinned for both
+    layouts in tests/test_postings_index.py."""
     import os
 
     ndir = os.path.join(index_dir, "norms")

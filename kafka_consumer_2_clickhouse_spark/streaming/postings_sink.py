@@ -32,7 +32,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.text_analysis import _batch_directory, _batch_postings
+from ..operators.text_analysis import (
+    _batch_directory,
+    _batch_norms,
+    _batch_postings,
+)
 from .index_compact import compact_stream_batches
 from .state_store import DEFAULT_STORE, StateStore
 
@@ -98,13 +102,21 @@ def compact_postings_stream_index(
             F.col("tok")
         ).sortWithinPartitions("tok").write.mode("overwrite").parquet(path)
 
-    return compact_stream_batches(
+    merged = compact_stream_batches(
         spark,
         os.path.join(index_dir, "postings"),
         before_batch,
         write_merged,
         store,
     )
+    ndir = os.path.join(index_dir, "norms")
+    if os.path.isdir(ndir):
+
+        def write_norms(df: DataFrame, path: str) -> None:
+            df.select("doc_id", "dl").write.mode("overwrite").parquet(path)
+
+        compact_stream_batches(spark, ndir, before_batch, write_norms, store)
+    return merged
 
 
 def postings_maintainer(
@@ -121,9 +133,14 @@ def postings_maintainer(
         last = _committed(ddir, st)
         td = _batch_postings(batch_df).persist()
         try:
-            # postings: idempotent per-batch partition overwrite
+            # postings + norms: idempotent per-batch partition overwrites
+            # (norms are what lets bm25_postings_search serve a
+            # STREAM-maintained index — the Lucene norms file, streamed)
             td.write.mode("overwrite").parquet(
                 os.path.join(index_dir, "postings", f"{_PREFIX}{batch_id}")
+            )
+            _batch_norms(batch_df).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "norms", f"{_PREFIX}{batch_id}")
             )
             if last is not None and batch_id <= last:
                 return  # replay: directory already folded this batch

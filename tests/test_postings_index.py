@@ -273,6 +273,22 @@ def test_streaming_postings_maintainer(spark, sf_dir, tmp_path):
     got_search = [tuple(r) for r in tx.postings_search(spark, idx).collect()]
     assert got_search == want_search
 
+    # ...including BM25: the streamed norms/batch=<id> layout feeds the
+    # same scoring as the batch norms sidecar, before AND after stream
+    # compaction merges the batch dirs
+    want_bm25 = [tuple(r) for r in tx.bm25_postings_search(spark, full).collect()]
+    got_bm25 = [tuple(r) for r in tx.bm25_postings_search(spark, idx).collect()]
+    assert got_bm25 == want_bm25
+    ps.compact_postings_stream_index(spark, idx, before_batch=2)
+    batches = {
+        d for d in os.listdir(os.path.join(idx, "norms")) if d.startswith("batch=")
+    }
+    assert batches == {"batch=1"}  # merged into the highest compacted id
+    got_compacted = [
+        tuple(r) for r in tx.bm25_postings_search(spark, idx).collect()
+    ]
+    assert got_compacted == want_bm25
+
 
 def test_streaming_postings_through_real_stream(spark, sf_dir, tmp_path):
     """End-to-end wiring: documents replayed through an availableNow
