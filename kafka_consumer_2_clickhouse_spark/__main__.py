@@ -172,9 +172,20 @@ def _run_ingest(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if service_free and not args.schemas:
+        print(
+            "service-free mode has no ClickHouse to DESCRIBE — pass "
+            "--schemas FILE with the target schemas",
+            file=sys.stderr,
+        )
+        return 2
 
+    # live mode needs BOTH connector jars (Kafka source + ClickHouse
+    # JDBC sink/DESCRIBE); the service-free twin needs neither
     spark = get_spark(
-        app_name="cli-ingest", clickhouse_jdbc=not service_free
+        app_name="cli-ingest",
+        clickhouse_jdbc=not service_free,
+        kafka=not service_free,
     )
     if args.schemas:
         with open(args.schemas) as f:

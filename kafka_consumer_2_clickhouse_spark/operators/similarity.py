@@ -365,9 +365,13 @@ def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
     """
     import numpy as np
 
+    # the file stamp invalidates the memo when the underlying data
+    # changes mid-session (rewrite/append -> new part-file names), which
+    # semanticHash alone cannot see — a same-path re-read hashes equal
     key = (
         raw.sparkSession.sparkContext.applicationId,
         raw.semanticHash(),
+        hash(tuple(sorted(raw.inputFiles()))),
         n,
         seed,
     )
@@ -884,7 +888,7 @@ def ivf_search(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    n_probe: int = N_PROBE,
+    n_probe: int | None = None,
     k: int = TOP_K,
 ) -> DataFrame:
     """Probe a persisted IVF index: top-k per query over only the
@@ -895,11 +899,25 @@ def ivf_search(
     ``ann_cosine_topk``). The scan filter ``cell IN (probed)`` prunes at
     the partition level — tests assert the plan carries it as a
     PartitionFilter and that unprobed cell directories are never read.
+
+    ``n_probe`` omitted resolves ``SPARK_GRAFT_IVF_NPROBE`` (then
+    ``N_PROBE``) — the one place the probe-width dial lives, so every
+    index consumer (the registered query, the RRF dense side, direct
+    callers) honors the same override; ``n_probe == N_CELLS`` is exact.
+    A dir without ``cells/`` fails fast with the rebuild message
+    instead of a raw mid-plan path error.
     """
     import os
 
     import numpy as np
 
+    if not os.path.isdir(os.path.join(index_dir, "cells")):
+        raise FileNotFoundError(
+            f"{index_dir!r} has no cells/ dir — build it with "
+            "build_ivf_index()"
+        )
+    if n_probe is None:
+        n_probe = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", 0)) or N_PROBE
     cents = load_ivf_centroids(spark, index_dir)
 
     qrows = queries.select("vec_id", "embedding").collect()

@@ -2121,10 +2121,17 @@ def append_to_postings_index(
             "— a manual directory fold would break its versioning"
         )
     new_td = _batch_postings(new_docs)
-    new_td.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-    _batch_norms(new_docs).write.mode("append").parquet(
-        os.path.join(index_dir, "norms")
-    )
+    pdir = os.path.join(index_dir, "postings")
+    had_postings = os.path.isdir(pdir)
+    new_td.write.mode("append").parquet(pdir)
+    ndir = os.path.join(index_dir, "norms")
+    if os.path.isdir(ndir) or not had_postings:
+        # invariant: norms/, when present, covers EVERY indexed doc.
+        # A pre-norms (legacy) index stays norms-less — a PARTIAL
+        # sidecar would make bm25_postings_search silently drop the
+        # older docs; keeping it absent makes BM25 fail fast with the
+        # rebuild message instead.
+        _batch_norms(new_docs).write.mode("append").parquet(ndir)
     dir_path = os.path.join(index_dir, "directory")
     merged = (
         spark.read.parquet(dir_path)
@@ -3048,11 +3055,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_df = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
             "vec_id", "embedding"
         )
-        kwargs = {}
-        np_env = os.environ.get("SPARK_GRAFT_IVF_NPROBE")
-        if np_env:
-            kwargs["n_probe"] = int(np_env)
-        sem = ivf_search(spark, ivf_dir, q_df, k=RRF_TOP_K, **kwargs).select(
+        # ivf_search owns the cells/ fail-fast guard and the
+        # SPARK_GRAFT_IVF_NPROBE probe-width resolution
+        sem = ivf_search(spark, ivf_dir, q_df, k=RRF_TOP_K).select(
             F.col("cand_id").alias("doc_id"),
             F.col("rank").alias("rank_sem"),
         )

@@ -25,8 +25,9 @@ other streaming state (``state_store.py``): write ``v=<n>.tmp``, rename
 to commit, sweep superseded versions; max id wins on read. The
 snapshot payload itself is one tiny JSON file written/read driver-side
 — like :class:`..streaming.state_store.ManifestStateStore`'s marker
-trio, ``_write_text``/``_read_text`` are the only two calls an
-object-store/HDFS deployment overrides (PUT / GET of a small object).
+trio, ``_makedirs``/``_write_text``/``_read_text`` are the only three
+calls an object-store/HDFS deployment overrides (create-prefix / PUT /
+GET of a small object).
 
 Scale: the snapshot is O(columns) bytes and touched once per process
 start — never on the batch path.
@@ -66,6 +67,13 @@ class SchemaCompatError(RuntimeError):
         super().__init__(
             f"breaking schema change on topic {topic!r}: {detail}"
         )
+
+
+def _makedirs(path: str) -> None:
+    """Small-dir creation for the staged ``.tmp`` version (override for
+    object stores/HDFS alongside the text pair — on an object store a
+    'directory' is just a key prefix, so this is usually a no-op)."""
+    os.makedirs(path, exist_ok=True)
 
 
 def _write_text(path: str, text: str) -> None:
@@ -123,7 +131,7 @@ def save_schema_snapshot(
     nxt = (vs[-1] + 1) if vs else 0
     tmp = os.path.join(d, f"v={nxt}.tmp")
     store.rmtree(tmp)  # leftover from a crashed attempt
-    os.makedirs(tmp, exist_ok=True)
+    _makedirs(tmp)
     _write_text(
         os.path.join(tmp, SNAPSHOT_FILE), json.dumps(describe, sort_keys=True)
     )

@@ -108,6 +108,11 @@ def test_cli_ingest_arg_validation(tmp_path):
     # --source-path without --land (and vice versa) is refused
     assert main(["ingest", cfg_path, "--schemas", sch_path,
                  "--source-path", str(tmp_path / "x")]) == 2
+    # service-free without --schemas is refused (no ClickHouse to
+    # DESCRIBE, and the session has no JDBC driver pinned)
+    assert main(["ingest", cfg_path,
+                 "--source-path", str(tmp_path / "x"),
+                 "--land", str(tmp_path / "y")]) == 2
     # schemas file missing a configured topic is refused
     (tmp_path / "schemas.json").write_text(json.dumps({"other": {}}))
     assert main(["ingest", cfg_path, "--schemas", sch_path,

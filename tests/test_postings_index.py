@@ -194,6 +194,42 @@ def test_bm25_index_delete_lifecycle(spark, sf_dir, tmp_path):
     assert got_compact == want
 
 
+def test_bm25_append_to_legacy_index_keeps_norms_invariant(
+    spark, sf_dir, tmp_path
+):
+    """Appending to a pre-norms (legacy) index must NOT create a
+    partial norms sidecar — that would make bm25_postings_search
+    silently drop every pre-append document. The append keeps the
+    index norms-less (BM25 fails fast with the rebuild message) while
+    conjunctive search keeps working; a norms-complete index keeps its
+    sidecar complete across appends."""
+    import shutil
+
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    half = docs.filter(F.col("doc_id") < n // 2)
+    rest = docs.filter(F.col("doc_id") >= n // 2)
+
+    legacy = tx.build_postings_index(spark, half, str(tmp_path / "legacy"))
+    shutil.rmtree(os.path.join(legacy, "norms"))  # pre-norms layout
+    tx.append_to_postings_index(spark, legacy, rest)
+    assert not os.path.isdir(os.path.join(legacy, "norms"))
+    with pytest.raises(FileNotFoundError, match="norms"):
+        tx.bm25_postings_search(spark, legacy)
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full"))
+    assert [tuple(r) for r in tx.postings_search(spark, legacy).collect()] == [
+        tuple(r) for r in tx.postings_search(spark, full).collect()
+    ]
+    # norms-complete index: appends keep BM25 == full build
+    inc = tx.build_postings_index(spark, half, str(tmp_path / "inc"))
+    tx.append_to_postings_index(spark, inc, rest)
+    assert [tuple(r) for r in tx.bm25_postings_search(spark, inc).collect()] == [
+        tuple(r) for r in tx.bm25_postings_search(spark, full).collect()
+    ]
+
+
 def test_hybrid_rrf_honors_both_index_switches(
     spark, sf_dir, tmp_path, monkeypatch
 ):

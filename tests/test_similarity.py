@@ -744,3 +744,30 @@ def test_persisted_opq_index_matches_inline(spark, sf_dir, tmp_path):
             similarity.opq_cosine_topk(spark, sf_dir)
     finally:
         del os.environ["SPARK_GRAFT_OPQ_INDEX"]
+
+
+def test_hash_sample_memo_invalidates_on_data_change(spark, tmp_path):
+    """The session sample memo keys on the input FILES, not just the
+    plan: rewriting the relation under the same path must re-draw the
+    sample, never serve the stale one."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "emb")
+    spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.col("id").cast("double") + i for i in range(4)]).alias(
+            "embedding"
+        ),
+    ).write.mode("overwrite").parquet(path)
+    s1 = similarity._hash_sample_matrix(spark.read.parquet(path), n=50)
+    s1_again = similarity._hash_sample_matrix(spark.read.parquet(path), n=50)
+    assert np.array_equal(s1, s1_again)  # memo hit: identical draw
+    spark.range(1000, 1500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.col("id").cast("double") - i for i in range(4)]).alias(
+            "embedding"
+        ),
+    ).write.mode("overwrite").parquet(path)
+    s2 = similarity._hash_sample_matrix(spark.read.parquet(path), n=50)
+    assert not np.array_equal(s1, s2)  # file stamp changed: fresh draw
