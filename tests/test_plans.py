@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "events_benford_deviation",  # 1-row digit-total crossJoin onto 9-row spine
     "dsir_importance_weights",  # 1-row bucket-totals crossJoin (B-row ratios)
     "dsir_selection_summary",  # same + 1-row pool-total crossJoin
+    "dsir_selection_summary_approx",  # same + 1-row sketch-threshold crossJoin
     "dsir_gumbel_sample",  # inherits the weights' 1-row totals crossJoin
     "lsh_parameter_plan",  # 1-row min-error crossJoin onto the 7-config table
     "corpus_heaps_fit",  # 1-row doc_id-bounds + 1-row OLS-sums crossJoins
