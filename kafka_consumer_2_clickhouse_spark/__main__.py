@@ -138,6 +138,27 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _await_duration(pipelines, duration: float) -> None:
+    """Bounded live-mode wait: poll ``awaitTermination(timeout)``
+    across the pipelines instead of a blind driver-thread sleep, so a
+    query that dies mid-window raises its StreamingQueryException HERE
+    — not after the full duration has silently elapsed. Returns early
+    if every query terminated cleanly."""
+    import time as _time
+
+    deadline = _time.monotonic() + duration
+    while True:
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            return
+        alive = False
+        for p in pipelines:
+            if not p.query.awaitTermination(min(1.0, remaining)):
+                alive = True
+        if not alive:
+            return  # every query already terminated cleanly
+
+
 def _run_ingest(args) -> int:
     """The ``ingest`` subcommand: the whole reference binary
     (``cmd/kafka-consumer/main.go``) as one CLI call, with the fixes
@@ -225,15 +246,14 @@ def _run_ingest(args) -> int:
         pipelines = start_pipeline(spark, cfg, schemas, describes=describes)
         try:
             if args.duration is not None:
-                import time as _time
-
-                _time.sleep(args.duration)
+                _await_duration(pipelines, args.duration)
             else:
                 for p in pipelines:
                     p.query.awaitTermination()
         except KeyboardInterrupt:
             pass
-        stop_all(pipelines)
+        finally:
+            stop_all(pipelines)
         return 0
     except SchemaCompatError as exc:
         print(f"refusing to start: {exc}", file=sys.stderr)

@@ -69,6 +69,10 @@ SCALE_MODE_SWAPS: dict[str, str] = {
     # percentile_approx weight threshold instead of the exact top-K
     # selection head (no global-rank shuffle at production K)
     "dsir_selection_summary": "dsir_selection_summary_approx",
+    # SRP-LSH candidates -> the existing equi-join verify path instead
+    # of the all-pairs θ-join (was the registry's last quadratic
+    # default without a swap)
+    "embedding_near_dup_pairs": "embedding_near_dup_pairs_approx",
 }
 
 #: ALGORITHM-level swaps under ``SPARK_GRAFT_SCALE_MODE=approx``:

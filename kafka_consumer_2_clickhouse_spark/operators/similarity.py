@@ -36,6 +36,27 @@ TOP_K = 5
 NEAR_DUP_COS = 0.8
 
 
+def _env_positive_int(name: str, default: int) -> int:
+    """Strict env-var dial parse: unset/empty -> ``default``; anything
+    else must be a positive integer, or the error NAMES the variable
+    instead of surfacing as a bare ValueError mid-plan (an explicit
+    ``0`` is rejected, not silently coerced to the default)."""
+    import os
+
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return default
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be a positive integer, got {raw!r}"
+        ) from None
+    if v <= 0:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
+    return v
+
+
 def _dot_sql(a: str, b: str, engine: str) -> str:
     """Exact decimal dot product, generated identically for both engines
     (only the array-indexing syntax differs).
@@ -332,6 +353,43 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         spark, sf_dir, candidates=cands, threshold=SRP_NEAR_COS
     )
+
+
+@query("embedding_near_dup_pairs_approx")  # rows-only by design: SRP
+# candidate generation is approximate (recall < 1 near the threshold);
+# containment-in-exact always holds and recall floors are pinned at two
+# thresholds on a planted near-dup corpus in tests/test_dedup_pairs.py
+def embedding_near_dup_pairs_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``embedding_near_dup_pairs``'s 100 TB twin — its entry in
+    ``SCALE_MODE_SWAPS``, so ``SPARK_GRAFT_SCALE_MODE=approx`` serves
+    THIS plan under the exact name: SRP-LSH band collisions generate
+    candidates (map-side sign bits + a bucketed equi-join,
+    :func:`srp_candidate_pairs`), and the existing ``candidates=``
+    verify path scores ONLY those through two hash equi-joins — same
+    columns, same ``NEAR_DUP_COS`` threshold, and no nested-loop /
+    θ-join anywhere in the plan (pinned in tests/test_plans.py).
+
+    Why the twin exists: the registered exact form is the documented
+    all-pairs oracle shape — hash-correct and quadratic by design,
+    which a 100× scale-up kills. This was the registry's last exact
+    default without a scale-mode swap.
+
+    What the swap trades away, precisely: a true pair is missed only
+    when its signatures collide in NONE of the ``SRP_BANDS`` bands.
+    At the 0.8 operating point a near-dup pair collides per band with
+    probability ~``(1 - θ/π)^SRP_ROWS`` ≈ 0.16 (sparse projections are
+    angle-preserving in expectation), so per-pair recall is ≈ 0.75 at
+    the threshold boundary and → 1 as cosine → 1; EXACT duplicates are
+    never missed (identical vectors share every band key). The
+    containment direction is not approximate at all: every emitted
+    pair re-scores through the same bit-identical cosine chain, so
+    output ⊆ exact output with identical cosine values on shared
+    pairs.
+    """
+    cands = srp_candidate_pairs(spark, sf_dir)
+    return embedding_near_dup_pairs(spark, sf_dir, candidates=cands)
 
 
 N_CELLS = 16
@@ -917,7 +975,7 @@ def ivf_search(
             "build_ivf_index()"
         )
     if n_probe is None:
-        n_probe = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", 0)) or N_PROBE
+        n_probe = _env_positive_int("SPARK_GRAFT_IVF_NPROBE", N_PROBE)
     cents = load_ivf_centroids(spark, index_dir)
 
     qrows = queries.select("vec_id", "embedding").collect()

@@ -92,6 +92,24 @@ def ping_clickhouse(spark: SparkSession, cfg: TopicConfig) -> bool:
     return True
 
 
+def _describe_where(table: str) -> str:
+    """``system.columns`` WHERE clause for a config-sourced table name,
+    with both parts embedded as ESCAPED string literals (backslash
+    first, then the quote — ClickHouse's literal escape rules): a name
+    containing a quote can neither break the query nor smuggle extra
+    predicates in, even though configs are operator-owned — the
+    reference shells the raw name into ``clickhouse-client``
+    (``prepare-functions.go:121-159``), which is strictly worse."""
+
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    if "." in table:
+        db, tbl = table.split(".", 1)
+        return f"database = '{q(db)}' AND table = '{q(tbl)}'"
+    return f"database = currentDatabase() AND table = '{q(table)}'"
+
+
 def fetch_describe(spark: SparkSession, cfg: TopicConfig) -> dict[str, str]:
     """Live twin of ``schema.parse_describe_output``: read the target
     table's column map from ``system.columns`` over JDBC (the modern
@@ -105,12 +123,7 @@ def fetch_describe(spark: SparkSession, cfg: TopicConfig) -> dict[str, str]:
     :class:`SinkUnavailableError` with the target coordinates on any
     connectivity failure so startup fails fast.
     """
-    table = cfg.clickhouse.table
-    if "." in table:
-        db, tbl = table.split(".", 1)
-        where = f"database = '{db}' AND table = '{tbl}'"
-    else:
-        where = f"database = currentDatabase() AND table = '{table}'"
+    where = _describe_where(cfg.clickhouse.table)
     opts = clickhouse_jdbc_options(cfg)
     opts["dbtable"] = (
         f"(SELECT name, type, default_kind FROM system.columns "
@@ -121,7 +134,8 @@ def fetch_describe(spark: SparkSession, cfg: TopicConfig) -> dict[str, str]:
     except Exception as exc:
         first_line = (str(exc).splitlines() or [""])[0]
         raise SinkUnavailableError(
-            f"DESCRIBE fetch failed for {opts['url']} (table={table!r}): "
+            f"DESCRIBE fetch failed for {opts['url']} "
+            f"(table={cfg.clickhouse.table!r}): "
             f"{type(exc).__name__}: {first_line[:300]}"
         ) from exc
     return {

@@ -130,18 +130,38 @@ def postings_maintainer(
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ddir = os.path.join(index_dir, "directory")
+        ndir = os.path.join(index_dir, "norms")
+        pdir = os.path.join(index_dir, "postings")
         last = _committed(ddir, st)
+        # legacy guard (the batch appender's invariant, mirrored):
+        # norms/, when present, covers EVERY indexed doc. Resuming a
+        # pre-norms stream index must therefore KEEP it norms-less —
+        # writing norms only for post-upgrade batches would create a
+        # partial sidecar that passes bm25_postings_search's existence
+        # check while its dl inner join silently drops every older doc.
+        # "Prior batches" excludes THIS batch id, so a crash between a
+        # brand-new index's first postings write and its norms write
+        # still classifies the replay as new, not legacy.
+        prior = [
+            d
+            for d in (st.listdir(pdir) if st.isdir(pdir) else [])
+            if d.startswith(_PREFIX)
+            and not d.endswith(".tmp")
+            and d != f"{_PREFIX}{batch_id}"
+        ]
+        write_norms = st.isdir(ndir) or not prior
         td = _batch_postings(batch_df).persist()
         try:
             # postings + norms: idempotent per-batch partition overwrites
             # (norms are what lets bm25_postings_search serve a
             # STREAM-maintained index — the Lucene norms file, streamed)
             td.write.mode("overwrite").parquet(
-                os.path.join(index_dir, "postings", f"{_PREFIX}{batch_id}")
+                os.path.join(pdir, f"{_PREFIX}{batch_id}")
             )
-            _batch_norms(batch_df).write.mode("overwrite").parquet(
-                os.path.join(index_dir, "norms", f"{_PREFIX}{batch_id}")
-            )
+            if write_norms:
+                _batch_norms(batch_df).write.mode("overwrite").parquet(
+                    os.path.join(ndir, f"{_PREFIX}{batch_id}")
+                )
             if last is not None and batch_id <= last:
                 return  # replay: directory already folded this batch
             delta = _batch_directory(td)

@@ -210,9 +210,14 @@ def snapshot_cdc_baseline(
     :func:`upsert_maintainer` (constructed with ``diff_dir=``) keeps
     the table current. Returns the baseline batch id.
 
-    Crash-safe: baseline commits first; a crash before the initial
-    table commit leaves ``committed_batch(diff_dir)`` None (tracking
-    simply not started — re-run the snapshot)."""
+    Crash-safe at every point, including RE-baselining a live
+    ``diff_dir``: any committed diff versions are removed FIRST (folds
+    no-op while tracking is "not started"), the baseline then swaps in
+    via rename-aside (a committed copy exists at every instant), and
+    the initial cumulative table commits last — so a crash anywhere
+    leaves ``committed_batch(diff_dir)`` None and the fix is simply
+    re-running the snapshot; no ordering can pair a committed
+    cumulative table with the wrong baseline."""
     st = store or DEFAULT_STORE
     b = committed_batch(state_dir, st)
     if b is None:
@@ -222,9 +227,28 @@ def snapshot_cdc_baseline(
         state = state.filter(~F.col(DELETE_COL)).drop(DELETE_COL)
     base_path = os.path.join(diff_dir, "baseline")
     tmp = base_path + ".tmp"
+    # RESET tracking before touching the baseline: with no committed
+    # diff version, _fold_cdc_diff no-ops ("tracking not started"), so
+    # every crash point below is fail-safe — the old rmtree-then-rename
+    # had a window where the only baseline was gone while a committed
+    # diff table could still exist (re-baseline of a live diff_dir),
+    # wedging every later fold; worse, a crash after the swap could
+    # leave the OLD cumulative table paired with the NEW baseline
+    if st.isdir(diff_dir):
+        for d in st.listdir(diff_dir):
+            if d.startswith(_PREFIX):
+                st.rmtree(os.path.join(diff_dir, d))
     state.write.mode("overwrite").parquet(tmp)
-    st.rmtree(base_path)
+    # rename-aside swap (the index-compactor protocol): a committed
+    # baseline copy exists at every instant until the new one is in
+    old = base_path + ".old"
+    if st.isdir(old):  # leftover from a prior crash: sweep before reuse
+        st.rmtree(old)
+    if st.isdir(base_path):
+        st.rename(base_path, old)
     st.rename(tmp, base_path)
+    if st.isdir(old):
+        st.rmtree(old)
     init = (
         state.groupBy(type_col)
         .agg(F.count("*").cast("bigint").alias("n_keys"))

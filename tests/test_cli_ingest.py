@@ -118,3 +118,54 @@ def test_cli_ingest_arg_validation(tmp_path):
     assert main(["ingest", cfg_path, "--schemas", sch_path,
                  "--source-path", str(tmp_path / "x"),
                  "--land", str(tmp_path / "y")]) == 2
+
+
+def test_await_duration_surfaces_stream_failure_and_returns_early():
+    """Live-mode --duration waits poll awaitTermination(timeout): a
+    query that dies mid-window raises HERE (not after the window), and
+    an all-terminated fleet returns before the deadline."""
+    import time
+
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.__main__ import _await_duration
+
+    class _Query:
+        def __init__(self, fail_after=None, terminate_after=None):
+            self.calls = 0
+            self.fail_after = fail_after
+            self.terminate_after = terminate_after
+
+        def awaitTermination(self, timeout):
+            self.calls += 1
+            if self.fail_after is not None and self.calls >= self.fail_after:
+                raise RuntimeError("stream died: simulated sink failure")
+            if (
+                self.terminate_after is not None
+                and self.calls >= self.terminate_after
+            ):
+                return True
+            time.sleep(min(timeout, 0.01))
+            return False
+
+    class _Pipeline:
+        def __init__(self, query):
+            self.query = query
+
+    # failure surfaces immediately (well before the 60 s window)
+    failing = _Pipeline(_Query(fail_after=2))
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="stream died"):
+        _await_duration([failing], 60.0)
+    assert time.monotonic() - t0 < 5.0
+
+    # clean termination of every query ends the wait early
+    done = _Pipeline(_Query(terminate_after=1))
+    t0 = time.monotonic()
+    _await_duration([done, _Pipeline(_Query(terminate_after=2))], 60.0)
+    assert time.monotonic() - t0 < 5.0
+
+    # and a healthy query simply rides out the (tiny) window
+    healthy = _Pipeline(_Query())
+    _await_duration([healthy], 0.05)
+    assert healthy.query.calls >= 1

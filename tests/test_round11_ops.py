@@ -12,12 +12,15 @@ from kafka_consumer_2_clickhouse_spark.operators import selection as sel
 
 def test_dsir_threshold_selection_envelope_at_two_accuracies(spark, sf_dir):
     """The sketch-threshold selection vs the exact top-K head at two
-    percentile_approx accuracies: the exact top-K set is CONTAINED in
-    the threshold set (the sketch can only err by admitting a few
-    extra rows around the cutpoint, never by dropping a higher-weight
-    doc below a lower one), the overshoot stays inside the rank-error
-    envelope, pool columns match the exact table exactly, and the
-    DSIR sign-off holds — target-language share rises vs the pool."""
+    percentile_approx accuracies. The GK sketch's rank error is
+    TWO-SIDED: the cutpoint can land below the true kth weight
+    (admitting extras) or above it (dropping tail members of the top
+    K) — never reordering, since threshold selection is monotone in
+    weight. So the pins encode exactly that contract: the selected
+    count stays within K +- envelope, at most `envelope` of the exact
+    top-K docs can fall below the cutpoint, pool columns match the
+    exact table exactly, and the DSIR sign-off holds — target-language
+    share rises vs the pool."""
     w = sel._weights_df(spark, sf_dir)
     k = sel.DSIR_SELECT_K
     exact_sel = {
@@ -44,11 +47,14 @@ def test_dsir_threshold_selection_envelope_at_two_accuracies(spark, sf_dir):
             (r["lang"], r["n_pool"], r["pool_share"])
             for r in exact_rows.values()
         }
-        # selected count: K <= n_sel <= K + rank-error envelope
+        # selected count: two-sided rank-error envelope around K
         n_sel = sum(r["n_selected"] for r in ap.values())
         envelope = max(5, math.ceil(n_total / acc))
-        assert k <= n_sel <= k + envelope, (acc, n_sel, k, envelope)
-        # containment: every exact top-K doc clears the sketch threshold
+        assert k - envelope <= n_sel <= k + envelope, (acc, n_sel, k, envelope)
+        # containment up to the envelope: the cutpoint may sit above
+        # the true kth weight, dropping at most `envelope` of the
+        # exact top-K (two-sided GK error — a one-sided `exact_sel <=
+        # got_sel` pin overclaims what the sketch guarantees)
         thr = w.agg(
             F.percentile_approx(
                 "log_weight", F.lit(max(0.0, 1 - k / n_total)), F.lit(acc)
@@ -58,7 +64,9 @@ def test_dsir_threshold_selection_envelope_at_two_accuracies(spark, sf_dir):
             r["doc_id"]
             for r in w.filter(F.col("log_weight") >= thr).collect()
         }
-        assert exact_sel <= got_sel, (acc, len(exact_sel - got_sel))
+        assert len(exact_sel - got_sel) <= envelope, (
+            acc, len(exact_sel - got_sel), envelope,
+        )
         # the selection still pulls toward the target language
         tgt = sel.DSIR_TARGET_LANG
         assert ap[tgt]["selected_share"] > ap[tgt]["pool_share"]

@@ -61,7 +61,13 @@ def test_whole_registry_builds_and_swaps_run_under_flag(
         spark.catalog.clearCache()
     for exact_name, approx_name in ops.SCALE_MODE_SWAPS.items():
         out = q[exact_name](spark, sf_dir)
-        assert out.count() > 0, exact_name
+        # an empty result is legitimate only when the EXACT form is
+        # empty too (embedding_near_dup_pairs: the suite corpus has no
+        # cosine-0.8 near-dups, so both plans correctly emit nothing)
+        if out.count() == 0:
+            assert ops.QUERIES[exact_name](spark, sf_dir).count() == 0, (
+                exact_name
+            )
         want = ops.QUERIES[approx_name](spark, sf_dir).columns
         assert out.columns == want, exact_name
 

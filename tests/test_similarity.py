@@ -771,3 +771,25 @@ def test_hash_sample_memo_invalidates_on_data_change(spark, tmp_path):
     ).write.mode("overwrite").parquet(path)
     s2 = similarity._hash_sample_matrix(spark.read.parquet(path), n=50)
     assert not np.array_equal(s1, s2)  # file stamp changed: fresh draw
+
+
+def test_env_positive_int_dial_parse(monkeypatch):
+    """Probe-width env dials parse strictly: unset/empty -> default;
+    non-integers and non-positive values raise an error NAMING the
+    variable (an explicit "0" is rejected, not silently coerced)."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.operators.similarity import (
+        _env_positive_int,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_NPROBE", raising=False)
+    assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 4
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "")
+    assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 4
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "9")
+    assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 9
+    for bad in ("banana", "0", "-3", "1.5"):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_IVF_NPROBE"):
+            _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4)

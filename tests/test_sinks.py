@@ -140,3 +140,31 @@ def test_clickhouse_jdbc_flag_fails_fast_on_existing_session(spark):
     assert spark is not None  # fixture guarantees an active session
     with pytest.raises(RuntimeError, match="startup-only"):
         get_spark(clickhouse_jdbc=True)
+
+
+def test_describe_where_escapes_identifiers():
+    """Config-sourced table names embed as ESCAPED string literals in
+    the system.columns probe: a quote (or backslash) in the name can
+    neither break the query nor smuggle extra predicates in."""
+    from kafka_consumer_2_clickhouse_spark.sinks import _describe_where
+
+    assert _describe_where("db.tbl") == "database = 'db' AND table = 'tbl'"
+    assert (
+        _describe_where("plain")
+        == "database = currentDatabase() AND table = 'plain'"
+    )
+    # a quote in the name stays INSIDE the literal
+    assert (
+        _describe_where("we'ird.t'bl")
+        == "database = 'we\\'ird' AND table = 't\\'bl'"
+    )
+    # backslash escapes first, so a trailing backslash cannot eat the
+    # closing quote
+    assert _describe_where("x\\") == (
+        "database = currentDatabase() AND table = 'x\\\\'"
+    )
+    # classic injection shape: everything remains one quoted literal
+    inj = _describe_where("t' OR '1'='1")
+    assert inj == (
+        "database = currentDatabase() AND table = 't\\' OR \\'1\\'=\\'1'"
+    )

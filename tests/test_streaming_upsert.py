@@ -248,3 +248,100 @@ def test_cdc_diff_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no committed"):
         snapshot_cdc_baseline(spark, str(tmp_path / "empty"), str(tmp_path / "d"))
+
+
+def test_cdc_rebaseline_resets_tracking_fail_safe(spark, sf_dir, tmp_path):
+    """Re-baselining a LIVE diff_dir: committed diff versions are
+    removed FIRST (so no crash ordering can pair a committed cumulative
+    table with the wrong baseline), the baseline swaps by rename-aside,
+    and the fresh report is all-'unchanged'/zero-drift; subsequent
+    folds classify against the NEW baseline. A simulated crash between
+    the reset and the swap leaves tracking merely 'not started' —
+    folds no-op, the state keeps advancing, and re-running the
+    snapshot recovers."""
+    from kafka_consumer_2_clickhouse_spark.streaming.state_store import (
+        DEFAULT_STORE,
+    )
+    from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+        read_cdc_report,
+        snapshot_cdc_baseline,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    c1 = lo + (hi - lo) * 3 // 5
+    c2 = lo + (hi - lo) * 4 // 5
+    state, diff = tmp_path / "state", tmp_path / "diff"
+
+    seed = upsert_maintainer(str(state))
+    seed(ev.filter(F.col("ts_us") <= c1).drop("ts_us"), 0)
+    assert snapshot_cdc_baseline(spark, str(state), str(diff)) == 0
+    maintain = upsert_maintainer(str(state), diff_dir=str(diff))
+    maintain(
+        ev.filter((F.col("ts_us") > c1) & (F.col("ts_us") <= c2)).drop("ts_us"),
+        1,
+    )
+    live = read_cdc_report(spark, str(diff)).collect()
+    assert "updated" in {r["change_kind"] for r in live}  # non-trivial diff
+
+    # ---- re-baseline on the live dir: tracking resets cleanly
+    assert snapshot_cdc_baseline(spark, str(state), str(diff)) == 1
+    fresh = read_cdc_report(spark, str(diff)).collect()
+    assert {r["change_kind"] for r in fresh} == {"unchanged"}
+    assert all(r["value_delta_sum"] == 0.0 for r in fresh)
+
+    # ---- fold the remainder; classify vs the NEW baseline, checked
+    # against an independent DataFrame recomputation
+    maintain(ev.filter(F.col("ts_us") > c2).drop("ts_us"), 2)
+    got = sorted(tuple(r) for r in read_cdc_report(spark, str(diff)).collect())
+    from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+        read_latest,
+    )
+
+    cur = read_latest(spark, str(state)).select(
+        "user_id", "event_type",
+        F.struct("ts", "event_id").alias("ver_n"),
+        F.col("value").alias("val_n"),
+    )
+    base = spark.read.parquet(str(diff / "baseline")).select(
+        "user_id", "event_type",
+        F.struct("ts", "event_id").alias("ver_0"),
+        F.col("value").alias("val_0"),
+    )
+    j = cur.join(base, ["user_id", "event_type"], "left")
+    kind = (
+        F.when(F.col("ver_0").isNull(), "inserted")
+        .when(F.col("ver_n") != F.col("ver_0"), "updated")
+        .otherwise("unchanged")
+    )
+    delta = (F.col("val_n") - F.coalesce(F.col("val_0"), F.lit(0.0))).cast(
+        "decimal(27,6)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in j.select(F.col("event_type"), kind.alias("change_kind"), delta.alias("d"))
+        .groupBy("event_type", "change_kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("d").cast("double").alias("value_delta_sum"),
+        )
+        .collect()
+    )
+    assert got == want
+
+    # ---- crash sim: reset happened (diff versions gone), swap didn't.
+    # Tracking reads as 'not started'; folds no-op; state advances;
+    # re-running the snapshot recovers.
+    for d in DEFAULT_STORE.listdir(str(diff)):
+        if d.startswith("batch="):
+            DEFAULT_STORE.rmtree(str(diff / d))
+    assert read_cdc_report(spark, str(diff)) is None
+    extra = ev.orderBy(F.desc("ts_us")).limit(5).drop("ts_us")
+    maintain(extra, 3)  # fold no-ops, state fold still runs
+    assert read_cdc_report(spark, str(diff)) is None
+    b = snapshot_cdc_baseline(spark, str(state), str(diff))
+    assert b == 3
+    rec = read_cdc_report(spark, str(diff)).collect()
+    assert {r["change_kind"] for r in rec} == {"unchanged"}
