@@ -2495,6 +2495,8 @@ def _bm25_rank(
     corpus: DataFrame,
     terms: tuple = SEARCH_TERMS,
     top_k: int = BM25_TOP_K,
+    per_doc: DataFrame | None = None,
+    per_doc_filter=None,
 ) -> DataFrame:
     """The BM25 scoring chain, shared verbatim by the inline and the
     persisted-index paths (so their equality pin is structural, not
@@ -2511,14 +2513,25 @@ def _bm25_rank(
     addition is not associative) and round to 9 decimals before the
     doc_id-tiebroken TakeOrdered head — the determinism discipline of
     the registered query.
+
+    ``per_doc`` (optional): a prebuilt (doc_id, tf_0..tf_n) relation —
+    the two-phase path computes it once and shares it across phases.
+    ``per_doc_filter`` (optional): a Column predicate over the tf_*
+    columns applied AFTER the doc-grain aggregation but BEFORE the dl
+    join and scoring — the pruning hook. df stats always derive from
+    the FULL ``hits`` relation, so a filtered ranking scores with
+    exactly the unfiltered query's idf values.
     """
-    tf_aggs = [
-        F.sum(F.when(F.col("tok") == x, F.col("tf")).otherwise(0))
-        .cast("bigint")
-        .alias(f"tf_{i}")
-        for i, x in enumerate(terms)
-    ]
-    per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
+    if per_doc is None:
+        tf_aggs = [
+            F.sum(F.when(F.col("tok") == x, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, x in enumerate(terms)
+        ]
+        per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
+    if per_doc_filter is not None:
+        per_doc = per_doc.filter(per_doc_filter)
     df_aggs = [
         F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
         .cast("bigint")
@@ -2552,11 +2565,147 @@ def _bm25_rank(
     )
 
 
+#: safety margin when comparing score UPPER BOUNDS against the
+#: phase-1 threshold: the threshold comes from scores rounded to 9
+#: decimals, whose true values may sit up to half an ulp-of-rounding
+#: above the rounded figure — widening the admit test by 1e-9 keeps
+#: every potential tie inside the candidate set, so the two-phase
+#: ranking is row-identical to the exact one (tiebreaks included)
+_BM25_THETA_MARGIN = 1e-9
+
+
+def _bm25_rank_two_phase(
+    spark: SparkSession,
+    index_dir: str,
+    hits: DataFrame,
+    dl: DataFrame,
+    corpus: DataFrame,
+    terms: tuple,
+    top_k: int,
+    prune_stats: dict | None = None,
+) -> DataFrame:
+    """Max-score / WAND-style two-phase BM25 over the persisted index
+    (Broder et al., CIKM 2003 "Efficient query evaluation using a
+    two-level retrieval process"; Ding & Suel, SIGIR 2011 block-max
+    refinement), re-expressed for a shuffle-based engine:
+
+    - **Phase 1 (threshold from the rarest term):** rank exactly the
+      documents containing the lowest-df query term — the classic
+      pointer-at-the-rarest-list start. If it yields a full top-k, its
+      k-th ROUNDED score is a certified lower bound θ on the final
+      k-th score (those docs are all candidates of the final ranking).
+    - **Phase 2 (bound-prune, then exact):** per term, a score UPPER
+      BOUND from the directory's ``max_tf`` (tf saturation at the
+      term's maximum observed tf, dl term bounded below by
+      ``k1·(1-b)``) and the live idf; a document's score can never
+      exceed the sum of bounds of the terms it CONTAINS, so docs whose
+      bound-sum falls below θ (minus the rounding margin) are pruned
+      before the norms join, the scoring expressions, and the ranking
+      head. Survivors re-score EXACTLY — output is row-identical to
+      the single-phase ranking, tiebreaks included (pinned at two k
+      settings in tests/test_postings_index.py).
+
+    The document-at-a-time pointer dance of the papers doesn't map to
+    columnar scans; what transfers is the certified-threshold pruning:
+    here the postings of the query terms are still read once (they
+    must be — df/tf are per-doc facts), but the expensive tail — the
+    norms join, |terms| scoring expressions, and the TakeOrdered —
+    runs over only the admitted candidates. The doc-grain tf relation
+    is computed once and shared by both phases (recomputable persist).
+
+    Driver pulls, all bounded and documented: the 1-row corpus
+    aggregate, the 1-row df aggregate, the |terms|-row directory page
+    slice, and phase 1's ≤ top_k result rows.
+
+    ``prune_stats`` (tests only): receives n_docs_with_any_term /
+    n_candidates / theta so the non-vacuous-pruning pin can observe
+    the shrink without re-deriving the internals.
+    """
+    from pyspark import StorageLevel
+
+    tf_aggs = [
+        F.sum(F.when(F.col("tok") == x, F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias(f"tf_{i}")
+        for i, x in enumerate(terms)
+    ]
+    # shared doc-grain tf relation (recomputable persist; caller-owned
+    # cleanup — see operators.release_intermediate_caches)
+    per_doc = (
+        hits.groupBy("doc_id").agg(*tf_aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # bounded driver pulls: one df row, one corpus row, |terms| rows of
+    # the committed directory page (max_tf upper-bounds live tf even
+    # with pending tombstones — deletes only shrink the true maximum)
+    dfs = hits.agg(
+        *[
+            F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i, x in enumerate(terms)
+        ]
+    ).collect()[0]
+    n_docs = corpus.collect()[0]["n_docs"]
+    page = postings_directory_stats(spark, index_dir).filter(
+        F.col("tok").isin(*terms)
+    )
+    max_tf = {r["tok"]: r["max_tf"] for r in page.collect()}
+
+    import math
+
+    ubs = []
+    for i, t in enumerate(terms):
+        df_t = dfs[f"df_{i}"]
+        mt = max_tf.get(t, 0)
+        if df_t == 0 or mt == 0:
+            ubs.append(0.0)
+            continue
+        idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        # tf term is increasing in tf and decreasing in dl; bound with
+        # the term's max observed tf and dl -> 0 (denominator k1*(1-b))
+        ubs.append(idf * (mt * (BM25_K1 + 1.0)) / (mt + BM25_K1 * (1.0 - BM25_B)))
+    live = [i for i in range(len(terms)) if dfs[f"df_{i}"] > 0]
+    if not live:  # no query term occurs: the exact path's empty result
+        return _bm25_rank(hits, dl, corpus, terms, top_k, per_doc=per_doc)
+    rarest = min(live, key=lambda i: dfs[f"df_{i}"])
+
+    phase1 = _bm25_rank(
+        hits, dl, corpus, terms, top_k,
+        per_doc=per_doc,
+        per_doc_filter=F.col(f"tf_{rarest}") > 0,
+    ).collect()  # bounded: <= top_k rows
+    if len(phase1) < top_k:
+        # fewer matches than k behind the rarest list: no certified
+        # threshold exists — rank everything (still one scan, shared
+        # per_doc); correctness never depends on the pruning firing
+        if prune_stats is not None:
+            prune_stats.update(theta=None)
+        return _bm25_rank(hits, dl, corpus, terms, top_k, per_doc=per_doc)
+    theta = phase1[-1]["bm25_score"]
+
+    ub_sum = None
+    for i in range(len(terms)):
+        t = F.when(F.col(f"tf_{i}") > 0, F.lit(ubs[i])).otherwise(F.lit(0.0))
+        ub_sum = t if ub_sum is None else ub_sum + t
+    admit = ub_sum >= F.lit(theta - _BM25_THETA_MARGIN)
+    if prune_stats is not None:
+        prune_stats.update(
+            theta=theta,
+            n_docs_with_any_term=per_doc.count(),
+            n_candidates=per_doc.filter(admit).count(),
+        )
+    return _bm25_rank(
+        hits, dl, corpus, terms, top_k, per_doc=per_doc, per_doc_filter=admit
+    )
+
+
 def bm25_postings_search(
     spark: SparkSession,
     index_dir: str,
     terms: tuple = SEARCH_TERMS,
     top_k: int = BM25_TOP_K,
+    two_phase: bool | None = None,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """BM25 against the PERSISTED index — the 100 TB path: only the
     probed terms' posting rows are read (``tok IN (...)`` pushed into
@@ -2571,9 +2720,17 @@ def bm25_postings_search(
     partition column rides through partition discovery and dies at the
     projections). Output identical to the inline
     :func:`bm25_search_docs` over the same corpus — pinned for both
-    layouts in tests/test_postings_index.py."""
+    layouts in tests/test_postings_index.py.
+
+    ``two_phase`` enables the WAND/max-score bound-pruned evaluation
+    (:func:`_bm25_rank_two_phase` — row-identical output, norms join +
+    scoring only over admitted candidates); ``None`` resolves
+    ``SPARK_GRAFT_BM25_TWO_PHASE=1``, so the registered query can be
+    flipped without code changes."""
     import os
 
+    if two_phase is None:
+        two_phase = os.environ.get("SPARK_GRAFT_BM25_TWO_PHASE", "") == "1"
     ndir = os.path.join(index_dir, "norms")
     if not os.path.isdir(ndir):
         raise FileNotFoundError(
@@ -2593,6 +2750,10 @@ def bm25_postings_search(
         F.sum("dl").cast("bigint").alias("dl_total"),
     )
     dl = norms.select("doc_id", F.col("dl").cast("double").alias("dl"))
+    if two_phase:
+        return _bm25_rank_two_phase(
+            spark, index_dir, hits, dl, corpus, terms, top_k, prune_stats
+        )
     return _bm25_rank(hits, dl, corpus, terms, top_k)
 
 

@@ -363,3 +363,114 @@ def test_streaming_postings_through_real_stream(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == _directory_rows(spark, full)
+
+
+def test_streaming_maintainer_keeps_legacy_index_norms_less(
+    spark, sf_dir, tmp_path
+):
+    """The streaming twin of the batch appender's norms invariant:
+    resuming a PRE-NORMS (legacy) stream index must keep it norms-less
+    — writing norms only for post-upgrade batches would create a
+    partial sidecar that passes bm25_postings_search's existence check
+    while its dl inner join silently drops every older doc. BM25 fails
+    fast with the rebuild message instead; postings/directory keep
+    folding. A brand-new index still gets complete norms, including
+    across a crash replay of its FIRST batch."""
+    import shutil
+
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.streaming import postings_sink as ps
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    b0 = docs.filter(F.col("doc_id") < n // 3)
+    b1 = docs.filter((F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3))
+    b2 = docs.filter(F.col("doc_id") >= 2 * n // 3)
+
+    idx = str(tmp_path / "legacy_stream")
+    maintain = ps.postings_maintainer(idx)
+    maintain(b0, 0)
+    shutil.rmtree(os.path.join(idx, "norms"))  # pre-norms layout
+    maintain(b1, 1)  # resumed after the engine upgrade
+    maintain(b2, 2)
+    assert not os.path.isdir(os.path.join(idx, "norms"))
+    with pytest.raises(FileNotFoundError, match="norms"):
+        tx.bm25_postings_search(spark, idx)
+    # postings + directory still fold: conjunctive search == batch build
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full_b"))
+    assert [tuple(r) for r in tx.postings_search(spark, idx).collect()] == [
+        tuple(r) for r in tx.postings_search(spark, full).collect()
+    ]
+
+    # brand-new index: norms stay complete, BM25 == batch build —
+    # including when the FIRST batch is replayed after a crash that
+    # landed postings/batch=0 but died before the norms write (the
+    # guard must classify that replay as new, not legacy)
+    idx2 = str(tmp_path / "fresh_stream")
+    m2 = ps.postings_maintainer(idx2)
+    m2(b0, 0)
+    shutil.rmtree(os.path.join(idx2, "norms"))
+    shutil.rmtree(os.path.join(idx2, "directory"))
+    m2(b0, 0)  # the crash replay
+    assert os.path.isdir(os.path.join(idx2, "norms"))
+    m2(b1, 1)
+    m2(b2, 2)
+    assert [tuple(r) for r in tx.bm25_postings_search(spark, idx2).collect()] == [
+        tuple(r) for r in tx.bm25_postings_search(spark, full).collect()
+    ]
+
+
+def test_bm25_two_phase_row_identical_and_pruning_is_real(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """WAND/max-score two-phase BM25 (directory max_tf upper bounds +
+    the rarest-term phase-1 threshold): row-identical to the exact
+    single-phase ranking at two k settings — tiebreaks included — and
+    the pruning is NON-VACUOUS: the admitted candidate set is strictly
+    smaller than the docs-with-any-term set (measured 268/485 on this
+    corpus). Equality also holds after deletes (the directory's stale
+    max_tf stays a valid upper bound) and through the
+    SPARK_GRAFT_BM25_TWO_PHASE env dial on the registered query."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+    for k in (5, tx.BM25_TOP_K):
+        want = [
+            tuple(r) for r in tx.bm25_postings_search(spark, idx, top_k=k).collect()
+        ]
+        stats = {}
+        got = [
+            tuple(r)
+            for r in tx.bm25_postings_search(
+                spark, idx, top_k=k, two_phase=True, prune_stats=stats
+            ).collect()
+        ]
+        assert got == want, k
+        assert stats["theta"] is not None
+        assert 0 < stats["n_candidates"] < stats["n_docs_with_any_term"], stats
+
+    # env dial on the registered query: still equals the inline form
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", idx)
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TWO_PHASE", "1")
+    want_reg = [
+        tuple(r) for r in ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_POSTINGS_INDEX")
+    monkeypatch.delenv("SPARK_GRAFT_BM25_TWO_PHASE")
+    assert want_reg == [
+        tuple(r) for r in ops.QUERIES["bm25_search_docs"](spark, sf_dir).collect()
+    ]
+
+    # deletes: stale directory max_tf remains a valid UPPER bound, so
+    # two-phase stays row-identical on the tombstoned index
+    n = docs.count()
+    tx.remove_from_postings_index(
+        spark, idx, docs.filter(F.col("doc_id") >= n // 2).select("doc_id")
+    )
+    want_del = [tuple(r) for r in tx.bm25_postings_search(spark, idx).collect()]
+    got_del = [
+        tuple(r)
+        for r in tx.bm25_postings_search(spark, idx, two_phase=True).collect()
+    ]
+    assert got_del == want_del
+    spark.catalog.clearCache()
