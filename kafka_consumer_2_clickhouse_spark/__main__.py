@@ -125,7 +125,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "the matching SPARK_GRAFT_*_INDEX env var at the output dir",
     )
     bi.add_argument(
-        "kind", choices=["ivf", "pq", "opq", "ivfpq", "dedup", "postings"],
+        "kind",
+        choices=["ivf", "pq", "opq", "ivfpq", "ivfopq", "dedup", "postings"],
         help="ivf: cell-partitioned vectors; pq: codes+codebooks; "
         "opq: rotated codes+codebooks+rotation; ivfpq: cell-partitioned "
         "residual codes; dedup: LSH signature index for incremental "
@@ -352,6 +353,10 @@ def main(argv: list[str] | None = None) -> int:
                 "pq": sim.build_pq_index,
                 "opq": sim.build_opq_index,
                 "ivfpq": sim.build_ivfpq_index,
+                # faiss OPQx,IVFy,PQz: the IVFPQ layout + rotation/
+                "ivfopq": lambda s, d, o: sim.build_ivfpq_index(
+                    s, d, o, opq=True
+                ),
             }[args.kind]
             out = builder(spark, sf_dir, args.out_dir)
             env = f"SPARK_GRAFT_{args.kind.upper()}_INDEX"

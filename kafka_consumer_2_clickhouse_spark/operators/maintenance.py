@@ -428,9 +428,10 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "events_snapshot_diff",
-    oracle=f"""
+#: shared by events_snapshot_diff and its STREAMING twin
+#: events_cdc_running_diff — the in-order maintainer replay converges
+#: the running table to this exact result, so one oracle checks both
+_SNAPSHOT_DIFF_ORACLE = f"""
     WITH e AS (
       SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
       FROM events
@@ -462,8 +463,10 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(delta AS DECIMAL(27,6))) AS DOUBLE)
              AS value_delta_sum
     FROM classified GROUP BY event_type, change_kind
-    """,
-)
+    """
+
+
+@query("events_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
 def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC accounting between two ReplacingMergeTree-FINAL snapshots:
     resolve the ``latest_events_snapshot`` state at the 80%-of-span
@@ -532,3 +535,75 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("delta").alias("value_delta_sum"),
         )
     )
+
+
+@query("events_cdc_running_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`events_snapshot_diff`'s STREAMING twin, registered and
+    hash-checked against the SAME oracle: the cumulative CDC diff the
+    upsert maintainer keeps current at ingest time
+    (``streaming/upsert_sink.py``), materialized here by an in-order
+    replay — seed the state with everything at-or-before the batch
+    query's 80%-of-span cutoff, snapshot that as the CDC baseline
+    (:func:`~..streaming.upsert_sink.snapshot_cdc_baseline`), fold the
+    remainder in timestamp order in three micro-batches through
+    ``upsert_maintainer(diff_dir=)``, then read the committed running
+    table (:func:`~..streaming.upsert_sink.read_cdc_report`).
+
+    Why the same oracle is correct: every fold retracts a touched
+    key's previous contribution and adds its new one through the same
+    ``decimal(27,6)`` cast, so the per-key history TELESCOPES — after
+    an in-order replay only the final-vs-baseline terms survive, which
+    is precisely the batch query's definition. That a result
+    materialized by the streaming protocol (versioned state commits,
+    diff-before-state crash ordering, replay-idempotent folds)
+    hash-matches the declarative twin is the point of registering it.
+
+    Bounded/driver notes: the timestamp span is one 1-row aggregate;
+    maintainer state lives in a per-call temp dir and is deleted
+    before returning — the result is rebuilt from the collected
+    cumulative table (≤ |event_type| x 3 rows by construction), so
+    nothing lazy dangles over removed files. At production scale this
+    query is a READ of the maintainer's committed diff_dir (the
+    replay here exists so the registered form is self-contained on a
+    static corpus); the fold cost per commit is bounded by the batch's
+    key set, never the key space.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.upsert_sink import (
+        read_cdc_report,
+        snapshot_cdc_baseline,
+        upsert_maintainer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cutoff = lo + (hi - lo) * CUTOFF_NUM // CUTOFF_DEN
+    work = tempfile.mkdtemp(prefix="spark_graft_cdc_running_")
+    try:
+        state = os.path.join(work, "state")
+        diff = os.path.join(work, "diff")
+        upsert_maintainer(state)(
+            ev.filter(F.col("ts_us") <= cutoff).drop("ts_us"), 0
+        )
+        snapshot_cdc_baseline(spark, state, diff)
+        maintain = upsert_maintainer(state, diff_dir=diff)
+        step = (hi - cutoff) // 3 + 1
+        for i in range(3):
+            maintain(
+                ev.filter(
+                    (F.col("ts_us") > cutoff + i * step)
+                    & (F.col("ts_us") <= cutoff + (i + 1) * step)
+                ).drop("ts_us"),
+                i + 1,
+            )
+        report = read_cdc_report(spark, diff)
+        rows, schema = report.collect(), report.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

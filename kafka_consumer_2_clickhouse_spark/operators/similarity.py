@@ -1619,6 +1619,23 @@ def train_opq(
 
     X = _hash_sample_matrix(raw, seed=seed)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return _opq_alternate(X, m, k, seed, n_iter)
+
+
+def _opq_alternate(X, m: int, k: int, seed: int, n_iter: int = OPQ_ITERS):
+    """The OPQ alternating-minimization core over an arbitrary training
+    matrix — unit-normalized vectors for flat OPQ (:func:`train_opq`),
+    coarse-assignment RESIDUALS for the IVF variant
+    (:func:`_train_residual_opq`). Starting from R = I, iteration 0
+    trains EXACTLY the plain codebooks for the same (matrix, seed);
+    each later round alternates (a) warm-started Lloyd's codebook refit
+    on the rotated matrix and (b) the closed-form orthogonal-Procrustes
+    rotation update ``R = U V^T`` from ``svd(X^T X-hat)``. Both
+    half-steps are non-increasing in ``||X R - X-hat||^2``, so the
+    returned pair can never quantize the training matrix WORSE than
+    plain PQ. Returns ``(R, books, distortion)``."""
+    import numpy as np
+
     dim = X.shape[1]
     R = np.eye(dim)
     books = None
@@ -1664,13 +1681,21 @@ def build_opq_index(
         os.path.join(index_dir, "codes")
     )
     write_pq_codebooks(spark, books, index_dir)
+    _write_rotation(spark, R, index_dir)
+    return index_dir
+
+
+def _write_rotation(spark: SparkSession, R, index_dir: str) -> None:
+    """Persist the (D x D) OPQ rotation as ``rotation/`` (D tiny rows,
+    one per matrix row) — shared by the flat-OPQ and IVF-OPQ layouts."""
+    import os
+
     spark.createDataFrame(
         [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])],
         "i int, row array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "rotation")
     )
-    return index_dir
 
 
 def _load_opq_rotation(spark: SparkSession, index_dir: str):
@@ -1974,24 +1999,29 @@ def knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ivfpq_encode(emb: DataFrame, cents, books) -> DataFrame:
+def _ivfpq_encode(emb: DataFrame, cents, books, rotation=None) -> DataFrame:
     """One Arrow map pass: normalize, assign the nearest coarse
     centroid, PQ-encode the RESIDUAL ``x - c_cell`` against the
     residual codebooks. Shared by the inline query and
-    :func:`build_ivfpq_index`."""
+    :func:`build_ivfpq_index`. With ``rotation`` (the IVF-OPQ variant)
+    the residual is rotated before coding — one extra
+    (batch x D) @ (D x D) GEMM inside the SAME pass; the coarse
+    assignment stays in the original space."""
     spark = emb.sparkSession
-    bc_enc = spark.sparkContext.broadcast((cents, books))
+    bc_enc = spark.sparkContext.broadcast((cents, books, rotation))
 
     def encode(batches):
         import numpy as np
 
-        cts, bks = bc_enc.value
+        cts, bks, rot = bc_enc.value
         m, _, sub = bks.shape
         for pdf in batches:
             cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
             cell = (cm @ cts.T).argmax(axis=1)
             resid = cm - cts[cell]
+            if rot is not None:
+                resid = resid @ rot
             codes = np.zeros((len(cm), m), dtype=np.int32)
             for mi in range(m):
                 block = resid[:, mi * sub : (mi + 1) * sub]
@@ -2023,6 +2053,25 @@ def _train_residual_codebooks(raw: DataFrame, cents, seed: int = 13):
     )
 
 
+def _train_residual_opq(
+    raw: DataFrame, cents, m: int = PQ_M, k: int = PQ_K, seed: int = 13
+):
+    """IVF-OPQ training (faiss's ``OPQx,IVFy,PQz`` proper): learn the
+    Ge et al. rotation ON THE COARSE RESIDUALS — the distribution the
+    codebooks actually quantize, which flat OPQ's whole-vector rotation
+    never sees. Same content-hash sample, same seed, and the SAME
+    Lloyd's call as :func:`_train_residual_codebooks` at iteration 0
+    (R = I), so the learned pair can never quantize the sample
+    residuals worse than plain IVFPQ — pinned at two m settings in
+    tests/test_similarity.py. Returns ``(R, books, distortion)``."""
+    import numpy as np
+
+    sample = _hash_sample_matrix(raw, seed=seed)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rassign = (sample @ cents.T).argmax(axis=1)
+    return _opq_alternate(sample - cents[rassign], m, k, seed)
+
+
 def _ivfpq_adc_rerank(
     spark: SparkSession,
     vectors: DataFrame,
@@ -2034,12 +2083,17 @@ def _ivfpq_adc_rerank(
     n_probe: int = N_PROBE,
     top_k: int = TOP_K,
     shortlist_n: int = PQ_SHORTLIST,
+    rotation=None,
 ) -> DataFrame:
     """The IVFADC query tail shared by the inline and persisted-index
     paths: probe N_PROBE cells (a scan filter — partition pruning when
     ``encoded`` is the cell-partitioned index scan), ADC-score only
     probed-cell codes, exact re-rank of the shortlist from
-    ``vectors``."""
+    ``vectors``. With ``rotation`` (IVF-OPQ codes) the LUT builds from
+    the ROTATED queries — the decomposition stays exact because R is
+    orthogonal: ``q.x = q.c_cell + q.r = q.c_cell + (qR).(rR)``; the
+    cell-dot matrix stays in the original space where the coarse
+    quantizer lives."""
     import numpy as np
 
     cell_dot = qmat @ cents.T  # (n_q, C)
@@ -2049,7 +2103,8 @@ def _ivfpq_adc_rerank(
     }
     probed_cells = sorted(set().union(*probe.values())) if probe else []
     m, k, sub = books.shape
-    lut = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), m, sub), books)
+    qmat_adc = qmat if rotation is None else qmat @ rotation
+    lut = np.einsum("qms,mks->qmk", qmat_adc.reshape(len(qmat), m, sub), books)
     bc_q = spark.sparkContext.broadcast((qids, lut, cell_dot, probe))
 
     def adc(batches):
@@ -2121,6 +2176,7 @@ def build_ivfpq_index(
     sf_dir: str,
     index_dir: str,
     n_cells: int = N_CELLS,
+    opq: bool = False,
 ) -> str:
     """Build and PERSIST an IVFADC index — faiss ``IVFx,PQy``'s layout
     on parquet: coarse cells prune WHICH rows are scanned, residual PQ
@@ -2136,18 +2192,38 @@ def build_ivfpq_index(
     Both quantizers train on the content-hash uniform sample
     (:func:`_hash_sample_matrix`) — deterministic per seed, unbiased
     across shards — then one Arrow map pass encodes the corpus.
+
+    ``opq=True`` builds the IVF-OPQ layout (faiss ``OPQx,IVFy,PQz``):
+    the residual-space rotation (:func:`_train_residual_opq`) lands as
+    ``rotation/`` and the codes are rotated-residual codes;
+    :func:`ivfpq_search` and :func:`append_to_ivfpq_index` detect the
+    extra relation and apply it transparently.
     """
     import os
 
     raw = load_table(spark, sf_dir, "embeddings")
     cents = _train_centroids(raw, n_cells)
-    books = _train_residual_codebooks(raw, cents)
-    _ivfpq_encode(spread(raw), cents, books).write.mode(
+    if opq:
+        R, books, _ = _train_residual_opq(raw, cents)
+    else:
+        R, books = None, _train_residual_codebooks(raw, cents)
+    _ivfpq_encode(spread(raw), cents, books, rotation=R).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "codes"))
     write_ivf_centroids(spark, cents, index_dir)
     write_pq_codebooks(spark, books, index_dir)
+    if R is not None:
+        _write_rotation(spark, R, index_dir)
     return index_dir
+
+
+def _maybe_rotation(spark: SparkSession, index_dir: str):
+    """The persisted OPQ rotation if the index has one, else None."""
+    import os
+
+    if os.path.isdir(os.path.join(index_dir, "rotation")):
+        return _load_opq_rotation(spark, index_dir)
+    return None
 
 
 def append_to_ivfpq_index(
@@ -2159,7 +2235,10 @@ def append_to_ivfpq_index(
     cell files untouched. On a stream-maintained layout
     (``codes/batch=<id>/cell=<k>`` — ``streaming/ann_sink.py``) the
     rows land in the reserved ``batch=-1`` partition, preserving the
-    uniform directory depth exactly like :func:`append_to_ivf_index`."""
+    uniform directory depth exactly like :func:`append_to_ivf_index`.
+    An IVF-OPQ layout's stored rotation is applied to the new vectors'
+    residuals, so appended codes live in the same rotated space as the
+    build's."""
     import os
 
     cents = load_ivf_centroids(spark, index_dir)
@@ -2168,7 +2247,12 @@ def append_to_ivfpq_index(
     if _stream_batch_layout(codes):
         codes = os.path.join(codes, "batch=-1")
     (
-        _ivfpq_encode(new_vectors.select("vec_id", "embedding"), cents, books)
+        _ivfpq_encode(
+            new_vectors.select("vec_id", "embedding"),
+            cents,
+            books,
+            rotation=_maybe_rotation(spark, index_dir),
+        )
         .write.mode("append")
         .partitionBy("cell")
         .parquet(codes)
@@ -2202,7 +2286,9 @@ def ivfpq_search(
     """Probe a persisted IVFADC index (:func:`build_ivfpq_index`
     layout): no training, no encoding — the cell filter prunes code
     partitions at the FileIndex, ADC scores only probed-cell codes,
-    and the exact re-rank touches ``vectors`` for the shortlist only."""
+    and the exact re-rank touches ``vectors`` for the shortlist only.
+    An IVF-OPQ layout (``rotation/`` present) is detected and the
+    queries rotate driver-side before the LUT."""
     import os
 
     import numpy as np
@@ -2217,7 +2303,8 @@ def ivfpq_search(
     )
     qids, qmat = _query_matrix(queries)
     return _ivfpq_adc_rerank(
-        spark, vectors, encoded, cents, books, qids, qmat, n_probe, top_k
+        spark, vectors, encoded, cents, books, qids, qmat, n_probe, top_k,
+        rotation=_maybe_rotation(spark, index_dir),
     )
 
 
@@ -2266,6 +2353,56 @@ def ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = _ivfpq_encode(spread(raw), cents, books)
     qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
     return _ivfpq_adc_rerank(spark, raw, encoded, cents, books, qids, qmat)
+
+
+@query("ivfopq_cosine_topk")  # rows-only: approximate by construction;
+# residual-space distortion <= plain IVFPQ at two m settings, rotation
+# orthogonality, shortlist-recall >= plain IVFPQ, and persisted==inline
+# equality pinned in tests/test_similarity.py
+def ivfopq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ — faiss's ``OPQx,IVFy,PQz`` index string proper:
+    :func:`ivfpq_cosine_topk` with the Ge et al. rotation learned ON
+    THE COARSE RESIDUALS (:func:`_train_residual_opq`), the
+    distribution the codebooks actually quantize. Flat OPQ
+    (``opq_cosine_topk``) decorrelates whole vectors; after coarse
+    assignment the residual covariance differs, so the residual-space
+    rotation is the one that buys codebook fit where IVFADC spends its
+    bits.
+
+    Scale shape — identical to IVFPQ's: training stays driver-side on
+    the bounded content-hash sample (iteration 0 from R = I trains
+    exactly the plain residual codebooks, so sample distortion can
+    only improve); encoding folds the rotation into the SAME one Arrow
+    pass as normalization + coarse assignment + residual coding (one
+    (batch x D) @ (D x D) GEMM); queries rotate driver-side before the
+    LUT; the coarse probe, the cell-pruned ADC scan, and the exact
+    re-rank are untouched. At 100 TB the marginal cost over plain
+    IVFPQ is one GEMM per encode batch.
+
+    ``SPARK_GRAFT_IVFOPQ_INDEX=<dir>``: probe a PREBUILT IVF-OPQ index
+    (:func:`build_ivfpq_index(opq=True)` layout) via
+    :func:`ivfpq_search`, which detects the persisted ``rotation/``;
+    pinned equal to inline in tests/test_similarity.py.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.environ.get("SPARK_GRAFT_IVFOPQ_INDEX")
+    if index_dir:
+        if not os.path.isdir(os.path.join(index_dir, "rotation")):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_IVFOPQ_INDEX={index_dir!r} has no rotation/ "
+                "dir — build it with build_ivfpq_index(opq=True)"
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERY)
+        return ivfpq_search(spark, index_dir, queries, raw)
+    cents = _train_centroids(raw)
+    R, books, _ = _train_residual_opq(raw, cents)
+    encoded = _ivfpq_encode(spread(raw), cents, books, rotation=R)
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    return _ivfpq_adc_rerank(
+        spark, raw, encoded, cents, books, qids, qmat, rotation=R
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2339,6 +2476,7 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         "pq": pq_cosine_topk,
         "opq": opq_cosine_topk,
         "ivfpq": ivfpq_cosine_topk,
+        "ivfopq": ivfopq_cosine_topk,
     }
     tagged = None
     for name, fn in sorted(variants.items()):
@@ -2394,7 +2532,8 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN family's accuracy sign-off table: for each approximate
     variant (``ann`` blocked-GEMM, ``ivf`` cell probing, ``pq`` ADC +
-    re-rank, ``ivfpq`` IVFADC), recall@k, mean absolute rank
+    re-rank, ``opq`` rotated PQ, ``ivfpq`` IVFADC, ``ivfopq``
+    residual-rotated IVFADC), recall@k, mean absolute rank
     displacement over the recovered pairs, and the worst cosine-score
     error vs ``embedding_cosine_topk`` on the same corpus, queries,
     and parameters — the pre-commit tuning-table discipline
@@ -2404,7 +2543,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the exact spine is <= N_QUERY x k rows (broadcast); each
     variant contributes <= N_QUERY x k rows; the join and aggregate
-    run over <= 4 x N_QUERY x k rows total. The cost is the underlying
+    run over <= 6 x N_QUERY x k rows total. The cost is the underlying
     variant scans themselves — each already plan-gated individually.
     """
     return _ann_recall_report(spark, sf_dir, TOP_K)

@@ -15,6 +15,14 @@ Checks (exit nonzero on any failure):
      exists), its query set EXACTLY equals the registry — a stale artifact
      (the round-7 failure mode) is an error, not a warning.
 
+  5. Per-query bench regression gate: the working-tree
+     ``bench_detail.json`` (this round's bench run) diffs against the
+     last COMMITTED one — any query whose best time grew >1.3x from a
+     >0.5 s baseline prints a PREFLIGHT WARN diff table (round-10's
+     lesson: a per-query regression must not hide behind a green
+     headline). ``--bench-gate-strict`` turns the warnings into
+     failures.
+
 This is the mechanical form of the judge's round-7 brief item #2.
 """
 
@@ -30,6 +38,67 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+
+#: bench-gate thresholds: flag growth beyond RATIO on queries whose
+#: committed best exceeded MIN_SEC (sub-half-second timings are host
+#: noise at this scale — ~20 ms jitter per query is routine)
+BENCH_GATE_RATIO = 1.3
+BENCH_GATE_MIN_SEC = 0.5
+
+
+def bench_regressions(
+    new: dict,
+    old: dict,
+    ratio: float = BENCH_GATE_RATIO,
+    min_sec: float = BENCH_GATE_MIN_SEC,
+) -> list[str]:
+    """Per-query regression diff between two ``bench_detail.json``
+    payloads (headline ``runs`` + registry-wide ``extra_runs``, best
+    time per query): returns one human-readable line per query whose
+    best grew by more than ``ratio`` from an old best above
+    ``min_sec``, worst ratio first. Pure function so the gate itself
+    is unit-testable with synthetic payloads."""
+
+    def best_times(d: dict) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for k in ("runs", "extra_runs"):
+            for name, times in (d.get(k) or {}).items():
+                if times:
+                    out[name] = min(times)
+        return out
+
+    nb, ob = best_times(new), best_times(old)
+    regs = []
+    for name in set(nb) & set(ob):
+        o, n = ob[name], nb[name]
+        if o > min_sec and n > o * ratio:
+            regs.append((n / o, name, o, n))
+    regs.sort(reverse=True)
+    return [
+        f"{name}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)" for r, name, o, n in regs
+    ]
+
+
+def _committed_bench_detail() -> dict | None:
+    """The last committed bench_detail.json (HEAD), or None."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            ["git", "show", "HEAD:bench_detail.json"],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+    except OSError:
+        return None
+    if p.returncode != 0:
+        return None
+    try:
+        return json.loads(p.stdout)
+    except json.JSONDecodeError:
+        return None
 
 
 def main() -> int:
@@ -114,6 +183,36 @@ def main() -> int:
     else:
         print("no oracle artifact found — skipping artifact check (run "
               "scripts/oracle_check.py --json ORACLE_LOCAL_rN.json before snapshot)")
+
+    # 5. per-query bench regression gate (working tree vs committed)
+    detail_path = os.path.join(REPO, "bench_detail.json")
+    if os.path.exists(detail_path):
+        new_detail = json.load(open(detail_path))
+        old_detail = _committed_bench_detail()
+        if old_detail is None:
+            print("bench gate: no committed bench_detail.json — skipped")
+        elif new_detail == old_detail:
+            print(
+                "bench gate: working-tree bench_detail.json identical to "
+                "committed — nothing new to diff"
+            )
+        else:
+            regs = bench_regressions(new_detail, old_detail)
+            if regs:
+                for line in regs:
+                    print(f"PREFLIGHT WARN: bench regression {line}",
+                          file=sys.stderr)
+                if "--bench-gate-strict" in args:
+                    errs.append(
+                        f"{len(regs)} per-query bench regressions "
+                        f">{BENCH_GATE_RATIO}x (strict gate)"
+                    )
+            else:
+                print(
+                    "bench gate: no per-query regression "
+                    f">{BENCH_GATE_RATIO}x on >{BENCH_GATE_MIN_SEC}s "
+                    "queries vs committed detail"
+                )
 
     print(f"registry: {len(qs)} queries, {len(oracles)} oracle twins")
     if errs:

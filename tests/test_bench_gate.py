@@ -1,0 +1,54 @@
+"""The preflight per-query bench regression gate (VERDICT r11 brief #5):
+a synthetic slowdown must trip it, noise-scale and sub-threshold
+changes must not, and the line format carries the before/after/ratio."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "preflight",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "preflight.py"),
+)
+preflight = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and preflight)
+
+
+def _detail(runs=None, extra=None):
+    return {"runs": runs or {}, "extra_runs": extra or {}}
+
+
+def test_synthetic_slowdown_trips_the_gate():
+    old = _detail(runs={"q1": [1.0, 1.1], "q2": [2.0]})
+    new = _detail(runs={"q1": [1.0, 1.05], "q2": [3.0, 2.9]})
+    regs = preflight.bench_regressions(new, old)
+    assert len(regs) == 1
+    assert regs[0].startswith("q2: 2.00s -> 2.90s")
+    assert "1.45x" in regs[0]
+
+
+def test_noise_and_small_queries_do_not_trip():
+    old = _detail(
+        runs={"tiny": [0.05], "mid": [1.0]},
+        extra={"big": [4.0, 4.2]},
+    )
+    new = _detail(
+        runs={"tiny": [0.4], "mid": [1.25]},  # 8x on a 50 ms query; +25%
+        extra={"big": [4.4]},  # +10%
+    )
+    assert preflight.bench_regressions(new, old) == []
+
+
+def test_extra_runs_participate_and_best_time_is_used():
+    old = _detail(extra={"heavy": [6.0, 5.0, 7.0]})  # best 5.0
+    new = _detail(extra={"heavy": [9.0, 8.0]})  # best 8.0 -> 1.6x
+    regs = preflight.bench_regressions(new, old)
+    assert regs == ["heavy: 5.00s -> 8.00s (1.60x)"]
+    # a fast best among slow repeats clears the gate
+    new_ok = _detail(extra={"heavy": [9.0, 5.1]})
+    assert preflight.bench_regressions(new_ok, old) == []
+
+
+def test_disjoint_or_new_queries_are_ignored():
+    old = _detail(runs={"gone": [3.0]})
+    new = _detail(runs={"brand_new": [30.0]})
+    assert preflight.bench_regressions(new, old) == []

@@ -460,7 +460,7 @@ def test_ann_recall_report_floors_at_two_k(spark, sf_dir):
 
     for k, floor in ((TOP_K, 0.5), (2, 0.5)):
         rows = {r["variant"]: r for r in _ann_recall_report(spark, sf_dir, k).collect()}
-        assert set(rows) == {"ann", "ivf", "pq", "opq", "ivfpq"}
+        assert set(rows) == {"ann", "ivf", "pq", "opq", "ivfpq", "ivfopq"}
         for v, r in rows.items():
             assert r["k"] == k
             assert r["n_expected"] == 10 * k  # N_QUERY x k exact pairs
@@ -793,3 +793,123 @@ def test_env_positive_int_dial_parse(monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", bad)
         with pytest.raises(ValueError, match="SPARK_GRAFT_IVF_NPROBE"):
             _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4)
+
+
+def test_ivfopq_residual_rotation_distortion_and_recall(spark, sf_dir):
+    """IVF-OPQ (faiss OPQx,IVFy,PQz) pins: the rotation learned on the
+    COARSE RESIDUALS is orthogonal and its sample quantization
+    distortion never exceeds plain IVFPQ's residual codebooks at two m
+    settings (alternating minimization from R=I — iteration 0 IS the
+    plain training run); the registered query's shortlist recall is at
+    least plain IVFPQ's (same probe, strictly better codebook fit) and
+    every recovered pair carries the exact re-ranked cosine."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators import similarity as sim
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cents = sim._train_centroids(raw)
+    X = sim._hash_sample_matrix(raw, seed=13)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    resid = X - cents[(X @ cents.T).argmax(axis=1)]
+    for m in (8, 16):
+        books_pq = sim._lloyd_subspaces(
+            resid, m, sim.PQ_K, np.random.RandomState(13)
+        )
+        d_pq = float(
+            ((resid - sim._pq_reconstruct(resid, books_pq)) ** 2)
+            .sum(axis=1)
+            .mean()
+        )
+        R, _books, d_opq = sim._train_residual_opq(raw, cents, m=m)
+        assert np.abs(R @ R.T - np.eye(X.shape[1])).max() < 1e-9
+        assert d_opq <= d_pq + 1e-12, (m, d_opq, d_pq)
+
+    exact = {
+        (r["query_id"], r["cand_id"], r["cosine"])
+        for r in sim.embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    exact_pairs = {(q, c) for q, c, _ in exact}
+    got = ops.QUERIES["ivfopq_cosine_topk"](spark, sf_dir).collect()
+    base = {
+        (r["query_id"], r["cand_id"])
+        for r in ops.QUERIES["ivfpq_cosine_topk"](spark, sf_dir).collect()
+    }
+    got_pairs = {(r["query_id"], r["cand_id"]) for r in got}
+    r_opq = len(got_pairs & exact_pairs) / len(exact_pairs)
+    r_pq = len(base & exact_pairs) / len(exact_pairs)
+    assert r_opq >= r_pq, (r_opq, r_pq)
+    assert r_opq >= 0.5
+    # recovered pairs are re-ranked against RAW vectors: cosines agree
+    # with the exact operator to float-summation noise (the numpy dot
+    # and the fixed SQL chain differ only in association order)
+    exact_cos = {(q, c): s for q, c, s in exact}
+    for r in got:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_pairs:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_persisted_ivfopq_index_matches_inline(spark, sf_dir, tmp_path):
+    """build_ivfpq_index(opq=True) persists the rotation; ivfpq_search
+    detects it and equals the inline ivfopq query row-for-row; the
+    SPARK_GRAFT_IVFOPQ_INDEX switch serves the same result through the
+    registered name (and fails fast on a rotation-less dir); appends
+    encode through the STORED rotation (appended twins get identical
+    (cell, codes) rows)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_consumer_2_clickhouse_spark import operators as ops
+    from kafka_consumer_2_clickhouse_spark.operators import similarity as sim
+    from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfopq")
+    sim.build_ivfpq_index(spark, sf_dir, idx, opq=True)
+    assert os.path.isdir(os.path.join(idx, "rotation"))
+    queries = raw.filter(F.col("vec_id") < sim.N_QUERY)
+
+    inline = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in sim.ivfopq_cosine_topk(spark, sf_dir).collect()
+    }
+    probed = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+        for r in sim.ivfpq_search(spark, idx, queries, raw).collect()
+    }
+    assert probed == inline
+
+    os.environ["SPARK_GRAFT_IVFOPQ_INDEX"] = idx
+    try:
+        via_env = {
+            (r["query_id"], r["rank"]): (r["cand_id"], round(r["cosine"], 12))
+            for r in ops.QUERIES["ivfopq_cosine_topk"](spark, sf_dir).collect()
+        }
+        assert via_env == inline
+        os.environ["SPARK_GRAFT_IVFOPQ_INDEX"] = str(tmp_path / "nope")
+        with pytest.raises(FileNotFoundError, match="rotation"):
+            ops.QUERIES["ivfopq_cosine_topk"](spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_IVFOPQ_INDEX"]
+
+    # append path: rotated-space codes, identical to build-time twins
+    extra = raw.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    sim.append_to_ivfpq_index(spark, idx, extra)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    appended = {
+        r["vec_id"] - 100000: (r["cell"], tuple(r["codes"]))
+        for r in codes.filter(F.col("vec_id") >= 100000).collect()
+    }
+    built = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in codes.filter(F.col("vec_id") < 20).collect()
+    }
+    assert appended == built and len(appended) == 20

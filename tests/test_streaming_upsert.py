@@ -345,3 +345,33 @@ def test_cdc_rebaseline_resets_tracking_fail_safe(spark, sf_dir, tmp_path):
     assert b == 3
     rec = read_cdc_report(spark, str(diff)).collect()
     assert {r["change_kind"] for r in rec} == {"unchanged"}
+
+
+def test_events_cdc_running_diff_registered_equals_batch(spark, sf_dir):
+    """The registered streaming-CDC query: shares events_snapshot_diff's
+    oracle SQL (the telescoping argument makes the in-order replay
+    converge to the batch definition), equals the batch query
+    row-for-row with NO tolerance, and leaves no temp state behind
+    (the result is rebuilt from the bounded collected table)."""
+    import glob
+
+    assert "events_cdc_running_diff" in ops.QUERIES
+    assert (
+        ops.ORACLE_SQL["events_cdc_running_diff"]
+        == ops.ORACLE_SQL["events_snapshot_diff"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_cdc_running_diff"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_snapshot_diff"](spark, sf_dir).collect()
+    )
+    assert got == want and got
+    import tempfile
+
+    leftovers = glob.glob(
+        f"{tempfile.gettempdir()}/spark_graft_cdc_running_*"
+    )
+    assert leftovers == [], leftovers
