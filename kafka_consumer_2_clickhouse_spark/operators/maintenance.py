@@ -579,10 +579,24 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_maintainer,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros("ts")
+    from pyspark import StorageLevel
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        # one scan feeds the span aggregate, the seed, and all three
+        # fold filters; unpersisted in the finally (every consumer has
+        # materialized to parquet or collected by then)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    if lo is None:  # empty corpus: match the batch twin's empty result
+        ev.unpersist()
+        return spark.createDataFrame(
+            [],
+            "event_type string, change_kind string, n_keys bigint, "
+            "value_delta_sum double",
+        )
     cutoff = lo + (hi - lo) * CUTOFF_NUM // CUTOFF_DEN
     work = tempfile.mkdtemp(prefix="spark_graft_cdc_running_")
     try:
@@ -605,5 +619,6 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         report = read_cdc_report(spark, diff)
         rows, schema = report.collect(), report.schema
     finally:
+        ev.unpersist()
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)

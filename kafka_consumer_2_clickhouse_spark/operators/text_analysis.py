@@ -2497,6 +2497,7 @@ def _bm25_rank(
     top_k: int = BM25_TOP_K,
     per_doc: DataFrame | None = None,
     per_doc_filter=None,
+    dstats: DataFrame | None = None,
 ) -> DataFrame:
     """The BM25 scoring chain, shared verbatim by the inline and the
     persisted-index paths (so their equality pin is structural, not
@@ -2520,7 +2521,10 @@ def _bm25_rank(
     columns applied AFTER the doc-grain aggregation but BEFORE the dl
     join and scoring — the pruning hook. df stats always derive from
     the FULL ``hits`` relation, so a filtered ranking scores with
-    exactly the unfiltered query's idf values.
+    exactly the unfiltered query's idf values. ``dstats`` (optional):
+    a prebuilt 1-row (df_0..df_n) relation — the two-phase path
+    already collected it, so passing it back avoids re-running the
+    df aggregate once per phase.
     """
     if per_doc is None:
         tf_aggs = [
@@ -2532,13 +2536,14 @@ def _bm25_rank(
         per_doc = hits.groupBy("doc_id").agg(*tf_aggs)
     if per_doc_filter is not None:
         per_doc = per_doc.filter(per_doc_filter)
-    df_aggs = [
-        F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
-        .cast("bigint")
-        .alias(f"df_{i}")
-        for i, x in enumerate(terms)
-    ]
-    dstats = hits.agg(*df_aggs)
+    if dstats is None:
+        df_aggs = [
+            F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i, x in enumerate(terms)
+        ]
+        dstats = hits.agg(*df_aggs)
     scored = (
         per_doc.join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
@@ -2595,15 +2600,24 @@ def _bm25_rank_two_phase(
       k-th ROUNDED score is a certified lower bound θ on the final
       k-th score (those docs are all candidates of the final ranking).
     - **Phase 2 (bound-prune, then exact):** per term, a score UPPER
-      BOUND from the directory's ``max_tf`` (tf saturation at the
-      term's maximum observed tf, dl term bounded below by
-      ``k1·(1-b)``) and the live idf; a document's score can never
-      exceed the sum of bounds of the terms it CONTAINS, so docs whose
-      bound-sum falls below θ (minus the rounding margin) are pruned
-      before the norms join, the scoring expressions, and the ranking
-      head. Survivors re-score EXACTLY — output is row-identical to
-      the single-phase ranking, tiebreaks included (pinned at two k
-      settings in tests/test_postings_index.py).
+      BOUND from the LIVE ``max(tf)`` over the probed postings (tf
+      saturation at the term's maximum observed tf, dl term bounded
+      below by ``k1·(1-b)``) and the live idf; a document's score can
+      never exceed the sum of bounds of the terms it CONTAINS, so docs
+      whose bound-sum falls below θ (minus the rounding margin) are
+      pruned before the norms join, the scoring expressions, and the
+      ranking head. Survivors re-score EXACTLY — output is
+      row-identical to the single-phase ranking, tiebreaks included
+      (pinned at two k settings in tests/test_postings_index.py).
+
+    Why the bound comes from the live scan, NOT the directory page the
+    papers would use: the directory commits AFTER postings land (both
+    the batch appender and the stream maintainer), so a lagging page
+    can UNDER-estimate a term's max_tf — and an underestimated bound
+    silently prunes true top-k docs. The live max rides in the same
+    single aggregate as df (one job over postings this path already
+    scans), is exact under appends, deletes, and stream lag, and costs
+    nothing extra.
 
     The document-at-a-time pointer dance of the papers doesn't map to
     columnar scans; what transfers is the certified-threshold pruning:
@@ -2612,6 +2626,14 @@ def _bm25_rank_two_phase(
     norms join, |terms| scoring expressions, and the TakeOrdered —
     runs over only the admitted candidates. The doc-grain tf relation
     is computed once and shared by both phases (recomputable persist).
+
+    Honest crossover note: at test scale the fixed costs (the phase-1
+    head, two extra 1-row aggregates, the directory slice) EXCEED the
+    savings — scoring 485 docs is already trivial. The pruning pays
+    where the papers aim it: posting lists long enough that the
+    scored-candidate tail (norms join + |terms| expressions + head)
+    dominates those constants, i.e. exactly the 100 TB regime. That is
+    why two_phase is an opt-in dial, not the registered default.
 
     Driver pulls, all bounded and documented: the 1-row corpus
     aggregate, the 1-row df aggregate, the |terms|-row directory page
@@ -2634,29 +2656,40 @@ def _bm25_rank_two_phase(
     per_doc = (
         hits.groupBy("doc_id").agg(*tf_aggs).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # bounded driver pulls: one df row, one corpus row, |terms| rows of
-    # the committed directory page (max_tf upper-bounds live tf even
-    # with pending tombstones — deletes only shrink the true maximum)
-    dfs = hits.agg(
+    # bounded driver pulls: ONE stats row (per-term df + live max
+    # per-doc tf, aggregated over the persisted doc-grain relation —
+    # the postings themselves are scanned exactly once) and one corpus
+    # row; both are rebuilt as literal 1-row relations so the ranking
+    # phases don't re-run any aggregate (_bm25_rank's internal dstats
+    # is skipped via the dstats= hook)
+    stats = per_doc.agg(
         *[
-            F.count_distinct(F.when(F.col("tok") == x, F.col("doc_id")))
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1))
             .cast("bigint")
             .alias(f"df_{i}")
-            for i, x in enumerate(terms)
-        ]
+            for i in range(len(terms))
+        ],
+        *[
+            F.max(f"tf_{i}").cast("bigint").alias(f"mt_{i}")
+            for i in range(len(terms))
+        ],
     ).collect()[0]
-    n_docs = corpus.collect()[0]["n_docs"]
-    page = postings_directory_stats(spark, index_dir).filter(
-        F.col("tok").isin(*terms)
+    crow = corpus.collect()[0]
+    n_docs = crow["n_docs"]
+    dstats_lit = spark.createDataFrame(
+        [tuple(stats[f"df_{i}"] for i in range(len(terms)))],
+        ", ".join(f"df_{i} bigint" for i in range(len(terms))),
     )
-    max_tf = {r["tok"]: r["max_tf"] for r in page.collect()}
+    corpus_lit = spark.createDataFrame(
+        [(n_docs, crow["dl_total"])], "n_docs bigint, dl_total bigint"
+    )
 
     import math
 
     ubs = []
-    for i, t in enumerate(terms):
-        df_t = dfs[f"df_{i}"]
-        mt = max_tf.get(t, 0)
+    for i in range(len(terms)):
+        df_t = stats[f"df_{i}"]
+        mt = stats[f"mt_{i}"] or 0
         if df_t == 0 or mt == 0:
             ubs.append(0.0)
             continue
@@ -2664,14 +2697,20 @@ def _bm25_rank_two_phase(
         # tf term is increasing in tf and decreasing in dl; bound with
         # the term's max observed tf and dl -> 0 (denominator k1*(1-b))
         ubs.append(idf * (mt * (BM25_K1 + 1.0)) / (mt + BM25_K1 * (1.0 - BM25_B)))
-    live = [i for i in range(len(terms)) if dfs[f"df_{i}"] > 0]
+    live = [i for i in range(len(terms)) if stats[f"df_{i}"] > 0]
     if not live:  # no query term occurs: the exact path's empty result
-        return _bm25_rank(hits, dl, corpus, terms, top_k, per_doc=per_doc)
-    rarest = min(live, key=lambda i: dfs[f"df_{i}"])
+        if prune_stats is not None:
+            prune_stats.update(theta=None)
+        return _bm25_rank(
+            hits, dl, corpus_lit, terms, top_k,
+            per_doc=per_doc, dstats=dstats_lit,
+        )
+    rarest = min(live, key=lambda i: stats[f"df_{i}"])
 
     phase1 = _bm25_rank(
-        hits, dl, corpus, terms, top_k,
+        hits, dl, corpus_lit, terms, top_k,
         per_doc=per_doc,
+        dstats=dstats_lit,
         per_doc_filter=F.col(f"tf_{rarest}") > 0,
     ).collect()  # bounded: <= top_k rows
     if len(phase1) < top_k:
@@ -2680,7 +2719,10 @@ def _bm25_rank_two_phase(
         # per_doc); correctness never depends on the pruning firing
         if prune_stats is not None:
             prune_stats.update(theta=None)
-        return _bm25_rank(hits, dl, corpus, terms, top_k, per_doc=per_doc)
+        return _bm25_rank(
+            hits, dl, corpus_lit, terms, top_k,
+            per_doc=per_doc, dstats=dstats_lit,
+        )
     theta = phase1[-1]["bm25_score"]
 
     ub_sum = None
@@ -2695,7 +2737,8 @@ def _bm25_rank_two_phase(
             n_candidates=per_doc.filter(admit).count(),
         )
     return _bm25_rank(
-        hits, dl, corpus, terms, top_k, per_doc=per_doc, per_doc_filter=admit
+        hits, dl, corpus_lit, terms, top_k,
+        per_doc=per_doc, dstats=dstats_lit, per_doc_filter=admit,
     )
 
 

@@ -187,9 +187,16 @@ def main() -> int:
     # 5. per-query bench regression gate (working tree vs committed)
     detail_path = os.path.join(REPO, "bench_detail.json")
     if os.path.exists(detail_path):
-        new_detail = json.load(open(detail_path))
+        try:
+            new_detail = json.load(open(detail_path))
+        except json.JSONDecodeError as exc:
+            new_detail = None
+            errs.append(f"bench_detail.json is not valid JSON ({exc}) — "
+                        "re-run bench.py before snapshotting")
         old_detail = _committed_bench_detail()
-        if old_detail is None:
+        if new_detail is None:
+            pass
+        elif old_detail is None:
             print("bench gate: no committed bench_detail.json — skipped")
         elif new_detail == old_detail:
             print(

@@ -474,3 +474,21 @@ def test_bm25_two_phase_row_identical_and_pruning_is_real(
     ]
     assert got_del == want_del
     spark.catalog.clearCache()
+
+
+def test_bm25_two_phase_no_live_terms_reports_and_empties(
+    spark, sf_dir, tmp_path
+):
+    """Terms absent from the corpus: two-phase falls through to the
+    exact (empty) ranking and still reports theta=None in prune_stats
+    — the same contract as the no-certified-threshold fallback."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+    stats = {}
+    out = tx.bm25_postings_search(
+        spark, idx, terms=("zzzz_nosuch", "qqqq_nosuch"),
+        two_phase=True, prune_stats=stats,
+    ).collect()
+    assert out == []
+    assert stats == {"theta": None}
+    spark.catalog.clearCache()

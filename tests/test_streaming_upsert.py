@@ -375,3 +375,27 @@ def test_events_cdc_running_diff_registered_equals_batch(spark, sf_dir):
         f"{tempfile.gettempdir()}/spark_graft_cdc_running_*"
     )
     assert leftovers == [], leftovers
+
+
+def test_events_cdc_running_diff_empty_corpus_matches_batch(spark, tmp_path):
+    """Zero events: the streaming replay returns the batch twin's empty
+    table instead of crashing on a null span (both queries share one
+    oracle, so they must agree on the degenerate input too)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+    got = ops.QUERIES["events_cdc_running_diff"](spark, str(tmp_path))
+    want = ops.QUERIES["events_snapshot_diff"](spark, str(tmp_path))
+    assert got.collect() == [] and want.collect() == []
+    assert got.columns == want.columns
