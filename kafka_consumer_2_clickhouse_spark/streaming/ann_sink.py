@@ -136,15 +136,28 @@ def init_ivfpq_stream_index(
     history: DataFrame,
     index_dir: str,
     n_cells: int = N_CELLS,
+    opq: bool = False,
 ) -> str:
     """Bootstrap for the stream-maintained IVFADC index: train the
     coarse quantizer AND the residual PQ codebooks once from history,
     persist both (plus ``train_stats/``); residual codes arrive via
     :func:`ivfpq_index_maintainer`. This is the 100 TB layout —
     coarse cells prune WHICH rows a probe scans, PQ codes compress
-    WHAT it scans (Jégou et al., TPAMI 2011 §IV)."""
+    WHAT it scans (Jégou et al., TPAMI 2011 §IV).
+
+    ``opq=True`` bootstraps the IVF-OPQ variant (faiss
+    ``OPQx,IVFy,PQz``): the residual-space rotation persists as
+    ``rotation/``, the maintainer encodes every batch through it, and
+    ``ivfpq_search`` auto-detects it — the streamed and batch-built
+    layouts stay interchangeable."""
+    from ..operators.similarity import _train_residual_opq, _write_rotation
+
     cents = _train_centroids(history, n_cells)
-    books = _train_residual_codebooks(history, cents)
+    if opq:
+        R, books, _ = _train_residual_opq(history, cents)
+        _write_rotation(spark, R, index_dir)
+    else:
+        books = _train_residual_codebooks(history, cents)
     write_ivf_centroids(spark, cents, index_dir)
     write_pq_codebooks(spark, books, index_dir)
     _write_train_stats(spark, history, cents, index_dir)
@@ -159,16 +172,22 @@ def ivfpq_index_maintainer(
     pass against the stored coarse quantizer + codebooks, landed under
     ``codes/batch=<id>/cell=<k>`` with the same idempotent-overwrite
     replay contract as :func:`ivf_index_maintainer`. Probes via
-    ``operators/similarity.ivfpq_search`` need no changes."""
+    ``operators/similarity.ivfpq_search`` need no changes. On an
+    IVF-OPQ bootstrap (``rotation/`` present) every batch encodes
+    through the STORED rotation, so streamed codes live in the same
+    rotated space as the init's."""
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import _maybe_rotation
+
         spark = batch_df.sparkSession
         codes = os.path.join(index_dir, "codes")
         _check_stream_layout(codes)
         cents = load_ivf_centroids(spark, index_dir)
         books = _load_pq_codebooks(spark, index_dir)
         _ivfpq_encode(
-            batch_df.select("vec_id", "embedding"), cents, books
+            batch_df.select("vec_id", "embedding"), cents, books,
+            rotation=_maybe_rotation(spark, index_dir),
         ).write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(codes, f"{_PREFIX}{batch_id}")
         )

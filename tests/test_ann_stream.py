@@ -265,3 +265,42 @@ def test_registered_drift_report_inline(spark, sf_dir):
     assert [r["batch"] for r in rows] == [0, 1]
     assert all(r["n_rows"] > 0 for r in rows)
     assert all(not r["suggested_retrain"] for r in rows)
+
+
+def test_ivfopq_stream_matches_batch_build(spark, sf_dir, tmp_path):
+    """IVF-OPQ maintained at ingest: init_ivfpq_stream_index(opq=True)
+    persists the residual-space rotation, every micro-batch encodes
+    through it, and probes equal the single-pass
+    build_ivfpq_index(opq=True) — the streamed and batch layouts stay
+    interchangeable for the rotated variant too. A rotation-less
+    bootstrap keeps encoding plain (no accidental cross-space mixes)."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+
+    full = similarity.build_ivfpq_index(
+        spark, sf_dir, str(tmp_path / "full"), opq=True
+    )
+    want = _pq_search(spark, full, queries, raw)
+
+    idx = ann_sink.init_ivfpq_stream_index(
+        spark, raw, str(tmp_path / "live"), opq=True
+    )
+    assert os.path.isdir(os.path.join(idx, "rotation"))
+    maintain = ann_sink.ivfpq_index_maintainer(idx)
+    half = n // 2
+    maintain(raw.filter(F.col("vec_id") < half), 0)
+    maintain(raw.filter(F.col("vec_id") >= half), 1)
+    got = _pq_search(spark, idx, queries, raw)
+    assert got == want
+
+    # cross-check: streamed rotated codes == batch rotated codes row-for-row
+    a = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(full, "codes")).collect()
+    }
+    assert a == b
