@@ -2848,6 +2848,89 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keyword-in-context concordance
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Phrase search — positional-postings adjacency intersection
+# --------------------------------------------------------------------------
+
+PHRASE_TERMS = ("batch", "scan")
+PHRASE_TOP_K = 20
+
+
+def _phrase_sql(
+    phrase: tuple = PHRASE_TERMS, top_k: int = PHRASE_TOP_K
+) -> str:
+    """DuckDB twin of :func:`phrase_search_docs` (parameterized)."""
+    cond = " AND ".join(
+        f"w[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_filter(range(1, len(w) - {len(phrase) - 2}),
+                                i -> {cond})) AS pos
+      FROM t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(pos) AS INT) AS first_pos
+    FROM occ GROUP BY doc_id
+    ORDER BY n_matches DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+@query("phrase_search_docs", oracle=_phrase_sql())
+def phrase_search_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple = PHRASE_TERMS,
+    top_k: int = PHRASE_TOP_K,
+) -> DataFrame:
+    """Exact PHRASE search — consecutive-token match, ranked by
+    occurrence count with a doc_id tiebreak, plus the first match
+    position (1-based): the positional-postings operator every search
+    stack layers on top of the inverted index (Lucene's
+    PhraseQuery / postings ``positions`` file), expressed as what that
+    machinery actually does — per-term position lists intersected
+    under the offset shift ``pos(term_j) == pos(term_0) + j``.
+
+    Scale: the ``tok IN (phrase)`` filter applies INSIDE the exploded
+    (position, token) projection, so only the phrase terms' positional
+    postings ever move — never the corpus; each adjacency step is a
+    hash equi-join on ``(doc_id, shifted position)`` between
+    term-posting-sized relations (the streaming-intersection shape of
+    a positional index probe, and the join order follows the phrase —
+    a production planner would reorder rarest-first); occurrences
+    collapse to a doc-grain aggregate and the head is one TakeOrdered.
+    No window, no self-join on the corpus, nothing quadratic.
+
+    Determinism: positions are exact integers; ties rank by doc_id.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    hits = toks.filter(F.col("tok").isin(*set(phrase)))
+    occ = hits.filter(F.col("tok") == phrase[0]).select("doc_id", "pos")
+    for j, t in enumerate(phrase[1:], start=1):
+        nxt = hits.filter(F.col("tok") == t).select(
+            F.col("doc_id").alias("d"), (F.col("pos") - j).alias("p")
+        )
+        occ = occ.join(
+            nxt, (occ["doc_id"] == nxt["d"]) & (occ["pos"] == nxt["p"])
+        ).select("doc_id", "pos")
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            # oracle positions are 1-based list indexes
+            (F.min("pos") + 1).cast("int").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
 KWIC_WINDOW = 2
 KWIC_LIMIT = 50
 

@@ -492,3 +492,41 @@ def test_bm25_two_phase_no_live_terms_reports_and_empties(
     assert out == []
     assert stats == {"theta": None}
     spark.catalog.clearCache()
+
+
+def test_phrase_search_matches_python_brute_force(spark, sf_dir):
+    """The positional adjacency intersection vs a plain Python scan of
+    the corpus, at the default 2-gram, a 3-gram, and a repeated-word
+    phrase (positions must shift correctly even when the same token
+    plays two roles)."""
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def brute(phrase):
+        out = {}
+        for d, w in docs.items():
+            pos = [
+                i + 1
+                for i in range(len(w) - len(phrase) + 1)
+                if all(w[i + j] == t for j, t in enumerate(phrase))
+            ]
+            if pos:
+                out[d] = (len(pos), pos[0])
+        top = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+        return [(d, n, p) for d, (n, p) in top]
+
+    for phrase in (
+        tx.PHRASE_TERMS,
+        ("table", "hash", "value"),
+        ("batch", "batch"),
+    ):
+        got = [
+            tuple(r)
+            for r in tx.phrase_search_docs(
+                spark, sf_dir, phrase=phrase, top_k=50
+            ).collect()
+        ]
+        assert got == brute(phrase), phrase
+        assert got, phrase  # non-vacuous on this corpus
