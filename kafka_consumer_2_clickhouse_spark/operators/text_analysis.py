@@ -2016,11 +2016,25 @@ def _postings_sql() -> str:
 
 
 def _batch_postings(docs: DataFrame) -> DataFrame:
-    """(tok, doc_id, tf) for one document batch — the posting rows."""
+    """(tok, doc_id, tf, positions) for one document batch — the
+    posting rows. ``positions`` is the sorted list of 0-based token
+    offsets: the Lucene positions file, riding IN the posting row so
+    one tokenize pass feeds term search, BM25 and phrase search alike.
+    Parquet is columnar and every consumer projects its own columns,
+    so probes that don't ask for positions never read them — the
+    tf-only scans (conjunctive search, BM25) stay exactly as cheap as
+    before the column existed."""
     return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
         .groupBy("tok", "doc_id")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.sort_array(
+                F.collect_list(F.col("pos").cast("int"))
+            ).alias("positions"),
+        )
     )
 
 
@@ -2123,6 +2137,13 @@ def append_to_postings_index(
     new_td = _batch_postings(new_docs)
     pdir = os.path.join(index_dir, "postings")
     had_postings = os.path.isdir(pdir)
+    if had_postings and "positions" not in spark.read.parquet(pdir).columns:
+        # invariant (the norms discipline): positions, when present,
+        # cover EVERY posting row. Appending positional rows into a
+        # pre-positions (legacy) index would make phrase probes
+        # silently miss every older doc — keep the index positions-less
+        # so phrase_postings_search fails fast with the rebuild message
+        new_td = new_td.drop("positions")
     new_td.write.mode("append").parquet(pdir)
     ndir = os.path.join(index_dir, "norms")
     if os.path.isdir(ndir) or not had_postings:
@@ -2233,7 +2254,11 @@ def compact_postings_index(spark: SparkSession, index_dir: str) -> str:
         )
     kept = spark.read.parquet(pdir).join(F.broadcast(ts), "doc_id", "left_anti")
     staged = pdir + ".compact"
-    kept.select("tok", "doc_id", "tf").repartition(
+    # positions ride through when present (legacy pre-positions
+    # layouts compact without them — the column never materializes
+    # out of thin air)
+    cols = [c for c in ("tok", "doc_id", "tf", "positions") if c in kept.columns]
+    kept.select(*cols).repartition(
         F.col("tok")
     ).sortWithinPartitions("tok").write.mode("overwrite").parquet(staged)
     old = pdir + ".old"
@@ -2879,6 +2904,79 @@ def _phrase_sql(
     """
 
 
+def _phrase_rank(
+    positions_of, phrase: tuple, top_k: int
+) -> DataFrame:
+    """The phrase adjacency-intersection tail shared by the inline and
+    persisted-index paths (so their equality pin is structural):
+    ``positions_of(term)`` returns that term's (doc_id, pos) occurrence
+    relation (0-based positions); terms intersect under the offset
+    shift ``pos(term_j) == pos(term_0) + j`` as hash equi-joins, then
+    occurrences collapse to the doc grain and the head is one
+    TakeOrdered. Reported ``first_pos`` is 1-based (the oracle's list
+    indexing)."""
+    occ = positions_of(phrase[0]).select("doc_id", "pos")
+    for j, t in enumerate(phrase[1:], start=1):
+        nxt = positions_of(t).select(
+            F.col("doc_id").alias("d"), (F.col("pos") - j).alias("p")
+        )
+        occ = occ.join(
+            nxt, (occ["doc_id"] == nxt["d"]) & (occ["pos"] == nxt["p"])
+        ).select("doc_id", "pos")
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            (F.min("pos") + 1).cast("int").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def phrase_postings_search(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: tuple = PHRASE_TERMS,
+    top_k: int = PHRASE_TOP_K,
+) -> DataFrame:
+    """Phrase search against the PERSISTED index — the Lucene
+    PhraseQuery execution shape proper: only the phrase terms' posting
+    rows are read (``tok IN (...)`` pushed into the tok-sorted scan),
+    their stored ``positions`` lists explode to occurrence rows, and
+    the shared adjacency tail (:func:`_phrase_rank`) intersects them —
+    the corpus text is never re-tokenized. Pending deletes are
+    excluded via the tombstone anti-join. Output identical to the
+    inline :func:`phrase_search_docs` — pinned in
+    tests/test_postings_index.py.
+
+    Fails fast on a pre-positions (legacy) index: positions, when
+    present, cover EVERY posting row (the build, append, and stream
+    maintainers all enforce the all-or-none invariant — the norms
+    discipline), so a missing column means rebuild, never silence.
+    """
+    import os
+
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "positions" not in p.columns:
+        raise FileNotFoundError(
+            f"{index_dir!r} has no positions column — rebuild with "
+            "build_postings_index() (phrase search needs the positional "
+            "postings)"
+        )
+    hits = p.filter(F.col("tok").isin(*set(phrase)))
+    ts = _postings_tombstones(spark, index_dir)
+    if ts is not None:
+        hits = hits.join(F.broadcast(ts), "doc_id", "left_anti")
+
+    def positions_of(term: str) -> DataFrame:
+        return hits.filter(F.col("tok") == term).select(
+            "doc_id", F.explode("positions").alias("pos")
+        )
+
+    return _phrase_rank(positions_of, phrase, top_k)
+
+
 @query("phrase_search_docs", oracle=_phrase_sql())
 def phrase_search_docs(
     spark: SparkSession,
@@ -2905,30 +3003,28 @@ def phrase_search_docs(
     No window, no self-join on the corpus, nothing quadratic.
 
     Determinism: positions are exact integers; ties rank by doc_id.
+
+    ``SPARK_GRAFT_POSTINGS_INDEX=<dir>`` probes the PERSISTED
+    positional postings (:func:`phrase_postings_search`) instead —
+    |phrase| pushed posting scans + stored position lists, corpus
+    never re-tokenized; path equality pinned in
+    tests/test_postings_index.py.
     """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
+    if index_dir:
+        return phrase_postings_search(spark, index_dir, phrase, top_k)
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     hits = toks.filter(F.col("tok").isin(*set(phrase)))
-    occ = hits.filter(F.col("tok") == phrase[0]).select("doc_id", "pos")
-    for j, t in enumerate(phrase[1:], start=1):
-        nxt = hits.filter(F.col("tok") == t).select(
-            F.col("doc_id").alias("d"), (F.col("pos") - j).alias("p")
-        )
-        occ = occ.join(
-            nxt, (occ["doc_id"] == nxt["d"]) & (occ["pos"] == nxt["p"])
-        ).select("doc_id", "pos")
-    return (
-        occ.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_matches"),
-            # oracle positions are 1-based list indexes
-            (F.min("pos") + 1).cast("int").alias("first_pos"),
-        )
-        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
-        .limit(top_k)
-    )
+
+    def positions_of(term: str) -> DataFrame:
+        return hits.filter(F.col("tok") == term)
+
+    return _phrase_rank(positions_of, phrase, top_k)
 
 
 KWIC_WINDOW = 2

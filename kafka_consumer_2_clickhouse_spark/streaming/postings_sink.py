@@ -98,7 +98,12 @@ def compact_postings_stream_index(
     probes keep anti-joining them. Returns directories merged away."""
 
     def write_merged(df: DataFrame, path: str) -> None:
-        df.select("tok", "doc_id", "tf").repartition(
+        # positions ride through when present (pre-positions batches
+        # merge without them)
+        cols = [
+            c for c in ("tok", "doc_id", "tf", "positions") if c in df.columns
+        ]
+        df.select(*cols).repartition(
             F.col("tok")
         ).sortWithinPartitions("tok").write.mode("overwrite").parquet(path)
 
@@ -150,7 +155,17 @@ def postings_maintainer(
             and d != f"{_PREFIX}{batch_id}"
         ]
         write_norms = st.isdir(ndir) or not prior
-        td = _batch_postings(batch_df).persist()
+        td_persisted = _batch_postings(batch_df).persist()
+        td = td_persisted
+        if prior:
+            # positions all-or-none invariant (same rationale as the
+            # norms guard): a resumed pre-positions stream index keeps
+            # landing positions-less batches, so phrase probes fail
+            # fast instead of silently missing pre-upgrade docs. One
+            # footer read of the newest prior batch decides.
+            sample = os.path.join(pdir, sorted(prior)[-1])
+            if "positions" not in spark.read.parquet(sample).columns:
+                td = td_persisted.drop("positions")
         try:
             # postings + norms: idempotent per-batch partition overwrites
             # (norms are what lets bm25_postings_search serve a
@@ -208,6 +223,6 @@ def postings_maintainer(
                 if did < batch_id:
                     st.rmtree(os.path.join(ddir, d))
         finally:
-            td.unpersist()
+            td_persisted.unpersist()
 
     return maintain

@@ -289,8 +289,9 @@ def test_streaming_postings_maintainer(spark, sf_dir, tmp_path):
     }
     assert got_dir == want_dir
 
-    a = ps.read_postings(spark, idx)
-    b = spark.read.parquet(os.path.join(full, "postings"))
+    cols = ["tok", "doc_id", "tf", "positions"]
+    a = spark.read.parquet(os.path.join(idx, "postings")).select(*cols)
+    b = spark.read.parquet(os.path.join(full, "postings")).select(*cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 
@@ -530,3 +531,139 @@ def test_phrase_search_matches_python_brute_force(spark, sf_dir):
         ]
         assert got == brute(phrase), phrase
         assert got, phrase  # non-vacuous on this corpus
+
+
+def test_phrase_search_served_from_persisted_positions(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Positional postings in the persisted index: phrase probes read
+    only the phrase terms' posting rows (pushed tok filter) and their
+    stored position lists — equal to the inline form at the default
+    and a 3-gram phrase, through the registered query's env switch,
+    after an incremental append, and after a tombstone delete (probe
+    == an index built on the survivors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+
+    for phrase in (tx.PHRASE_TERMS, ("table", "hash", "value")):
+        want = [
+            tuple(r)
+            for r in tx.phrase_search_docs(spark, sf_dir, phrase=phrase).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in tx.phrase_postings_search(spark, idx, phrase=phrase).collect()
+        ]
+        assert got == want, phrase
+
+    want = [tuple(r) for r in ops.QUERIES["phrase_search_docs"](spark, sf_dir).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", idx)
+    got_env = [
+        tuple(r) for r in ops.QUERIES["phrase_search_docs"](spark, sf_dir).collect()
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_POSTINGS_INDEX")
+    assert got_env == want
+
+    plan = (
+        tx.phrase_postings_search(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "tok" in plan.split("PushedFilters")[1][:200]
+
+    # incremental append: probe == the single-pass build's probe
+    half = docs.filter(F.col("doc_id") < n // 2)
+    rest = docs.filter(F.col("doc_id") >= n // 2)
+    inc = tx.build_postings_index(spark, half, str(tmp_path / "inc"))
+    tx.append_to_postings_index(spark, inc, rest)
+    assert [tuple(r) for r in tx.phrase_postings_search(spark, inc).collect()] == want
+
+    # deletes: tombstoned probe == an index built WITHOUT the deleted docs
+    survivors = docs.filter(F.col("doc_id") < n // 2)
+    ref = tx.build_postings_index(spark, survivors, str(tmp_path / "ref"))
+    tx.remove_from_postings_index(
+        spark, idx, docs.filter(F.col("doc_id") >= n // 2).select("doc_id")
+    )
+    assert [tuple(r) for r in tx.phrase_postings_search(spark, idx).collect()] == [
+        tuple(r) for r in tx.phrase_postings_search(spark, ref).collect()
+    ]
+    spark.catalog.clearCache()
+
+
+def test_phrase_positions_all_or_none_invariant(spark, sf_dir, tmp_path):
+    """The norms discipline applied to positions: a pre-positions
+    (legacy) index STAYS positions-less across batch appends and
+    resumed stream batches (phrase probes fail fast with the rebuild
+    message instead of silently missing older docs), while a fresh
+    stream index serves phrase probes equal to the inline form, and
+    compaction carries positions through."""
+    import shutil
+
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.streaming import postings_sink as ps
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    half = docs.filter(F.col("doc_id") < n // 2)
+    rest = docs.filter(F.col("doc_id") >= n // 2)
+
+    # build a legacy layout: rewrite postings without the column
+    legacy = tx.build_postings_index(spark, half, str(tmp_path / "legacy"))
+    pdir = os.path.join(legacy, "postings")
+    stripped = spark.read.parquet(pdir).drop("positions")
+    staged = str(tmp_path / "stripped")
+    stripped.write.parquet(staged)
+    shutil.rmtree(pdir)
+    os.rename(staged, pdir)
+
+    tx.append_to_postings_index(spark, legacy, rest)
+    assert "positions" not in spark.read.parquet(pdir).columns
+    with pytest.raises(FileNotFoundError, match="positions"):
+        tx.phrase_postings_search(spark, legacy)
+    # tf consumers unaffected by the legacy layout
+    full = tx.build_postings_index(spark, docs, str(tmp_path / "full"))
+    assert [tuple(r) for r in tx.postings_search(spark, legacy).collect()] == [
+        tuple(r) for r in tx.postings_search(spark, full).collect()
+    ]
+
+    # resumed legacy STREAM index keeps landing positions-less batches
+    sidx = str(tmp_path / "stream")
+    maintain = ps.postings_maintainer(sidx)
+    maintain(half, 0)
+    spdir = os.path.join(sidx, "postings")
+    b0 = os.path.join(spdir, "batch=0")
+    strip0 = spark.read.parquet(b0).drop("positions")
+    staged0 = str(tmp_path / "strip0")
+    strip0.write.parquet(staged0)
+    shutil.rmtree(b0)
+    os.rename(staged0, b0)
+    maintain(rest, 1)
+    assert "positions" not in spark.read.parquet(
+        os.path.join(spdir, "batch=1")
+    ).columns
+    with pytest.raises(FileNotFoundError, match="positions"):
+        tx.phrase_postings_search(spark, sidx)
+
+    # fresh stream index: phrase probe == inline, including after the
+    # retention compaction (positions ride through the merge)
+    fresh = str(tmp_path / "fresh")
+    m2 = ps.postings_maintainer(fresh)
+    third = n // 3 + 1
+    for b in range(3):
+        m2(
+            docs.filter(
+                (F.col("doc_id") >= b * third) & (F.col("doc_id") < (b + 1) * third)
+            ),
+            b,
+        )
+    want = [
+        tuple(r) for r in tx.phrase_search_docs(spark, sf_dir).collect()
+    ]
+    assert [tuple(r) for r in tx.phrase_postings_search(spark, fresh).collect()] == want
+    ps.compact_postings_stream_index(spark, fresh, before_batch=2)
+    assert [tuple(r) for r in tx.phrase_postings_search(spark, fresh).collect()] == want
+    spark.catalog.clearCache()
