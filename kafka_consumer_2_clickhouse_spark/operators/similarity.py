@@ -2214,6 +2214,14 @@ def build_ivfpq_index(
     write_pq_codebooks(spark, books, index_dir)
     if R is not None:
         _write_rotation(spark, R, index_dir)
+    else:
+        # a stale rotation/ from a previous opq=True build would make
+        # ivfpq_search rotate queries against plain codes — remove it
+        rot = os.path.join(index_dir, "rotation")
+        if os.path.isdir(rot):
+            import shutil
+
+            shutil.rmtree(rot)
     return index_dir
 
 

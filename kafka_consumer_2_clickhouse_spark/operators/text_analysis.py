@@ -2886,7 +2886,8 @@ def _phrase_sql(
 ) -> str:
     """DuckDB twin of :func:`phrase_search_docs` (parameterized)."""
     cond = " AND ".join(
-        f"w[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+        "w[i + {}] = '{}'".format(j, t.replace("'", "''"))
+        for j, t in enumerate(phrase)
     )
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3015,11 +3016,19 @@ def phrase_search_docs(
     index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
     if index_dir:
         return phrase_postings_search(spark, index_dir, phrase, top_k)
+    from pyspark import StorageLevel
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    hits = toks.filter(F.col("tok").isin(*set(phrase)))
+    # phrase-term occurrences only (posting-sized); persisted so the
+    # per-term join branches share ONE tokenize pass over the corpus
+    # instead of re-scanning it |phrase| times (recomputable persist;
+    # caller-owned cleanup — see operators.release_intermediate_caches)
+    hits = toks.filter(F.col("tok").isin(*set(phrase))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def positions_of(term: str) -> DataFrame:
         return hits.filter(F.col("tok") == term)

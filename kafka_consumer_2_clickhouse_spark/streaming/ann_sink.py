@@ -158,6 +158,14 @@ def init_ivfpq_stream_index(
         _write_rotation(spark, R, index_dir)
     else:
         books = _train_residual_codebooks(history, cents)
+        # a stale rotation/ from a previous OPQ bootstrap would make
+        # the maintainer rotate residuals against codebooks trained
+        # WITHOUT rotation — silently wrong codes; remove it
+        rot = os.path.join(index_dir, "rotation")
+        if os.path.isdir(rot):
+            import shutil
+
+            shutil.rmtree(rot)
     write_ivf_centroids(spark, cents, index_dir)
     write_pq_codebooks(spark, books, index_dir)
     _write_train_stats(spark, history, cents, index_dir)

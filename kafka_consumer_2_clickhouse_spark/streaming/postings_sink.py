@@ -131,6 +131,10 @@ def postings_maintainer(
     index. Batch rows need (doc_id, text); replayed batch ids rewrite
     their own postings partition and skip the directory fold."""
     st = store or DEFAULT_STORE
+    # positional vs legacy is sticky for the life of the index: decide
+    # once per maintainer (one prior-batch footer read), not one
+    # schema-inference job per micro-batch on the streaming hot path
+    sticky_keep_positions: list[bool] = []
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -157,15 +161,23 @@ def postings_maintainer(
         write_norms = st.isdir(ndir) or not prior
         td_persisted = _batch_postings(batch_df).persist()
         td = td_persisted
-        if prior:
+        if not sticky_keep_positions:
             # positions all-or-none invariant (same rationale as the
             # norms guard): a resumed pre-positions stream index keeps
             # landing positions-less batches, so phrase probes fail
             # fast instead of silently missing pre-upgrade docs. One
-            # footer read of the newest prior batch decides.
-            sample = os.path.join(pdir, sorted(prior)[-1])
-            if "positions" not in spark.read.parquet(sample).columns:
-                td = td_persisted.drop("positions")
+            # footer read of the newest prior batch decides (numeric
+            # max — lexicographic order lies past batch=9).
+            if prior:
+                newest = max(prior, key=lambda d: int(d[len(_PREFIX):]))
+                sample = os.path.join(pdir, newest)
+                sticky_keep_positions.append(
+                    "positions" in spark.read.parquet(sample).columns
+                )
+            else:
+                sticky_keep_positions.append(True)
+        if not sticky_keep_positions[0]:
+            td = td_persisted.drop("positions")
         try:
             # postings + norms: idempotent per-batch partition overwrites
             # (norms are what lets bm25_postings_search serve a

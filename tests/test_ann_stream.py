@@ -304,3 +304,29 @@ def test_ivfopq_stream_matches_batch_build(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(full, "codes")).collect()
     }
     assert a == b
+
+
+def test_plain_rebootstrap_clears_stale_rotation(spark, sf_dir, tmp_path):
+    """Re-bootstrapping an OPQ index dir with opq=False must remove the
+    stale rotation/ — otherwise the maintainer (and ivfpq_search) would
+    auto-detect it and rotate residuals against codebooks trained
+    WITHOUT rotation: silently wrong codes. Same guard on the batch
+    builder."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "flip")
+    ann_sink.init_ivfpq_stream_index(spark, raw, idx, opq=True)
+    assert os.path.isdir(os.path.join(idx, "rotation"))
+    ann_sink.init_ivfpq_stream_index(spark, raw, idx, opq=False)
+    assert not os.path.isdir(os.path.join(idx, "rotation"))
+
+    bidx = str(tmp_path / "bflip")
+    similarity.build_ivfpq_index(spark, sf_dir, bidx, opq=True)
+    assert os.path.isdir(os.path.join(bidx, "rotation"))
+    similarity.build_ivfpq_index(spark, sf_dir, bidx, opq=False)
+    assert not os.path.isdir(os.path.join(bidx, "rotation"))
+    # and the reverted index probes like a plain build
+    queries = raw.filter(F.col("vec_id") < similarity.N_QUERY)
+    plain = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "plain"))
+    assert _pq_search(spark, bidx, queries, raw) == _pq_search(
+        spark, plain, queries, raw
+    )

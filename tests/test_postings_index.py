@@ -641,7 +641,11 @@ def test_phrase_positions_all_or_none_invariant(spark, sf_dir, tmp_path):
     strip0.write.parquet(staged0)
     shutil.rmtree(b0)
     os.rename(staged0, b0)
-    maintain(rest, 1)
+    # the resume happens in a NEW process: a fresh maintainer closure
+    # (the positional/legacy decision is memoized per maintainer, one
+    # footer read — reusing the pre-upgrade closure would not re-check)
+    maintain_resumed = ps.postings_maintainer(sidx)
+    maintain_resumed(rest, 1)
     assert "positions" not in spark.read.parquet(
         os.path.join(spdir, "batch=1")
     ).columns
