@@ -149,11 +149,14 @@ def _await_duration(pipelines, duration: float) -> None:
 
     deadline = _time.monotonic() + duration
     while True:
-        remaining = deadline - _time.monotonic()
-        if remaining <= 0:
-            return
         alive = False
         for p in pipelines:
+            # recompute per call: each awaitTermination blocks up to
+            # 1 s, so a once-per-pass remaining would overshoot the
+            # deadline by up to N-1 seconds across N pipelines
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                return
             if not p.query.awaitTermination(min(1.0, remaining)):
                 alive = True
         if not alive:

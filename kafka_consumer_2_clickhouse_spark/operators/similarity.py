@@ -37,10 +37,12 @@ NEAR_DUP_COS = 0.8
 
 
 def _env_positive_int(name: str, default: int) -> int:
-    """Strict env-var dial parse: unset/empty -> ``default``; anything
-    else must be a positive integer, or the error NAMES the variable
-    instead of surfacing as a bare ValueError mid-plan (an explicit
-    ``0`` is rejected, not silently coerced to the default)."""
+    """Env-var dial parse: unset/empty/``0`` -> ``default`` (``0`` has
+    meant "use the default" since the dial existed — operator scripts
+    set it to pin the built-in width, so it stays a no-op, not an
+    error); anything else must be a positive integer, or the error
+    NAMES the variable instead of surfacing as a bare ValueError
+    mid-plan."""
     import os
 
     raw = os.environ.get(name)
@@ -52,7 +54,9 @@ def _env_positive_int(name: str, default: int) -> int:
         raise ValueError(
             f"{name} must be a positive integer, got {raw!r}"
         ) from None
-    if v <= 0:
+    if v == 0:
+        return default
+    if v < 0:
         raise ValueError(f"{name} must be a positive integer, got {raw!r}")
     return v
 

@@ -2137,7 +2137,7 @@ def append_to_postings_index(
     new_td = _batch_postings(new_docs)
     pdir = os.path.join(index_dir, "postings")
     had_postings = os.path.isdir(pdir)
-    if had_postings and "positions" not in spark.read.parquet(pdir).columns:
+    if had_postings and not _postings_have_positions(spark, pdir):
         # invariant (the norms discipline): positions, when present,
         # cover EVERY posting row. Appending positional rows into a
         # pre-positions (legacy) index would make phrase probes
@@ -2183,6 +2183,32 @@ def append_to_postings_index(
     os.rename(staged, dir_path)
     shutil.rmtree(old)
     return index_dir
+
+
+def _postings_have_positions(spark: SparkSession, pdir: str) -> bool:
+    """ONE-footer probe for the ``positions`` column: the all-or-none
+    invariant (every posting row carries positions, or none does) makes
+    any single footer authoritative, so the per-ingest-batch append
+    path never pays a full schema-inference job over the whole postings
+    directory (the ``postings_sink.sticky_keep_positions`` economy,
+    applied to the batch appender). Falls back to the Spark schema read
+    for a path the local walk can't see (non-local filesystem)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        for root, dirs, files in os.walk(pdir):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    schema = pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).schema_arrow
+                    return "positions" in schema.names
+    except OSError:
+        pass
+    return "positions" in spark.read.parquet(pdir).columns
 
 
 def _stream_postings_layout(data_dir: str) -> bool:
@@ -2606,7 +2632,6 @@ _BM25_THETA_MARGIN = 1e-9
 
 def _bm25_rank_two_phase(
     spark: SparkSession,
-    index_dir: str,
     hits: DataFrame,
     dl: DataFrame,
     corpus: DataFrame,
@@ -2653,16 +2678,16 @@ def _bm25_rank_two_phase(
     is computed once and shared by both phases (recomputable persist).
 
     Honest crossover note: at test scale the fixed costs (the phase-1
-    head, two extra 1-row aggregates, the directory slice) EXCEED the
-    savings — scoring 485 docs is already trivial. The pruning pays
-    where the papers aim it: posting lists long enough that the
-    scored-candidate tail (norms join + |terms| expressions + head)
-    dominates those constants, i.e. exactly the 100 TB regime. That is
-    why two_phase is an opt-in dial, not the registered default.
+    head, two extra 1-row aggregates) EXCEED the savings — scoring 485
+    docs is already trivial. The pruning pays where the papers aim it:
+    posting lists long enough that the scored-candidate tail (norms
+    join + |terms| expressions + head) dominates those constants, i.e.
+    exactly the 100 TB regime. That is why two_phase is an opt-in
+    dial, not the registered default.
 
     Driver pulls, all bounded and documented: the 1-row corpus
-    aggregate, the 1-row df aggregate, the |terms|-row directory page
-    slice, and phase 1's ≤ top_k result rows.
+    aggregate, the 1-row stats aggregate, and phase 1's ≤ top_k result
+    rows.
 
     ``prune_stats`` (tests only): receives n_docs_with_any_term /
     n_candidates / theta so the non-vacuous-pruning pin can observe
@@ -2820,7 +2845,7 @@ def bm25_postings_search(
     dl = norms.select("doc_id", F.col("dl").cast("double").alias("dl"))
     if two_phase:
         return _bm25_rank_two_phase(
-            spark, index_dir, hits, dl, corpus, terms, top_k, prune_stats
+            spark, hits, dl, corpus, terms, top_k, prune_stats
         )
     return _bm25_rank(hits, dl, corpus, terms, top_k)
 

@@ -213,11 +213,13 @@ def snapshot_cdc_baseline(
     Crash-safe at every point, including RE-baselining a live
     ``diff_dir``: any committed diff versions are removed FIRST (folds
     no-op while tracking is "not started"), the baseline then swaps in
-    via rename-aside (a committed copy exists at every instant), and
-    the initial cumulative table commits last — so a crash anywhere
-    leaves ``committed_batch(diff_dir)`` None and the fix is simply
-    re-running the snapshot; no ordering can pair a committed
-    cumulative table with the wrong baseline."""
+    via rename-aside, and the initial cumulative table commits last.
+    Between the two renames no ``baseline/`` exists at ``base_path`` —
+    that instant is safe not because a copy is readable (readers don't
+    consult ``.old``) but because tracking is already reset: folds
+    no-op, and a crash there leaves ``committed_batch(diff_dir)`` None,
+    so the fix is simply re-running the snapshot. No ordering can pair
+    a committed cumulative table with the wrong baseline."""
     st = store or DEFAULT_STORE
     b = committed_batch(state_dir, st)
     if b is None:

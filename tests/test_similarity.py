@@ -774,9 +774,10 @@ def test_hash_sample_memo_invalidates_on_data_change(spark, tmp_path):
 
 
 def test_env_positive_int_dial_parse(monkeypatch):
-    """Probe-width env dials parse strictly: unset/empty -> default;
-    non-integers and non-positive values raise an error NAMING the
-    variable (an explicit "0" is rejected, not silently coerced)."""
+    """Probe-width env dials parse strictly: unset/empty/"0" -> the
+    default ("0" is the long-standing 'use the built-in width' no-op
+    of operator scripts, not an error); non-integers and negatives
+    raise an error NAMING the variable."""
     import pytest
 
     from kafka_consumer_2_clickhouse_spark.operators.similarity import (
@@ -787,9 +788,11 @@ def test_env_positive_int_dial_parse(monkeypatch):
     assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 4
     monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "")
     assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 4
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "0")
+    assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 4
     monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "9")
     assert _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4) == 9
-    for bad in ("banana", "0", "-3", "1.5"):
+    for bad in ("banana", "-3", "1.5"):
         monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", bad)
         with pytest.raises(ValueError, match="SPARK_GRAFT_IVF_NPROBE"):
             _env_positive_int("SPARK_GRAFT_IVF_NPROBE", 4)
