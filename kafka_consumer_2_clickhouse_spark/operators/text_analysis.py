@@ -2638,6 +2638,7 @@ def _bm25_rank_two_phase(
     terms: tuple,
     top_k: int,
     prune_stats: dict | None = None,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Max-score / WAND-style two-phase BM25 over the persisted index
     (Broder et al., CIKM 2003 "Efficient query evaluation using a
@@ -2689,9 +2690,36 @@ def _bm25_rank_two_phase(
     aggregate, the 1-row stats aggregate, and phase 1's ≤ top_k result
     rows.
 
+    ``seg_col`` enables the BLOCK-MAX refinement (Ding & Suel, SIGIR
+    2011 "Faster top-k document retrieval using block-max indexes",
+    proper): instead of one global ``max(tf)`` bound per term, the
+    bound is evaluated per SEGMENT — the named column's value, i.e.
+    the ``batch=<id>`` ingest partition of a stream-maintained index —
+    so documents in segments whose LOCAL bound-sum falls below θ are
+    pruned even when a single hot segment holds the global champion
+    tf. This is the step that makes the two-phase dial win below web
+    scale: skew between ingest batches is the norm, and one crawl
+    batch full of keyword-stuffed docs no longer inflates the
+    admission bound for every other batch.
+
+    Soundness does NOT depend on the layout's doc-disjointness: each
+    document is assigned ONE segment label (``max(seg)`` over its
+    posting rows) and the segment's bound is the max over its
+    documents' TOTAL per-doc tf — so a doc's own tf can never exceed
+    its segment's bound, whatever the physical row placement. (In the
+    maintained layouts docs ARE batch-disjoint, so the label is simply
+    the batch that ingested them.) And the same lag-safety argument as
+    the global bound: the per-segment max comes from the LIVE per-doc
+    tf aggregate over the probed postings, never from the versioned
+    ``directory/batch=<id>`` pages — those commit AFTER postings land,
+    so a lagging page could under-bound a segment and silently prune
+    true top-k docs. The live segment aggregate rides the same one
+    scan this path already makes.
+
     ``prune_stats`` (tests only): receives n_docs_with_any_term /
-    n_candidates / theta so the non-vacuous-pruning pin can observe
-    the shrink without re-deriving the internals.
+    n_candidates / theta / bound ("segment" or "global") so the
+    non-vacuous-pruning and strictly-prunes-more pins can observe the
+    shrink without re-deriving the internals.
     """
     from pyspark import StorageLevel
 
@@ -2701,6 +2729,8 @@ def _bm25_rank_two_phase(
         .alias(f"tf_{i}")
         for i, x in enumerate(terms)
     ]
+    if seg_col is not None:
+        tf_aggs.append(F.max(seg_col).cast("long").alias("_seg"))
     # shared doc-grain tf relation (recomputable persist; caller-owned
     # cleanup — see operators.release_intermediate_caches)
     per_doc = (
@@ -2775,6 +2805,62 @@ def _bm25_rank_two_phase(
         )
     theta = phase1[-1]["bm25_score"]
 
+    if seg_col is not None:
+        # block-max: the SAME ub formula, evaluated per segment on the
+        # segment's own live max(tf) (a segment-grain aggregate of the
+        # shared per_doc relation — no extra postings scan); idf stays
+        # global (df is a corpus fact). The bound table is
+        # segment-grain, so the join back is a broadcast.
+        seg_mt = per_doc.groupBy("_seg").agg(
+            *[
+                F.max(f"tf_{i}").alias(f"mt_{i}")
+                for i in range(len(terms))
+            ]
+        )
+        ub_cols = []
+        for i in range(len(terms)):
+            df_t = stats[f"df_{i}"]
+            if df_t == 0:
+                ub_cols.append(F.lit(0.0).alias(f"_ub_{i}"))
+                continue
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            mt = F.col(f"mt_{i}").cast("double")
+            ub_cols.append(
+                F.when(
+                    F.col(f"mt_{i}") > 0,
+                    F.lit(idf)
+                    * (mt * (BM25_K1 + 1.0))
+                    / (mt + BM25_K1 * (1.0 - BM25_B)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"_ub_{i}")
+            )
+        seg_ub = seg_mt.select("_seg", *ub_cols)
+        ub_sum = None
+        for i in range(len(terms)):
+            t = F.when(
+                F.col(f"tf_{i}") > 0, F.col(f"_ub_{i}")
+            ).otherwise(F.lit(0.0))
+            ub_sum = t if ub_sum is None else ub_sum + t
+        admitted = (
+            per_doc.join(F.broadcast(seg_ub), "_seg")
+            .filter(ub_sum >= F.lit(theta - _BM25_THETA_MARGIN))
+            .select(
+                "doc_id", *[f"tf_{i}" for i in range(len(terms))]
+            )
+        )
+        if prune_stats is not None:
+            prune_stats.update(
+                theta=theta,
+                bound="segment",
+                n_docs_with_any_term=per_doc.count(),
+                n_candidates=admitted.count(),
+            )
+        return _bm25_rank(
+            hits, dl, corpus_lit, terms, top_k,
+            per_doc=admitted, dstats=dstats_lit,
+        )
+
     ub_sum = None
     for i in range(len(terms)):
         t = F.when(F.col(f"tf_{i}") > 0, F.lit(ubs[i])).otherwise(F.lit(0.0))
@@ -2783,6 +2869,7 @@ def _bm25_rank_two_phase(
     if prune_stats is not None:
         prune_stats.update(
             theta=theta,
+            bound="global",
             n_docs_with_any_term=per_doc.count(),
             n_candidates=per_doc.filter(admit).count(),
         )
@@ -2798,6 +2885,7 @@ def bm25_postings_search(
     terms: tuple = SEARCH_TERMS,
     top_k: int = BM25_TOP_K,
     two_phase: bool | None = None,
+    block_max: bool | None = None,
     prune_stats: dict | None = None,
 ) -> DataFrame:
     """BM25 against the PERSISTED index — the 100 TB path: only the
@@ -2819,11 +2907,18 @@ def bm25_postings_search(
     (:func:`_bm25_rank_two_phase` — row-identical output, norms join +
     scoring only over admitted candidates); ``None`` resolves
     ``SPARK_GRAFT_BM25_TWO_PHASE=1``, so the registered query can be
-    flipped without code changes."""
+    flipped without code changes. ``block_max`` (``None`` resolves
+    ``SPARK_GRAFT_BM25_BLOCK_MAX=1``) refines the two-phase bounds to
+    per-segment block-max bounds on a stream-maintained layout (the
+    ``batch=<id>`` ingest partitions ARE the blocks); on a flat layout
+    there is one block, so it degenerates to the global bound. Only
+    consulted when ``two_phase`` is on."""
     import os
 
     if two_phase is None:
         two_phase = os.environ.get("SPARK_GRAFT_BM25_TWO_PHASE", "") == "1"
+    if block_max is None:
+        block_max = os.environ.get("SPARK_GRAFT_BM25_BLOCK_MAX", "") == "1"
     ndir = os.path.join(index_dir, "norms")
     if not os.path.isdir(ndir):
         raise FileNotFoundError(
@@ -2844,8 +2939,9 @@ def bm25_postings_search(
     )
     dl = norms.select("doc_id", F.col("dl").cast("double").alias("dl"))
     if two_phase:
+        seg = "batch" if block_max and "batch" in hits.columns else None
         return _bm25_rank_two_phase(
-            spark, hits, dl, corpus, terms, top_k, prune_stats
+            spark, hits, dl, corpus, terms, top_k, prune_stats, seg_col=seg
         )
     return _bm25_rank(hits, dl, corpus, terms, top_k)
 
@@ -3059,6 +3155,227 @@ def phrase_search_docs(
         return hits.filter(F.col("tok") == term)
 
     return _phrase_rank(positions_of, phrase, top_k)
+
+
+# --------------------------------------------------------------------------
+# Proximity (sloppy-phrase) search — banded position intersection
+# --------------------------------------------------------------------------
+
+#: default edit window for the registered proximity query (Lucene
+#: PhraseQuery slop: ``"batch scan"~2``)
+PHRASE_SLOP = 2
+
+
+def _phrase_near_sql(
+    phrase: tuple = PHRASE_TERMS,
+    slop: int = PHRASE_SLOP,
+    top_k: int = PHRASE_TOP_K,
+) -> str:
+    """DuckDB twin of :func:`phrase_near_docs` (parameterized): the
+    same anchor/banded-min semantics over 1-based list positions
+    (displacements are shift-invariant, so the off-by-one vs Spark's
+    0-based postings cancels)."""
+
+    def esc(t: str) -> str:
+        return t.replace("'", "''")
+
+    ctes = []
+    prev = "anchors"
+    for j, t in enumerate(phrase[1:], start=1):
+        ctes.append(
+            f"""m{j} AS (
+      SELECT a.doc_id, a.pos, a.disp + MIN(ABS(b.pos - a.pos - {j})) AS disp
+      FROM {prev} a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.tok = '{esc(t)}'
+       AND b.pos BETWEEN a.pos + {j} - {slop} AND a.pos + {j} + {slop}
+      GROUP BY a.doc_id, a.pos, a.disp
+    )"""
+        )
+        prev = f"m{j}"
+    cte_sql = ",\n    ".join(ctes)
+    if cte_sql:
+        cte_sql = ",\n    " + cte_sql
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+      FROM t
+    ),
+    anchors AS (
+      SELECT doc_id, pos, 0 AS disp FROM toks
+      WHERE tok = '{esc(phrase[0])}'
+    ){cte_sql}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(pos) AS INT) AS first_pos,
+           CAST(sum(CAST(round(1.0 / (1 + disp), 6) AS DECIMAL(27,6)))
+                AS DOUBLE) AS sloppy_freq
+    FROM {prev} GROUP BY doc_id
+    ORDER BY sloppy_freq DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+def _phrase_near_rank(
+    positions_of, phrase: tuple, slop: int, top_k: int
+) -> DataFrame:
+    """The proximity-intersection tail shared by the inline and
+    persisted-index paths (the :func:`_phrase_rank` discipline).
+    Semantics — the well-defined core of Lucene's sloppy PhraseQuery:
+    an ANCHOR is an occurrence of ``phrase[0]`` at position ``pos``;
+    it matches iff every later term ``phrase[j]`` occurs somewhere in
+    the band ``[pos + j - slop, pos + j + slop]`` (each term is
+    constrained to the anchor only, so existence decomposes per term —
+    no combinatorial tuple explosion), and the anchor's displacement
+    is the sum over terms of the MINIMUM in-band offset
+    ``|pos_j - pos - j|``. ``slop = 0`` degenerates to exact adjacency
+    — identical matches to :func:`_phrase_rank` (pinned). With a
+    repeated term and ``slop >= 1`` one token occurrence may satisfy
+    two slots (position reuse) — documented, deterministic, and
+    mirrored exactly by the oracle and the brute-force pin.
+
+    Ranking: ``sloppy_freq`` = sum over matching anchors of
+    ``1 / (1 + displacement)`` — Lucene's sloppyFreq weight — with
+    each anchor's reciprocal rounded to 6 decimals and summed through
+    ``decimal(27,6)`` (round-before-aggregate: the sum is EXACT and
+    order-independent, so ranking never depends on float accumulation
+    order), doc_id tiebreak, one TakeOrdered head.
+
+    Scale: each step is a doc_id hash equi-join between term-posting-
+    sized relations with the band as a post-join filter (never a
+    cartesian — the equi key is always doc_id), followed by an
+    anchor-grain min aggregate; occurrences collapse to the doc grain
+    at the end. Nothing touches the corpus beyond the phrase terms'
+    positional postings.
+    """
+    occ = positions_of(phrase[0]).select(
+        "doc_id", "pos", F.lit(0).cast("bigint").alias("disp")
+    )
+    for j, t in enumerate(phrase[1:], start=1):
+        nxt = positions_of(t).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("p")
+        )
+        occ = (
+            occ.join(
+                nxt,
+                (occ["doc_id"] == nxt["d"])
+                & (nxt["p"] >= occ["pos"] + j - slop)
+                & (nxt["p"] <= occ["pos"] + j + slop),
+            )
+            .groupBy("doc_id", "pos")
+            .agg(
+                (
+                    F.min("disp")
+                    + F.min(F.abs(F.col("p") - F.col("pos") - j))
+                ).alias("disp")
+            )
+        )
+    w6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.col("disp")), 6).cast(
+        "decimal(27,6)"
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            (F.min("pos") + 1).cast("int").alias("first_pos"),
+            F.sum(w6).cast("double").alias("sloppy_freq"),
+        )
+        .orderBy(F.desc("sloppy_freq"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def phrase_near_postings_search(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: tuple = PHRASE_TERMS,
+    slop: int = PHRASE_SLOP,
+    top_k: int = PHRASE_TOP_K,
+) -> DataFrame:
+    """Proximity search against the PERSISTED positional postings —
+    same probe shape as :func:`phrase_postings_search` (only the
+    phrase terms' posting rows are read, positions explode to
+    occurrence rows, tombstones anti-join), with the banded
+    intersection tail (:func:`_phrase_near_rank`) instead of the exact
+    shift. Fails fast on a pre-positions (legacy) index — the
+    all-or-none invariant."""
+    import os
+
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "positions" not in p.columns:
+        raise FileNotFoundError(
+            f"{index_dir!r} has no positions column — rebuild with "
+            "build_postings_index() (proximity search needs the "
+            "positional postings)"
+        )
+    hits = p.filter(F.col("tok").isin(*set(phrase)))
+    ts = _postings_tombstones(spark, index_dir)
+    if ts is not None:
+        hits = hits.join(F.broadcast(ts), "doc_id", "left_anti")
+
+    def positions_of(term: str) -> DataFrame:
+        return hits.filter(F.col("tok") == term).select(
+            "doc_id", F.explode("positions").alias("pos")
+        )
+
+    return _phrase_near_rank(positions_of, phrase, slop, top_k)
+
+
+@query("phrase_near_docs", oracle=_phrase_near_sql())
+def phrase_near_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple = PHRASE_TERMS,
+    slop: int = PHRASE_SLOP,
+    top_k: int = PHRASE_TOP_K,
+) -> DataFrame:
+    """PROXIMITY phrase search — Lucene PhraseQuery slop
+    (``"batch scan"~2``): documents where the phrase terms appear
+    within an edit window of their in-phrase offsets rather than
+    exactly adjacent, ranked by the deterministic sloppyFreq-style
+    proximity score (see :func:`_phrase_near_rank` for the exact
+    anchor/band/min-displacement semantics and the exact-decimal
+    ranking discipline). ``slop = 0`` is exactly
+    :func:`phrase_search_docs`'s match set (pinned in
+    tests/test_postings_index.py, alongside a Python brute-force pin
+    at two slop values and the persisted-path equality).
+
+    Scale: the ``tok IN (phrase)`` filter applies inside the exploded
+    projection, so only the phrase terms' positional postings move;
+    each proximity step is a doc_id hash equi-join (the band rides as
+    a post-join filter — widening slop widens the filter, never the
+    join shape); the head is one TakeOrdered. No window, no self-join
+    on the corpus, nothing quadratic.
+
+    ``SPARK_GRAFT_POSTINGS_INDEX=<dir>`` probes the PERSISTED
+    positional postings (:func:`phrase_near_postings_search`) instead
+    — |phrase| pushed posting scans, corpus never re-tokenized.
+    """
+    import os
+
+    index_dir = os.environ.get("SPARK_GRAFT_POSTINGS_INDEX")
+    if index_dir:
+        return phrase_near_postings_search(
+            spark, index_dir, phrase, slop, top_k
+        )
+    from pyspark import StorageLevel
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    # phrase-term occurrences only (posting-sized); persisted so the
+    # per-term join branches share ONE tokenize pass over the corpus
+    # (recomputable persist; caller-owned cleanup — see
+    # operators.release_intermediate_caches)
+    hits = toks.filter(F.col("tok").isin(*set(phrase))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def positions_of(term: str) -> DataFrame:
+        return hits.filter(F.col("tok") == term)
+
+    return _phrase_near_rank(positions_of, phrase, slop, top_k)
 
 
 KWIC_WINDOW = 2

@@ -671,3 +671,235 @@ def test_phrase_positions_all_or_none_invariant(spark, sf_dir, tmp_path):
     ps.compact_postings_stream_index(spark, fresh, before_batch=2)
     assert [tuple(r) for r in tx.phrase_postings_search(spark, fresh).collect()] == want
     spark.catalog.clearCache()
+
+
+def test_phrase_near_matches_python_brute_force(spark, sf_dir):
+    """Sloppy-phrase semantics vs a plain Python scan of the corpus at
+    two slop values, at the default 2-gram, a 3-gram, and a
+    repeated-word phrase (where slop >= 1 permits position reuse — the
+    brute force mirrors the anchor/band/min-displacement definition
+    exactly, including the exact-decimal sloppyFreq sum)."""
+    from decimal import Decimal
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def brute(phrase, slop, top_k=20):
+        out = {}
+        for d, w in docs.items():
+            pos = {
+                t: [i for i, x in enumerate(w) if x == t] for t in set(phrase)
+            }
+            anchors = []
+            for p0 in pos.get(phrase[0], []):
+                disp, ok = 0, True
+                for j, t in enumerate(phrase[1:], start=1):
+                    cand = [
+                        abs(pj - p0 - j)
+                        for pj in pos.get(t, [])
+                        if abs(pj - p0 - j) <= slop
+                    ]
+                    if not cand:
+                        ok = False
+                        break
+                    disp += min(cand)
+                if ok:
+                    anchors.append((p0, disp))
+            if anchors:
+                sf6 = sum(
+                    Decimal(str(round(1.0 / (1 + dd), 6))) for _, dd in anchors
+                )
+                out[d] = (len(anchors), anchors[0][0] + 1, float(sf6))
+        top = sorted(out.items(), key=lambda kv: (-kv[1][2], kv[0]))[:top_k]
+        return [(d, n, fp, s) for d, (n, fp, s) in top]
+
+    for phrase in (tx.PHRASE_TERMS, ("table", "hash", "value"), ("batch", "batch")):
+        for slop in (1, 2):
+            got = [
+                tuple(r)
+                for r in tx.phrase_near_docs(
+                    spark, sf_dir, phrase=phrase, slop=slop
+                ).collect()
+            ]
+            assert got == brute(phrase, slop), (phrase, slop)
+            assert got, (phrase, slop)  # non-vacuous on this corpus
+    spark.catalog.clearCache()
+
+
+def test_phrase_near_slop0_is_exact_phrase(spark, sf_dir):
+    """slop = 0 degenerates to exact adjacency: the match set,
+    occurrence counts, and first positions equal phrase_search_docs
+    row-for-row, and every anchor contributes weight exactly 1.0
+    (sloppy_freq == n_matches)."""
+    exact = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in tx.phrase_search_docs(spark, sf_dir, top_k=1000).collect()
+    }
+    near = tx.phrase_near_docs(spark, sf_dir, slop=0, top_k=1000).collect()
+    assert {
+        r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in near
+    } == exact
+    for r in near:
+        assert r["sloppy_freq"] == float(r["n_matches"])
+    spark.catalog.clearCache()
+
+
+def test_phrase_near_served_from_persisted_positions(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Proximity probes serve from the persisted positional postings:
+    equal to the inline form directly and through the registered
+    query's env switch at two slop values; a pre-positions (legacy)
+    index fails fast with the rebuild message."""
+    import shutil
+
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+
+    for slop in (1, 2):
+        want = [
+            tuple(r)
+            for r in tx.phrase_near_docs(spark, sf_dir, slop=slop).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in tx.phrase_near_postings_search(
+                spark, idx, slop=slop
+            ).collect()
+        ]
+        assert got == want, slop
+
+    want = [
+        tuple(r) for r in ops.QUERIES["phrase_near_docs"](spark, sf_dir).collect()
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_INDEX", idx)
+    got_env = [
+        tuple(r) for r in ops.QUERIES["phrase_near_docs"](spark, sf_dir).collect()
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_POSTINGS_INDEX")
+    assert got_env == want
+
+    # legacy (positions-less) layout: fail fast, never silently empty
+    pdir = os.path.join(idx, "postings")
+    stripped = spark.read.parquet(pdir).drop("positions")
+    staged = str(tmp_path / "stripped")
+    stripped.write.parquet(staged)
+    shutil.rmtree(pdir)
+    os.rename(staged, pdir)
+    with pytest.raises(FileNotFoundError, match="positions"):
+        tx.phrase_near_postings_search(spark, idx)
+    spark.catalog.clearCache()
+
+
+def test_bm25_block_max_prunes_strictly_more_on_skewed_segments(
+    spark, tmp_path, monkeypatch
+):
+    """Block-max refinement (Ding & Suel): per-segment live max(tf)
+    bounds on the stream layout's batch=<id> ingest partitions. A hot
+    segment of keyword-stuffed docs sets a huge GLOBAL champion tf, so
+    the global bound admits every doc containing the term — while each
+    cold doc's own segment bound (local max tf = 1) certifies it can
+    never reach θ, so block-max prunes the entire cold segment. Output
+    stays row-identical to the single-phase ranking at two k settings;
+    the bound derives from the LIVE per-doc tf aggregate (the lag-safe
+    choice — never the versioned directory pages, which commit after
+    postings and could under-bound a lagging segment)."""
+    from kafka_consumer_2_clickhouse_spark.streaming import (
+        postings_sink as ps,
+    )
+
+    idx = str(tmp_path / "skew")
+    terms = ("alpha", "beta")
+    # batch 0 (hot): global tf champions; batch 1 (cold): tf = 1 each,
+    # plus term-free filler that raises idf above the admission bar
+    hot = [(i, ("alpha " * 15).strip()) for i in range(6)]
+    cold = [
+        (100 + i, "alpha " + " ".join(f"w{i}x{j}" for j in range(9)))
+        for i in range(30)
+    ]
+    filler = [
+        (1000 + i, " ".join(f"f{i}y{j}" for j in range(10)))
+        for i in range(164)
+    ]
+    maintain = ps.postings_maintainer(idx)
+    maintain(spark.createDataFrame(hot, "doc_id long, text string"), 0)
+    maintain(
+        spark.createDataFrame(cold + filler, "doc_id long, text string"), 1
+    )
+
+    for k in (3, 5):
+        want = [
+            tuple(r)
+            for r in tx.bm25_postings_search(
+                spark, idx, terms=terms, top_k=k
+            ).collect()
+        ]
+        sg, sb = {}, {}
+        got_g = [
+            tuple(r)
+            for r in tx.bm25_postings_search(
+                spark, idx, terms=terms, top_k=k,
+                two_phase=True, prune_stats=sg,
+            ).collect()
+        ]
+        got_b = [
+            tuple(r)
+            for r in tx.bm25_postings_search(
+                spark, idx, terms=terms, top_k=k,
+                two_phase=True, block_max=True, prune_stats=sb,
+            ).collect()
+        ]
+        assert got_g == want and got_b == want, k
+        assert sg["bound"] == "global" and sb["bound"] == "segment"
+        # non-vacuous AND strictly-prunes-more: the global bound admits
+        # the whole cold segment, block-max removes it entirely
+        assert sb["n_candidates"] < sg["n_candidates"], (sg, sb)
+        assert sb["n_candidates"] == len(hot)
+        assert sg["n_candidates"] == len(hot) + len(cold)
+
+    # env dial: SPARK_GRAFT_BM25_BLOCK_MAX composes with the two-phase
+    # dial on the registered query (flat suite index -> one block, so
+    # it degenerates to the global bound and stays row-identical)
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TWO_PHASE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BM25_BLOCK_MAX", "1")
+    got_env = [
+        tuple(r)
+        for r in tx.bm25_postings_search(
+            spark, idx, terms=terms, top_k=5,
+            two_phase=None, block_max=None,
+        ).collect()
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_BM25_TWO_PHASE")
+    monkeypatch.delenv("SPARK_GRAFT_BM25_BLOCK_MAX")
+    assert got_env == [
+        tuple(r)
+        for r in tx.bm25_postings_search(
+            spark, idx, terms=terms, top_k=5
+        ).collect()
+    ]
+    spark.catalog.clearCache()
+
+
+def test_bm25_block_max_flat_layout_degenerates_to_global(
+    spark, sf_dir, tmp_path
+):
+    """On a flat (batch-built) index there is no batch column — one
+    block — so block_max=True is exactly the global-bound two-phase
+    evaluation: same rows, prune_stats reports bound='global'."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tx.build_postings_index(spark, docs, str(tmp_path / "idx"))
+    want = [tuple(r) for r in tx.bm25_postings_search(spark, idx).collect()]
+    stats = {}
+    got = [
+        tuple(r)
+        for r in tx.bm25_postings_search(
+            spark, idx, two_phase=True, block_max=True, prune_stats=stats
+        ).collect()
+    ]
+    assert got == want
+    assert stats["bound"] == "global"
+    spark.catalog.clearCache()
