@@ -1686,6 +1686,10 @@ def build_opq_index(
     )
     write_pq_codebooks(spark, books, index_dir)
     _write_rotation(spark, R, index_dir)
+    _write_rotation_stats(
+        spark, _measured_distortion(spread(raw), None, R, books),
+        m, k, index_dir,
+    )
     return index_dir
 
 
@@ -1713,6 +1717,58 @@ def _load_opq_rotation(spark: SparkSession, index_dir: str):
     for r in rows:
         R[r["i"]] = r["row"]
     return R
+
+
+def _write_rotation_stats(
+    spark: SparkSession, dist: float, m: int, k: int, index_dir: str
+) -> None:
+    """Persist the training-time mean squared reconstruction distortion
+    under the stored (rotation, codebooks) as ``rotation_stats/`` (one
+    tiny row) — the reference scalar :func:`opq_rotation_drift`
+    compares every arrived batch against (the ``train_stats/``
+    discipline applied to the rotated quantizer).
+
+    The persisted scalar is measured over the full TRAINING RELATION
+    (one extra Arrow pass at build/bootstrap time), NOT over the
+    bounded driver-side training sample: Lloyd's partially memorizes
+    its 2048-row sample, so the sample's own distortion UNDERESTIMATES
+    the population distortion and a matched feed would read as drifted
+    — the false-positive twin of the lag bug the BM25 bounds avoid."""
+    import os
+
+    spark.createDataFrame(
+        [(float(dist), int(m), int(k))],
+        "train_distortion double, m int, k int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "rotation_stats")
+    )
+
+
+def _measured_distortion(df: DataFrame, cents, R, books) -> float:
+    """Mean squared reconstruction distortion of a relation's vectors
+    under a stored (rotation, codebooks) pair — one Arrow pass + a
+    1-row aggregate; the ``rotation_stats/`` baseline writer."""
+    rows = _opq_drift_from(
+        df.select("embedding").withColumn("batch", F.lit(0)),
+        cents,
+        R,
+        books,
+        train_dist=1.0,
+    ).collect()
+    return float(rows[0]["mean_distortion"]) if rows else 0.0
+
+
+def _drop_stale_rotation_stats(index_dir: str) -> None:
+    """Remove a stale ``rotation_stats/`` when an index dir re-builds
+    without OPQ (the stale-``rotation/`` guard's sibling: a leftover
+    profile would let the drift report 'monitor' a rotation that no
+    longer exists)."""
+    import os
+    import shutil
+
+    rs = os.path.join(index_dir, "rotation_stats")
+    if os.path.isdir(rs):
+        shutil.rmtree(rs)
 
 
 def opq_search(
@@ -2218,14 +2274,20 @@ def build_ivfpq_index(
     write_pq_codebooks(spark, books, index_dir)
     if R is not None:
         _write_rotation(spark, R, index_dir)
+        _write_rotation_stats(
+            spark, _measured_distortion(spread(raw), cents, R, books),
+            PQ_M, PQ_K, index_dir,
+        )
     else:
-        # a stale rotation/ from a previous opq=True build would make
-        # ivfpq_search rotate queries against plain codes — remove it
+        # a stale rotation/ (or its training profile) from a previous
+        # opq=True build would make ivfpq_search rotate queries against
+        # plain codes — remove both
         rot = os.path.join(index_dir, "rotation")
         if os.path.isdir(rot):
             import shutil
 
             shutil.rmtree(rot)
+        _drop_stale_rotation_stats(index_dir)
     return index_dir
 
 
@@ -2415,6 +2477,206 @@ def ivfopq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_adc_rerank(
         spark, raw, encoded, cents, books, qids, qmat, rotation=R
     )
+
+
+#: batch mean reconstruction distortion vs the training profile — the
+#: retrain envelope for the rotated quantizers (the
+#: ``DRIFT_RESID_RATIO_MAX`` discipline applied to OPQ)
+OPQ_DRIFT_RATIO_MAX = 1.5
+
+
+def _opq_drift_from(
+    arrivals: DataFrame,
+    cents,
+    R,
+    books,
+    train_dist: float,
+    ratio_max: float = OPQ_DRIFT_RATIO_MAX,
+) -> DataFrame:
+    """The rotation drift core over ``arrivals`` = (embedding, batch)
+    rows: per batch, the mean/max squared reconstruction error of the
+    arrived vectors under the STORED (rotation, codebooks) — exactly
+    the ``||XR - X-hat||^2`` objective the rotation was trained to
+    minimize — against the training-time distortion. ``cents is None``
+    means the flat-OPQ layout (whole normalized vectors rotate); with
+    centroids it is the IVF-OPQ layout (coarse residuals rotate — the
+    distribution the codebooks actually quantize).
+
+    ``suggested_retrain`` trips when the batch's mean distortion
+    exceeds ``ratio_max`` x the training distortion — the failure mode
+    :func:`ivf_index_drift`'s cell-occupancy TV cannot see: a feed can
+    keep filling the same coarse cells while its within-cell geometry
+    rotates away from the frozen R, silently degrading every ADC
+    shortlist until recall decays.
+
+    Scale: one map-only Arrow pass over the monitored vectors (the
+    same GEMM + codeword-argmin shape as the encoder itself); every
+    aggregate after it is on the batch grain.
+    """
+    spark = arrivals.sparkSession
+    bc = spark.sparkContext.broadcast((cents, R, books))
+
+    def measure(batches):
+        import numpy as np
+        import pandas as pd
+
+        cts, rot, bks = bc.value
+        m, _, sub = bks.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            if cts is not None:
+                cell = (X @ cts.T).argmax(axis=1)
+                X = X - cts[cell]
+            Z = X @ rot
+            err = np.zeros(len(Z))
+            for mi in range(m):
+                block = Z[:, mi * sub : (mi + 1) * sub]
+                d2 = (
+                    -2.0 * block @ bks[mi].T
+                    + (bks[mi] ** 2).sum(axis=1)[None, :]
+                )
+                err += ((block - bks[mi][d2.argmin(axis=1)]) ** 2).sum(
+                    axis=1
+                )
+            yield pd.DataFrame({"batch": pdf["batch"], "dist": err})
+
+    per = arrivals.select(
+        F.col("batch").cast("long").alias("batch"), "embedding"
+    ).mapInPandas(measure, schema="batch long, dist double")
+    rep = per.groupBy("batch").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.avg("dist").alias("mean_d"),
+        F.max("dist").alias("max_d"),
+    )
+    ratio = (
+        (F.col("mean_d") / F.lit(float(train_dist)))
+        if train_dist > 0
+        else F.lit(None).cast("double")
+    )
+    return (
+        rep.select(
+            "batch",
+            "n_rows",
+            F.round("mean_d", 9).alias("mean_distortion"),
+            F.round("max_d", 9).alias("max_distortion"),
+            F.round(ratio, 9).alias("distortion_ratio"),
+        )
+        .withColumn(
+            "suggested_retrain",
+            F.coalesce(
+                F.col("distortion_ratio") > ratio_max, F.lit(False)
+            ),
+        )
+        .orderBy("batch")
+    )
+
+
+def opq_rotation_drift(
+    spark: SparkSession,
+    index_dir: str,
+    arrivals: DataFrame,
+    ratio_max: float = OPQ_DRIFT_RATIO_MAX,
+) -> DataFrame:
+    """Rotation drift report for a PERSISTED OPQ-rotated index — flat
+    OPQ (:func:`build_opq_index`) or IVF-OPQ
+    (:func:`build_ivfpq_index` ``opq=True`` /
+    ``init_ivfpq_stream_index(opq=True)``), auto-detected from
+    ``centroids/``: per batch of ``arrivals`` (vec_id, embedding,
+    batch — the monitored feed), reconstruction distortion under the
+    STORED rotation + codebooks vs the training profile persisted as
+    ``rotation_stats/``. Requires that profile — an index built before
+    it existed fails fast with the rebuild message (the norms
+    discipline), never reports against a guessed baseline."""
+    import os
+
+    if not os.path.isdir(os.path.join(index_dir, "rotation")):
+        raise FileNotFoundError(
+            f"{index_dir!r} has no rotation/ — the drift report monitors "
+            "OPQ-rotated layouts (build_opq_index / "
+            "build_ivfpq_index(opq=True) / init_ivfpq_stream_index("
+            "opq=True))"
+        )
+    rs = os.path.join(index_dir, "rotation_stats")
+    if not os.path.isdir(rs):
+        raise FileNotFoundError(
+            f"{index_dir!r} has no rotation_stats/ — rebuild (or "
+            "re-bootstrap) with build_opq_index()/build_ivfpq_index("
+            "opq=True)/init_ivfpq_stream_index(opq=True), which persist "
+            "the training distortion profile"
+        )
+    srow = spark.read.parquet(rs).collect()[0]
+    R = _load_opq_rotation(spark, index_dir)
+    books = _load_pq_codebooks(spark, index_dir)
+    cents = (
+        load_ivf_centroids(spark, index_dir)
+        if os.path.isdir(os.path.join(index_dir, "centroids"))
+        else None
+    )
+    return _opq_drift_from(
+        arrivals, cents, R, books, srow["train_distortion"], ratio_max
+    )
+
+
+@query("opq_rotation_drift_report")  # no oracle: rotation + codebooks
+# are driver-side trainings (not SQL-expressible); flag semantics are
+# pinned on a constructed drifted stream in tests/test_ann_stream.py
+def opq_rotation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation drift report — the monitoring half of 'learn the
+    rotation once, encode forever' (:func:`train_opq` /
+    :func:`_train_residual_opq`): per arrived batch of vectors, the
+    mean/max squared reconstruction distortion under the STORED
+    rotation + codebooks, its ratio to the training-time distortion,
+    and ``suggested_retrain`` when the ratio exceeds 1.5.
+
+    Why this exists next to ``ivf_index_drift_report``: a drifted feed
+    makes a frozen rotation stale SILENTLY — cell occupancy (the TV
+    signal) can stay normal while the within-cell residual geometry
+    turns away from the trained R, so the rotated-subspace codebooks
+    stop fitting and every ADC shortlist quietly degrades. Distortion
+    under the stored pair is the direct observable for that failure
+    mode, in the exact units the OPQ training minimized.
+
+    Inline derivation (self-contained at any sf): the IVF-OPQ pair
+    (coarse centroids + residual rotation/codebooks — the production
+    variant) trains on the FULL corpus and the baseline is measured
+    over that same relation, then vectors with ``vec_id % 4 >= 2``
+    arrive as two pseudo-batches — a matched feed by construction, so
+    the flag stays down at any sf. (Unlike ``ivf_index_drift_report``,
+    this inline form cannot hold history out: Lloyd's partially
+    memorizes the bounded training sample, so at small sf a held-out
+    slice reads as drifted purely from the sample-memorization gap —
+    occupancy TV has no such gap. The persisted path measures its
+    baseline over the training relation at build time for the same
+    reason.) With ``SPARK_GRAFT_OPQ_INDEX`` (flat layout) or
+    ``SPARK_GRAFT_IVFOPQ_INDEX`` (IVF-OPQ layout) set and carrying
+    ``rotation_stats/``, the report monitors the PERSISTED index
+    instead — the production path, serving both rotated layouts.
+
+    Scale: one map-only Arrow pass (the encoder's own GEMM +
+    codeword-argmin shape) over the monitored vectors (plus, inline
+    only, one over the corpus for the baseline); batch-grain
+    aggregates after — the report costs one scan of the arrivals
+    regardless of index size.
+    """
+    import os
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    arrivals = spread(raw.filter(F.col("vec_id") % 4 >= 2)).withColumn(
+        "batch", (F.col("vec_id") % 4 - 2).cast("long")
+    )
+    for env in ("SPARK_GRAFT_OPQ_INDEX", "SPARK_GRAFT_IVFOPQ_INDEX"):
+        index_dir = os.environ.get(env)
+        if index_dir and os.path.isdir(
+            os.path.join(index_dir, "rotation_stats")
+        ):
+            return opq_rotation_drift(spark, index_dir, arrivals)
+    cents = _train_centroids(raw)
+    R, books, _ = _train_residual_opq(raw, cents)
+    base = _measured_distortion(spread(raw), cents, R, books)
+    return _opq_drift_from(arrivals, cents, R, books, base)
 
 
 # --------------------------------------------------------------------------

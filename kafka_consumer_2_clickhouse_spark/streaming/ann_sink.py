@@ -150,22 +150,40 @@ def init_ivfpq_stream_index(
     ``rotation/``, the maintainer encodes every batch through it, and
     ``ivfpq_search`` auto-detects it — the streamed and batch-built
     layouts stay interchangeable."""
-    from ..operators.similarity import _train_residual_opq, _write_rotation
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _drop_stale_rotation_stats,
+        _measured_distortion,
+        _train_residual_opq,
+        _write_rotation,
+        _write_rotation_stats,
+    )
 
     cents = _train_centroids(history, n_cells)
     if opq:
         R, books, _ = _train_residual_opq(history, cents)
         _write_rotation(spark, R, index_dir)
+        # baseline over the full history RELATION (one extra Arrow
+        # pass at bootstrap), not the memorizing driver sample — see
+        # _write_rotation_stats
+        _write_rotation_stats(
+            spark,
+            _measured_distortion(history, cents, R, books),
+            PQ_M, PQ_K, index_dir,
+        )
     else:
         books = _train_residual_codebooks(history, cents)
-        # a stale rotation/ from a previous OPQ bootstrap would make
-        # the maintainer rotate residuals against codebooks trained
-        # WITHOUT rotation — silently wrong codes; remove it
+        # a stale rotation/ (or its training profile) from a previous
+        # OPQ bootstrap would make the maintainer rotate residuals
+        # against codebooks trained WITHOUT rotation — silently wrong
+        # codes; remove both
         rot = os.path.join(index_dir, "rotation")
         if os.path.isdir(rot):
             import shutil
 
             shutil.rmtree(rot)
+        _drop_stale_rotation_stats(index_dir)
     write_ivf_centroids(spark, cents, index_dir)
     write_pq_codebooks(spark, books, index_dir)
     _write_train_stats(spark, history, cents, index_dir)

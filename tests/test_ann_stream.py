@@ -330,3 +330,128 @@ def test_plain_rebootstrap_clears_stale_rotation(spark, sf_dir, tmp_path):
     assert _pq_search(spark, bidx, queries, raw) == _pq_search(
         spark, plain, queries, raw
     )
+
+
+def _drift_arrivals(spark, raw):
+    """The report's standard pseudo-batches plus a constructed drifted
+    batch: one-hot basis vectors — a feed whose residual geometry no
+    trained rotation/codebook pair has seen."""
+    arr = raw.filter(F.col("vec_id") % 4 >= 2).withColumn(
+        "batch", (F.col("vec_id") % 4 - 2).cast("long")
+    )
+    onehot = [
+        (5000 + i, [1.0 if j == (i % similarity.DIM) else 0.0
+                    for j in range(similarity.DIM)])
+        for i in range(40)
+    ]
+    drift = spark.createDataFrame(
+        onehot, "vec_id long, embedding array<float>"
+    ).withColumn("batch", F.lit(9).cast("long"))
+    return arr.select("vec_id", "embedding", "batch").unionByName(drift)
+
+
+def test_opq_rotation_drift_flags_constructed_drift(spark, sf_dir, tmp_path):
+    """Rotation drift on both persisted rotated layouts: batches drawn
+    from the training distribution keep the flag down (ratio ~= 1 —
+    the baseline is measured over the training RELATION, so a matched
+    feed can't read as drifted through the sample-memorization gap);
+    a constructed one-hot batch, whose residual geometry the frozen
+    rotation never saw, trips suggested_retrain on the stream-
+    bootstrapped IVF-OPQ index AND the flat OPQ index."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    both = _drift_arrivals(spark, raw)
+
+    sidx = ann_sink.init_ivfpq_stream_index(
+        spark, raw, str(tmp_path / "sidx"), opq=True
+    )
+    rep = {
+        r["batch"]: r
+        for r in similarity.opq_rotation_drift(spark, sidx, both).collect()
+    }
+    assert set(rep) == {0, 1, 9}
+    for b in (0, 1):
+        assert rep[b]["suggested_retrain"] is False, rep[b]
+        assert 0.8 < rep[b]["distortion_ratio"] < 1.2
+    assert rep[9]["suggested_retrain"] is True
+    assert rep[9]["distortion_ratio"] > similarity.OPQ_DRIFT_RATIO_MAX
+    assert rep[9]["n_rows"] == 40
+
+    flat = similarity.build_opq_index(spark, sf_dir, str(tmp_path / "flat"))
+    repf = {
+        r["batch"]: r
+        for r in similarity.opq_rotation_drift(spark, flat, both).collect()
+    }
+    assert repf[0]["suggested_retrain"] is False
+    assert repf[1]["suggested_retrain"] is False
+    assert repf[9]["suggested_retrain"] is True
+
+
+def test_opq_rotation_drift_requires_rotated_layout(spark, sf_dir, tmp_path):
+    """Fail-fast contract: a rotation-less index names rotation/ in the
+    error; a pre-profile OPQ index (built before rotation_stats/
+    existed) names rotation_stats/ with the rebuild message; and a
+    plain re-bootstrap clears a stale profile alongside the stale
+    rotation."""
+    import shutil
+
+    import pytest
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    arr = raw.filter(F.col("vec_id") % 4 >= 2).withColumn(
+        "batch", F.lit(0).cast("long")
+    )
+    plain = similarity.build_ivfpq_index(spark, sf_dir, str(tmp_path / "p"))
+    with pytest.raises(FileNotFoundError, match="rotation/"):
+        similarity.opq_rotation_drift(spark, plain, arr)
+
+    legacy = similarity.build_opq_index(spark, sf_dir, str(tmp_path / "l"))
+    shutil.rmtree(os.path.join(legacy, "rotation_stats"))
+    with pytest.raises(FileNotFoundError, match="rotation_stats"):
+        similarity.opq_rotation_drift(spark, legacy, arr)
+
+    flip = str(tmp_path / "flip")
+    ann_sink.init_ivfpq_stream_index(spark, raw, flip, opq=True)
+    assert os.path.isdir(os.path.join(flip, "rotation_stats"))
+    ann_sink.init_ivfpq_stream_index(spark, raw, flip, opq=False)
+    assert not os.path.isdir(os.path.join(flip, "rotation_stats"))
+
+
+def test_registered_opq_drift_report_inline_and_env(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The registry entry: stable schema, one row per pseudo-batch, no
+    drift flagged on the matched inline derivation; the env switches
+    route to the persisted layouts (flat via SPARK_GRAFT_OPQ_INDEX,
+    IVF-OPQ via SPARK_GRAFT_IVFOPQ_INDEX) and stay unflagged on the
+    matched feed there too."""
+    from kafka_consumer_2_clickhouse_spark.operators import QUERIES
+
+    df = QUERIES["opq_rotation_drift_report"](spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "batch",
+        "n_rows",
+        "mean_distortion",
+        "max_distortion",
+        "distortion_ratio",
+        "suggested_retrain",
+    ]
+    rows = df.collect()
+    assert [r["batch"] for r in rows] == [0, 1]
+    assert all(r["n_rows"] > 0 for r in rows)
+    assert all(not r["suggested_retrain"] for r in rows)
+
+    flat = similarity.build_opq_index(spark, sf_dir, str(tmp_path / "flat"))
+    monkeypatch.setenv("SPARK_GRAFT_OPQ_INDEX", flat)
+    got = QUERIES["opq_rotation_drift_report"](spark, sf_dir).collect()
+    monkeypatch.delenv("SPARK_GRAFT_OPQ_INDEX")
+    assert [r["batch"] for r in got] == [0, 1]
+    assert all(not r["suggested_retrain"] for r in got)
+
+    ivfo = similarity.build_ivfpq_index(
+        spark, sf_dir, str(tmp_path / "ivfo"), opq=True
+    )
+    monkeypatch.setenv("SPARK_GRAFT_IVFOPQ_INDEX", ivfo)
+    got2 = QUERIES["opq_rotation_drift_report"](spark, sf_dir).collect()
+    monkeypatch.delenv("SPARK_GRAFT_IVFOPQ_INDEX")
+    assert [r["batch"] for r in got2] == [0, 1]
+    assert all(not r["suggested_retrain"] for r in got2)
