@@ -568,6 +568,18 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay here exists so the registered form is self-contained on a
     static corpus); the fold cost per commit is bounded by the batch's
     key set, never the key space.
+
+    ``SPARK_GRAFT_CDC_DIFF=<dir>`` is that production path as an env
+    switch (the index-switch discipline): the query becomes a read of
+    the LIVE maintainer's committed cumulative table
+    (:func:`~..streaming.upsert_sink.read_cdc_report`) — no replay, no
+    temp state. Fails fast when the directory has no committed diff
+    version (tracking not started) instead of silently serving the
+    replay. Switch == replay on an in-order fold is pinned in
+    tests/test_streaming_upsert.py; note the equality (and the shared
+    oracle) presumes the maintainer folded the SAME corpus in timestamp
+    order with the query's cutoff baseline — the switch serves whatever
+    state the pointed-at maintainer actually committed.
     """
     import os
     import shutil
@@ -578,6 +590,17 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_cdc_baseline,
         upsert_maintainer,
     )
+
+    diff_env = os.environ.get("SPARK_GRAFT_CDC_DIFF")
+    if diff_env:
+        live = read_cdc_report(spark, diff_env)
+        if live is None:
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_CDC_DIFF={diff_env!r} has no committed diff "
+                "version — start tracking with snapshot_cdc_baseline() and "
+                "fold batches through upsert_maintainer(diff_dir=)"
+            )
+        return live
 
     from pyspark import StorageLevel
 

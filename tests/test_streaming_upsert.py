@@ -399,3 +399,57 @@ def test_events_cdc_running_diff_empty_corpus_matches_batch(spark, tmp_path):
     want = ops.QUERIES["events_snapshot_diff"](spark, str(tmp_path))
     assert got.collect() == [] and want.collect() == []
     assert got.columns == want.columns
+
+
+def test_events_cdc_running_diff_env_switch_serves_committed_dir(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_CDC_DIFF: the registered query becomes a READ of a
+    live maintainer's committed cumulative table — pinned equal to the
+    self-contained replay on an in-order fold of the same corpus; an
+    untracked directory fails fast instead of silently replaying."""
+    import pytest
+
+    from kafka_consumer_2_clickhouse_spark.operators.maintenance import (
+        CUTOFF_DEN,
+        CUTOFF_NUM,
+    )
+    from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+        snapshot_cdc_baseline,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cutoff = lo + (hi - lo) * CUTOFF_NUM // CUTOFF_DEN
+    state, diff = str(tmp_path / "state"), str(tmp_path / "diff")
+    upsert_maintainer(state)(ev.filter(F.col("ts_us") <= cutoff).drop("ts_us"), 0)
+    snapshot_cdc_baseline(spark, state, diff)
+    maintain = upsert_maintainer(state, diff_dir=diff)
+    step = (hi - cutoff) // 3 + 1
+    for i in range(3):
+        maintain(
+            ev.filter(
+                (F.col("ts_us") > cutoff + i * step)
+                & (F.col("ts_us") <= cutoff + (i + 1) * step)
+            ).drop("ts_us"),
+            i + 1,
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_cdc_running_diff"](spark, sf_dir).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CDC_DIFF", diff)
+    got = sorted(
+        tuple(r)
+        for r in ops.QUERIES["events_cdc_running_diff"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # untracked dir: fail fast, never silently fall back to the replay
+    monkeypatch.setenv("SPARK_GRAFT_CDC_DIFF", str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="SPARK_GRAFT_CDC_DIFF"):
+        ops.QUERIES["events_cdc_running_diff"](spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_CDC_DIFF")
