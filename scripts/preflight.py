@@ -194,6 +194,34 @@ def main() -> int:
             errs.append(f"bench_detail.json is not valid JSON ({exc}) — "
                         "re-run bench.py before snapshotting")
         old_detail = _committed_bench_detail()
+        if new_detail is not None:
+            # head-skew note (round-12 nit): the committed detail is the
+            # NEXT round's gate baseline, so the artifact commit must
+            # carry a run from the true final HEAD — print both heads,
+            # and warn when the working-tree run predates HEAD
+            import subprocess
+
+            try:
+                head = subprocess.run(
+                    ["git", "rev-parse", "HEAD"],
+                    capture_output=True, text=True, cwd=REPO,
+                ).stdout.strip()
+            except OSError:
+                head = ""
+            bench_head = new_detail.get("head") or "?"
+            print(f"bench detail head: {bench_head[:9]} / repo HEAD: "
+                  f"{head[:9] or '?'}")
+            if head and bench_head != "?" and not bench_head.startswith(
+                head[: len(bench_head)]
+            ) and bench_head != head:
+                print(
+                    "PREFLIGHT WARN: working-tree bench_detail.json was "
+                    f"run at {bench_head[:9]}, not the current HEAD — "
+                    "re-run bench.py at the final HEAD before the "
+                    "artifact commit (it becomes next round's gate "
+                    "baseline)",
+                    file=sys.stderr,
+                )
         if new_detail is None:
             pass
         elif old_detail is None:
