@@ -427,16 +427,7 @@ def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
     """
     import numpy as np
 
-    # the file stamp invalidates the memo when the underlying data
-    # changes mid-session (rewrite/append -> new part-file names), which
-    # semanticHash alone cannot see — a same-path re-read hashes equal
-    key = (
-        raw.sparkSession.sparkContext.applicationId,
-        raw.semanticHash(),
-        hash(tuple(sorted(raw.inputFiles()))),
-        n,
-        seed,
-    )
+    key = _relation_stamp(raw) + (n, seed)
     cached = _SAMPLE_MEMO.get(key)
     if cached is not None:
         return cached.copy()  # callers normalize in place
@@ -461,25 +452,78 @@ def _hash_sample_matrix(raw: DataFrame, n: int = TRAIN_SAMPLE_N, seed: int = 0):
 #: (applicationId, semanticHash, n, seed) -> raw sample matrix
 _SAMPLE_MEMO: dict = {}
 
+#: (relation stamp, kind, params...) -> trained quantizer artifacts
+_TRAIN_MEMO: dict = {}
+
+
+def _relation_stamp(raw: DataFrame) -> tuple:
+    """Identity stamp of an input relation for the driver-side memos:
+    (applicationId, plan semantic hash, input-file-set hash). The file
+    stamp invalidates a memo when the underlying data changes
+    mid-session (rewrite/append -> new part-file names), which
+    semanticHash alone cannot see — a same-path re-read hashes equal."""
+    return (
+        raw.sparkSession.sparkContext.applicationId,
+        raw.semanticHash(),
+        hash(tuple(sorted(raw.inputFiles()))),
+    )
+
+
+def _copy_train(v):
+    """Defensive copy of a memoized training artifact (ndarray, or a
+    tuple mixing ndarrays and scalars) — callers may normalize or
+    warm-start in place."""
+    import numpy as np
+
+    if isinstance(v, tuple):
+        return tuple(_copy_train(x) for x in v)
+    return v.copy() if isinstance(v, np.ndarray) else v
+
+
+def _memo_train(raw: DataFrame, key_tail: tuple, fn):
+    """Driver-side quantizer-training memo — the ``_hash_sample_matrix``
+    discipline one level up: every training here is a pure
+    deterministic function of (input relation, parameters), so a
+    session's consumers of the same quantizer (the six registered ANN
+    variants, the sweeps, ``ann_recall_report`` which runs them all)
+    share ONE Lloyd's/OPQ run instead of re-fitting bit-identical
+    codebooks per query — the production shape, where training happens
+    once per index build. Values are small ndarrays (codebooks,
+    centroids, a rotation); copies are returned so callers can mutate.
+    """
+    key = _relation_stamp(raw) + key_tail
+    hit = _TRAIN_MEMO.get(key)
+    if hit is None:
+        hit = fn()
+        if len(_TRAIN_MEMO) > 32:  # bound: a handful of (relation, params)
+            _TRAIN_MEMO.clear()
+        _TRAIN_MEMO[key] = hit
+    return _copy_train(hit)
+
 
 def _train_centroids(raw: DataFrame, n_cells: int = N_CELLS, seed: int = 7):
     """Spherical k-means coarse quantizer from a bounded driver-side
     sample (content-hash uniform draw, deterministic seed — same
-    centroids on every call; see ``_hash_sample_matrix``)."""
-    import numpy as np
+    centroids on every call; see ``_hash_sample_matrix``).
+    Session-memoized (``_memo_train``)."""
 
-    sample = _hash_sample_matrix(raw, seed=seed)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), n_cells, replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample (spherical)
-        assign = (sample @ cents.T).argmax(axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                cents[c] = v / np.linalg.norm(v)
-    return cents
+    def run():
+        import numpy as np
+
+        sample = _hash_sample_matrix(raw, seed=seed)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        rng = np.random.RandomState(seed)
+        cents = sample[rng.choice(len(sample), n_cells, replace=False)]
+        for _ in range(10):  # Lloyd iterations on the sample (spherical)
+            assign = (sample @ cents.T).argmax(axis=1)
+            for c in range(n_cells):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.sum(axis=0)
+                    cents[c] = v / np.linalg.norm(v)
+        return cents
+
+    return _memo_train(raw, ("centroids", n_cells, seed), run)
 
 
 def assign_cells(df: DataFrame, cents) -> DataFrame:
@@ -1243,12 +1287,17 @@ def train_pq_codebooks(raw: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int =
     Returns ``(m, k, sub_dim)`` ndarray of centroids over NORMALIZED
     vectors — PQ for cosine quantizes the unit sphere, so the ADC dot
     product approximates the cosine directly.
+    Session-memoized (``_memo_train``).
     """
-    import numpy as np
 
-    sample = _hash_sample_matrix(raw, seed=seed)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    return _lloyd_subspaces(sample, m, k, np.random.RandomState(seed))
+    def run():
+        import numpy as np
+
+        sample = _hash_sample_matrix(raw, seed=seed)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        return _lloyd_subspaces(sample, m, k, np.random.RandomState(seed))
+
+    return _memo_train(raw, ("pq_books", m, k, seed), run)
 
 
 def _lloyd_subspaces(mat, m: int, k: int, rng, init_books=None):
@@ -1618,12 +1667,19 @@ def train_opq(
     quantizer here (<= 2048 x D floats; the SVD is D x D). Returns
     ``(R, books, distortion)`` with ``distortion`` the mean squared
     reconstruction error on the normalized sample under (R, books).
+    Session-memoized (``_memo_train`` — the alternating minimization is
+    the priciest driver-side training here, and every consumer fits the
+    bit-identical pair).
     """
-    import numpy as np
 
-    X = _hash_sample_matrix(raw, seed=seed)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    return _opq_alternate(X, m, k, seed, n_iter)
+    def run():
+        import numpy as np
+
+        X = _hash_sample_matrix(raw, seed=seed)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return _opq_alternate(X, m, k, seed, n_iter)
+
+    return _memo_train(raw, ("opq", m, k, seed, n_iter), run)
 
 
 def _opq_alternate(X, m: int, k: int, seed: int, n_iter: int = OPQ_ITERS):
@@ -2102,14 +2158,22 @@ def _ivfpq_encode(emb: DataFrame, cents, books, rotation=None) -> DataFrame:
 def _train_residual_codebooks(raw: DataFrame, cents, seed: int = 13):
     """Residual PQ codebooks from the bounded content-hash sample
     (see ``_hash_sample_matrix``): quantize ``x - c_cell`` so the ADC
-    decomposition ``q.x ~= q.c_cell + sum_m LUT[q,m,code_m]`` holds."""
-    import numpy as np
+    decomposition ``q.x ~= q.c_cell + sum_m LUT[q,m,code_m]`` holds.
+    Session-memoized (``_memo_train``; the coarse quantizer is part of
+    the key — residual books are a function of BOTH trainings)."""
 
-    sample = _hash_sample_matrix(raw, seed=seed)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rassign = (sample @ cents.T).argmax(axis=1)
-    return _lloyd_subspaces(
-        sample - cents[rassign], PQ_M, PQ_K, np.random.RandomState(seed)
+    def run():
+        import numpy as np
+
+        sample = _hash_sample_matrix(raw, seed=seed)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        rassign = (sample @ cents.T).argmax(axis=1)
+        return _lloyd_subspaces(
+            sample - cents[rassign], PQ_M, PQ_K, np.random.RandomState(seed)
+        )
+
+    return _memo_train(
+        raw, ("resid_books", hash(cents.tobytes()), seed), run
     )
 
 
@@ -2123,13 +2187,21 @@ def _train_residual_opq(
     Lloyd's call as :func:`_train_residual_codebooks` at iteration 0
     (R = I), so the learned pair can never quantize the sample
     residuals worse than plain IVFPQ — pinned at two m settings in
-    tests/test_similarity.py. Returns ``(R, books, distortion)``."""
-    import numpy as np
+    tests/test_similarity.py. Returns ``(R, books, distortion)``.
+    Session-memoized (``_memo_train``, keyed on the coarse quantizer
+    too)."""
 
-    sample = _hash_sample_matrix(raw, seed=seed)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rassign = (sample @ cents.T).argmax(axis=1)
-    return _opq_alternate(sample - cents[rassign], m, k, seed)
+    def run():
+        import numpy as np
+
+        sample = _hash_sample_matrix(raw, seed=seed)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        rassign = (sample @ cents.T).argmax(axis=1)
+        return _opq_alternate(sample - cents[rassign], m, k, seed)
+
+    return _memo_train(
+        raw, ("resid_opq", hash(cents.tobytes()), m, k, seed), run
+    )
 
 
 def _ivfpq_adc_rerank(
@@ -2818,7 +2890,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact spine is <= N_QUERY x k rows (broadcast); each
     variant contributes <= N_QUERY x k rows; the join and aggregate
     run over <= 6 x N_QUERY x k rows total. The cost is the underlying
-    variant scans themselves — each already plan-gated individually.
+    variant scans themselves — each already plan-gated individually —
+    and every driver-side input they share is session-memoized (the
+    exact spine, the training sample, and since round 13 the Lloyd's /
+    OPQ trainings themselves via ``_memo_train``), so the report pays
+    one training per quantizer per session, not one per variant per
+    action.
     """
     return _ann_recall_report(spark, sf_dir, TOP_K)
 
