@@ -600,7 +600,12 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "version — start tracking with snapshot_cdc_baseline() and "
                 "fold batches through upsert_maintainer(diff_dir=)"
             )
-        return live
+        # materialize NOW (≤ |event_type| x 3 rows): the live maintainer
+        # sweeps superseded diff versions on its next fold, so a lazy
+        # read could dangle over removed files by the time the caller
+        # acts — the same no-lazy-dangling rule the replay path applies
+        rows, schema = live.collect(), live.schema
+        return spark.createDataFrame(rows, schema)
 
     from pyspark import StorageLevel
 

@@ -2623,11 +2623,17 @@ def _opq_drift_from(
         F.avg("dist").alias("mean_d"),
         F.max("dist").alias("max_d"),
     )
-    ratio = (
-        (F.col("mean_d") / F.lit(float(train_dist)))
-        if train_dist > 0
-        else F.lit(None).cast("double")
-    )
+    if train_dist > 0:
+        ratio = F.col("mean_d") / F.lit(float(train_dist))
+        retrain = F.round(ratio, 9) > ratio_max
+    else:
+        # a zero baseline (the pair quantizes its training relation
+        # perfectly, or true distortion fell below the 1e-9 rounding
+        # floor): the ratio is undefined, but the monitor must not go
+        # blind — any batch distortion beyond the rounding floor is an
+        # infinite true ratio, so it flags
+        ratio = F.lit(None).cast("double")
+        retrain = F.col("mean_d") > 1e-9
     return (
         rep.select(
             "batch",
@@ -2635,12 +2641,7 @@ def _opq_drift_from(
             F.round("mean_d", 9).alias("mean_distortion"),
             F.round("max_d", 9).alias("max_distortion"),
             F.round(ratio, 9).alias("distortion_ratio"),
-        )
-        .withColumn(
-            "suggested_retrain",
-            F.coalesce(
-                F.col("distortion_ratio") > ratio_max, F.lit(False)
-            ),
+            F.coalesce(retrain, F.lit(False)).alias("suggested_retrain"),
         )
         .orderBy("batch")
     )
@@ -2723,9 +2724,12 @@ def opq_rotation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy TV has no such gap. The persisted path measures its
     baseline over the training relation at build time for the same
     reason.) With ``SPARK_GRAFT_OPQ_INDEX`` (flat layout) or
-    ``SPARK_GRAFT_IVFOPQ_INDEX`` (IVF-OPQ layout) set and carrying
-    ``rotation_stats/``, the report monitors the PERSISTED index
-    instead — the production path, serving both rotated layouts.
+    ``SPARK_GRAFT_IVFOPQ_INDEX`` (IVF-OPQ layout) set, the report
+    monitors the PERSISTED index instead — the production path,
+    serving both rotated layouts. A pointed-at index missing
+    ``rotation/`` or ``rotation_stats/`` fails fast with the rebuild
+    message rather than silently retraining inline (which would mask
+    drift of the very rotation the switch asked to monitor).
 
     Scale: one map-only Arrow pass (the encoder's own GEMM +
     codeword-argmin shape) over the monitored vectors (plus, inline
@@ -2741,9 +2745,13 @@ def opq_rotation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for env in ("SPARK_GRAFT_OPQ_INDEX", "SPARK_GRAFT_IVFOPQ_INDEX"):
         index_dir = os.environ.get(env)
-        if index_dir and os.path.isdir(
-            os.path.join(index_dir, "rotation_stats")
-        ):
+        if index_dir:
+            # fail fast, never fall back: the operator was ASKED to
+            # monitor this persisted index — silently retraining inline
+            # would report ratio ~ 1 against a fresh quantizer and mask
+            # real drift of the stored rotation (opq_rotation_drift
+            # raises the rebuild message for a pre-rotation_stats/
+            # legacy index; same discipline as the CDC diff switch)
             return opq_rotation_drift(spark, index_dir, arrivals)
     cents = _train_centroids(raw)
     R, books, _ = _train_residual_opq(raw, cents)

@@ -2188,25 +2188,33 @@ def append_to_postings_index(
 def _postings_have_positions(spark: SparkSession, pdir: str) -> bool:
     """ONE-footer probe for the ``positions`` column: the all-or-none
     invariant (every posting row carries positions, or none does) makes
-    any single footer authoritative, so the per-ingest-batch append
-    path never pays a full schema-inference job over the whole postings
-    directory (the ``postings_sink.sticky_keep_positions`` economy,
-    applied to the batch appender). Falls back to the Spark schema read
-    for a path the local walk can't see (non-local filesystem)."""
+    any single COMMITTED footer authoritative, so the per-ingest-batch
+    append path never pays a full schema-inference job over the whole
+    postings directory (the ``postings_sink.sticky_keep_positions``
+    economy, applied to the batch appender). Hidden/temporary entries
+    (``_temporary``, ``.``-prefixed) are skipped — Spark ignores them,
+    so a crashed write's leftover must not decide the layout. Any
+    probe failure (non-local filesystem, missing pyarrow, a truncated
+    footer) falls back to the Spark schema read rather than failing
+    the append."""
     import os
 
     try:
         import pyarrow.parquet as pq
 
         for root, dirs, files in os.walk(pdir):
-            dirs.sort()
+            # prune what Spark's file index ignores: _temporary
+            # staging, _SUCCESS-style markers, hidden files
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith(("_", "."))
+            )
             for f in sorted(files):
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     schema = pq.ParquetFile(
                         os.path.join(root, f)
                     ).schema_arrow
                     return "positions" in schema.names
-    except OSError:
+    except Exception:  # noqa: BLE001 — any probe failure: use Spark
         pass
     return "positions" in spark.read.parquet(pdir).columns
 

@@ -416,6 +416,27 @@ def test_opq_rotation_drift_requires_rotated_layout(spark, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(flip, "rotation_stats"))
 
 
+def test_opq_rotation_drift_zero_baseline_still_flags(spark, sf_dir):
+    """A persisted train_distortion of 0 (a corpus the pair quantizes
+    perfectly, or true distortion under the 9-decimal rounding floor)
+    leaves the ratio undefined — but the monitor must not go blind:
+    any batch distortion beyond the rounding floor is an infinite true
+    ratio, so suggested_retrain flags on mean_distortion alone."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    arr = (
+        similarity.spread(raw.filter(F.col("vec_id") % 4 >= 2))
+        .withColumn("batch", (F.col("vec_id") % 4 - 2).cast("long"))
+    )
+    cents = similarity._train_centroids(raw)
+    R, books, _ = similarity._train_residual_opq(raw, cents)
+    rows = similarity._opq_drift_from(arr, cents, R, books, 0.0).collect()
+    assert [r["batch"] for r in rows] == [0, 1]
+    for r in rows:
+        assert r["distortion_ratio"] is None
+        assert r["mean_distortion"] > 1e-9
+        assert r["suggested_retrain"] is True, r
+
+
 def test_registered_opq_drift_report_inline_and_env(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -455,3 +476,16 @@ def test_registered_opq_drift_report_inline_and_env(
     monkeypatch.delenv("SPARK_GRAFT_IVFOPQ_INDEX")
     assert [r["batch"] for r in got2] == [0, 1]
     assert all(not r["suggested_retrain"] for r in got2)
+
+    # a pointed-at index missing its profile FAILS FAST — silently
+    # retraining inline would monitor a fresh quantizer (ratio ~ 1)
+    # instead of the persisted rotation the switch asked about
+    import shutil
+
+    import pytest
+
+    shutil.rmtree(os.path.join(flat, "rotation_stats"))
+    monkeypatch.setenv("SPARK_GRAFT_OPQ_INDEX", flat)
+    with pytest.raises(FileNotFoundError, match="rotation_stats"):
+        QUERIES["opq_rotation_drift_report"](spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_OPQ_INDEX")

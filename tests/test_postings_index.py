@@ -593,6 +593,46 @@ def test_phrase_search_served_from_persisted_positions(
     spark.catalog.clearCache()
 
 
+def test_positions_probe_ignores_uncommitted_and_hidden_files(
+    spark, sf_dir, tmp_path
+):
+    """The one-footer positions probe must decide from COMMITTED files
+    only: a crashed write's ``_temporary`` leftover (truncated footer —
+    would raise ArrowInvalid, not OSError, if read) and a hidden
+    ``.``-prefixed file with the OPPOSITE layout are both ignored, the
+    way Spark's own file index ignores them — and an append over the
+    littered directory still lands positional rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    idx = tx.build_postings_index(
+        spark, docs.filter(F.col("doc_id") < n // 2), str(tmp_path / "idx")
+    )
+    pdir = os.path.join(idx, "postings")
+
+    stage = os.path.join(pdir, "_temporary", "0", "task_0")
+    os.makedirs(stage)
+    # truncated leftover: '_temporary' sorts before committed names
+    with open(os.path.join(stage, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1\x00garbage-no-footer")
+    # complete-but-uncommitted positions-LESS file, hidden at the root
+    pq.write_table(
+        pa.table({"tok": ["zzz"], "doc_id": [0], "tf": [1]}),
+        os.path.join(pdir, ".stale-no-positions.parquet"),
+    )
+
+    assert tx._postings_have_positions(spark, pdir) is True
+    tx.append_to_postings_index(
+        spark, idx, docs.filter(F.col("doc_id") >= n // 2)
+    )
+    # the append stayed positional (a stale-file-decided probe would
+    # have dropped the column) and Spark's read ignores the litter too
+    assert "positions" in spark.read.parquet(pdir).columns
+    assert tx._postings_have_positions(spark, pdir) is True
+
+
 def test_phrase_positions_all_or_none_invariant(spark, sf_dir, tmp_path):
     """The norms discipline applied to positions: a pre-positions
     (legacy) index STAYS positions-less across batch appends and

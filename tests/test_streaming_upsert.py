@@ -442,10 +442,15 @@ def test_events_cdc_running_diff_env_switch_serves_committed_dir(
         for r in ops.QUERIES["events_cdc_running_diff"](spark, sf_dir).collect()
     )
     monkeypatch.setenv("SPARK_GRAFT_CDC_DIFF", diff)
-    got = sorted(
-        tuple(r)
-        for r in ops.QUERIES["events_cdc_running_diff"](spark, sf_dir).collect()
-    )
+    got_df = ops.QUERIES["events_cdc_running_diff"](spark, sf_dir)
+    # no-lazy-dangling: the returned frame must be materialized at call
+    # time — the live maintainer sweeps superseded diff versions on its
+    # next fold, so a lazy read would dangle over removed files (here
+    # simulated by removing the whole diff dir before the action)
+    import shutil
+
+    shutil.rmtree(diff)
+    got = sorted(tuple(r) for r in got_df.collect())
     assert got == want
 
     # untracked dir: fail fast, never silently fall back to the replay
