@@ -537,6 +537,15 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a (small, bounded) result and rebuild it as a local
+    DataFrame — the no-lazy-dangling rule shared by both
+    :func:`events_cdc_running_diff` paths: the rows must outlive the
+    on-disk diff version they were read from (the replay deletes its
+    temp state; the live maintainer sweeps superseded versions)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 @query("events_cdc_running_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
 def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`events_snapshot_diff`'s STREAMING twin, registered and
@@ -604,8 +613,7 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sweeps superseded diff versions on its next fold, so a lazy
         # read could dangle over removed files by the time the caller
         # acts — the same no-lazy-dangling rule the replay path applies
-        rows, schema = live.collect(), live.schema
-        return spark.createDataFrame(rows, schema)
+        return _materialized(spark, live)
 
     from pyspark import StorageLevel
 
@@ -644,9 +652,8 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).drop("ts_us"),
                 i + 1,
             )
-        report = read_cdc_report(spark, diff)
-        rows, schema = report.collect(), report.schema
+        out = _materialized(spark, read_cdc_report(spark, diff))
     finally:
         ev.unpersist()
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out

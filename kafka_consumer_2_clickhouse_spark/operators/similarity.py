@@ -2630,10 +2630,11 @@ def _opq_drift_from(
         # a zero baseline (the pair quantizes its training relation
         # perfectly, or true distortion fell below the 1e-9 rounding
         # floor): the ratio is undefined, but the monitor must not go
-        # blind — any batch distortion beyond the rounding floor is an
-        # infinite true ratio, so it flags
+        # blind — any batch distortion that DISPLAYS as nonzero is an
+        # infinite true ratio, so it flags (rounded first, like the
+        # positive branch, so the flag always matches mean_distortion)
         ratio = F.lit(None).cast("double")
-        retrain = F.col("mean_d") > 1e-9
+        retrain = F.round(F.col("mean_d"), 9) > 0
     return (
         rep.select(
             "batch",
