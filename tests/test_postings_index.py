@@ -924,6 +924,71 @@ def test_bm25_block_max_prunes_strictly_more_on_skewed_segments(
     spark.catalog.clearCache()
 
 
+def test_bm25_two_phase_randomized_differential(spark, tmp_path):
+    """Seeded randomized guard for the two-phase bound algebra: the
+    constructed pins above cover the KNOWN corners (skewed segments,
+    deletes, dead terms, flat degeneration); this sweeps for unknown
+    ones — theta ties, equal-df rarest-term selection, segments where
+    a query term never occurs, duplicated query terms. Each draw
+    builds a 3-segment stream-maintained index over a Zipf-weighted
+    vocabulary (each segment keyword-stuffs its own hot word, so the
+    per-segment max-tf profile is genuinely skewed), then checks that
+    global-bound AND block-max two-phase evaluation are row-identical
+    to the single-phase ranking for a random term set and k."""
+    import random
+
+    from kafka_consumer_2_clickhouse_spark.streaming import (
+        postings_sink as ps,
+    )
+
+    rng = random.Random(0xB25D)
+    vocab = [f"w{i}" for i in range(24)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    for trial in range(4):
+        idx = str(tmp_path / f"t{trial}")
+        maintain = ps.postings_maintainer(idx)
+        did = 0
+        for seg in range(3):
+            hot = rng.choice(vocab)
+            rows = []
+            for _ in range(rng.randint(10, 25)):
+                words = rng.choices(
+                    vocab, weights=weights, k=rng.randint(2, 30)
+                )
+                if rng.random() < 0.3:
+                    words += [hot] * rng.randint(3, 12)
+                rows.append((did, " ".join(words)))
+                did += 1
+            maintain(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                seg,
+            )
+        terms = tuple(rng.sample(vocab, rng.randint(1, 3)))
+        if trial == 1:
+            terms += (terms[0],)  # duplicated query term
+        if rng.random() < 0.5:
+            terms += ("zz_absent",)  # dead term among live ones
+        k = rng.choice([1, 4, 9])
+        want = [
+            tuple(r)
+            for r in tx.bm25_postings_search(
+                spark, idx, terms=terms, top_k=k
+            ).collect()
+        ]
+        assert want  # draws always hit the corpus — non-vacuous
+        for bm in (False, True):
+            stats = {}
+            got = [
+                tuple(r)
+                for r in tx.bm25_postings_search(
+                    spark, idx, terms=terms, top_k=k,
+                    two_phase=True, block_max=bm, prune_stats=stats,
+                ).collect()
+            ]
+            assert got == want, (trial, terms, k, bm, stats)
+    spark.catalog.clearCache()
+
+
 def test_bm25_block_max_flat_layout_degenerates_to_global(
     spark, sf_dir, tmp_path
 ):
