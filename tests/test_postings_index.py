@@ -768,6 +768,78 @@ def test_phrase_near_matches_python_brute_force(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_phrase_near_randomized_brute_force_differential(spark, tmp_path):
+    """Seeded randomized guard for the banded-anchor proximity
+    algebra: tiny-vocabulary random corpora maximize the hard corners
+    (repeated words, overlapping anchors, several candidates inside
+    one band) that the suite corpus only samples. Each draw builds a
+    persisted positional index over a random corpus and compares
+    phrase_near_postings_search — random phrase (repeats allowed),
+    random slop 0..3 — against the same Python brute force the
+    constructed pin uses, including the exact-decimal sloppyFreq sum
+    and the (-sloppy_freq, doc_id) head order."""
+    import random
+    from decimal import Decimal
+
+    def brute(corpus, phrase, slop, top_k=20):
+        out = {}
+        for d, w in corpus.items():
+            pos = {
+                t: [i for i, x in enumerate(w) if x == t] for t in set(phrase)
+            }
+            anchors = []
+            for p0 in pos.get(phrase[0], []):
+                disp, ok = 0, True
+                for j, t in enumerate(phrase[1:], start=1):
+                    cand = [
+                        abs(pj - p0 - j)
+                        for pj in pos.get(t, [])
+                        if abs(pj - p0 - j) <= slop
+                    ]
+                    if not cand:
+                        ok = False
+                        break
+                    disp += min(cand)
+                if ok:
+                    anchors.append((p0, disp))
+            if anchors:
+                sf6 = sum(
+                    Decimal(str(round(1.0 / (1 + dd), 6))) for _, dd in anchors
+                )
+                out[d] = (len(anchors), anchors[0][0] + 1, float(sf6))
+        top = sorted(out.items(), key=lambda kv: (-kv[1][2], kv[0]))[:top_k]
+        return [(d, n, fp, s) for d, (n, fp, s) in top]
+
+    rng = random.Random(0x51A9)
+    vocab = [f"t{i}" for i in range(8)]
+    nonempty = 0
+    for trial in range(4):
+        corpus = {
+            d: rng.choices(vocab, k=rng.randint(3, 25))
+            for d in range(rng.randint(8, 15))
+        }
+        docs = spark.createDataFrame(
+            [(d, " ".join(w)) for d, w in corpus.items()],
+            "doc_id long, text string",
+        )
+        idx = tx.build_postings_index(
+            spark, docs, str(tmp_path / f"i{trial}")
+        )
+        phrase = tuple(rng.choices(vocab, k=rng.randint(2, 3)))
+        slop = rng.randint(0, 3)
+        got = [
+            tuple(r)
+            for r in tx.phrase_near_postings_search(
+                spark, idx, phrase=phrase, slop=slop, top_k=20
+            ).collect()
+        ]
+        want = brute(corpus, phrase, slop)
+        assert got == want, (trial, phrase, slop)
+        nonempty += bool(want)
+    assert nonempty >= 2  # the sweep exercised real matches
+    spark.catalog.clearCache()
+
+
 def test_phrase_near_slop0_is_exact_phrase(spark, sf_dir):
     """slop = 0 degenerates to exact adjacency: the match set,
     occurrence counts, and first positions equal phrase_search_docs
