@@ -836,6 +836,21 @@ def test_phrase_near_randomized_brute_force_differential(spark, tmp_path):
         want = brute(corpus, phrase, slop)
         assert got == want, (trial, phrase, slop)
         nonempty += bool(want)
+
+        # same draw, exact adjacency: phrase_postings_search is a
+        # separate implementation (shifted equi-joins, no band), so
+        # check it against the slop=0 brute force's match set too
+        exact = [
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in tx.phrase_postings_search(
+                spark, idx, phrase=phrase, top_k=20
+            ).collect()
+        ]
+        want0 = sorted(
+            ((d, n, fp) for d, n, fp, _ in brute(corpus, phrase, 0, 10**6)),
+            key=lambda t: (-t[1], t[0]),
+        )[:20]
+        assert exact == want0, (trial, phrase)
     assert nonempty >= 2  # the sweep exercised real matches
     spark.catalog.clearCache()
 
