@@ -1056,23 +1056,35 @@ def test_bm25_two_phase_randomized_differential(spark, tmp_path):
         if rng.random() < 0.5:
             terms += ("zz_absent",)  # dead term among live ones
         k = rng.choice([1, 4, 9])
-        want = [
-            tuple(r)
-            for r in tx.bm25_postings_search(
-                spark, idx, terms=terms, top_k=k
-            ).collect()
-        ]
-        assert want  # draws always hit the corpus — non-vacuous
-        for bm in (False, True):
-            stats = {}
-            got = [
+
+        def three_way(tag):
+            want = [
                 tuple(r)
                 for r in tx.bm25_postings_search(
-                    spark, idx, terms=terms, top_k=k,
-                    two_phase=True, block_max=bm, prune_stats=stats,
+                    spark, idx, terms=terms, top_k=k
                 ).collect()
             ]
-            assert got == want, (trial, terms, k, bm, stats)
+            for bm in (False, True):
+                stats = {}
+                got = [
+                    tuple(r)
+                    for r in tx.bm25_postings_search(
+                        spark, idx, terms=terms, top_k=k,
+                        two_phase=True, block_max=bm, prune_stats=stats,
+                    ).collect()
+                ]
+                assert got == want, (trial, tag, terms, k, bm, stats)
+            return want
+
+        assert three_way("live")  # draws always hit the corpus
+        # random deletes: segment bounds re-derive from the live
+        # (tombstone-filtered) postings, so equality must survive
+        # holes punched randomly across all three segments
+        dead = rng.sample(range(did), did // 3)
+        tx.remove_from_postings_index(
+            spark, idx, spark.createDataFrame([(d,) for d in dead], "doc_id long")
+        )
+        three_way("deleted")
     spark.catalog.clearCache()
 
 
