@@ -401,6 +401,60 @@ def test_events_cdc_running_diff_empty_corpus_matches_batch(spark, tmp_path):
     assert got.columns == want.columns
 
 
+def test_events_cdc_running_diff_randomized_telescoping(spark, tmp_path):
+    """Seeded randomized guard for the telescoping argument: on random
+    event corpora — including a heavy-timestamp-collision draw, where
+    the (ts desc, event_id desc) argmax tiebreak and the fold-boundary
+    ranges do real work — the streaming replay must equal the batch
+    snapshot diff row-for-row (the suite pin covers one fixed corpus;
+    this sweeps key-update densities and tie patterns)."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(0xCDC5)
+    for trial, ts_span in enumerate((10_000_000, 20, 400_000)):
+        n = rng.randint(40, 120)
+        n_users = rng.randint(3, 10)
+        types = ["view", "click", "purchase", "error"][: rng.randint(2, 4)]
+        base = 1_600_000_000_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(n)), pa.int64()),
+                "ts": pa.array(
+                    [base + rng.randint(0, ts_span) for _ in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    [rng.randrange(n_users) for _ in range(n)], pa.int64()
+                ),
+                "event_type": pa.array(
+                    [rng.choice(types) for _ in range(n)], pa.string()
+                ),
+                "value": pa.array(
+                    [round(rng.uniform(-5, 50), 6) for _ in range(n)],
+                    pa.float64(),
+                ),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        d = str(tmp_path / f"sf{trial}")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in ops.QUERIES["events_snapshot_diff"](spark, d).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in ops.QUERIES["events_cdc_running_diff"](spark, d).collect()
+        )
+        assert got == want, (trial, ts_span)
+        assert want, (trial, ts_span)  # non-vacuous on every draw
+
+
 def test_events_cdc_running_diff_env_switch_serves_committed_dir(
     spark, sf_dir, tmp_path, monkeypatch
 ):
