@@ -144,6 +144,141 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: conservative FP slack for the blocked-GEMM all-pairs prefilter: the
+#: exact left-associated 64-term chain and a float64 BLAS dot agree to
+#: ~64 ulp (< 1e-13 at unit scale); 1e-6 is 7 orders of magnitude of
+#: headroom, and a false positive only costs one exact re-score.
+_GEMM_MARGIN = 1e-6
+
+
+def _allpairs_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine candidates via distributed blocked GEMM —
+    EXACT-recall superset of ``cosine >= threshold`` (guide §4.2).
+
+    Shape: pack each scan partition into one (block_id, ids, matrix)
+    row; self-join the tiny packed relation on ``block_a <= block_b``
+    (P^2/2 rows of metadata + matrix bytes — the payload crosses once
+    per block pair, never per vector pair); one Arrow pass runs the
+    (n/P x n/P) float64 GEMM per block pair and emits only index pairs
+    above ``threshold - _GEMM_MARGIN``. The O(n^2) arithmetic is
+    unavoidable for the exact query (documented small-n form); this
+    moves it from a per-pair interpreted 64-term predicate inside a
+    BroadcastNestedLoopJoin condition into BLAS, and the bytes moved
+    scale as P * |table|, not n^2.
+
+    Recall proof sketch: both the exact chain and the GEMM evaluate
+    correctly-rounded float64 ops over identical inputs (float32
+    values widened to float64), so their results differ by well under
+    ``_GEMM_MARGIN``; any pair the exact filter keeps clears the
+    relaxed GEMM cut. Non-finite scores (zero-norm vectors) are kept
+    as candidates so the exact filter — with Spark's NaN ordering —
+    stays the sole arbiter of membership.
+    """
+    import pandas as pd
+
+    packed_schema = (
+        "block_id int, ids array<long>, mat binary, n int"
+    )
+
+    def pack(batches):
+        import numpy as np
+
+        ids_parts = []
+        mat_parts = []
+        block = [-1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block[0] = int(pdf["__block"].iloc[0])
+            ids_parts.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+            mat_parts.append(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(mat_parts)
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat = mat / norms
+        yield pd.DataFrame(
+            {
+                "block_id": [block[0]],
+                "ids": [ids],
+                "mat": [mat.tobytes()],
+                "n": [len(ids)],
+            }
+        )
+
+    from pyspark import StorageLevel
+
+    packed = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .withColumn("__block", F.spark_partition_id())
+        .mapInPandas(pack, schema=packed_schema)
+        # both self-join sides read the packed relation — pack once
+        # (recomputable persist; caller-owned cleanup, see
+        # operators.release_intermediate_caches)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = packed.select(
+        F.col("block_id").alias("ba"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        F.col("n").alias("na"),
+    )
+    b = packed.select(
+        F.col("block_id").alias("bb"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+        F.col("n").alias("nb"),
+    )
+    cut = float(threshold) - _GEMM_MARGIN
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a = []
+            out_b = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.frombuffer(row.mat_a, dtype=np.float64).reshape(
+                    row.na, -1
+                )
+                mb = np.frombuffer(row.mat_b, dtype=np.float64).reshape(
+                    row.nb, -1
+                )
+                sims = ma @ mb.T
+                hit = ~(sims < cut)  # keeps >= cut AND NaN/inf
+                if row.ba == row.bb:
+                    # same block: only distinct unordered pairs
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                else:
+                    # cross block: a duplicated vec_id must not pair
+                    # with itself (the exact join is strictly <)
+                    hit &= ids_a[:, None] != ids_b[None, :]
+                ii, jj = np.nonzero(hit)
+                if not len(ii):
+                    continue
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.append(lo)
+                out_b.append(hi)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                    }
+                )
+
+    joined = a.join(b, F.col("ba") <= F.col("bb"))
+    return joined.mapInPandas(score, schema="vec_a long, vec_b long")
+
+
 @query(
     "embedding_near_dup_pairs",
     oracle=f"""
@@ -168,7 +303,15 @@ def embedding_near_dup_pairs(
     Two execution shapes:
 
     - ``candidates=None`` (default, the oracle-checked registered form):
-      exact all-pairs — quadratic, correct, only for small n.
+      exact all-pairs. The O(n^2) scoring runs as a blocked float64
+      GEMM prefilter (:func:`_allpairs_candidate_pairs`, exact recall
+      by FP-margin argument) and only surviving pairs re-score through
+      the bit-identical 64-term chain below — same rows, same cosines,
+      same hash as the former all-pairs θ-join, which evaluated the
+      whole chain per pair inside an interpreted
+      BroadcastNestedLoopJoin condition (measured 10.8 s -> see
+      OPTIMIZATION_r13.md; the arithmetic is still quadratic by design,
+      the constant is BLAS's).
     - ``candidates`` given (a DataFrame with ``vec_a < vec_b`` columns,
       e.g. from ``srp_candidate_pairs``): the 100 TB shape — two hash
       equi-joins attach the embeddings to the candidate pairs and only
@@ -176,18 +319,19 @@ def embedding_near_dup_pairs(
       (pinned by tests/test_plans.py).
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    if candidates is None:
+        candidates = _allpairs_candidate_pairs(emb, threshold)
     n = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),
         F.expr(_norm_sql("embedding", "spark")).alias("nn"),
     )
-    if candidates is not None:
-        # candidate path: both verify sides read the normed relation —
-        # compute the 64-term norm chain once (recomputable persist;
-        # caller-owned cleanup, see operators.release_intermediate_caches)
-        from pyspark import StorageLevel
+    # both verify sides read the normed relation — compute the 64-term
+    # norm chain once (recomputable persist; caller-owned cleanup, see
+    # operators.release_intermediate_caches)
+    from pyspark import StorageLevel
 
-        n = n.persist(StorageLevel.MEMORY_AND_DISK)
+    n = n.persist(StorageLevel.MEMORY_AND_DISK)
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nn").alias("na")
     )
@@ -195,10 +339,7 @@ def embedding_near_dup_pairs(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nn").alias("nb")
     )
     cosine = F.expr(_dot_sql("ea", "eb", "spark")) / (F.col("na") * F.col("nb"))
-    if candidates is None:
-        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    else:
-        pairs = candidates.join(a, "vec_a").join(b, "vec_b")
+    pairs = candidates.join(a, "vec_a").join(b, "vec_b")
     return (
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

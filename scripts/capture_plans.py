@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for named queries to plans/r13/<name>_<tag>.txt.
+
+Usage: python scripts/capture_plans.py <tag> [name ...]
+With no names: the bench HEADLINE set.
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kafka_consumer_2_clickhouse_spark.session import get_spark  # noqa: E402
+from kafka_consumer_2_clickhouse_spark import operators as ops  # noqa: E402
+import bench  # noqa: E402
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:] or bench.HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(REPO, "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="capture_plans")
+    for name in names:
+        df = ops.QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        print(f"captured {name}")
+        ops.release_intermediate_caches(spark)
+
+if __name__ == "__main__":
+    main()

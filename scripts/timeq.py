@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Ad-hoc per-query timer for optimization work (does NOT touch
+bench_detail.json): warm once, then best-of-N noop-sink passes.
+
+Usage: python scripts/timeq.py name [name...] [--n 3] [--sf DIR]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kafka_consumer_2_clickhouse_spark.session import get_spark  # noqa: E402
+from kafka_consumer_2_clickhouse_spark import operators as ops  # noqa: E402
+from kafka_consumer_2_clickhouse_spark.sources.tables import (  # noqa: E402
+    TABLE_NAMES,
+    load_table,
+)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n = 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--n":
+            n = int(args[i + 1]); i += 2
+        elif args[i] == "--sf":
+            sf_dir = args[i + 1]; i += 2
+        else:
+            names.append(args[i]); i += 1
+    spark = get_spark(app_name="timeq")
+    for t in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).count()
+    for name in names:
+        spark.sparkContext.setJobDescription(f"warm {name}")
+        ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts = []
+        for _ in range(n):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"timed {name}")
+            t0 = time.time()
+            ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts.append(round(time.time() - t0, 3))
+        print(f"{name:42s} best={min(ts):7.3f}  all={ts}")
+
+
+if __name__ == "__main__":
+    main()
