@@ -455,61 +455,61 @@ def simhash64_select(
     token streams or widen to 2 lanes/long). The ±1 sign-sum becomes
     popcount algebra: sum(±1 over bit b) > 0  ⇔  2*ones(b) > n_tok.
 
-    MAP-ONLY formulation: fold the token array with F.aggregate into
-    a 16-lane struct accumulator instead of explode + groupBy. Same
-    arithmetic, but zero shuffle and no 10M-row materialization —
-    measured ~2.5x faster than the explode plan at sf0.1, and at
-    100 TB the signature stage becomes pure scan parallelism (the
-    explode plan's per-doc combine already kept the shuffle small;
-    this removes it entirely).
+    MAP-ONLY formulation: fold the token array with an ``aggregate``
+    higher-order function into a 16-lane struct accumulator instead of
+    explode + groupBy. Same arithmetic, but zero shuffle and no
+    10M-row materialization — measured ~2.5x faster than the explode
+    plan at sf0.1, and at 100 TB the signature stage becomes pure scan
+    parallelism (the explode plan's per-doc combine already kept the
+    shuffle small; this removes it entirely).
+
+    The expression tree is assembled as ONE SQL string handed to
+    ``F.expr`` — building the same tree Column-by-Column cost ~8,300
+    py4j round trips (~1.3 s of driver time per invocation, the
+    dominant cost of ``simhash_docs`` at bench scale; guide §1.2 —
+    per-task work includes the driver's); the string parses in the
+    JVM in one call and analyzes to the identical expressions.
     """
     lut = [
         ((n >> 3 & 1) << 45) | ((n >> 2 & 1) << 30) | ((n >> 1 & 1) << 15) | (n & 1)
         for n in range(16)
     ]
-    lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
+    lut_sql = "array(" + ", ".join(f"{v}L" for v in lut) + ")"
 
-    def packed(tok):
-        # Parse the first 16 hex chars of md5(tok) as TWO 32-bit ints
-        # (2 string-parsing convs per token instead of 16
-        # substring+conv); nibble p of a big-endian 8-char parse sits
-        # at shift 4*(7 - p%8).
-        h = F.md5(tok)
-        v0 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-        v1 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # Parse the first 16 hex chars of md5(tok) as TWO 32-bit ints
+    # (2 string-parsing convs per token instead of 16 substring+conv);
+    # nibble p of a big-endian 8-char parse sits at shift 4*(7 - p%8).
+    v_sql = {
+        0: "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)",
+        1: "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)",
+    }
 
-        def nibble(p: int):
-            word = v0 if p < 8 else v1
-            return F.shiftright(word, 4 * (7 - p % 8)).bitwiseAND(15)
+    def lane_sql(p: int) -> str:  # packed 4-bit-counter LUT value for nibble p
+        nib = f"(shiftright({v_sql[p // 8]}, {4 * (7 - p % 8)}) & 15)"
+        return f"element_at({lut_sql}, CAST({nib} AS INT) + 1)"
 
-        return [F.element_at(lut_arr, nibble(p).cast("int") + 1) for p in range(16)]
+    zero_sql = "named_struct(" + ", ".join(
+        f"'s{p}', 0L" for p in range(16)
+    ) + ")"
+    fold_sql = "named_struct(" + ", ".join(
+        f"'s{p}', acc.s{p} + {lane_sql(p)}" for p in range(16)
+    ) + ")"
+    agg_sql = f"aggregate(__toks, {zero_sql}, (acc, tok) -> {fold_sql})"
 
-    zero = F.struct(*[F.lit(0).cast("long").alias(f"s{p}") for p in range(16)])
+    def ones_sql(i: int) -> str:  # set-bit count for global bit i, lane i%4
+        return f"(shiftright(__s.s{i // 4}, {45 - 15 * (i % 4)}) & 32767)"
 
-    def fold(acc, tok):
-        ps = packed(tok)
-        return F.struct(
-            *[(acc[f"s{p}"] + ps[p]).alias(f"s{p}") for p in range(16)]
-        )
+    bits_sql = "concat(" + ", ".join(
+        f"CASE WHEN 2 * {ones_sql(i)} > __n_tok THEN '1' ELSE '0' END"
+        for i in range(64)
+    ) + ")"
 
-    sums = df.select(
+    sums = df.select(*keep_cols, toks.alias("__toks")).select(
         *keep_cols,
-        F.size(toks).alias("__n_tok"),
-        F.aggregate(toks, zero, fold).alias("__s"),
+        F.expr("size(__toks)").alias("__n_tok"),
+        F.expr(agg_sql).alias("__s"),
     )
-
-    def ones(i: int):  # set-bit count for global bit i, from lane i%4
-        return F.shiftright(
-            F.col("__s").getField(f"s{i // 4}"), 45 - 15 * (i % 4)
-        ).bitwiseAND(0x7FFF)
-
-    bits = F.concat(
-        *[
-            F.when(2 * ones(i) > F.col("__n_tok"), "1").otherwise("0")
-            for i in range(64)
-        ]
-    )
-    return sums.select(*keep_cols, bits.alias(out))
+    return sums.select(*keep_cols, F.expr(bits_sql).alias(out))
 
 
 #: near-dup cut for this corpus (pairwise Hamming median is ~20; a

@@ -86,6 +86,39 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: plan-fragment memo for load_table: building the scan DataFrame costs
+#: ~70 ms of driver time per call (file listing + footer schema read +
+#: the timestamp-restore projections), and bench/oracle runs rebuild the
+#: same handful of tables hundreds of times. The memo returns the SAME
+#: immutable lazy plan — execution still reads every byte from parquet
+#: on every action (this caches no data, no results). Keyed by
+#: (applicationId, path, mtime_ns, size): a new session or an in-place
+#: overwrite (re-landed table, test fixture) misses, same discipline as
+#: ``_row_groups_at``. For directory tables the newest member file's
+#: (mtime, size) joins the key — a rewritten member invalidates even
+#: when the directory entry itself is untouched.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _table_memo_key(spark: SparkSession, path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    stamp: tuple = (st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        members = glob.glob(os.path.join(path, "*.parquet"))
+        if members:
+            stamp += (
+                len(members),
+                max(
+                    (os.stat(m).st_mtime_ns, os.stat(m).st_size, m)
+                    for m in members
+                ),
+            )
+    return (spark.sparkContext.applicationId, path, stamp)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with timestamp normalization.
 
@@ -97,11 +130,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     value-preserving and every downstream operator (RANGE frames over
     ``unix_micros``, ``window()``, timestamp-literal comparisons) sees
     one consistent type either way.
+
+    Repeated loads of an unchanged table return the memoized plan (see
+    ``_TABLE_MEMO`` — a driver-time optimization only; no data or
+    results are cached).
     """
     from pyspark.sql.types import TimestampNTZType
 
     ensure_session_confs(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = _table_memo_key(spark, path)
+    if key is not None:
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return hit
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         # nanosAsLong delivered epoch-nanos as LongType; truncate to micros
@@ -116,6 +158,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 for c in df.columns
             ]
         )
+    if key is not None:
+        if len(_TABLE_MEMO) >= 512:  # bound growth across test tmp dirs
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
     return df
 
 
