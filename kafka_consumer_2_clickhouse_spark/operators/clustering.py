@@ -96,7 +96,14 @@ def _v(df: DataFrame) -> DataFrame:
 
 
 def _sqdist_scaled(v: Column, centroid: list[float]) -> Column:
-    """Exact scaled-integer squared distance to one literal centroid."""
+    """Exact scaled-integer squared distance to one literal centroid.
+
+    Deliberately the ``zip_with``/``aggregate`` HOF form: flattening the
+    K x D chain into literal SQL was MEASURED 3.5x SLOWER end-to-end at
+    sf0.1 (every Lloyd's iteration has fresh centroid literals, so each
+    assign pass forces a fresh multi-10-KB janino compile — the codegen
+    cache never hits), see OPTIMIZATION_r13.md.
+    """
     carr = F.array(*[F.lit(float(x)) for x in centroid])
     terms = F.zip_with(
         v, carr, lambda a, b: F.round((a - b) * (a - b) * F.lit(DIST_SCALE)).cast("long")

@@ -1523,16 +1523,34 @@ def pq_encode(emb: DataFrame, books, rotation=None) -> DataFrame:
     )
 
 
+#: (relation stamp) -> (qids, normalized qmat) — the ``_memo_train``
+#: discipline for the query-side pull: every ANN variant collects the
+#: SAME small query relation, so ``ann_recall_report`` (6 variants) and
+#: the sweeps paid one TakeOrdered-free collect per variant per action.
+#: Values are small ndarrays; copies are returned (callers index only,
+#: but keep the contract uniform with ``_copy_train``).
+_QUERY_MEMO: dict = {}
+
+
 def _query_matrix(queries: DataFrame):
     """Bounded driver pull of the query side: (ids, normalized matrix).
-    ``queries`` must already be filtered to the small query set."""
+    ``queries`` must already be filtered to the small query set.
+    Session-memoized on the relation stamp (pure deterministic function
+    of the input relation — same keying as ``_memo_train``)."""
     import numpy as np
 
-    qrows = queries.select("vec_id", "embedding").collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    return qids, qmat
+    key = _relation_stamp(queries)
+    hit = _QUERY_MEMO.get(key)
+    if hit is None:
+        qrows = queries.select("vec_id", "embedding").collect()
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+        if len(_QUERY_MEMO) > 32:  # bound: a handful of query relations
+            _QUERY_MEMO.clear()
+        _QUERY_MEMO[key] = (qids, qmat)
+        hit = _QUERY_MEMO[key]
+    return hit[0].copy(), hit[1].copy()
 
 
 def _pq_adc_rerank(

