@@ -140,33 +140,93 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     double arithmetic on values both engines computed identically.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    v = F.col("embedding")
-    idx = F.sequence(F.lit(1), F.lit(DIM))
-    # flat double array in row-major triangle order (1,1)..(1,D),(2,2)..
-    # — no per-element structs (measured ~1.5x over the struct form);
-    # (i, j) are recovered arithmetically AFTER aggregation, on the
-    # D(D+1)/2-row relation only
-    tri = emb.select(
-        F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(DIM)),
-                    lambda j: F.round(
-                        F.element_at(v, i).cast("double")
-                        * F.element_at(v, j).cast("double"),
-                        6,
-                    ),
-                ),
+    # The triangle products run as ONE Arrow pass with integer-scaled
+    # partial sums per scan partition (guide §4.2): the previous form
+    # built a D(D+1)/2-element array per row through nested
+    # higher-order transforms (CodegenFallback — interpreted per
+    # element) and exploded n x 2,080 rows into the aggregate; this
+    # computes the same rounded products in BLAS-vectorized numpy and
+    # ships ONE (2,080-lane int64, 64-lane int64, count) row per
+    # partition. Exactness: round(x*y, 6) scaled by 1e6 is an integer,
+    # int64 partial sums are associative and overflow-free by bound
+    # (|x*y| <= 16 -> |lane| <= 1.6e7 * n_rows), and K/1e6 in double is
+    # the correctly-rounded quotient — the same double the previous
+    # decimal(27,6) sum cast produced. Rounding replicates Spark/Java
+    # BigDecimal HALF_UP on the shortest decimal repr: nearest integer
+    # on x*1e6 everywhere except a guard band around .5 ties, where the
+    # exact decimal re-round runs per element (see _round6_scaled).
+    partial_schema = "sxy_acc array<long>, m_acc array<long>, n_rows long"
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        def round6_scaled(x):
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "embedding_covariance: non-finite embedding value — "
+                    "the decimal-sum contract (and the DuckDB oracle) "
+                    "assume finite inputs"
+                )
+            y = x * 1e6
+            fl = np.floor(y)
+            fr = y - fl
+            k = fl.astype(np.int64) + (fr > 0.5)
+            amb = np.abs(fr - 0.5) < 1e-7  # >> max scaling error ~2e-9
+            if amb.any():
+                import decimal
+
+                for t in np.argwhere(amb):
+                    val = float(x[tuple(t)])
+                    k[tuple(t)] = int(
+                        decimal.Decimal(repr(val))
+                        .scaleb(6)
+                        .quantize(
+                            decimal.Decimal(1),
+                            rounding=decimal.ROUND_HALF_UP,
+                        )
+                    )
+            return k
+
+        iu, ju = np.triu_indices(DIM)
+        acc = np.zeros(len(iu), dtype=np.int64)
+        m_acc = np.zeros(DIM, dtype=np.int64)
+        n_rows = 0
+        for pdf in batches:
+            col = pdf["embedding"]
+            col = col[col.notna()]
+            if not len(col):
+                continue
+            mat = np.vstack(col.to_numpy()).astype(np.float64)
+            n_rows += len(mat)
+            acc += round6_scaled(mat[:, iu] * mat[:, ju]).sum(axis=0)
+            m_acc += round6_scaled(mat).sum(axis=0)
+        if n_rows:
+            yield pd.DataFrame(
+                {"sxy_acc": [acc], "m_acc": [m_acc], "n_rows": [n_rows]}
             )
-        ).alias("f")
+
+    from pyspark import StorageLevel
+
+    # P-row relation feeding the triangle sums, the per-dim means, and
+    # the row count — pack once (recomputable persist; caller-owned
+    # cleanup, see operators.release_intermediate_caches)
+    partials = (
+        emb.select("embedding")
+        .filter(F.col("embedding").isNotNull())
+        .mapInPandas(partial, schema=partial_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tot = partials.agg(F.sum("n_rows").cast("bigint").alias("n"))
     agg = (
-        tri.select(F.posexplode("f").alias("pos", "p"))
+        partials.select(F.posexplode("sxy_acc").alias("pos", "v"))
         .groupBy("pos")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("p").cast("decimal(27,6)")).cast("double").alias("sxy"),
+        .agg(F.sum("v").alias("k"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pos",
+            "n",
+            (F.col("k").cast("double") / F.lit(1e6)).alias("sxy"),
         )
     )
     # invert the triangular index: row r (0-based) holds positions
@@ -189,12 +249,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "n", "sxy"
         )
     )
-    d = emb.select(F.posexplode("embedding").alias("pos", "v0")).select(
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("v0").cast("double").alias("v"),
-    )
-    m = d.groupBy("dim").agg(
-        F.sum(F.round(F.col("v"), 6).cast("decimal(27,6)")).cast("double").alias("s")
+    # per-dimension sums from the same partials (previously a second
+    # posexplode + decimal aggregate over the scan)
+    m = (
+        partials.select(F.posexplode("m_acc").alias("pos", "v"))
+        .groupBy("pos")
+        .agg((F.sum("v").cast("double") / F.lit(1e6)).alias("s"))
+        .select((F.col("pos") + 1).cast("int").alias("dim"), "s")
     )
     mi = F.broadcast(m.select(F.col("dim").alias("i"), F.col("s").alias("si")))
     mj = F.broadcast(m.select(F.col("dim").alias("j"), F.col("s").alias("sj")))
