@@ -37,7 +37,7 @@ Scale (100 TB embedding table, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table, spread
 from ._memo import SessionMemo
@@ -95,34 +95,39 @@ def _v(df: DataFrame) -> DataFrame:
     )
 
 
-def _sqdist_scaled(v: Column, centroid: list[float]) -> Column:
-    """Exact scaled-integer squared distance to one literal centroid.
+def _sqdist_scaled_sql(v: str, centroid: list[float]) -> str:
+    """Exact scaled-integer squared distance to one literal centroid —
+    the ``zip_with``/``aggregate`` HOF expression, written as SQL text.
 
-    Deliberately the ``zip_with``/``aggregate`` HOF form: flattening the
-    K x D chain into literal SQL was MEASURED 3.5x SLOWER end-to-end at
-    sf0.1 (every Lloyd's iteration has fresh centroid literals, so each
-    assign pass forces a fresh multi-10-KB janino compile — the codegen
-    cache never hits), see OPTIMIZATION_r13.md.
+    Two measured dead ends bracket this form (OPTIMIZATION_r13.md):
+    building the same HOF tree Column-by-Column cost ~0.76 s of py4j
+    round trips PER Lloyd's iteration (the dominant cost of the whole
+    k-means family at bench scale), while flattening the K x D chain
+    into literal arithmetic SQL was 3.5x slower end-to-end (fresh
+    centroid literals defeat the codegen cache, forcing a janino
+    compile per assign pass). The HOF-as-SQL-text form keeps the
+    interpreted-lambda plan (no codegen to recompile) and parses in
+    ONE JVM call. Centroid components embed as shortest-repr ``D``
+    literals — exact double round-trip.
     """
-    carr = F.array(*[F.lit(float(x)) for x in centroid])
-    terms = F.zip_with(
-        v, carr, lambda a, b: F.round((a - b) * (a - b) * F.lit(DIST_SCALE)).cast("long")
+    carr = "array(" + ", ".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({v}, {carr}, (a, b) -> "
+        f"CAST(round((a - b) * (a - b) * {DIST_SCALE!r}D) AS BIGINT)), "
+        f"0L, (acc, x) -> acc + x)"
     )
-    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _assign(vecs: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """Argmin assignment against literal centroids (map-only)."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_scaled(F.col("v"), c).alias("d"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, c in sorted(centroids.items())
-            ]
+    best = F.expr(
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', {_sqdist_scaled_sql('v', c)}, "
+            f"'cid', CAST({cid} AS INT))"
+            for cid, c in sorted(centroids.items())
         )
+        + "))"
     )
     return vecs.withColumn("best", best).select(
         "vec_id",
