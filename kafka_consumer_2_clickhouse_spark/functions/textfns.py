@@ -103,6 +103,43 @@ def sql_minhash_slice(digests_expr: str, slot: int) -> str:
     )
 
 
+# --- Spark-SQL text twins of the Column builders above -----------------
+# Building wide signature expressions Column-by-Column costs one py4j
+# round trip per call (~0.5 s per signature relation at bench scale —
+# see OPTIMIZATION_r13.md); these emit the IDENTICAL expressions as
+# Spark-dialect SQL text for a single F.expr parse. They are the
+# Spark-side analogue of the sql_* DuckDB twins: same operator tree the
+# Column form analyzes to, so results are unchanged by construction.
+
+
+def spark_tokens(text_expr: str = "text") -> str:
+    return f"split({text_expr}, ' ')"
+
+
+def spark_shingles(tokens_expr: str, n: int = 3) -> str:
+    """Spark-dialect twin of :func:`shingles` (same short-doc guard)."""
+    joined = ", ".join(
+        f"element_at(__t, i + {k} + 1)" for k in range(n)
+    )
+    return (
+        f"transform(CASE WHEN size(__t) >= {n} "
+        f"THEN sequence(0, size(__t) - {n}) "
+        f"ELSE CAST(array() AS array<int>) END, "
+        f"i -> concat_ws(' ', {joined}))"
+    ).replace("__t", f"({tokens_expr})")
+
+
+def spark_minhash_digests(shingles_expr: str, seed: int) -> str:
+    return f"transform({shingles_expr}, s -> md5(concat('{seed}|', s)))"
+
+
+def spark_minhash_slice(digests_expr: str, slot: int) -> str:
+    return (
+        f"array_min(transform({digests_expr},"
+        f" h -> substring(h, {1 + 8 * slot}, 8)))"
+    )
+
+
 def simhash_bit_exprs(tok: str, bits: int = 64, pre_hashed: bool = False) -> list[str]:
     """Per-bit ±1 contribution CASE expressions over one token variable.
 

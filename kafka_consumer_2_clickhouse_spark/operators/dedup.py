@@ -86,14 +86,17 @@ def signature_relation(
     """
     spd = X.MINHASH_SLICES_PER_DIGEST
     n_digests = -(-n_minhash // spd)
-    toks = X.tokens("text")
-    sh = X.shingles(toks, shingle_n)
-    base = docs.select(F.col("doc_id"), sh.alias("shingles"))
+    # Spark-SQL text twins of the Column builders: identical expression
+    # trees, ONE parse call each instead of a py4j round trip per
+    # sub-expression (~0.5 s per signature relation; this builder is on
+    # the hot path of the whole LSH family — see OPTIMIZATION_r13.md)
+    sh = X.spark_shingles(X.spark_tokens("text"), shingle_n)
+    base = docs.select(F.col("doc_id"), F.expr(sh).alias("shingles"))
     digs = base.select(
         "doc_id",
         "shingles",
         *[
-            X.minhash_digests(F.col("shingles"), d).alias(f"d{d}")
+            F.expr(X.spark_minhash_digests("shingles", d)).alias(f"d{d}")
             for d in range(n_digests)
         ],
     )
@@ -101,7 +104,7 @@ def signature_relation(
         "doc_id",
         "shingles",
         *[
-            X.minhash_slice(F.col(f"d{j // spd}"), j % spd).alias(f"mh{j}")
+            F.expr(X.spark_minhash_slice(f"d{j // spd}", j % spd)).alias(f"mh{j}")
             for j in range(n_minhash)
         ],
     )
@@ -119,7 +122,9 @@ def band_key_columns(
         raise ValueError(f"n_bands={n_bands} must divide n_minhash={n_minhash}")
     r = n_minhash // n_bands
     return [
-        F.md5(F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])).alias(f"band{b}")
+        F.expr(
+            "md5(concat(" + ", ".join(f"mh{b * r + k}" for k in range(r)) + "))"
+        ).alias(f"band{b}")
         for b in range(n_bands)
     ]
 
@@ -617,21 +622,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[block(b).alias(f"b{b}") for b in range(SIMHASH_BLOCKS)],
     )
 
-    def combo_key(combo):
-        k = F.col(f"b{combo[0]}")
+    def combo_key_sql(combo) -> str:
+        # identical tree to the former Column fold, as SQL text — one
+        # parse call for the 70-combo array instead of ~1,700 py4j
+        # round trips (see multimodal._manku_band_pairs)
+        k = f"b{combo[0]}"
         for c in combo[1:]:
-            k = F.shiftleft(k, width).bitwiseOR(F.col(f"b{c}"))
+            k = f"(shiftleft({k}, {width}) | b{c})"
         return k
 
     combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_CLEAN_BLOCKS))
+    combo_arr = "array(" + ", ".join(
+        f"named_struct('combo_id', {ci}, 'key', {combo_key_sql(c)})"
+        for ci, c in enumerate(combos)
+    ) + ")"
     keys = blocks.select(
         "doc_id", "v0", "v1",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(ci).alias("combo_id"), combo_key(c).alias("key"))
-                for ci, c in enumerate(combos)
-            ])
-        ).alias("bk"),
+        F.explode(F.expr(combo_arr)).alias("bk"),
     ).select("doc_id", "v0", "v1", "bk.combo_id", "bk.key")
 
     # SHUFFLE_HASH pins both sides to shuffle on (combo_id, key) —

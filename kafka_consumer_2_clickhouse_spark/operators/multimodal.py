@@ -418,21 +418,23 @@ def _manku_band_pairs(fp: DataFrame) -> DataFrame:
         *[block(b).alias(f"b{b}") for b in range(SIMHASH_BLOCKS)],
     )
 
-    def combo_key(combo):
-        k = F.col(f"b{combo[0]}")
+    def combo_key_sql(combo) -> str:
+        # identical tree to the former Column fold: shiftleft+OR chain;
+        # SQL text so the 70-combo array parses in ONE JVM call instead
+        # of ~1,700 py4j round trips (~2 s per build, OPTIMIZATION_r13.md)
+        k = f"b{combo[0]}"
         for c in combo[1:]:
-            k = F.shiftleft(k, width).bitwiseOR(F.col(f"b{c}"))
+            k = f"(shiftleft({k}, {width}) | b{c})"
         return k
 
     combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_CLEAN_BLOCKS))
+    combo_arr = "array(" + ", ".join(
+        f"named_struct('combo_id', {ci}, 'key', {combo_key_sql(c)})"
+        for ci, c in enumerate(combos)
+    ) + ")"
     keys = blocks.select(
         "media_id", "modality", "v0", "v1",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(ci).alias("combo_id"), combo_key(c).alias("key"))
-                for ci, c in enumerate(combos)
-            ])
-        ).alias("bk"),
+        F.explode(F.expr(combo_arr)).alias("bk"),
     ).select("media_id", "modality", "v0", "v1", "bk.combo_id", "bk.key")
 
     # SHUFFLE_HASH: pin the only join shape that exists at scale (see

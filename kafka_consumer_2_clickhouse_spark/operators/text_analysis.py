@@ -853,9 +853,18 @@ BPE_APPLY_MERGES = 6
 BPE_TOK_SEP = "\x1f"
 
 
-def _apply_merge_col(toks: Column, a: str, b: str) -> Column:
+def _sql_str(s: str) -> str:
+    """Spark SQL string literal for arbitrary token text."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _apply_merge_sql(toks_expr: str, a: str, b: str) -> str:
     """One BPE merge applied to a token array, LEFT-TO-RIGHT GREEDY —
-    a single ``F.aggregate`` fold, map-only.
+    a single ``aggregate`` fold, map-only, emitted as Spark-SQL text
+    (the merge chain nests one fold per merge; building the same tree
+    Column-by-Column cost ~0.15 s of py4j round trips PER MERGE — the
+    dominant build cost of the bpe_apply/compression family, see
+    OPTIMIZATION_r13.md).
 
     State = (acc: merged-so-far, prev: one-token lookbehind). A
     ``(prev=a, x=b)`` hit appends the merged symbol ``"a b"`` and
@@ -865,31 +874,27 @@ def _apply_merge_col(toks: Column, a: str, b: str) -> Column:
     space so they are textually distinct from any raw token and stay
     inert under later merges — the new-symbol property of real BPE.
     """
-    pair = F.lit(a + " " + b)
-    init = F.struct(
-        F.array().cast("array<string>").alias("acc"),
-        F.lit(None).cast("string").alias("prev"),
+    la, lb = _sql_str(a), _sql_str(b)
+    pair = _sql_str(a + " " + b)
+    init = (
+        "named_struct('acc', CAST(array() AS array<string>), "
+        "'prev', CAST(NULL AS STRING))"
     )
-
-    def step(s, x):
-        hit = s.getField("prev").eqNullSafe(F.lit(a)) & (x == F.lit(b))
-        flushed = F.when(
-            s.getField("prev").isNull(), s.getField("acc")
-        ).otherwise(F.concat(s.getField("acc"), F.array(s.getField("prev"))))
-        return F.when(
-            hit,
-            F.struct(
-                F.concat(s.getField("acc"), F.array(pair)).alias("acc"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-        ).otherwise(F.struct(flushed.alias("acc"), x.alias("prev")))
-
-    def finish(s):
-        return F.when(
-            s.getField("prev").isNull(), s.getField("acc")
-        ).otherwise(F.concat(s.getField("acc"), F.array(s.getField("prev"))))
-
-    return F.aggregate(toks, init, step, finish)
+    flushed = (
+        "CASE WHEN s.prev IS NULL THEN s.acc "
+        "ELSE concat(s.acc, array(s.prev)) END"
+    )
+    step = (
+        f"(s, x) -> CASE WHEN (s.prev <=> {la}) AND (x = {lb}) "
+        f"THEN named_struct('acc', concat(s.acc, array({pair})), "
+        f"'prev', CAST(NULL AS STRING)) "
+        f"ELSE named_struct('acc', {flushed}, 'prev', x) END"
+    )
+    finish = (
+        "s -> CASE WHEN s.prev IS NULL THEN s.acc "
+        "ELSE concat(s.acc, array(s.prev)) END"
+    )
+    return f"aggregate({toks_expr}, {init}, {step}, {finish})"
 
 
 def _bpe_apply_oracle(n_merges: int) -> str:
@@ -970,12 +975,14 @@ def _bpe_retokenized(
         .collect()
     )
     merges = [tuple(r["pair"].split(" ", 1)) for r in cand]
-    toks = X.tokens("text")
-    out = toks
+    out_sql = X.spark_tokens("text")
     for a, b in merges:
-        out = _apply_merge_col(out, a, b)
+        out_sql = _apply_merge_sql(out_sql, a, b)
     return docs.select(
-        "doc_id", "lang", toks.alias("toks_before"), out.alias("toks")
+        "doc_id",
+        "lang",
+        X.tokens("text").alias("toks_before"),
+        F.expr(out_sql).alias("toks"),
     )
 
 
@@ -1246,7 +1253,7 @@ def bpe_learn_from(docs: DataFrame, n_rounds: int) -> DataFrame:
             a, b, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n"])
             rows.append((r, a, b, n))
             nxt = work.select(
-                "doc_id", _apply_merge_col(F.col("toks"), a, b).alias("toks")
+                "doc_id", F.expr(_apply_merge_sql("toks", a, b)).alias("toks")
             ).persist()
             nxt.count()  # materialize before dropping the parent
             work.unpersist()

@@ -11,7 +11,7 @@ from .oracle_utils import compare, duck_connect
 def _fold(spark, toks, a, b):
     df = spark.createDataFrame([(toks,)], "toks array<string>")
     return df.select(
-        TA._apply_merge_col(F.col("toks"), a, b).alias("out")
+        F.expr(TA._apply_merge_sql("toks", a, b)).alias("out")
     ).collect()[0]["out"]
 
 
