@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .analytics import query
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -220,6 +220,11 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (it needs total counts), but the distinct pre-pass
     already collapsed duplicate (order, part) lines before the join.
     """
+    # NO spread() here, deliberately (measured, OPTIMIZATION_r13.md):
+    # the first operation is the distinct's own hash exchange, which
+    # already redistributes — a round-robin repartition in front only
+    # adds a full-width shuffle + sort-before-repartition (family sum
+    # 12.7 s -> 14.4 s with it)
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -293,6 +298,11 @@ def copurchase_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.tables import broadcast_if_small
 
+    # NO spread() here, deliberately (measured, OPTIMIZATION_r13.md):
+    # the first operation is the distinct's own hash exchange, which
+    # already redistributes — a round-robin repartition in front only
+    # adds a full-width shuffle + sort-before-repartition (family sum
+    # 12.7 s -> 14.4 s with it)
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

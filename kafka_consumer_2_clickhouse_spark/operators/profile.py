@@ -703,6 +703,12 @@ def lineitem_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `events_profile_approx` documents.
     """
     qs = [p / 100.0 for p in ANALYZE_PCTS]
+    # NO spread() here, deliberately (measured, OPTIMIZATION_r13.md):
+    # this plan holds 5 aggregate subtrees over the scan (percentiles +
+    # 4 broadcast ndv legs), and a round-robin repartition is NOT
+    # reused across them — each leg re-paid the full-width shuffle
+    # (with its sort-before-repartition), measured 3.3 s -> 9-40 s.
+    # The raw 3-row-group scan keeps each leg scan-local.
     li = load_table(spark, sf_dir, "lineitem")
     # ONE distinct-free pass for percentiles + null counts: mixing 4
     # count_distincts into the same aggregate would Expand the scan
@@ -763,6 +769,9 @@ def lineitem_analyze_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     `order_value_quartiles_approx`); n_nulls/n_rows remain exact.
     """
     qs = [p / 100.0 for p in ANALYZE_PCTS]
+    # NO spread(), same reasoning as the exact twin (single-subtree
+    # here, but the sketch pass is cheap enough that the round-robin
+    # shuffle + sort costs more than the parallelism buys)
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in ANALYZE_COLS:
