@@ -114,8 +114,14 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through map-side scoring with no shuffle until the per-query top-k
     window — and row_number<=k benefits from WindowGroupLimit pushdown
     (per-partition partial top-k before the exchange).
+
+    No spread() here, deliberately (measured, OPTIMIZATION_r13.md):
+    the codegen'd chain over N_QUERY x n rows is cheap per row, and the
+    round-robin repartition added two 32-task shuffle stages for a
+    ~10% slowdown; at scale the scan's own splits provide the
+    parallelism (spread is a no-op there anyway).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

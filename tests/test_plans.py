@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "events_psi_drift",  # 1-row range + 1-row totals crossJoins
     "join_selectivity_estimate",  # 1-row stats crossJoins per edge
     "lineitem_analyze_stats",  # 4x 1-row ndv crossJoins (Expand avoidance)
+    "embedding_covariance",  # 1-row row-count crossJoin (Arrow partials, r13)
     "bm25_search_docs",  # 1-row corpus-stats + 1-row df-stats crossJoins
     "events_markov_perplexity",  # 1-row cutoff + 1-row train-stats crossJoins
     "lineitem_chi2_independence",  # |rf| x |ls| marginal grid + 1-row total
