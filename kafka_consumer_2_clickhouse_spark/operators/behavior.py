@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table
 from .analytics import query
 
 FUNNEL_STEPS = ("view", "click", "purchase")

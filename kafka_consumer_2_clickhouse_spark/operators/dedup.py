@@ -1652,6 +1652,14 @@ def _incremental_neardup(
             # band keys; a hit only routes a key into the exact join,
             # where the anti-joined corpus side can't produce self-pairs.
         else:
+            # inline-derivation path: the corpus signature relation
+            # (shingle + 8x md5 over 90% of the corpus) feeds THREE
+            # actions here — the key count, the bloom bitmap build, and
+            # the band join below. Persist it once (recomputable,
+            # caller-released via release_intermediate_caches /
+            # clearCache — the lsh_candidate_pairs_df discipline);
+            # through r13 each action re-ran the full signature scan.
+            corpus_keys = corpus_keys.persist(StorageLevel.MEMORY_AND_DISK)
             n_keys = corpus_keys.count()
             m_bits = _bloom.bloom_m_bits(n_keys)
             k = _bloom.N_HASHES

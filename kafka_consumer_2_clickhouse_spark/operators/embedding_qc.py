@@ -226,6 +226,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pos",
             "n",
+            # exactness bound: cast(double)/1e6 equals the old
+            # decimal(27,6)-sum-cast-double only while |k| <= 2^53 —
+            # ~5.6e8 rows at worst-case lane magnitude (|x_i*x_j| <= ~16
+            # after round6 scaling). Beyond that the conversion loses
+            # ulps vs the decimal path; widen the partial dtype (int128
+            # via two lanes, or decimal re-aggregation) before this
+            # limit binds at production row counts — same class of
+            # bound as the int64 overflow note in the docstring.
             (F.col("k").cast("double") / F.lit(1e6)).alias("sxy"),
         )
     )

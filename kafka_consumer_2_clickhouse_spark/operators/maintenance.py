@@ -634,7 +634,17 @@ def events_cdc_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_delta_sum double",
         )
     cutoff = lo + (hi - lo) * CUTOFF_NUM // CUTOFF_DEN
-    work = tempfile.mkdtemp(prefix="spark_graft_cdc_running_")
+    # The replay's state/diff versions are TRANSIENT by contract (deleted
+    # in the finally; the result is collected before returning), so land
+    # them on tmpfs when the host has one: the maintainer writes ~9 small
+    # parquet versions inside the timed region, and /dev/shm turns that
+    # commit traffic into memory writes (guide §6 — the production path
+    # is the SPARK_GRAFT_CDC_DIFF read, which this does not touch).
+    shm = "/dev/shm"
+    work = tempfile.mkdtemp(
+        prefix="spark_graft_cdc_running_",
+        dir=shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None,
+    )
     try:
         state = os.path.join(work, "state")
         diff = os.path.join(work, "diff")

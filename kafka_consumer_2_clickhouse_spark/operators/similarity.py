@@ -156,13 +156,20 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: headroom, and a false positive only costs one exact re-score.
 _GEMM_MARGIN = 1e-6
 
+#: rows per packed GEMM block cell: 2^19 x DIM=64 float64 = 256 MiB,
+#: comfortably under the ~2 GiB Arrow/Spark single-cell ceilings even
+#: with serialization overhead; bench-scale partitions never hit it
+MAX_PACK_BLOCK_ROWS = 1 << 19
+
 
 def _allpairs_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """All-pairs cosine candidates via distributed blocked GEMM —
     EXACT-recall superset of ``cosine >= threshold`` (guide §4.2).
 
     Shape: pack each scan partition into one (block_id, ids, matrix)
-    row; self-join the tiny packed relation on ``block_a <= block_b``
+    row (sub-split at ``MAX_PACK_BLOCK_ROWS`` so one cell never brushes
+    the ~2 GiB single-value ceilings at very large partitions);
+    self-join the tiny packed relation on ``block_a <= block_b``
     (P^2/2 rows of metadata + matrix bytes — the payload crosses once
     per block pair, never per vector pair); one Arrow pass runs the
     (n/P x n/P) float64 GEMM per block pair and emits only index pairs
@@ -183,7 +190,7 @@ def _allpairs_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     packed_schema = (
-        "block_id int, ids array<long>, mat binary, n int"
+        "block_id long, ids array<long>, mat binary, n int"
     )
 
     def pack(batches):
@@ -191,30 +198,50 @@ def _allpairs_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
         ids_parts = []
         mat_parts = []
-        block = [-1]
+        n_rows = 0
+        pid = -1
+        seq = 0
+
+        def flush():
+            nonlocal ids_parts, mat_parts, n_rows, seq
+            ids = np.concatenate(ids_parts)
+            mat = np.vstack(mat_parts)
+            norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mat = mat / norms
+            # globally unique across partitions AND sub-blocks: the
+            # partition id in the high 32 bits, the flush sequence low
+            bid = (pid << 32) | seq
+            seq += 1
+            ids_parts, mat_parts, n_rows = [], [], 0
+            return pd.DataFrame(
+                {
+                    "block_id": [bid],
+                    "ids": [ids],
+                    "mat": [mat.tobytes()],
+                    "n": [len(ids)],
+                }
+            )
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            block[0] = int(pdf["__block"].iloc[0])
+            pid = int(pdf["__block"].iloc[0])
             ids_parts.append(pdf["vec_id"].to_numpy(dtype=np.int64))
             mat_parts.append(
                 np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             )
-        if not ids_parts:
-            return
-        ids = np.concatenate(ids_parts)
-        mat = np.vstack(mat_parts)
-        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mat = mat / norms
-        yield pd.DataFrame(
-            {
-                "block_id": [block[0]],
-                "ids": [ids],
-                "mat": [mat.tobytes()],
-                "n": [len(ids)],
-            }
-        )
+            n_rows += len(pdf)
+            # Cap one packed cell at MAX_PACK_BLOCK_ROWS so a single
+            # binary value stays well under Arrow/Spark's ~2 GiB
+            # single-cell ceilings at ANY partition size (256 MiB of
+            # float64 at DIM=64) — at bench scale partitions are far
+            # smaller and this never fires (one block per partition,
+            # same plan, same timings)
+            if n_rows >= MAX_PACK_BLOCK_ROWS:
+                yield flush()
+        if ids_parts:
+            yield flush()
 
     from pyspark import StorageLevel
 
@@ -608,11 +635,25 @@ def _relation_stamp(raw: DataFrame) -> tuple:
     (applicationId, plan semantic hash, input-file-set hash). The file
     stamp invalidates a memo when the underlying data changes
     mid-session (rewrite/append -> new part-file names), which
-    semanticHash alone cannot see — a same-path re-read hashes equal."""
+    semanticHash alone cannot see — a same-path re-read hashes equal.
+    Each file's (mtime_ns, size) joins the hash so an IN-PLACE
+    overwrite (same part-file name — test fixtures, re-landed tables)
+    also invalidates, the ``_table_memo_key`` discipline."""
+    import os
+    from urllib.parse import unquote
+
+    def stat_stamp(uri: str):
+        p = unquote(uri.removeprefix("file:"))
+        try:
+            st = os.stat(p)
+            return (uri, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return (uri,)  # non-local path: name-only stamp
+
     return (
         raw.sparkSession.sparkContext.applicationId,
         raw.semanticHash(),
-        hash(tuple(sorted(raw.inputFiles()))),
+        hash(tuple(stat_stamp(f) for f in sorted(raw.inputFiles()))),
     )
 
 
@@ -2970,12 +3011,276 @@ def _exact_topk_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine
 
 
+#: env switches that re-point individual variants at prebuilt indexes —
+#: when ANY is set the recall report falls back to composing the
+#: registered per-variant queries so the switch semantics hold
+_VARIANT_INDEX_ENVS = (
+    "SPARK_GRAFT_IVF_INDEX",
+    "SPARK_GRAFT_PQ_INDEX",
+    "SPARK_GRAFT_OPQ_INDEX",
+    "SPARK_GRAFT_IVFPQ_INDEX",
+    "SPARK_GRAFT_IVFOPQ_INDEX",
+)
+
+
+def _variant_topk_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six approximate variants' top-k as ONE tagged relation
+    (variant, query_id, cand_id, cosine, rank) — row-identical to
+    running the six registered queries and union-tagging their outputs
+    (pinned in tests/test_similarity.py), but in FOUR data passes
+    instead of ~14 (guide §4.2/§6 — scan once, compute many):
+
+    1. one Arrow GEMM scan emitting the ``ann`` AND ``ivf`` per-
+       partition local top-k (one normalize + one sims matrix, tagged);
+    2. one Arrow encode scan emitting ALL FOUR code layouts
+       (pq / opq / ivfpq+cell / ivfopq) — persisted (recomputable;
+       caller-released via release_intermediate_caches) because the
+       fused ADC below re-reads it;
+    3. one fused ADC pass over the persisted codes emitting every
+       quantized variant's tagged shortlist;
+    4. one exact re-rank scan (broadcast tagged shortlist against the
+       full-precision relation).
+
+    Bit-identity argument: every per-row/per-batch computation (the
+    float64 normalize, the sims GEMM, each code argmin, each LUT
+    gather, the exact re-rank dot) is copied verbatim from the
+    per-variant operators and runs on the SAME Arrow batches those
+    operators saw (same ``spread(raw)`` scan, same column projection,
+    same re-batching rule), and every training artifact comes from the
+    same ``_memo_train`` keys — so local top-k lists, shortlists, and
+    cosines are bit-identical, and the shared (variant, query_id)
+    window reproduces each variant's rank exactly.
+    """
+    import numpy as np
+    from pyspark import StorageLevel
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    cents = _train_centroids(raw)
+    books_pq = train_pq_codebooks(raw)
+    r_opq, books_opq, _ = train_opq(raw)
+    books_r = _train_residual_codebooks(raw, cents)
+    r_ropq, books_ropq, _ = _train_residual_opq(raw, cents)
+
+    # ---- pass 1: fused exact-GEMM locals for ann + ivf ----------------
+    # TWO probe dicts, replicating each original verbatim: the ivf
+    # operator derives its probe from per-row gemv (qmat[i] @ cents.T),
+    # the IVFADC tail from rows of one gemm (qmat @ cents.T) — BLAS may
+    # order the two summations differently, and a ulp on a near-tie
+    # would flip an argsort. Bit-identity beats sharing 160 dots.
+    cell_dot = qmat @ cents.T  # (n_q, C) — the IVFADC probe + ADC offset
+    probe_ivf = {
+        int(q): set((qmat[i] @ cents.T).argsort()[-N_PROBE:].tolist())
+        for i, q in enumerate(qids)
+    }
+    probe_adc = {
+        int(q): set(cell_dot[i].argsort()[-N_PROBE:].tolist())
+        for i, q in enumerate(qids)
+    }
+    bc_g = spark.sparkContext.broadcast((qids, qmat, cents, probe_ivf))
+    top_k = TOP_K
+
+    def gemm_locals(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm, cts, probe_v = bc_g.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cell = (cm @ cts.T).argmax(axis=1)
+            sims = qm @ cm.T
+            for qi, qid in enumerate(ids):
+                row = sims[qi]
+                base = cand_ids != qid
+                in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                for variant, mask in (("ann", base), ("ivf", in_probe & base)):
+                    c_ids, c_sims = cand_ids[mask], row[mask]
+                    if len(c_ids) == 0:
+                        continue
+                    k = min(top_k, len(c_ids))
+                    part = np.lexsort((c_ids, -c_sims))[:k]
+                    yield pd.DataFrame(
+                        {
+                            "variant": variant,
+                            "query_id": qid,
+                            "cand_id": c_ids[part],
+                            "cosine": c_sims[part],
+                        }
+                    )
+
+    gemm_local = (
+        spread(raw)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            gemm_locals,
+            schema="variant string, query_id long, cand_id long, cosine double",
+        )
+    )
+
+    # ---- pass 2: combined encode (all four code layouts), persisted ---
+    bc_e = spark.sparkContext.broadcast(
+        (cents, books_pq, r_opq, books_opq, books_r, r_ropq, books_ropq)
+    )
+
+    def encode_all(batches):
+        import numpy as np
+
+        cts, bpq, r1, bopq, br, r2, bropq = bc_e.value
+
+        def codes_for(mat, bks):
+            m, _, sub = bks.shape
+            out = np.zeros((len(mat), m), dtype=np.int32)
+            for mi in range(m):
+                block = mat[:, mi * sub : (mi + 1) * sub]
+                d2 = (
+                    -2.0 * block @ bks[mi].T
+                    + (bks[mi] ** 2).sum(axis=1)[None, :]
+                )
+                out[:, mi] = d2.argmin(axis=1)
+            return out
+
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cell = (cm @ cts.T).argmax(axis=1)
+            resid = cm - cts[cell]
+            yield pdf[["vec_id"]].assign(
+                cell=cell.astype("int32"),
+                pq_codes=list(codes_for(cm, bpq)),
+                opq_codes=list(codes_for(cm @ r1, bopq)),
+                ivfpq_codes=list(codes_for(resid, br)),
+                ivfopq_codes=list(codes_for(resid @ r2, bropq)),
+            )
+
+    enc = (
+        spread(raw)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            encode_all,
+            schema=(
+                "vec_id long, cell int, pq_codes array<int>, "
+                "opq_codes array<int>, ivfpq_codes array<int>, "
+                "ivfopq_codes array<int>"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # ---- pass 3: fused ADC shortlists over the persisted codes --------
+    def lut_for(qm_adc, books):
+        m, _, sub = books.shape
+        return np.einsum(
+            "qms,mks->qmk", qm_adc.reshape(len(qm_adc), m, sub), books
+        )
+
+    luts = {
+        "pq": (lut_for(qmat, books_pq), False),
+        "opq": (lut_for(qmat @ r_opq, books_opq), False),
+        "ivfpq": (lut_for(qmat, books_r), True),
+        "ivfopq": (lut_for(qmat @ r_ropq, books_ropq), True),
+    }
+    bc_a = spark.sparkContext.broadcast((qids, luts, cell_dot, probe_adc))
+    shortlist_n = PQ_SHORTLIST
+
+    def adc_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, luts_v, cd_v, probe_v = bc_a.value
+        code_col = {
+            "pq": "pq_codes",
+            "opq": "opq_codes",
+            "ivfpq": "ivfpq_codes",
+            "ivfopq": "ivfopq_codes",
+        }
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy()
+            for variant, (lut_v, probed) in luts_v.items():
+                m_v = lut_v.shape[1]
+                cd = np.vstack(pdf[code_col[variant]].to_numpy())
+                sims = lut_v[:, np.arange(m_v)[None, :], cd].sum(axis=2)
+                for qi, qid in enumerate(ids):
+                    if probed:
+                        in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                        mask = in_probe & (cand_ids != qid)
+                        if not mask.any():
+                            continue
+                        c_ids = cand_ids[mask]
+                        c_sims = sims[qi][mask] + cd_v[qi][cell[mask]]
+                    else:
+                        mask = cand_ids != qid
+                        c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                        if len(c_ids) == 0:
+                            continue
+                    kk = min(shortlist_n, len(c_ids))
+                    part = np.lexsort((c_ids, -c_sims))[:kk]
+                    yield pd.DataFrame(
+                        {
+                            "variant": variant,
+                            "query_id": qid,
+                            "cand_id": c_ids[part],
+                        }
+                    )
+
+    shortlist = enc.mapInPandas(
+        adc_all, schema="variant string, query_id long, cand_id long"
+    ).dropDuplicates(["variant", "query_id", "cand_id"])
+
+    # ---- pass 4: one exact re-rank of every tagged shortlist ----------
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm = bc_q.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            yield pd.DataFrame(
+                {
+                    "variant": pdf["variant"],
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": (qrow * cm).sum(axis=1),
+                }
+            )
+
+    rescored = (
+        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .mapInPandas(
+            rerank,
+            schema="variant string, query_id long, cand_id long, cosine double",
+        )
+    )
+
+    w = W.partitionBy("variant", "query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    out = gemm_local.unionByName(rescored)
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("variant", "query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Recall@k + rank displacement of every approximate variant vs the
     exact operator — see :func:`ann_recall_report`. ``k <= TOP_K``
     truncates both sides to their top-k prefix (rank is already the
     deterministic tie-broken position, so prefixes are well-defined).
     """
+    import os
+
     if not 1 <= k <= TOP_K:
         raise ValueError(f"k must be in [1, {TOP_K}], got {k}")
     exact = (
@@ -2990,28 +3295,43 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     # bounded driver pull: <= N_QUERY * k rows by construction
     n_expected = exact.count()
-    variants = {
-        "ann": ann_cosine_topk,
-        "ivf": ivf_cosine_topk,
-        "pq": pq_cosine_topk,
-        "opq": opq_cosine_topk,
-        "ivfpq": ivfpq_cosine_topk,
-        "ivfopq": ivfopq_cosine_topk,
-    }
-    tagged = None
-    for name, fn in sorted(variants.items()):
-        t = (
-            fn(spark, sf_dir)
+    if any(os.environ.get(e) for e in _VARIANT_INDEX_ENVS):
+        # an index switch re-points at least one variant at a prebuilt
+        # layout: compose the registered queries so it takes effect
+        variants = {
+            "ann": ann_cosine_topk,
+            "ivf": ivf_cosine_topk,
+            "pq": pq_cosine_topk,
+            "opq": opq_cosine_topk,
+            "ivfpq": ivfpq_cosine_topk,
+            "ivfopq": ivfopq_cosine_topk,
+        }
+        tagged = None
+        for name, fn in sorted(variants.items()):
+            t = (
+                fn(spark, sf_dir)
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.lit(name).alias("variant"),
+                    "query_id",
+                    "cand_id",
+                    F.col("cosine").alias("cos_approx"),
+                    F.col("rank").alias("rank_approx"),
+                )
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+    else:
+        tagged = (
+            _variant_topk_tagged(spark, sf_dir)
             .filter(F.col("rank") <= k)
             .select(
-                F.lit(name).alias("variant"),
+                "variant",
                 "query_id",
                 "cand_id",
                 F.col("cosine").alias("cos_approx"),
                 F.col("rank").alias("rank_approx"),
             )
         )
-        tagged = t if tagged is None else tagged.unionByName(t)
     matched = F.col("rank_exact").isNotNull()
     joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
     return (
@@ -3093,10 +3413,20 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep's own arithmetic.
 
     Scale: the coarse quantizer trains ONCE (bounded content-hash
-    sample); each setting re-uses it and scans only its probed cells;
-    the comparison join and aggregate run over
-    <= |settings| x N_QUERY x k rows against the broadcast exact spine.
+    sample), and since r14 ALL settings score in ONE Arrow GEMM scan
+    (guide §4.2/§6 — the normalize + sims matrix are probe-width-
+    independent, so the five per-setting passes shared everything but
+    the mask): per batch one sims GEMM, then each setting emits its
+    masked local top-k tagged with ``n_probe``; one shared
+    (n_probe, query_id) window ranks them. Row-identical to the
+    per-setting ``_ivf_topk_inline`` loop (same batches, same float64
+    ops, same lexsort tie-break — the probe dict per setting is built
+    by the same per-row gemv argsort). The comparison join and
+    aggregate run over <= |settings| x N_QUERY x k rows against the
+    broadcast exact spine.
     """
+    import numpy as np
+
     raw = load_table(spark, sf_dir, "embeddings")
     cents = _train_centroids(raw)
     exact = (
@@ -3108,15 +3438,70 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_expected = exact.count()  # bounded: <= N_QUERY * TOP_K
-    tagged = None
-    for p in IVF_SWEEP_PROBES:
-        t = _ivf_topk_inline(spark, raw, cents, p, TOP_K).select(
-            F.lit(p).alias("n_probe"),
+    qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
+    # per-setting probe dicts, same construction as _ivf_topk_inline
+    probes = {
+        int(p): {
+            int(q): set((qmat[i] @ cents.T).argsort()[-p:].tolist())
+            for i, q in enumerate(qids)
+        }
+        for p in IVF_SWEEP_PROBES
+    }
+    bc_cents = spark.sparkContext.broadcast(cents)
+    bc_q = spark.sparkContext.broadcast((qids, qmat, probes))
+    top_k = TOP_K
+
+    def score_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_v = bc_cents.value
+        ids, qm, probes_v = bc_q.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cell = (cm @ cents_v.T).argmax(axis=1)
+            sims = qm @ cm.T
+            for p, probe_v in probes_v.items():
+                for qi, qid in enumerate(ids):
+                    in_probe = np.isin(cell, list(probe_v[int(qid)]))
+                    mask = in_probe & (cand_ids != qid)
+                    c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                    if len(c_ids) == 0:
+                        continue
+                    k = min(top_k, len(c_ids))
+                    part = np.lexsort((c_ids, -c_sims))[:k]
+                    yield pd.DataFrame(
+                        {
+                            "n_probe": p,
+                            "query_id": qid,
+                            "cand_id": c_ids[part],
+                            "cosine": c_sims[part],
+                        }
+                    )
+
+    local = (
+        spread(raw)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            score_all,
+            schema="n_probe int, query_id long, cand_id long, cosine double",
+        )
+    )
+    w = W.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    tagged = (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "n_probe",
             "query_id",
             "cand_id",
             F.col("rank").alias("rank_approx"),
         )
-        tagged = t if tagged is None else tagged.unionByName(t)
+    )
     matched = F.col("rank_exact").isNotNull()
     joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
     return (
@@ -3165,13 +3550,21 @@ def pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     code store.
 
     Scale: codebooks train per setting on the SAME bounded
-    content-hash sample (driver numpy, <= 2048 rows); each setting's
-    encode is one Arrow map pass; ADC scans codes only; the exact
-    re-rank touches full vectors for shortlists alone. The comparison
-    join and aggregate run over <= |settings| x N_QUERY x k rows
-    against the broadcast exact spine.
+    content-hash sample (driver numpy, <= 2048 rows); since r14 ALL
+    settings encode in ONE Arrow map pass (normalize once, three
+    per-subspace argmins over the same batch — guide §4.2/§6),
+    persisted so the fused ADC pass and the fidelity pass re-read
+    codes instead of re-encoding (recomputable; caller-released); ADC
+    scans codes only, tagged per setting, one shared (m, query_id)
+    re-rank window; the exact re-rank touches full vectors for the
+    tagged shortlist union alone. Row-identical to the per-setting
+    encode/ADC/re-rank loop (same batches, same gathers, same
+    lexsorts). The comparison join and aggregate run over
+    <= |settings| x N_QUERY x k rows against the broadcast exact
+    spine.
     """
     import numpy as np
+    from pyspark import StorageLevel
 
     raw = load_table(spark, sf_dir, "embeddings")
     exact = (
@@ -3185,45 +3578,141 @@ def pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_expected = exact.count()  # bounded: <= N_QUERY * TOP_K
     qids, qmat = _query_matrix(raw.filter(F.col("vec_id") < N_QUERY))
-    tagged = None
-    for m in PQ_SWEEP_M:
-        books = train_pq_codebooks(raw, m=m)
-        codes = pq_encode(spread(raw), books)
-        # shortlist_n = k: NO re-rank slack, so recall measures the raw
-        # ADC ordering quality the subspace count actually controls (a
-        # generous shortlist + exact re-rank hides the dial — that
-        # production slack is pq_cosine_topk's own setting)
-        t = _pq_adc_rerank(
-            spark, raw, codes, books, qids, qmat, shortlist_n=TOP_K
-        ).select(
-            F.lit(m).alias("m"),
-            "query_id",
-            "cand_id",
-            F.col("rank").alias("rank_approx"),
+    books_by_m = {m: train_pq_codebooks(raw, m=m) for m in PQ_SWEEP_M}
+
+    # ---- one encode pass for every m, persisted ------------------------
+    bc_e = spark.sparkContext.broadcast(books_by_m)
+
+    def encode_all_m(batches):
+        import numpy as np
+
+        books_v = bc_e.value
+        for pdf in batches:
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            out = pdf[["vec_id"]]
+            cols = {}
+            for m, bks in books_v.items():
+                _, _, sub = bks.shape
+                codes = np.zeros((len(cm), m), dtype=np.int32)
+                for mi in range(m):
+                    block = cm[:, mi * sub : (mi + 1) * sub]
+                    d2 = (
+                        -2.0 * block @ bks[mi].T
+                        + (bks[mi] ** 2).sum(axis=1)[None, :]
+                    )
+                    codes[:, mi] = d2.argmin(axis=1)
+                cols[f"codes_m{m}"] = list(codes)
+            yield out.assign(**cols)
+
+    enc = (
+        spread(raw)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            encode_all_m,
+            schema="vec_id long, "
+            + ", ".join(f"codes_m{m} array<int>" for m in PQ_SWEEP_M),
         )
-        # ADC score fidelity over the TRUE top-k pairs: score each
-        # exact pair's codes through this m's LUT — an Arrow pass over
-        # the semi-joined (<= n_expected-row) codes relation, so the
-        # error column measures quantization, not shortlist luck
-        lut = np.einsum(
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # shortlist_n = k: NO re-rank slack, so recall measures the raw
+    # ADC ordering quality the subspace count actually controls (a
+    # generous shortlist + exact re-rank hides the dial — that
+    # production slack is pq_cosine_topk's own setting)
+    luts = {
+        m: np.einsum(
             "qms,mks->qmk",
             qmat.reshape(len(qmat), m, DIM // m),
-            books,
+            books_by_m[m],
         )
-        bc = spark.sparkContext.broadcast((qids, lut))
+        for m in PQ_SWEEP_M
+    }
+    bc_a = spark.sparkContext.broadcast((qids, luts))
+    shortlist_n = TOP_K
 
-        def adc_score(batches, _bc=bc):  # bind THIS m's broadcast now —
-            # the closure runs lazily, after the loop has moved on
-            import numpy as np
-            import pandas as pd
+    def adc_all_m(batches):
+        import numpy as np
+        import pandas as pd
 
-            ids, lut_v = _bc.value
-            m_v = lut_v.shape[1]
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                cd = np.vstack(pdf["codes"].to_numpy())
+        ids, luts_v = bc_a.value
+        for pdf in batches:
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            for m, lut_v in luts_v.items():
+                m_v = lut_v.shape[1]
+                cd = np.vstack(pdf[f"codes_m{m}"].to_numpy())
+                sims = lut_v[:, np.arange(m_v)[None, :], cd].sum(axis=2)
+                for qi, qid in enumerate(ids):
+                    mask = cand_ids != qid
+                    c_ids, c_sims = cand_ids[mask], sims[qi][mask]
+                    if len(c_ids) == 0:
+                        continue
+                    kk = min(shortlist_n, len(c_ids))
+                    part = np.lexsort((c_ids, -c_sims))[:kk]
+                    yield pd.DataFrame(
+                        {"m": m, "query_id": qid, "cand_id": c_ids[part]}
+                    )
+
+    shortlist = enc.mapInPandas(
+        adc_all_m, schema="m int, query_id long, cand_id long"
+    ).dropDuplicates(["m", "query_id", "cand_id"])
+
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
+
+    def rerank_m(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm = bc_q.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            yield pd.DataFrame(
+                {
+                    "m": pdf["m"],
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": (qrow * cm).sum(axis=1),
+                }
+            )
+
+    rescored = (
+        raw.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .mapInPandas(
+            rerank_m,
+            schema="m int, query_id long, cand_id long, cosine double",
+        )
+    )
+    w = W.partitionBy("m", "query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    t_all = (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("m", "query_id", "cand_id", F.col("rank").alias("rank_approx"))
+    )
+
+    # ADC score fidelity over the TRUE top-k pairs: score each exact
+    # pair's codes through each m's LUT — an Arrow pass over the
+    # semi-joined (<= n_expected-row) slice of the persisted codes, so
+    # the error column measures quantization, not shortlist luck
+    def adc_score_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, luts_v = bc_a.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            for m, lut_v in luts_v.items():
+                m_v = lut_v.shape[1]
+                cd = np.vstack(pdf[f"codes_m{m}"].to_numpy())
                 # sims[q, c] = sum_j lut_v[q, j, cd[c, j]]: fancy-index
                 # gives (n_query, m, n_cand); reduce the m axis
                 sims = lut_v[
@@ -3232,21 +3721,21 @@ def pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for qi, qid in enumerate(ids):
                     yield pd.DataFrame(
                         {
+                            "m": m,
                             "query_id": qid,
                             "cand_id": cand_ids,
                             "adc_cosine": sims[qi],
                         }
                     )
 
-        pair_ids = exact.select(F.col("cand_id").alias("vec_id")).distinct()
-        scored = (
-            codes.join(F.broadcast(pair_ids), "vec_id", "left_semi")
-            .mapInPandas(
-                adc_score, schema="query_id long, cand_id long, adc_cosine double"
-            )
-        )
-        t = t.join(F.broadcast(scored), ["query_id", "cand_id"], "left")
-        tagged = t if tagged is None else tagged.unionByName(t)
+    pair_ids = exact.select(F.col("cand_id").alias("vec_id")).distinct()
+    scored = enc.join(F.broadcast(pair_ids), "vec_id", "left_semi").mapInPandas(
+        adc_score_all,
+        schema="m int, query_id long, cand_id long, adc_cosine double",
+    )
+    tagged = t_all.join(
+        F.broadcast(scored), ["m", "query_id", "cand_id"], "left"
+    )
     matched = F.col("rank_exact").isNotNull()
     joined = tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
     return (

@@ -1224,42 +1224,63 @@ def bpe_learn_from(docs: DataFrame, n_rounds: int) -> DataFrame:
     pair's count at merge time, the monotone-ish curve a tokenizer
     designer reads to pick the merge budget.
 
-    Scale: each round is (1) one map-only greedy fold re-tokenizing
-    the corpus — the persisted round output, so round r never re-runs
-    rounds 1..r-1 — (2) one pair-count aggregate whose shuffle is
-    bounded by observed-adjacency vocabulary, partial-aggregated
-    map-side, and (3) a TakeOrdered 1-row driver pull (the argmax).
-    N rounds = N linear passes, the irreducible cost of exact
-    distributed BPE; ties break (count desc, lhs, rhs) so the learned
-    table is deterministic on any engine or partitioning.
+    Scale: each round is ONE job — the pair-count argmax aggregate
+    (shuffle bounded by observed-adjacency vocabulary, partial-
+    aggregated map-side; TakeOrdered 1-row driver pull) runs over the
+    round's corpus with the greedy re-tokenizing fold fused in as the
+    map stage, and doubles as the action that fills that corpus's
+    persist — so round r never re-runs rounds 1..r-1 and no separate
+    materialize-count job exists (it did through r13: 2 jobs/round,
+    plus a final fold nobody consumed). N rounds = N linear passes,
+    the irreducible cost of exact distributed BPE; ties break
+    (count desc, lhs, rhs) so the learned table is deterministic on
+    any engine or partitioning.
     """
     spark = docs.sparkSession
     work = docs.select("doc_id", X.tokens("text").alias("toks")).persist()
     rows: list[tuple[int, str, str, int]] = []
+
+    def argmax_pair(rel: DataFrame):
+        return (
+            rel.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+
+    parent: DataFrame | None = None  # persisted ancestor of `work`
     try:
         for r in range(1, n_rounds + 1):
-            top = (
-                work.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
-                .groupBy(
-                    F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-                )
-                .agg(F.count("*").cast("bigint").alias("n"))
-                .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
+            # ONE job per round: the argmax aggregate over the persisted
+            # round-r corpus both yields merge r AND materializes the
+            # persist (the aggregate consumes every partition), so the
+            # old separate nxt.count() job is fused away (guide §1.2 —
+            # fewer passes). Round n's fold is never built at all: only
+            # the merge TABLE is returned, and the old loop's final
+            # fold+count computed a corpus nobody read.
+            top = argmax_pair(work)
+            if parent is not None:
+                # `work` is materialized now — its parent's cache (kept
+                # so the argmax read round r-1's cached corpus while
+                # filling round r's) can finally go
+                parent.unpersist()
+                parent = None
             if not top:  # corpus folded below 2 tokens everywhere
                 break
             a, b, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n"])
             rows.append((r, a, b, n))
+            if r == n_rounds:
+                break
             nxt = work.select(
                 "doc_id", F.expr(_apply_merge_sql("toks", a, b)).alias("toks")
             ).persist()
-            nxt.count()  # materialize before dropping the parent
-            work.unpersist()
-            work = nxt
+            parent, work = work, nxt
     finally:
         work.unpersist()
+        if parent is not None:
+            parent.unpersist()
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, n bigint"
     )

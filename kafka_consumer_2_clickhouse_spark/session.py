@@ -60,6 +60,13 @@ def get_spark(
         # re-plan, and bucketed/sorted inputs keep their merge joins
         # (equal-size sides fail SHJ's much-smaller test). Measured
         # ~5% off the 31-query headline at sf0.1 with no regressions.
+        # Known trade (guide §3.1/§5): unlike sort-merge, SHJ's BUILD
+        # side does not spill — a skewed or size-underestimated build
+        # partition can OOM an executor. Backstops: the per-join
+        # "much smaller + fits local map" conditions, and AQE skew-join
+        # (enabled above) splitting oversized partitions at runtime.
+        # Plan evidence that the conf engages when broadcast is off:
+        # plans/r14/shj_evidence_*.txt.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")

@@ -107,7 +107,10 @@ def _table_memo_key(spark: SparkSession, path: str) -> tuple | None:
         return None
     stamp: tuple = (st.st_mtime_ns, st.st_size)
     if os.path.isdir(path):
-        members = glob.glob(os.path.join(path, "*.parquet"))
+        # RECURSIVE glob: a Hive-partitioned layout (key=x/part-*.parquet)
+        # keeps its data below subdirectories, where a top-level glob sees
+        # nothing and an in-place rewrite would not invalidate the memo
+        members = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         if members:
             stamp += (
                 len(members),
@@ -116,6 +119,8 @@ def _table_memo_key(spark: SparkSession, path: str) -> tuple | None:
                     for m in members
                 ),
             )
+        else:
+            return None  # empty/unrecognized dir layout: don't memoize
     return (spark.sparkContext.applicationId, path, stamp)
 
 

@@ -15,7 +15,43 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+#: replays that dominate this file's runtime (measured: the 44 queries
+#: over ~2 s in the full-oracle run account for ~55% of its oracle
+#: seconds; at smoke SF the cost is mostly plan BUILD time, so the set
+#: is SF-stable). Marked slow -> deselected from the default run; the
+#: opt-in full run (SPARK_GRAFT_FULL_TESTS=1) and the end-of-round
+#: full-inventory oracle snapshot still cover every one of them.
+SLOW_ORACLE_REPLAYS = frozenset({
+    "semantic_dedup_keep_docs", "ann_recall_report", "ann_cosine_topk",
+    "bpe_apply_merges", "bpe_corpus_compression", "bpe_compression_by_lang",
+    "bpe_learn_merges", "simhash_near_pairs", "events_cdc_running_diff",
+    "copurchase_khop_reach", "postings_index_drift_report", "pq_m_sweep",
+    "component_aware_splits", "cluster_balanced_sample", "media_phash_neardup",
+    "kmeans_clusters", "kmeans_cluster_profile", "kmeans_anomalies",
+    "copurchase_triangles", "copurchase_pagerank", "copurchase_lift_rules",
+    "part_copurchase_pairs", "ivf_nprobe_sweep", "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh", "embedding_near_dup_pairs_approx",
+    "incremental_neardup_bloom", "incremental_neardup_pairs",
+    "winnowing_overlap_pairs", "media_phash_dct_neardup",
+    "dedup_threshold_sensitivity", "lsh_parameter_plan",
+    "dsir_selection_summary", "dsir_selection_summary_approx",
+    "dsir_gumbel_sample", "dsir_importance_weights",
+    "quality_regressor_calibration", "lineitem_analyze_stats",
+    "lineitem_analyze_stats_approx", "source_ngram_diversity",
+    "doc_feature_vector", "bpe_token_boundary_stats",
+    "tfidf_top_terms", "embedding_covariance",
+})
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in SLOW_ORACLE_REPLAYS
+        else n
+        for n in sorted(analytics.QUERIES)
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     fn = analytics.QUERIES[name]
     sql = analytics.ORACLE_SQL.get(name)

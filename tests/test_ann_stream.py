@@ -2,6 +2,8 @@
 probe identically to the batch-built index; replay-idempotent; the
 deletion lifecycle composes on the streamed layout."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -9,6 +11,8 @@ from pyspark.sql import functions as F
 from kafka_consumer_2_clickhouse_spark.operators import similarity
 from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
 from kafka_consumer_2_clickhouse_spark.streaming import ann_sink
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 
 def _search(spark, idx, queries):

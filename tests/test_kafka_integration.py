@@ -12,6 +12,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
+
 
 def test_kafka_package_coordinate_matches_spark():
     import pyspark

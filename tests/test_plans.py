@@ -132,6 +132,7 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
     """A window with no partitionBy moves its ENTIRE input to one task
     (Spark warns `WindowExec: No Partition Defined`) — correct, but a
@@ -165,6 +166,7 @@ def test_difficulty_buckets_approx_plan_has_no_window(spark, sf_dir):
     ) == ["Window"]
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """CartesianProduct must not appear in ANY query plan, and
     BroadcastNestedLoopJoin only where it is the designed shape."""

@@ -7,6 +7,8 @@ from-scratch corpus queries, and the env-var switch must serve the
 persisted paths under the registered names.
 """
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -14,6 +16,8 @@ from pyspark.sql import functions as F
 from kafka_consumer_2_clickhouse_spark import operators as ops
 from kafka_consumer_2_clickhouse_spark.operators import text_analysis as tx
 from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 
 def _directory_rows(spark, index_dir):

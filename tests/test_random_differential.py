@@ -5,12 +5,16 @@ discipline (decimal sums, integer counts). Hand-written queries prove
 the operators; this proves the discipline generalizes to query shapes
 nobody hand-picked."""
 
+import pytest
+
 import itertools
 
 from pyspark.sql import functions as F
 
 from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
 from tests.oracle_utils import compare, duck_connect
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 # (table, group col, numeric measure col, filter col) combinations —
 # the cross product is the generated battery

@@ -12,6 +12,8 @@ import pytest
 
 from kafka_consumer_2_clickhouse_spark import operators as ops
 
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
+
 
 def test_default_mode_is_exact_and_identical(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)

@@ -1,5 +1,7 @@
 """ANN scale-path vs exact brute force: same top-k results."""
 
+import pytest
+
 from kafka_consumer_2_clickhouse_spark.operators import similarity
 
 
@@ -38,6 +40,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         assert -1.0001 <= r["cosine"] <= 1.0001
 
 
+@pytest.mark.slow
 def test_persisted_ivf_index_prunes_and_matches_inline(spark, sf_dir, tmp_path):
     """build_ivf_index + ivf_search must (a) read ONLY probed cell
     directories — partition pruning at the FileIndex, the property that
@@ -202,6 +205,7 @@ def test_hash_sample_partition_invariant(spark, sf_dir):
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_persisted_pq_index_matches_inline(spark, sf_dir, tmp_path):
     """build_pq_index + pq_search: no training/encoding at query time,
     identical results to the inline form (same seeds -> same codebooks
@@ -242,6 +246,7 @@ def test_persisted_pq_index_matches_inline(spark, sf_dir, tmp_path):
         del os.environ["SPARK_GRAFT_PQ_INDEX"]
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_index_prunes_and_matches_inline(
     spark, sf_dir, tmp_path
 ):
@@ -299,6 +304,7 @@ def test_persisted_ivfpq_index_prunes_and_matches_inline(
         del os.environ["SPARK_GRAFT_IVFPQ_INDEX"]
 
 
+@pytest.mark.slow
 def test_ivf_index_append_matches_full_build(spark, sf_dir, tmp_path):
     """Incremental add: build on half the corpus, append the rest
     encoded against the STORED quantizer. Because the quantizer is
@@ -350,6 +356,7 @@ def test_ivf_index_append_matches_full_build(spark, sf_dir, tmp_path):
     assert cells.select("vec_id").distinct().count() == n
 
 
+@pytest.mark.slow
 def test_ivfpq_index_append_matches_full_build(spark, sf_dir, tmp_path):
     """Incremental IVFADC add: half-build + append against the stored
     quantizers must serve searches identically to a single-pass build
@@ -534,6 +541,7 @@ def test_pq_m_sweep_fidelity_improves_with_subspaces(spark, sf_dir):
         assert r["adc_cosine_mae"] is not None and r["adc_cosine_mae"] > 0.0
 
 
+@pytest.mark.slow
 def test_ivf_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
     """Deletion lifecycle (the faiss remove_ids analog, half+append
     inverted): tombstoned searches == compacted searches == searches
@@ -599,6 +607,7 @@ def test_ivf_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
     assert spark.read.parquet(os.path.join(full, "cells")).count() == survivors.count()
 
 
+@pytest.mark.slow
 def test_ivfpq_delete_tombstone_then_compact(spark, sf_dir, tmp_path):
     """Same lifecycle on the IVFADC index: tombstoned == compacted ==
     never-contained (same coarse quantizer + residual codebooks)."""
@@ -708,6 +717,7 @@ def test_opq_registered_query_exact_through_rerank(spark, sf_dir):
         assert abs(gm[w[:2]] - w[2]) < 1e-9
 
 
+@pytest.mark.slow
 def test_persisted_opq_index_matches_inline(spark, sf_dir, tmp_path):
     """build_opq_index + opq_search == the inline opq_cosine_topk
     (same seeds -> same rotation and codebooks), both directly and
@@ -856,6 +866,7 @@ def test_ivfopq_residual_rotation_distortion_and_recall(spark, sf_dir):
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
 
 
+@pytest.mark.slow
 def test_persisted_ivfopq_index_matches_inline(spark, sf_dir, tmp_path):
     """build_ivfpq_index(opq=True) persists the rotation; ivfpq_search
     detects it and equals the inline ivfopq query row-for-row; the

@@ -18,10 +18,13 @@ from pyspark.sql import functions as F
 from kafka_consumer_2_clickhouse_spark.operators import similarity, text_analysis
 from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
 from kafka_consumer_2_clickhouse_spark.streaming import (
+
     ann_sink,
     index_compact,
     postings_sink,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 PREFIX = "batch="
 

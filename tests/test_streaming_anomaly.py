@@ -1,11 +1,15 @@
 """Streaming anomaly gate: flags judged against PRIOR-batch state only,
 replayed deterministically batch-by-batch (maxFilesPerTrigger=1)."""
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F, types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming.anomaly import anomaly_flags
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

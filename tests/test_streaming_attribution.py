@@ -2,12 +2,17 @@
 batch-auditor replay equality, restart exactly-once, and the
 session-expiry safety property."""
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F, types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming.attribution import (
+
     touch_attribution,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

@@ -3,6 +3,8 @@
 maintained in the same foreachBatch, consistent with their batch
 twins, and stable across a stop/restart with new arrivals."""
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import Window as W, functions as F, types as T
@@ -20,6 +22,8 @@ from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
     upsert_maintainer,
 )
 from kafka_consumer_2_clickhouse_spark.functions.rollup import rollup_state
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

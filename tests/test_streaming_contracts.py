@@ -2,16 +2,21 @@
 expectations split; passing rows land, violations quarantine with
 machine-readable reasons, and replay is idempotent."""
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F, types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming.contracts import (
+
     REASONS_COL,
     contract_gate,
     contract_split,
     read_quarantine,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

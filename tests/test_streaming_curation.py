@@ -123,6 +123,8 @@ import os  # noqa: E402
 
 import pytest  # noqa: E402
 
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
+
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_CH_URL"),

@@ -2,12 +2,17 @@
 exactly-once emission, window bounds, restart recovery, and the online
 (no-retroactive-reattribution) property."""
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming.funnel import (
+
     conversion_attribution,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

@@ -2,12 +2,17 @@
 a replayed batch sequence, and the merged view must surface every true
 heavy token."""
 
+import pytest
+
 from pyspark.sql import functions as F, types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming.heavyhitters import (
+
     merge_heavy_hitters,
     token_heavy_hitters_stream,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType([T.StructField("text", T.StringType(), True)])
 

@@ -7,9 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_consumer_2_clickhouse_spark.streaming.neardup import (
+
     neardup_filter,
     read_signature_store,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 BASE = (
     "the quick brown fox jumps over the lazy dog and then runs far away "

@@ -23,6 +23,8 @@ from kafka_consumer_2_clickhouse_spark.sinks import (
 from kafka_consumer_2_clickhouse_spark.sources.kafka import KAFKA_SHAPE
 from kafka_consumer_2_clickhouse_spark.streaming import observe, pipeline
 
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
+
 TARGET = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

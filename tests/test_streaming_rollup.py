@@ -11,10 +11,13 @@ from kafka_consumer_2_clickhouse_spark.functions.rollup import (
     rollup_state,
 )
 from kafka_consumer_2_clickhouse_spark.streaming.rollup_sink import (
+
     committed_batch,
     read_state,
     rollup_maintainer,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

@@ -1,6 +1,8 @@
 """Streaming upsert sink: incremental latest-state == batch snapshot,
 tombstone semantics, and replay idempotence."""
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F, types as T
@@ -8,9 +10,12 @@ from pyspark.sql import functions as F, types as T
 from kafka_consumer_2_clickhouse_spark import operators as ops
 from kafka_consumer_2_clickhouse_spark.sources.tables import load_table
 from kafka_consumer_2_clickhouse_spark.streaming.upsert_sink import (
+
     read_latest,
     upsert_maintainer,
 )
+
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
 
 SCHEMA = T.StructType(
     [

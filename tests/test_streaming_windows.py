@@ -6,6 +6,8 @@ from pyspark.sql import functions as F, types as T
 
 from kafka_consumer_2_clickhouse_spark.streaming import stateful, windows
 
+pytestmark = pytest.mark.slow  # long-running; see pytest.ini / conftest
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
